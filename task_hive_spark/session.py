@@ -1,0 +1,46 @@
+"""SparkSession factory.
+
+Local testing runs on local[N]; the configs below are chosen so the same
+code scales to a multi-executor cluster: AQE for runtime re-planning
+(skew joins, partition coalescing), UTC session timezone so results are
+comparable against the DuckDB oracle, Arrow for the Python boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "task_hive_spark", extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    At 100 TB scale the same settings apply, except shuffle partitions
+    should track total cluster cores (AQE coalesces the excess) and
+    ``spark.sql.files.maxPartitionBytes`` bounds scan-task size.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", DEFAULT_SHUFFLE_PARTITIONS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Driver fixtures use parquet TIMESTAMP(NANOS); read as long and
+        # convert to micros in sources.fixtures.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,60 @@
+"""Fixture loaders for the driver-generated parquet tables (TESTDATA.md).
+
+Parquet is the scan path: Catalyst pushes filters and prunes columns at
+the source (`PushedFilters` / `ReadSchema` in .explain), so queries here
+never read more than they project. At 100 TB the same `spark.read.parquet`
+call fans out across executors partition-by-partition; nothing below
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+FIXTURE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Fixture parquet stores TIMESTAMP(NANOS); Spark reads them as long via
+# spark.sql.legacy.parquet.nanosAsLong (set in session.get_spark). These
+# are the ns-long columns to convert back to real timestamps (micros,
+# matching what DuckDB yields when reading the same files).
+_NANOS_TS_COLS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Filters/projections applied by callers are
+    pushed down into this scan by Catalyst; the ns→timestamp conversion
+    below is a cheap projection that doesn't block pushdown on other
+    columns."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer div keeps full precision (ns since epoch overflows
+            # a double's 53-bit mantissa)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (idempotent), matching
+    the view names the DuckDB oracle pre-registers."""
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

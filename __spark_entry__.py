@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query on sf0.001;
+``queries()`` maps every implemented SURVEY §2 operator to a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the correctness gate.
 """
 
 from __future__ import annotations
@@ -14,25 +13,43 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Apply runtime-settable confs the engine relies on (the driver may
+    hand us a session built without them)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; fixtures loader still handles it
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: task stats (SURVEY §3.3) on sf0.001."""
+    _ensure_session_conf(spark)
+    from task_hive_spark.operators.queries import th_stats
+
+    return th_stats(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from task_hive_spark.operators import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    out.update(q.QUERIES)
+
+    def _wrap(fn):
+        def inner(spark, sf_dir):
+            _ensure_session_conf(spark)
+            return fn(spark, sf_dir)
+
+        return inner
+
+    return {k: _wrap(v) for k, v in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from task_hive_spark.operators import queries as q
+
+    out: dict[str, str] = {}
+    out.update(q.ORACLES)
+    return out

@@ -1,0 +1,491 @@
+"""Batch query surface: task-hive parity operators (SURVEY §2, [B] set).
+
+Each query has a DataFrame implementation (Spark-first: scans are
+partition-pruned on ``status``, aggregates are partial+final
+HashAggregates, limits push LocalLimit below the exchange) and a DuckDB
+oracle in ``ORACLES``. Reference citations point into /root/reference.
+
+Scale notes: everything here is a scan→filter→project/agg pipeline with
+no driver-side iteration; the only shuffles are the groupBys, which are
+partial-aggregated map-side first. All queries stay in whole-stage
+codegen (built-in functions only, no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from task_hive_spark.operators.taskmodel import (
+    NOW_FIXTURE,
+    oracle_cte,
+    register_task_views,
+    tasks_df,
+    workers_df,
+)
+from task_hive_spark.schemas import TASK_STATUSES
+
+# TaskInfo projection columns (tasks/api.go:15-21)
+_TASK_INFO_COLS = [
+    "id",
+    "payload",
+    "priority",
+    "status",
+    "worker_id",
+    "retry_count",
+    "create_time",
+    "update_time",
+]
+
+
+def th_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 count-by-status + total (tasks/api.go:200-240).
+
+    The reference does five count-only prefix reads; here one
+    partition-pruned scan with conditional aggregation — a single
+    partial+final HashAggregate, no join, one row out.
+    """
+    t = tasks_df(spark, sf_dir)
+    aggs = [
+        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s) for s in TASK_STATUSES
+    ]
+    return t.agg(*aggs, F.count("*").alias("total"))
+
+
+def th_list_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+S4+O3+O6+P5: status-filtered list scan with limit, TaskInfo
+    projection (tasks/api.go:114-197). Filter prunes the status
+    partition; LIMIT is pushed as LocalLimit. Deterministic id order
+    mirrors etcd's lexicographic key order (SURVEY §2.6 O6)."""
+    t = tasks_df(spark, sf_dir)
+    return (
+        t.where(F.col("status") == "processing")
+        .select(*_TASK_INFO_COLS)
+        .orderBy("id")
+        .limit(100)
+    )
+
+
+def th_list_all_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+O4: ListTasks("") — union-all of the five status partitions,
+    then truncate (tasks/api.go:139-159). Expressed honestly as a
+    unionByName of five pruned scans (the reference's five prefix
+    reads); Catalyst collapses it to one scan + filter."""
+    t = tasks_df(spark, sf_dir)
+    parts = [t.where(F.col("status") == s).select(*_TASK_INFO_COLS) for s in TASK_STATUSES]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("id").limit(100)
+
+
+def th_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+U2: GetTaskByID probe (tasks/api.go:43-111). The reference
+    checks four exact keys then prefix-scans processing; the normalized
+    model is a single point lookup."""
+    t = tasks_df(spark, sf_dir)
+    return t.where(F.col("id") == "task-42").select(*_TASK_INFO_COLS).limit(1)
+
+
+def th_workers_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+F8: ListWorkers with derived is_active = heartbeat age < 30s
+    (tasks/api.go:243-277, threshold :263). NOW_FIXTURE replaces the
+    wall clock (FIXTURES.md determinism rules)."""
+    w = workers_df(spark, sf_dir)
+    return w.select(
+        "id",
+        "lease_id",
+        "task_count",
+        "last_heartbeat",
+        "capacity",
+        (
+            F.col("last_heartbeat") > F.expr(f"{NOW_FIXTURE} - INTERVAL 30 SECOND")
+        ).alias("is_active"),
+    ).orderBy("id")
+
+
+def th_worker_inbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: GetWorkerTasks — one worker's processing inbox
+    (tasks/api.go:280-310; prefix processing/{workerID}/). Both
+    predicates reach the scan (partition prune + pushed filter)."""
+    t = tasks_df(spark, sf_dir)
+    return (
+        t.where((F.col("status") == "processing") & (F.col("worker_id") == "worker-3"))
+        .select(*_TASK_INFO_COLS)
+        .orderBy("id")
+    )
+
+
+def th_eligible_workers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P6: capacity gate (dispatcher.go:542-544) with the negative-
+    count clamp (worker.go:190-192): capacity 0 means unlimited."""
+    w = workers_df(spark, sf_dir)
+    clamped = w.withColumn("task_count", F.greatest(F.col("task_count"), F.lit(0)))
+    return clamped.where(
+        ~((F.col("capacity") > 0) & (F.col("task_count") >= F.col("capacity")))
+    ).orderBy("id")
+
+
+def th_least_tasks_worker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: argmin-by-load worker selection (dispatcher.go:613-633),
+    deterministic tie-break by id (reference is scan-order first-wins).
+    min_by over a struct = single partial+final aggregate, no sort."""
+    w = th_eligible_workers(spark, sf_dir)
+    return w.agg(
+        F.min_by("id", F.struct(F.col("task_count"), F.col("id"))).alias("worker_id"),
+        F.min("task_count").alias("task_count"),
+    )
+
+
+def th_pending_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: count-only pending guard (dispatcher.go:394-401). On parquet
+    this is served from footer metadata after partition pruning."""
+    t = tasks_df(spark, sf_dir)
+    return t.where(F.col("status") == "pending").agg(F.count("*").alias("pending_count"))
+
+
+def th_top10_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5+O1+W2: re-dispatch batch cap — top-10 pending by priority
+    (dispatcher.go:403-408, sort :221-223). TakeOrderedAndProject, not
+    a full sort."""
+    t = tasks_df(spark, sf_dir)
+    return (
+        t.where(F.col("status") == "pending")
+        .select("id", "priority", "create_time", "type")
+        .orderBy(F.desc("priority"), "id")
+        .limit(10)
+    )
+
+
+def th_composite_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+F4: build the reference's composite processing key
+    ``/tasks/processing/{worker}/{task}`` (common/constants.go:8) and
+    decompose it back with TrimPrefix+Split (common/utils.go:25-31)."""
+    t = tasks_df(spark, sf_dir)
+    proc = t.where(F.col("status") == "processing")
+    keyed = proc.select(
+        F.concat(F.lit("/tasks/processing/"), "worker_id", F.lit("/"), "id").alias("etcd_key")
+    )
+    parts = F.split(F.regexp_replace("etcd_key", "^/tasks/processing/", ""), "/")
+    return keyed.select(
+        "etcd_key",
+        parts.getItem(0).alias("worker_id"),
+        parts.getItem(1).alias("task_id"),
+    ).orderBy("etcd_key")
+
+
+def th_status_enum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+F6: status string↔int with the reference's asymmetric defaults
+    (common/constants.go:49-82): unknown int → 'unknown', unknown
+    string → 0/pending (the lossy default, preserved for parity)."""
+    t = tasks_df(spark, sf_dir)
+    as_int = (
+        F.when(F.col("status") == "pending", 0)
+        .when(F.col("status") == "processing", 1)
+        .when(F.col("status") == "completed", 2)
+        .when(F.col("status") == "failed", 3)
+        .when(F.col("status") == "delayed", 4)
+        .otherwise(0)
+    )
+    back = (
+        F.when(as_int == 0, "pending")
+        .when(as_int == 1, "processing")
+        .when(as_int == 2, "completed")
+        .when(as_int == 3, "failed")
+        .when(as_int == 4, "delayed")
+        .otherwise("unknown")
+    )
+    return (
+        t.select(F.col("status"), as_int.alias("status_int"), back.alias("status_back"))
+        .groupBy("status", "status_int", "status_back")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("status_int")
+    )
+
+
+def th_backoff_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: exponential backoff 2s·2^(n-1) (tasks/worker.go:73-79),
+    deterministic part (jitter is seeded separately in the streaming
+    state machine; see streaming/lifecycle.py). Verifies the stored
+    retry_delay_ns column against the recomputed formula."""
+    t = tasks_df(spark, sf_dir)
+    expected = F.when(F.col("retry_count") == 0, F.lit(0).cast("bigint")).otherwise(
+        (F.lit(2_000_000_000) * F.pow(F.lit(2), F.col("retry_count") - 1)).cast("bigint")
+    )
+    return (
+        t.select(
+            "retry_count",
+            "retry_delay_ns",
+            expected.alias("expected_ns"),
+            (F.col("retry_delay_ns") == expected).alias("matches"),
+        )
+        .groupBy("retry_count", "retry_delay_ns", "expected_ns", "matches")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("retry_count")
+    )
+
+
+def th_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11+S8: parse the nested WechatTask payload document
+    (model/model.go:32-35) — schema-on-read with from_json, array
+    element access (spider.go:79-81)."""
+    t = tasks_df(spark, sf_dir)
+    parsed = t.select(
+        "id",
+        F.from_json("payload", "row_id INT, row_data ARRAY<STRING>").alias("doc"),
+    )
+    return (
+        parsed.select(
+            "id",
+            F.col("doc.row_id").alias("row_id"),
+            F.col("doc.row_data").getItem(0).alias("cell0"),
+            F.col("doc.row_data").getItem(1).alias("cell1"),
+            F.size("doc.row_data").alias("n_cells"),
+        )
+        .where(F.col("row_id") % 100 == 0)
+        .orderBy("row_id")
+    )
+
+
+def th_spider_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+S3+F3+F12: the spider source — sheet rows fan out into
+    tasks (tasks/spider.go:21-74). The ``part`` fixture stands in for
+    spider.xlsx; cells are coerced to string (spider.go:49), ids are
+    ``wechat-task-{run_ts}-{row}`` with an injected run_ts (spider.go:59),
+    priority defaults 0→5 at submit (dispatcher.go:176-178), payload is
+    the nested JSON doc. Pure projection — distributes trivially."""
+    run_ts = 1700000000000000000  # injected constant, not wall clock
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    row = p.select(
+        F.col("p_partkey").cast("int").alias("row_id"),
+        F.array(
+            F.col("p_name"),
+            F.col("p_brand"),
+            F.col("p_type"),
+            F.col("p_size").cast("string"),
+            # decimal(12,2) first: double→string formatting is not
+            # portable across engines, fixed-scale decimal is
+            F.col("p_retailprice").cast("decimal(12,2)").cast("string"),
+        ).alias("row_data"),
+        # rows with p_size%10==0 submit priority 0 → defaulted to 5
+        F.when(F.col("p_size") % 10 == 0, 0).otherwise(F.col("p_size") % 10).alias("raw_priority"),
+    )
+    return row.select(
+        F.concat(F.lit(f"wechat-task-{run_ts}-"), F.col("row_id").cast("string")).alias("id"),
+        F.to_json(F.struct("row_id", "row_data")).alias("payload"),
+        F.when(F.col("raw_priority") == 0, 5).otherwise(F.col("raw_priority")).alias("priority"),
+        F.lit("pending").alias("status"),
+        F.lit(0).alias("retry_count"),
+        F.lit("spider").alias("type"),
+    ).orderBy("id")
+
+
+def th_unknown_type_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 batch analogue: tasks whose type has no registered processor
+    are failed with the reference's error message
+    (tasks/worker.go:241-251)."""
+    t = tasks_df(spark, sf_dir)
+    known = ["spider", "custom"]
+    return (
+        t.select(
+            "id",
+            "type",
+            F.when(F.col("type").isin(known), F.col("status"))
+            .otherwise("failed")
+            .alias("effective_status"),
+            F.when(
+                F.col("type").isin(known), F.lit(None).cast("string")
+            )
+            .otherwise(F.concat(F.lit("no processor registered for task type: "), "type"))
+            .alias("effective_error"),
+        )
+        .groupBy("type", "effective_status", "effective_error")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("type", "effective_status")
+    )
+
+
+def th_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: changelog compaction — last PUT wins per key (etcd overwrite
+    semantics, dispatcher.go:107) as the canonical row_number()=1
+    window over the events fixture. One shuffle on user_id."""
+    from task_hive_spark.sources.fixtures import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
+QUERIES = {
+    "th_stats": th_stats,
+    "th_list_by_status": th_list_by_status,
+    "th_list_all_union": th_list_all_union,
+    "th_point_get": th_point_get,
+    "th_workers_liveness": th_workers_liveness,
+    "th_worker_inbox": th_worker_inbox,
+    "th_eligible_workers": th_eligible_workers,
+    "th_least_tasks_worker": th_least_tasks_worker,
+    "th_pending_count": th_pending_count,
+    "th_top10_pending": th_top10_pending,
+    "th_composite_keys": th_composite_keys,
+    "th_status_enum_roundtrip": th_status_enum_roundtrip,
+    "th_backoff_schedule": th_backoff_schedule,
+    "th_payload_parse": th_payload_parse,
+    "th_spider_ingest": th_spider_ingest,
+    "th_unknown_type_failed": th_unknown_type_failed,
+    "th_latest_event_per_user": th_latest_event_per_user,
+}
+
+_TASK_INFO_SQL = "id, payload, priority, status, worker_id, retry_count, create_time, update_time"
+
+ORACLES = {
+    "th_stats": oracle_cte(
+        """
+        SELECT
+          SUM(CASE WHEN status = 'pending' THEN 1 ELSE 0 END)    AS pending,
+          SUM(CASE WHEN status = 'processing' THEN 1 ELSE 0 END) AS processing,
+          SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END)  AS completed,
+          SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)     AS failed,
+          SUM(CASE WHEN status = 'delayed' THEN 1 ELSE 0 END)    AS delayed,
+          COUNT(*) AS total
+        FROM tasks
+        """
+    ),
+    "th_list_by_status": oracle_cte(
+        f"SELECT {_TASK_INFO_SQL} FROM tasks WHERE status = 'processing' ORDER BY id LIMIT 100"
+    ),
+    "th_list_all_union": oracle_cte(
+        f"""
+        SELECT * FROM (
+          SELECT {_TASK_INFO_SQL} FROM tasks WHERE status = 'pending'
+          UNION ALL SELECT {_TASK_INFO_SQL} FROM tasks WHERE status = 'processing'
+          UNION ALL SELECT {_TASK_INFO_SQL} FROM tasks WHERE status = 'completed'
+          UNION ALL SELECT {_TASK_INFO_SQL} FROM tasks WHERE status = 'failed'
+          UNION ALL SELECT {_TASK_INFO_SQL} FROM tasks WHERE status = 'delayed'
+        ) u ORDER BY id LIMIT 100
+        """
+    ),
+    "th_point_get": oracle_cte(
+        f"SELECT {_TASK_INFO_SQL} FROM tasks WHERE id = 'task-42' LIMIT 1"
+    ),
+    "th_workers_liveness": oracle_cte(
+        f"""
+        SELECT id, lease_id, task_count, last_heartbeat, capacity,
+               last_heartbeat > {NOW_FIXTURE} - INTERVAL 30 SECOND AS is_active
+        FROM workers ORDER BY id
+        """
+    ),
+    "th_worker_inbox": oracle_cte(
+        f"""
+        SELECT {_TASK_INFO_SQL} FROM tasks
+        WHERE status = 'processing' AND worker_id = 'worker-3' ORDER BY id
+        """
+    ),
+    "th_eligible_workers": oracle_cte(
+        """
+        SELECT id, lease_id, GREATEST(task_count, 0) AS task_count, last_heartbeat, capacity
+        FROM workers
+        WHERE NOT (capacity > 0 AND GREATEST(task_count, 0) >= capacity)
+        ORDER BY id
+        """
+    ),
+    "th_least_tasks_worker": oracle_cte(
+        """
+        SELECT id AS worker_id, task_count FROM (
+          SELECT id, GREATEST(task_count, 0) AS task_count FROM workers
+          WHERE NOT (capacity > 0 AND GREATEST(task_count, 0) >= capacity)
+        ) e ORDER BY task_count, id LIMIT 1
+        """
+    ),
+    "th_pending_count": oracle_cte(
+        "SELECT COUNT(*) AS pending_count FROM tasks WHERE status = 'pending'"
+    ),
+    "th_top10_pending": oracle_cte(
+        """
+        SELECT id, priority, create_time, type FROM tasks
+        WHERE status = 'pending' ORDER BY priority DESC, id LIMIT 10
+        """
+    ),
+    "th_composite_keys": oracle_cte(
+        """
+        SELECT '/tasks/processing/' || worker_id || '/' || id AS etcd_key,
+               worker_id, id AS task_id
+        FROM tasks WHERE status = 'processing' ORDER BY etcd_key
+        """
+    ),
+    "th_status_enum_roundtrip": oracle_cte(
+        """
+        SELECT status, status_int,
+               CASE status_int WHEN 0 THEN 'pending' WHEN 1 THEN 'processing'
+                    WHEN 2 THEN 'completed' WHEN 3 THEN 'failed'
+                    WHEN 4 THEN 'delayed' ELSE 'unknown' END AS status_back,
+               COUNT(*) AS cnt
+        FROM (
+          SELECT status,
+                 CASE status WHEN 'pending' THEN 0 WHEN 'processing' THEN 1
+                      WHEN 'completed' THEN 2 WHEN 'failed' THEN 3
+                      WHEN 'delayed' THEN 4 ELSE 0 END AS status_int
+          FROM tasks
+        ) s GROUP BY status, status_int, status_back ORDER BY status_int
+        """
+    ),
+    "th_backoff_schedule": oracle_cte(
+        """
+        SELECT retry_count, retry_delay_ns, expected_ns,
+               retry_delay_ns = expected_ns AS matches, COUNT(*) AS cnt
+        FROM (
+          SELECT retry_count, retry_delay_ns,
+                 CASE WHEN retry_count = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(2000000000 * POW(2, retry_count - 1) AS BIGINT)
+                 END AS expected_ns
+          FROM tasks
+        ) b GROUP BY retry_count, retry_delay_ns, expected_ns, matches
+        ORDER BY retry_count
+        """
+    ),
+    "th_payload_parse": oracle_cte(
+        """
+        SELECT id,
+               CAST(payload->>'row_id' AS INT) AS row_id,
+               payload->>'$.row_data[0]' AS cell0,
+               payload->>'$.row_data[1]' AS cell1,
+               CAST(json_array_length(payload, '$.row_data') AS INT) AS n_cells
+        FROM tasks
+        WHERE CAST(payload->>'row_id' AS INT) % 100 = 0
+        ORDER BY row_id
+        """
+    ),
+    "th_spider_ingest": """
+        SELECT 'wechat-task-1700000000000000000-' || CAST(CAST(p_partkey AS INT) AS STRING) AS id,
+               '{"row_id":' || CAST(p_partkey AS STRING) || ',"row_data":["'
+                 || p_name || '","' || p_brand || '","' || p_type || '","'
+                 || CAST(p_size AS STRING) || '","'
+                 || CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS STRING)
+                 || '"]}' AS payload,
+               CASE WHEN p_size % 10 = 0 THEN 5 ELSE p_size % 10 END AS priority,
+               'pending' AS status, 0 AS retry_count, 'spider' AS type
+        FROM part ORDER BY id
+        """,
+    "th_unknown_type_failed": oracle_cte(
+        """
+        SELECT type,
+               CASE WHEN type IN ('spider','custom') THEN status ELSE 'failed' END AS effective_status,
+               CASE WHEN type IN ('spider','custom') THEN NULL
+                    ELSE 'no processor registered for task type: ' || type END AS effective_error,
+               COUNT(*) AS cnt
+        FROM tasks
+        GROUP BY 1, 2, 3 ORDER BY type, effective_status
+        """
+    ),
+    "th_latest_event_per_user": """
+        SELECT user_id, event_id, ts, event_type, value FROM (
+          SELECT user_id, event_id, ts, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) e WHERE rn = 1 ORDER BY user_id
+        """,
+}

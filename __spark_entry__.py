@@ -32,10 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from task_hive_spark.operators import queries as q
+    from task_hive_spark.operators import assign, queries as q, relational
 
     out: dict[str, Callable] = {}
     out.update(q.QUERIES)
+    out.update(assign.QUERIES)
+    out.update(relational.QUERIES)
 
     def _wrap(fn):
         def inner(spark, sf_dir):
@@ -48,8 +50,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from task_hive_spark.operators import queries as q
+    from task_hive_spark.operators import assign, queries as q, relational
 
     out: dict[str, str] = {}
     out.update(q.ORACLES)
+    out.update(assign.ORACLES)
+    out.update(relational.ORACLES)
     return out

@@ -1,0 +1,846 @@
+"""Relational-completeness suite (SURVEY §7 phase 7).
+
+The reference has no general joins/windows/grouping sets (SURVEY §2.3,
+§2.5) — an analytics engine must. These queries declare the full
+relational surface over the TPC-H-ish fixtures, each oracle-checked
+against DuckDB.
+
+Scale notes per query are inline; the common rules:
+- dims (region/nation/supplier) are broadcast — no shuffle on the fact;
+- double aggregates are ROUNDed in BOTH engines (float formatting and
+  last-ulp sum drift are not portable);
+- every result has a deterministic ORDER BY with a unique tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from task_hive_spark.sources.fixtures import load_table
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- aggregation ---------------------------------------------------------
+
+
+def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-agg. Partial aggregation happens
+    map-side; only 4 groups shuffle. The shipdate filter is pushed to
+    the parquet scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg, all predicates pushed down."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def rel_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + multi-distinct per group (expand + two-phase
+    aggregate in Spark)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def rel_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (partial+final with grouping-id expand)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+def rel_cube_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over brand × size-band."""
+    p = _t(spark, sf_dir, "part")
+    banded = p.withColumn("size_band", (F.col("p_size") % 5).cast("int"))
+    return (
+        banded.cube("p_brand", "size_band")
+        .agg(F.count("*").alias("cnt"), F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
+        .orderBy(F.col("p_brand").asc_nulls_first(), F.col("size_band").asc_nulls_first())
+    )
+
+
+def rel_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL (by type, by hour, grand total)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr,
+               COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (CAST(EXTRACT(HOUR FROM ts) AS INT)), ())
+        ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST
+        """
+    )
+
+
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark percentile() and
+    DuckDB quantile_cont share linear interpolation)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Sketches aren't portable across
+    engines → no SQL oracle; accuracy vs exact is asserted in
+    tests/test_relational.py instead."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+# --- joins ---------------------------------------------------------------
+
+
+def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer⋈orders⋈lineitem. customer is the small
+    side after its segment filter → broadcast; lineitem shuffles once on
+    l_orderkey. Top-10 is TakeOrderedAndProject, not a global sort."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def rel_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. region→nation→customer chain is all
+    broadcast; only orders⋈lineitem shuffles."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def rel_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS): customers with vs
+    without orders, per nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("with_orders"))
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def rel_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER with null-producing sides: parts never ordered vs
+    lineitems of unknown parts."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 700)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "full_outer")
+        .select(
+            F.coalesce("p_partkey", "l_partkey").alias("partkey"),
+            F.col("p_partkey").isNotNull().alias("in_part"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+        .orderBy("partkey")
+    )
+
+
+def rel_self_join_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self as-of: each order's previous order of the same customer —
+    expressed as a lag window (the shuffle-minimal form of a self-join)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+            F.lag("o_orderdate").over(w).alias("prev_orderdate"),
+        )
+        .where(F.col("o_custkey") < 50)
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one — SURVEY guide): for each
+    purchase event, the most recent click event of the same user at or
+    before it. Implemented distributed-style: union the two streams,
+    one window pass per key carries the last click forward (no pairwise
+    join blow-up, one shuffle on user_id). Oracle uses DuckDB's native
+    ASOF JOIN."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"),
+        "ts",
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid"),
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    merged = purchases.unionByName(clicks)
+    # clicks sort before purchases at equal ts (is_probe asc) so "<= ts"
+    # semantics hold; event_id desc resolves equal-ts click ties
+    w = (
+        W.partitionBy("uid")
+        .orderBy("ts", "is_probe", F.desc_nulls_last("click_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "uid",
+        "ts",
+        "is_probe",
+        "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return (
+        carried.where(F.col("is_probe") == 1)
+        .select(
+            F.col("uid").alias("user_id"),
+            "purchase_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_id",
+            "last_click_ts",
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: count click/view events in the hour before each
+    purchase. Scale path: equi-join on an hour bucket (probe side
+    explodes into the 2 candidate buckets) + residual range filter —
+    turns the O(n·m) nested-loop into a hash join on (user, bucket)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(
+                F.date_trunc("hour", F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+                F.date_trunc("hour", F.col("ts")),
+            )
+        ).alias("bucket"),
+    ).distinct()
+    others = e.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("e_ts"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    )
+    joined = purchases.join(others, ["uid", "bucket"]).where(
+        (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("e_ts") < F.col("p_ts"))
+    )
+    return (
+        joined.groupBy("purchase_id", "uid")
+        .agg(F.count("*").alias("n_prior_events"))
+        .orderBy("purchase_id")
+    )
+
+
+# --- windows -------------------------------------------------------------
+
+
+def rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (rank window), customers <100."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy("o_custkey", "rk")
+    )
+
+
+def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue + rank + dense_rank + ntile per customer."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 30)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_custkey", "rn")
+
+
+def rel_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame: 3-row centered moving average of lineitem
+    quantity per order."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 300)
+    # l_linenumber is NOT unique per order in the synthetic data — the
+    # full key chain makes the frame (and thus the oracle) deterministic
+    order_keys = ["l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"]
+    w = W.partitionBy("l_orderkey").orderBy(*order_keys).rowsBetween(-1, 1)
+    return (
+        l.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.round(F.avg("l_quantity").over(w), 6).alias("moving_avg_qty"),
+            F.count("*").over(w).alias("frame_size"),
+        ).orderBy("l_orderkey", *order_keys[:3])
+    )
+
+
+def rel_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: inter-event gap seconds per user (users <50)."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(gap, 6).alias("gap_seconds"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).orderBy("user_id", "event_id")
+
+
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: new session when gap > 30 min; session stats per
+    user (guide's lag+cumsum pattern — one shuffle on user_id)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sess = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("session_value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- set ops -------------------------------------------------------------
+
+
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION DISTINCT over yearly customer sets,
+    tagged into one result."""
+    o = _t(spark, sf_dir, "orders")
+    y94 = o.where(F.year("o_orderdate") == 1994).select("o_custkey").distinct()
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    both = y94.intersect(y95).withColumn("tag", F.lit("both"))
+    only94 = y94.exceptAll(y95).distinct().withColumn("tag", F.lit("only_1994"))
+    either = y94.union(y95).distinct().withColumn("tag", F.lit("either"))
+    return (
+        both.unionByName(only94)
+        .unionByName(either)
+        .groupBy("tag")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("tag")
+    )
+
+
+# --- scalar function families -------------------------------------------
+
+
+def rel_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substr, replace, pad, trim, reverse, split,
+    regexp, position — all JVM built-ins (whole-stage codegen)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.lower("p_brand").alias("lower_brand"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("devoweled"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse(F.col("p_brand")).alias("rev_brand"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    ).orderBy("p_partkey")
+
+
+def rel_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family: extract, trunc, interval arithmetic, diffs."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.last_day("o_orderdate").alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+def rel_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family over acctbal: abs/ceil/floor/round/sqrt/ln/power/mod/sign."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    return c.select(
+        "c_custkey",
+        F.round(F.abs("c_acctbal"), 2).alias("abs_bal"),
+        F.ceil("c_acctbal").cast("bigint").alias("ceil_bal"),
+        F.floor("c_acctbal").cast("bigint").alias("floor_bal"),
+        F.round(F.sqrt(F.abs("c_acctbal")), 6).alias("sqrt_bal"),
+        F.round(F.log(F.abs(F.col("c_acctbal")) + 1), 6).alias("ln_bal"),
+        F.round(F.pow(F.col("c_custkey").cast("double"), 2), 2).alias("key_sq"),
+        (F.col("c_custkey") % 7).cast("bigint").alias("key_mod7"),
+        F.signum("c_acctbal").cast("int").alias("bal_sign"),
+    ).orderBy("c_custkey")
+
+
+def rel_case_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / COALESCE / NULLIF / GREATEST / LEAST / IN over orders."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_or_open"),
+        F.greatest(F.col("o_totalprice"), F.lit(150000.0)).alias("floor_150k"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("cap_150k"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_urgent"),
+    ).orderBy("o_orderkey")
+
+
+def rel_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders above their customer's average)
+    — decorrelated into a window, the plan Catalyst would produce."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("cust_avg") * 1.5)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .where(F.col("o_custkey") < 100)
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+QUERIES = {
+    "rel_q1_pricing_summary": rel_q1_pricing_summary,
+    "rel_q6_forecast_revenue": rel_q6_forecast_revenue,
+    "rel_distinct_aggs": rel_distinct_aggs,
+    "rel_rollup_orders": rel_rollup_orders,
+    "rel_cube_part": rel_cube_part,
+    "rel_grouping_sets_events": rel_grouping_sets_events,
+    "rel_percentiles": rel_percentiles,
+    "rel_approx_distinct": rel_approx_distinct,
+    "rel_q3_shipping_priority": rel_q3_shipping_priority,
+    "rel_q5_regional_revenue": rel_q5_regional_revenue,
+    "rel_semi_anti_join": rel_semi_anti_join,
+    "rel_outer_join_nulls": rel_outer_join_nulls,
+    "rel_self_join_prev_order": rel_self_join_prev_order,
+    "rel_asof_join": rel_asof_join,
+    "rel_range_join": rel_range_join,
+    "rel_topk_per_group": rel_topk_per_group,
+    "rel_window_running": rel_window_running,
+    "rel_window_frames": rel_window_frames,
+    "rel_lag_lead_delta": rel_lag_lead_delta,
+    "rel_sessionize": rel_sessionize,
+    "rel_set_ops": rel_set_ops,
+    "rel_scalar_string": rel_scalar_string,
+    "rel_scalar_datetime": rel_scalar_datetime,
+    "rel_scalar_math": rel_scalar_math,
+    "rel_case_null_logic": rel_case_null_logic,
+    "rel_correlated_above_avg": rel_correlated_above_avg,
+}
+
+ORACLES = {
+    "rel_q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+    "rel_q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+    "rel_distinct_aggs": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               ROUND(SUM(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    "rel_rollup_orders": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """,
+    "rel_cube_part": """
+        SELECT p_brand, CAST(size_band AS INT) AS size_band, COUNT(*) AS cnt,
+               ROUND(AVG(p_retailprice), 6) AS avg_price
+        FROM (SELECT p_brand, p_size % 5 AS size_band, p_retailprice FROM part) t
+        GROUP BY CUBE (p_brand, size_band)
+        ORDER BY p_brand ASC NULLS FIRST, size_band ASC NULLS FIRST
+        """,
+    "rel_grouping_sets_events": """
+        SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr,
+               COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (CAST(EXTRACT(HOUR FROM ts) AS INT)), ())
+        ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST
+        """,
+    "rel_percentiles": """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+               ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+    "rel_q3_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+    "rel_q5_regional_revenue": """
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+    "rel_semi_anti_join": """
+        WITH w AS (
+          SELECT c_nationkey, COUNT(*) AS with_orders FROM customer
+          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          GROUP BY c_nationkey
+        ), wo AS (
+          SELECT c_nationkey, COUNT(*) AS without_orders FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          GROUP BY c_nationkey
+        )
+        SELECT COALESCE(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+               COALESCE(with_orders, 0) AS with_orders,
+               COALESCE(without_orders, 0) AS without_orders
+        FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+        ORDER BY c_nationkey
+        """,
+    "rel_outer_join_nulls": """
+        SELECT COALESCE(p_partkey, l_partkey) AS partkey,
+               p_partkey IS NOT NULL AS in_part,
+               COALESCE(n_lines, 0) AS n_lines
+        FROM (SELECT p_partkey FROM part WHERE p_partkey < 500) p
+        FULL OUTER JOIN (
+          SELECT l_partkey, COUNT(*) AS n_lines FROM lineitem
+          WHERE l_partkey < 700 GROUP BY l_partkey
+        ) l ON p.p_partkey = l.l_partkey
+        ORDER BY partkey
+        """,
+    "rel_self_join_prev_order": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               LAG(o_orderkey) OVER w AS prev_orderkey,
+               LAG(o_orderdate) OVER w AS prev_orderdate
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        QUALIFY o_custkey < 50
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+        """,
+    "rel_asof_join": """
+        SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+               c.event_id AS last_click_id, c.ts AS last_click_ts
+        FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (
+          -- dedupe equal-ts clicks per user keeping max event_id,
+          -- matching the Spark window's click_id DESC tie-break
+          SELECT user_id, event_id, ts FROM (
+            SELECT user_id, event_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'
+          ) d WHERE rn = 1
+        ) c ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY p.user_id, purchase_id
+        """,
+    "rel_range_join": """
+        SELECT p.event_id AS purchase_id, p.user_id AS uid, COUNT(*) AS n_prior_events
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, ts FROM events WHERE event_type IN ('click', 'view')) e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts - INTERVAL 1 HOUR
+         AND e.ts < p.ts
+        GROUP BY p.event_id, p.user_id ORDER BY purchase_id
+        """,
+    "rel_topk_per_group": """
+        SELECT o_custkey, rk, o_orderkey, price FROM (
+          SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders WHERE o_custkey < 100
+        ) t WHERE rk <= 3 ORDER BY o_custkey, rk
+        """,
+    "rel_window_running": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+               ROW_NUMBER() OVER w AS rn,
+               NTILE(4) OVER w AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        QUALIFY o_custkey < 30
+        ORDER BY o_custkey, rn
+        """,
+    "rel_window_frames": """
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               ROUND(AVG(l_quantity) OVER w, 6) AS moving_avg_qty,
+               COUNT(*) OVER w AS frame_size
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        QUALIFY l_orderkey < 300
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        """,
+    "rel_lag_lead_delta": """
+        SELECT user_id, event_id,
+               ROUND(EXTRACT(EPOCH FROM ts) - EXTRACT(EPOCH FROM LAG(ts) OVER w), 6) AS gap_seconds,
+               LEAD(event_type) OVER w AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        QUALIFY user_id < 50
+        ORDER BY user_id, event_id
+        """,
+    "rel_sessionize": """
+        WITH g AS (
+          SELECT user_id, event_id, value, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR EXTRACT(EPOCH FROM ts) - EXTRACT(EPOCH FROM LAG(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g
+        ), per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events,
+                 ROUND(SUM(value), 2) AS session_value
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+               ROUND(SUM(session_value), 2) AS total_value
+        FROM per_session GROUP BY user_id ORDER BY user_id
+        """,
+    "rel_set_ops": """
+        WITH y94 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1994),
+             y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+             tagged AS (
+               SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM y94 INTERSECT SELECT o_custkey FROM y95)
+               UNION ALL
+               SELECT 'only_1994', o_custkey FROM (SELECT o_custkey FROM y94 EXCEPT SELECT o_custkey FROM y95)
+               UNION ALL
+               SELECT 'either', o_custkey FROM (SELECT o_custkey FROM y94 UNION SELECT o_custkey FROM y95)
+             )
+        SELECT tag, COUNT(*) AS n_customers FROM tagged GROUP BY tag ORDER BY tag
+        """,
+    "rel_scalar_string": """
+        SELECT p_partkey,
+               UPPER(p_name) AS upper_name,
+               LOWER(p_brand) AS lower_brand,
+               SUBSTR(p_name, 1, 5) AS name5,
+               CAST(LENGTH(p_name) AS INT) AS name_len,
+               REGEXP_REPLACE(p_type, '[aeiou]', '_', 'g') AS devoweled,
+               LPAD(CAST(p_partkey AS STRING), 8, '0') AS padded_key,
+               REVERSE(p_brand) AS rev_brand,
+               CONCAT_WS('|', p_brand, p_type) AS joined,
+               CAST(STRPOS(p_name, 'a') AS INT) AS first_a,
+               TRIM('  x  ') AS trimmed
+        FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+        """,
+    "rel_scalar_datetime": """
+        SELECT o_orderkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+               CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dom,
+               CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               o_orderdate + INTERVAL 90 DAY AS due_date,
+               CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+        """,
+    "rel_scalar_math": """
+        SELECT c_custkey,
+               ROUND(ABS(c_acctbal), 2) AS abs_bal,
+               CAST(CEIL(c_acctbal) AS BIGINT) AS ceil_bal,
+               CAST(FLOOR(c_acctbal) AS BIGINT) AS floor_bal,
+               ROUND(SQRT(ABS(c_acctbal)), 6) AS sqrt_bal,
+               ROUND(LN(ABS(c_acctbal) + 1), 6) AS ln_bal,
+               ROUND(POW(CAST(c_custkey AS DOUBLE), 2), 2) AS key_sq,
+               c_custkey % 7 AS key_mod7,
+               CAST(SIGN(c_acctbal) AS INT) AS bal_sign
+        FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+        """,
+    "rel_case_null_logic": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 200000 THEN 'big'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'small' END AS size_class,
+               COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+               GREATEST(o_totalprice, 150000.0) AS floor_150k,
+               LEAST(o_totalprice, 150000.0) AS cap_150k,
+               o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_urgent
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+        """,
+    "rel_correlated_above_avg": """
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+          FROM orders
+        ) t
+        WHERE o_totalprice > cust_avg * 1.5 AND o_custkey < 100
+        ORDER BY o_custkey, o_orderkey
+        """,
+}

@@ -75,8 +75,13 @@ WHERE s_suppkey < 8
 
 def oracle_cte(body_sql: str) -> str:
     """Wrap an oracle query body with the shared tasks/workers CTEs so
-    DuckDB sees exactly the model Spark sees."""
-    return f"WITH tasks AS ({TASKS_SQL}), workers AS ({WORKERS_SQL})\n{body_sql}"
+    DuckDB sees exactly the model Spark sees. If the body has its own
+    WITH clause, merge it into ours."""
+    body = body_sql.strip()
+    if body[:4].upper() == "WITH":
+        body = "," + body[4:]
+        return f"WITH tasks AS ({TASKS_SQL}), workers AS ({WORKERS_SQL}){body}"
+    return f"WITH tasks AS ({TASKS_SQL}), workers AS ({WORKERS_SQL})\n{body}"
 
 
 def register_task_views(spark: SparkSession, sf_dir: str) -> None:

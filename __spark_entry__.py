@@ -32,12 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from task_hive_spark.operators import assign, queries as q, relational
+    from task_hive_spark.operators import assign, dedup, queries as q, relational, textops
 
     out: dict[str, Callable] = {}
     out.update(q.QUERIES)
     out.update(assign.QUERIES)
     out.update(relational.QUERIES)
+    out.update(textops.QUERIES)
+    out.update(dedup.QUERIES)
 
     def _wrap(fn):
         def inner(spark, sf_dir):
@@ -50,10 +52,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from task_hive_spark.operators import assign, queries as q, relational
+    from task_hive_spark.operators import assign, dedup, queries as q, relational, textops
 
     out: dict[str, str] = {}
     out.update(q.ORACLES)
     out.update(assign.ORACLES)
     out.update(relational.ORACLES)
+    out.update(textops.ORACLES)
+    out.update(dedup.ORACLES)
     return out

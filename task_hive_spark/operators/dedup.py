@@ -1,0 +1,408 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families over ``documents``: exact (hash groupBy), n-gram Jaccard
+(inverted-index self-join), MinHash+LSH (shingle→minhash→band→bucket
+join), SimHash (hamming-distance near-dup). All are pure DataFrame
+programs with portable md5-derived hashing so every stage is
+oracle-checkable in DuckDB.
+
+Scale shape (100 TB corpus):
+- exact dedup: one shuffle on the fingerprint — the cheapest possible.
+- jaccard: the shingle self-join is the inverted index; hot shingles
+  (stopword-only grams) are the skew risk → the ``doc_freq`` cap drops
+  grams appearing in > MAX_DF docs (they carry no signal), which is the
+  standard scalable mitigation.
+- minhash LSH: signatures are fixed-width (K hashes) per doc — linear
+  scan; candidate generation shuffles on (band, bucket) — only
+  colliding docs meet, never the full cross product.
+- simhash: one map per doc + self-join on rotated prefix buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from task_hive_spark.functions.text import fingerprint, portable_hash64, shingles
+from task_hive_spark.sources.fixtures import load_table
+
+MINHASH_K = 12  # signature length
+LSH_BANDS = 6  # rows-per-band = K / BANDS = 2
+MAX_DF = 100  # inverted-index cap: drop shingles in more docs than this
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+HAMMING_THRESHOLD = 3
+
+# The fixture corpus has no duplicates (500/500 distinct at sf0.01), so
+# dedup would be a trivially-empty pass. Derive an augmented corpus with
+# deterministic exact dups (+100000, every 7th doc) and near dups
+# (+200000, every 11th doc with a trailing-token mutation) — shared SQL,
+# one source of truth for Spark and the oracle.
+CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, text || ' zq extra trailing token' AS text
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def corpus_cte(body_sql: str) -> str:
+    body = body_sql.strip()
+    if body[:4].upper() == "WITH":
+        return f"WITH corpus AS ({CORPUS_SQL}),{body[4:]}"
+    return f"WITH corpus AS ({CORPUS_SQL})\n{body}"
+
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(CORPUS_SQL)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = corpus_df(spark, sf_dir)
+    return d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("gram"))
+
+
+def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-fingerprint groupBy; canonical = min doc_id.
+    Emits every duplicate group (size > 1)."""
+    d = corpus_df(spark, sf_dir)
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_doc_id"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("fp")
+    )
+
+
+def dd_exact_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-decision per doc: keep iff doc is its group's
+    canonical (min id). The actual filter a pipeline applies."""
+    d = corpus_df(spark, sf_dir)
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    return (
+        fp.join(canon, "fp")
+        .select(
+            "doc_id",
+            "fp",
+            (F.col("doc_id") == F.col("canonical_doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via inverted index: explode distinct
+    3-gram shingles, self-join on the gram (after the MAX_DF skew cap),
+    |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|."""
+    grams = _doc_shingles(spark, sf_dir)
+    df_cap = grams.groupBy("gram").agg(F.count("*").alias("df")).where(F.col("df") <= MAX_DF)
+    grams = grams.join(df_cap.select("gram"), "gram")
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b"))
+    jac = F.col("n_common") / (F.col("grams_a") + F.col("grams_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K min-hashes per doc from the portable md5-based hash family
+    (seed i ⇒ independent permutation approximation)."""
+    grams = _doc_shingles(spark, sf_dir)
+    sigs = grams.groupBy("doc_id").agg(
+        *[
+            F.min(portable_hash64(F.col("gram"), seed=f"mh{i}-")).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    return sigs
+
+
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (the LSH input), fully deterministic."""
+    return _minhash_signatures(spark, sf_dir).orderBy("doc_id")
+
+
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the K-wide signature into
+    LSH_BANDS buckets (rows-per-band = 2), docs colliding in ANY band
+    become candidates, then estimate similarity as the fraction of
+    matching signature components. Candidate generation never compares
+    non-colliding docs — the property that makes this run at corpus
+    scale."""
+    sigs = _minhash_signatures(spark, sf_dir)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(bi),
+                *[F.col(f"h{bi * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
+            ).alias(f"band{bi}")
+            for bi in range(LSH_BANDS)
+        ],
+    )
+    stacked = bands.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{bi}") for bi in range(LSH_BANDS)])).alias("bucket"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cands = (
+        a.join(
+            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(MINHASH_K)
+    ) / F.lit(float(MINHASH_K))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (SIMHASH_BITS-bit): per shingle hash, each bit votes
+    ±1; the sign of the per-bit sum forms the signature. One explode +
+    one groupBy — linear in corpus size."""
+    grams = _doc_shingles(spark, sf_dir).withColumn(
+        "h", portable_hash64(F.col("gram"), seed="sh-")
+    )
+    bit_sums = grams.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for b in range(SIMHASH_BITS)
+    )
+    return bit_sums.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ HAMMING_THRESHOLD.
+    Scale path: bucket on each of 4 signature quarters (pigeonhole — any
+    pair within distance 3 shares at least one exact quarter), join per
+    bucket, verify with bit_count(xor)."""
+    sh = dd_simhash(spark, sf_dir)
+    q = 4
+    bits_per = SIMHASH_BITS // q
+    mask = (1 << bits_per) - 1
+    quarters = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(i),
+                        F.shiftright(F.col("simhash"), i * bits_per)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for i in range(q)
+                ]
+            )
+        ).alias("qbucket"),
+    )
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.qbucket") == F.col("b.qbucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES = {
+    "dd_exact_groups": dd_exact_groups,
+    "dd_exact_keep_list": dd_exact_keep_list,
+    "dd_ngram_jaccard_pairs": dd_ngram_jaccard_pairs,
+    "dd_minhash_signatures": dd_minhash_signatures,
+    "dd_minhash_lsh_pairs": dd_minhash_lsh_pairs,
+    "dd_simhash": dd_simhash,
+    "dd_simhash_near_pairs": dd_simhash_near_pairs,
+}
+
+# --- oracle SQL ----------------------------------------------------------
+
+_FP = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+# distinct 3-gram shingles per doc (mirrors functions.text.shingles)
+_GRAMS_CTE = """
+grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i : i + 2], ' ') AS gram
+    FROM (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM corpus
+    ) t,
+    LATERAL (SELECT unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i) s
+  ) g
+)
+"""
+
+
+def _mh(i: int) -> str:
+    return f"MIN(CAST(concat('0x', substr(md5('mh{i}-' || gram), 1, 15)) AS BIGINT)) AS h{i}"
+
+
+_SIG_COLS = ", ".join(_mh(i) for i in range(MINHASH_K))
+_SIGS_CTE = f"sigs AS (SELECT doc_id, {_SIG_COLS} FROM grams GROUP BY doc_id)"
+
+_BAND_EXPRS = ", ".join(
+    "concat_ws('_', '{bi}', CAST(h{r0} AS STRING), CAST(h{r1} AS STRING)) AS band{bi}".format(
+        bi=bi, r0=bi * 2, r1=bi * 2 + 1
+    )
+    for bi in range(LSH_BANDS)
+)
+
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(SIMHASH_BITS)
+)
+_SIMHASH_VAL = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END" for b in range(SIMHASH_BITS)
+)
+
+_RAW_ORACLES = {
+    "dd_exact_groups": f"""
+        SELECT fp, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
+        FROM (SELECT doc_id, {_FP} AS fp FROM corpus) f
+        GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp
+        """,
+    "dd_exact_keep_list": f"""
+        WITH f AS (SELECT doc_id, {_FP} AS fp FROM corpus),
+        canon AS (SELECT fp, MIN(doc_id) AS canonical_doc_id FROM f GROUP BY fp)
+        SELECT doc_id, f.fp, doc_id = canonical_doc_id AS keep
+        FROM f JOIN canon ON f.fp = canon.fp ORDER BY doc_id
+        """,
+    "dd_ngram_jaccard_pairs": f"""
+        WITH {_GRAMS_CTE},
+        capped AS (
+          SELECT doc_id, gram FROM grams
+          WHERE gram IN (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= {MAX_DF})
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM capped GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               ROUND(n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common), 6) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+        """,
+    "dd_minhash_signatures": f"""
+        WITH {_GRAMS_CTE}, {_SIGS_CTE}
+        SELECT * FROM sigs ORDER BY doc_id
+        """,
+    "dd_minhash_lsh_pairs": f"""
+        WITH {_GRAMS_CTE}, {_SIGS_CTE},
+        bands AS (SELECT doc_id, {_BAND_EXPRS} FROM sigs),
+        stacked AS (
+          SELECT doc_id, unnest([{', '.join(f'band{bi}' for bi in range(LSH_BANDS))}]) AS bucket
+          FROM bands
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM stacked a JOIN stacked b
+            ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(({' + '.join(f'CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END' for i in range(MINHASH_K))})
+                     / {float(MINHASH_K)}, 6) AS est_jaccard
+        FROM cands
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b
+        ORDER BY doc_a, doc_b
+        """,
+    "dd_simhash": f"""
+        WITH {_GRAMS_CTE},
+        hashed AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5('sh-' || gram), 1, 15)) AS BIGINT) AS h
+          FROM grams
+        ),
+        sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, {_SIMHASH_VAL} AS simhash FROM sums ORDER BY doc_id
+        """,
+    "dd_simhash_near_pairs": f"""
+        WITH {_GRAMS_CTE},
+        hashed AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5('sh-' || gram), 1, 15)) AS BIGINT) AS h
+          FROM grams
+        ),
+        sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM hashed GROUP BY doc_id),
+        sh AS (SELECT doc_id, {_SIMHASH_VAL} AS simhash FROM sums),
+        quarters AS (
+          SELECT doc_id, simhash,
+                 unnest([{', '.join(
+                     "concat_ws('_', '%d', CAST((simhash >> %d) & %d AS STRING))"
+                     % (i, i * (SIMHASH_BITS // 4), (1 << (SIMHASH_BITS // 4)) - 1)
+                     for i in range(4)
+                 )}]) AS qbucket
+          FROM sh
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM quarters a JOIN quarters b
+            ON a.qbucket = b.qbucket AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_THRESHOLD}
+        ORDER BY doc_a, doc_b
+        """,
+}
+
+ORACLES = {k: corpus_cte(v) for k, v in _RAW_ORACLES.items()}

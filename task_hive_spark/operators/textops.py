@@ -1,0 +1,179 @@
+"""Text-analysis operators over the documents table (training-data
+pipeline surface): language-ID, quality scoring, token counting,
+fingerprinting. All built-in-function expressions — at 100 TB these are
+embarrassingly parallel map stages with a small final aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from task_hive_spark.functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_hits,
+    ws_token_count,
+)
+from task_hive_spark.sources.fixtures import load_table
+
+
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokens per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        ws_token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+def txt_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / word-shape / punctuation composite."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).cast("int").alias("n_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def txt_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax stopword-hit count across the four
+    candidate languages ('zh'-style CJK would use a script check; the
+    fixture corpus is space-tokenized). Ties → 'und', matching the
+    oracle's deterministic CASE."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[stopword_hits(F.col("text"), lg).alias(f"hits_{lg}") for lg in STOPWORDS],
+    )
+    hit_cols = [f"hits_{lg}" for lg in STOPWORDS]
+    best = F.greatest(*[F.col(c) for c in hit_cols])
+    pred = F.when(best == 0, "und")
+    for lg in STOPWORDS:  # first-wins order must match oracle CASE order
+        pred = pred.when(F.col(f"hits_{lg}") == best, lg)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.col(c).cast("int").alias(c) for c in hit_cols],
+        pred.alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+def txt_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (exact-dedup
+    key) + a 64-bit rolling-style prefix for bucketing."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint(F.col("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp64"),
+    ).orderBy("doc_id")
+
+
+def txt_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus roll-up: per (lang, source) token/quality profile — the
+    'what goes in the training mix' query."""
+    d = load_table(spark, sf_dir, "documents")
+    enriched = d.select(
+        "lang",
+        "source",
+        ws_token_count(F.col("text")).cast("double").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return (
+        enriched.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("n_tokens"), 2).alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+QUERIES = {
+    "txt_token_stats": txt_token_stats,
+    "txt_quality_scores": txt_quality_scores,
+    "txt_language_id": txt_language_id,
+    "txt_fingerprints": txt_fingerprints,
+    "txt_corpus_profile": txt_corpus_profile,
+}
+
+# --- shared SQL fragments (mirror functions/text.py formulas) -----------
+
+_WS_TOKENS = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_WS_TOKENS_SAFE = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE {_WS_TOKENS} END"
+_BPE_TOKENS = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+_PUNCT_RATIO = "len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / GREATEST(length(text), 1)"
+_QUALITY = f"""
+ROUND((
+  LEAST({_WS_TOKENS_SAFE} / 50.0, 1.0)
+  + CASE WHEN length(text) * 1.0 / GREATEST({_WS_TOKENS_SAFE}, 1) BETWEEN 3 AND 12
+         THEN 1.0 ELSE 0.5 END
+  + (1.0 - LEAST(({_PUNCT_RATIO}) * 5, 1.0))
+) / 3, 6)
+"""
+
+
+def _hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        f" t -> list_contains([{words}], t)))"
+    )
+
+
+_FP = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+ORACLES = {
+    "txt_token_stats": f"""
+        SELECT doc_id, lang,
+               CAST({_WS_TOKENS_SAFE} AS INT) AS ws_tokens,
+               CAST({_BPE_TOKENS} AS INT) AS bpe_tokens,
+               CAST(length(text) AS INT) AS n_chars_actual
+        FROM documents ORDER BY doc_id
+        """,
+    "txt_quality_scores": f"""
+        SELECT doc_id,
+               CAST({_WS_TOKENS_SAFE} AS INT) AS n_tokens,
+               ROUND({_PUNCT_RATIO}, 6) AS punct_ratio,
+               {_QUALITY} AS quality
+        FROM documents ORDER BY doc_id
+        """,
+    "txt_language_id": f"""
+        SELECT doc_id, lang AS labeled_lang,
+               CAST(hits_en AS INT) AS hits_en, CAST(hits_de AS INT) AS hits_de,
+               CAST(hits_fr AS INT) AS hits_fr, CAST(hits_es AS INT) AS hits_es,
+               CASE WHEN GREATEST(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+                    WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+                    WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+                    WHEN hits_fr = GREATEST(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+                    ELSE 'es' END AS predicted_lang
+        FROM (
+          SELECT doc_id, lang,
+                 {_hits('en')} AS hits_en, {_hits('de')} AS hits_de,
+                 {_hits('fr')} AS hits_fr, {_hits('es')} AS hits_es
+          FROM documents
+        ) s ORDER BY doc_id
+        """,
+    "txt_fingerprints": f"""
+        SELECT doc_id, {_FP} AS fingerprint,
+               CAST(concat('0x', substr({_FP}, 1, 15)) AS BIGINT) AS fp64
+        FROM documents ORDER BY doc_id
+        """,
+    "txt_corpus_profile": f"""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               ROUND(SUM(CAST({_WS_TOKENS_SAFE} AS DOUBLE)), 2) AS total_tokens,
+               ROUND(AVG({_QUALITY}), 6) AS avg_quality
+        FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+}

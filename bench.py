@@ -1,0 +1,86 @@
+"""Headline-query benchmark (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (all columns computed,
+nothing collected to the driver) so timings measure the full plan, not a
+count-only pruned variant.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational suite
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_regional_revenue",
+    "rel_lag_lead_delta",
+    "rel_window_frames",
+    # task-hive parity
+    "th_spider_ingest",
+    "th_assign_least_tasks",
+    # text / dedup pipeline
+    "txt_corpus_profile",
+    "dd_ngram_jaccard_pairs",
+    "dd_minhash_lsh_pairs",
+    "dd_simhash",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from task_hive_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM, fixture views and parquet footers once so per-query
+    # numbers measure the query, not session setup.
+    qs["th_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -14,7 +14,7 @@ Layout:
     operators   batch query surface, assignment, dedup, similarity,
                 text analysis, relational-completeness suite
     streaming   task lifecycle as Structured Streaming (SURVEY §2.9)
-    plans       plan-inspection helpers (pushdown/broadcast assertions)
+    plans       DuckDB-parity oracle harness (the local correctness gate)
 """
 
 __version__ = "0.1.0"

@@ -80,8 +80,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def portable_hash64(col: Column, seed: str = "") -> Column:
+def portable_hash64(col: Column, seed: str = "", offset: int = 1) -> Column:
     """Deterministic 60-bit hash from md5 — portable to DuckDB as
-    CAST(concat('0x', substr(md5(seed || x), 1, 15)) AS BIGINT), used so
-    MinHash signatures are oracle-checkable across engines."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 15), 16, 10).cast("bigint")
+    CAST(concat('0x', substr(md5(seed || x), offset, 15)) AS BIGINT),
+    used so MinHash signatures are oracle-checkable across engines.
+    One md5 yields two independent 60-bit lanes (offset 1 and 17), so a
+    K-wide MinHash family needs only K/2 md5 evaluations per shingle."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), col)), offset, 15), 16, 10
+    ).cast("bigint")

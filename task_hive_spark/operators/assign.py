@@ -3,17 +3,18 @@
 The reference greedily binds each pending task to a worker chosen by one
 of three load-balancing strategies (dispatcher.go:515-610, strategies
 :554-569: least-tasks, round-robin, random). The deterministic batch
-form (SURVEY §2.3): rank pending tasks by (priority DESC, id) — the
-dispatch order W2 — rank eligible workers per strategy, and equi-join on
-``task_rank % worker_count = worker_slot``.
+form (SURVEY §2.3): rank pending tasks within each priority band (the
+dispatch order W2, parallelized), rank eligible workers per strategy,
+and equi-join on ``(band_rank + priority) % worker_count = slot``.
 
-Scale shape: the workers side is tiny (a registry), so the slot join is
-a **broadcast hash join** — no shuffle of the task table beyond the
-global rank. The global row_number() is the one inherently serial piece
-(single-partition window), same as the reference's single dispatcher
-loop; for a 100 TB task backlog you'd dispatch per partition-group
-(e.g. rank within priority band) — provided here as
-``assign_partitioned`` which needs no global window.
+Scale shape: the task-side window partitions by ``priority`` so ranking
+shuffles by band and parallelizes — no global single-partition window
+(round 1's scale bottleneck). The workers side is a tiny registry: its
+slot window is a few rows and the join is a **broadcast hash join** —
+the task table is never shuffled beyond the band ranking. Worker count
+enters the plan as a broadcast 1-row aggregate, not a driver action.
+``th_assign_banded`` adds a second salt dimension to the band key — the
+shape you'd use when one priority level dominates the backlog (skew).
 """
 
 from __future__ import annotations
@@ -33,7 +34,9 @@ def _eligible_workers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _worker_slots(workers: DataFrame, strategy: str) -> DataFrame:
-    """Number eligible workers 0..n-1 in strategy order.
+    """Number eligible workers 0..n-1 in strategy order. The window is
+    single-partition but over the worker *registry* (tiny by
+    construction) — never the task backlog.
 
     least_tasks: argmin-by-load order (A3, dispatcher.go:613-633).
     round_robin: id order — the cursor's stable cycle (dispatcher.go:636-644).
@@ -56,37 +59,16 @@ def _worker_slots(workers: DataFrame, strategy: str) -> DataFrame:
 
 
 def assign(spark: SparkSession, sf_dir: str, strategy: str = "least_tasks") -> DataFrame:
-    """J1 deterministic batch assignment: pending tasks in dispatch order
-    (priority DESC, id — W2) joined onto strategy-ordered worker slots by
-    rank modulo. Worker side is broadcast (a handful of rows vs the task
-    backlog)."""
+    """J1 deterministic batch assignment, banded form: rank pending
+    tasks within each priority band (shuffle keyed on priority —
+    parallel), then join onto strategy-ordered worker slots by
+    ``(band_rank + priority) % n``. Worker count is a broadcast 1-row
+    aggregate — no eager driver action, no single-partition window over
+    the backlog."""
     register_task_views(spark, sf_dir)
     tasks = spark.table("tasks").where(F.col("status") == "pending")
-    workers = _worker_slots(_eligible_workers(spark, sf_dir), strategy)
-    n = F.lit(workers.count())
-
-    rank_w = W.orderBy(F.desc("priority"), F.asc("id"))
-    ranked = tasks.select(
-        F.col("id").alias("task_id"),
-        "priority",
-        (F.row_number().over(rank_w) - 1).alias("task_rank"),
-    )
-    return (
-        ranked.withColumn("slot", F.col("task_rank") % n)
-        .join(F.broadcast(workers), "slot")
-        .select("task_id", "priority", "task_rank", "worker_id")
-        .orderBy("task_rank")
-    )
-
-
-def assign_partitioned(spark: SparkSession, sf_dir: str, strategy: str = "round_robin") -> DataFrame:
-    """Scale-path variant: rank within each priority band instead of one
-    global window, so the window shuffles by priority and parallelizes.
-    Slot = hash-free deterministic (priority, rank-in-band) cycle."""
-    register_task_views(spark, sf_dir)
-    tasks = spark.table("tasks").where(F.col("status") == "pending")
-    workers = _worker_slots(_eligible_workers(spark, sf_dir), strategy)
-    n = F.lit(workers.count())
+    slots = _worker_slots(_eligible_workers(spark, sf_dir), strategy)
+    n_df = slots.agg((F.max("slot") + 1).alias("n_workers"))
 
     band_w = W.partitionBy("priority").orderBy("id")
     ranked = tasks.select(
@@ -95,10 +77,45 @@ def assign_partitioned(spark: SparkSession, sf_dir: str, strategy: str = "round_
         (F.row_number().over(band_w) - 1).alias("band_rank"),
     )
     return (
-        ranked.withColumn("slot", (F.col("band_rank") + F.col("priority")) % n)
-        .join(F.broadcast(workers), "slot")
+        ranked.crossJoin(F.broadcast(n_df))
+        .withColumn("slot", (F.col("band_rank") + F.col("priority")) % F.col("n_workers"))
+        .join(F.broadcast(slots), "slot")
         .select("task_id", "priority", "band_rank", "worker_id")
-        .orderBy("priority", "band_rank")
+        .orderBy(F.desc("priority"), "band_rank")
+    )
+
+
+def assign_salted(spark: SparkSession, sf_dir: str, strategy: str = "round_robin") -> DataFrame:
+    """Skew-resistant variant: band key = (priority, salt16) where the
+    salt is a deterministic md5-derived bucket of the task id. When one
+    priority level dominates a 100 TB backlog, the plain priority band
+    itself skews — salting splits each band 16 ways so no window
+    partition exceeds backlog/160."""
+    register_task_views(spark, sf_dir)
+    tasks = spark.table("tasks").where(F.col("status") == "pending")
+    slots = _worker_slots(_eligible_workers(spark, sf_dir), strategy)
+    n_df = slots.agg((F.max("slot") + 1).alias("n_workers"))
+
+    salted = tasks.select(
+        F.col("id").alias("task_id"),
+        "priority",
+        (F.conv(F.substring(F.md5("id"), 1, 2), 16, 10).cast("int") % 16).alias("salt"),
+    )
+    band_w = W.partitionBy("priority", "salt").orderBy("task_id")
+    ranked = salted.select(
+        "task_id",
+        "priority",
+        "salt",
+        (F.row_number().over(band_w) - 1).alias("band_rank"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_df))
+        .withColumn(
+            "slot", (F.col("band_rank") + F.col("priority") + F.col("salt")) % F.col("n_workers")
+        )
+        .join(F.broadcast(slots), "slot")
+        .select("task_id", "priority", "salt", "band_rank", "worker_id")
+        .orderBy(F.desc("priority"), "salt", "band_rank")
     )
 
 
@@ -115,7 +132,7 @@ def th_assign_random(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def th_assign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return assign_partitioned(spark, sf_dir, "round_robin")
+    return assign_salted(spark, sf_dir, "round_robin")
 
 
 def th_assignment_load(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,13 +167,13 @@ def _assign_sql(worker_order: str) -> str:
         ),
         ranked AS (
           SELECT id AS task_id, priority,
-                 ROW_NUMBER() OVER (ORDER BY priority DESC, id) - 1 AS task_rank
+                 ROW_NUMBER() OVER (PARTITION BY priority ORDER BY id) - 1 AS band_rank
           FROM tasks WHERE status = 'pending'
         )
-        SELECT task_id, priority, task_rank, worker_id
+        SELECT task_id, priority, band_rank, worker_id
         FROM ranked JOIN slots
-          ON ranked.task_rank % (SELECT COUNT(*) FROM eligible) = slots.slot
-        ORDER BY task_rank
+          ON (ranked.band_rank + ranked.priority) % (SELECT COUNT(*) FROM eligible) = slots.slot
+        ORDER BY priority DESC, band_rank
         """
     )
 
@@ -174,13 +191,17 @@ ORACLES = {
         ),
         ranked AS (
           SELECT id AS task_id, priority,
-                 ROW_NUMBER() OVER (PARTITION BY priority ORDER BY id) - 1 AS band_rank
+                 CAST(CAST(concat('0x', substr(md5(id), 1, 2)) AS INT) % 16 AS INT) AS salt,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY priority, CAST(concat('0x', substr(md5(id), 1, 2)) AS INT) % 16
+                   ORDER BY id) - 1 AS band_rank
           FROM tasks WHERE status = 'pending'
         )
-        SELECT task_id, priority, band_rank, worker_id
+        SELECT task_id, priority, salt, band_rank, worker_id
         FROM ranked JOIN slots
-          ON (ranked.band_rank + ranked.priority) % (SELECT COUNT(*) FROM eligible) = slots.slot
-        ORDER BY priority, band_rank
+          ON (ranked.band_rank + ranked.priority + ranked.salt)
+             % (SELECT COUNT(*) FROM eligible) = slots.slot
+        ORDER BY priority DESC, salt, band_rank
         """
     ),
     "th_assignment_load": oracle_cte(
@@ -191,13 +212,13 @@ ORACLES = {
           FROM eligible
         ),
         ranked AS (
-          SELECT id AS task_id,
-                 ROW_NUMBER() OVER (ORDER BY priority DESC, id) - 1 AS task_rank
+          SELECT id AS task_id, priority,
+                 ROW_NUMBER() OVER (PARTITION BY priority ORDER BY id) - 1 AS band_rank
           FROM tasks WHERE status = 'pending'
         )
         SELECT worker_id, COUNT(*) AS assigned
         FROM ranked JOIN slots
-          ON ranked.task_rank % (SELECT COUNT(*) FROM eligible) = slots.slot
+          ON (ranked.band_rank + ranked.priority) % (SELECT COUNT(*) FROM eligible) = slots.slot
         GROUP BY worker_id ORDER BY worker_id
         """
     ),

@@ -25,9 +25,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from task_hive_spark.functions.text import fingerprint, portable_hash64, shingles
 from task_hive_spark.sources.fixtures import load_table
 
-MINHASH_K = 12  # signature length
-LSH_BANDS = 6  # rows-per-band = K / BANDS = 2
-MAX_DF = 100  # inverted-index cap: drop shingles in more docs than this
+# K=32 / 8 bands / r=4 rows-per-band: r=4 keeps the candidate-pair
+# false-positive rate workable at corpus scale (round-1's r=2 made
+# 2-row bands collide constantly); production would push K to 128+,
+# same shape. Each md5 yields two 60-bit hash lanes, so K=32 costs
+# only 16 md5 evaluations per shingle.
+MINHASH_K = 32  # signature length
+LSH_BANDS = 8  # rows-per-band = K / BANDS = 4
+MAX_DF = 50  # inverted-index cap: drop shingles in more docs than this
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 32
 HAMMING_THRESHOLD = 3
@@ -95,19 +100,38 @@ def dd_exact_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup pairs via inverted index: explode distinct
-    3-gram shingles, self-join on the gram (after the MAX_DF skew cap),
-    |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|."""
+    """N-gram Jaccard near-dup pairs via postings lists: one shuffle
+    groups (gram → sorted doc list), the MAX_DF cap drops hot grams by
+    list size (no separate doc-freq pass), and candidate pairs are
+    emitted *inside* each posting list with a nested array transform —
+    the raw gram×gram self-join (round 1: two shuffles of every posting
+    plus a df² fan-out) never happens. Pair count is bounded by
+    MAX_DF²/2 per gram, the standard scalable inverted-index shape."""
     grams = _doc_shingles(spark, sf_dir)
-    df_cap = grams.groupBy("gram").agg(F.count("*").alias("df")).where(F.col("df") <= MAX_DF)
-    grams = grams.join(df_cap.select("gram"), "gram")
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-
-    a = grams.alias("a")
-    b = grams.alias("b")
+    postings = (
+        grams.groupBy("gram")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") <= MAX_DF)
+    )
+    sizes = (
+        postings.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"))
+    )
+    # all (a<b) pairs within one posting list, emitted JVM-side
+    docs = F.col("docs")
+    pair_arr = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a"))
@@ -124,15 +148,21 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K min-hashes per doc from the portable md5-based hash family
-    (seed i ⇒ independent permutation approximation)."""
+    (seed j ⇒ independent permutation approximation; each md5 feeds two
+    60-bit lanes, so K hashes cost K/2 md5 evaluations). Hash columns
+    are materialized in one projection before the groupBy so each md5
+    is computed once per (doc, gram) row."""
     grams = _doc_shingles(spark, sf_dir)
-    sigs = grams.groupBy("doc_id").agg(
-        *[
-            F.min(portable_hash64(F.col("gram"), seed=f"mh{i}-")).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ]
+    hash_cols = []
+    for i in range(MINHASH_K):
+        j, off = divmod(i, 2)
+        hash_cols.append(
+            portable_hash64(F.col("gram"), seed=f"mh{j}-", offset=1 + 16 * off).alias(f"h{i}")
+        )
+    hashed = grams.select("doc_id", *hash_cols)
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(MINHASH_K)]
     )
-    return sigs
 
 
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,15 +319,24 @@ grams AS (
 
 
 def _mh(i: int) -> str:
-    return f"MIN(CAST(concat('0x', substr(md5('mh{i}-' || gram), 1, 15)) AS BIGINT)) AS h{i}"
+    """Lane i of the md5-pair hash family (mirrors portable_hash64)."""
+    j, off = divmod(i, 2)
+    return (
+        f"MIN(CAST(concat('0x', substr(md5('mh{j}-' || gram), {1 + 16 * off}, 15))"
+        f" AS BIGINT)) AS h{i}"
+    )
 
 
 _SIG_COLS = ", ".join(_mh(i) for i in range(MINHASH_K))
 _SIGS_CTE = f"sigs AS (SELECT doc_id, {_SIG_COLS} FROM grams GROUP BY doc_id)"
 
+_ROWS_PER_BAND = MINHASH_K // LSH_BANDS
 _BAND_EXPRS = ", ".join(
-    "concat_ws('_', '{bi}', CAST(h{r0} AS STRING), CAST(h{r1} AS STRING)) AS band{bi}".format(
-        bi=bi, r0=bi * 2, r1=bi * 2 + 1
+    "concat_ws('_', '{bi}', {cols}) AS band{bi}".format(
+        bi=bi,
+        cols=", ".join(
+            f"CAST(h{bi * _ROWS_PER_BAND + r} AS STRING)" for r in range(_ROWS_PER_BAND)
+        ),
     )
     for bi in range(LSH_BANDS)
 )

@@ -45,8 +45,11 @@ def th_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final HashAggregate, no join, one row out.
     """
     t = tasks_df(spark, sf_dir)
+    # explicit BIGINT on both engines: DuckDB SUM(CASE..) yields HUGEINT,
+    # which diverges through the driver's canonicalizer (round-1 hash fail)
     aggs = [
-        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s) for s in TASK_STATUSES
+        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("long").alias(s)
+        for s in TASK_STATUSES
     ]
     return t.agg(*aggs, F.count("*").alias("total"))
 
@@ -346,11 +349,11 @@ ORACLES = {
     "th_stats": oracle_cte(
         """
         SELECT
-          SUM(CASE WHEN status = 'pending' THEN 1 ELSE 0 END)    AS pending,
-          SUM(CASE WHEN status = 'processing' THEN 1 ELSE 0 END) AS processing,
-          SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END)  AS completed,
-          SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END)     AS failed,
-          SUM(CASE WHEN status = 'delayed' THEN 1 ELSE 0 END)    AS delayed,
+          CAST(SUM(CASE WHEN status = 'pending' THEN 1 ELSE 0 END) AS BIGINT)    AS pending,
+          CAST(SUM(CASE WHEN status = 'processing' THEN 1 ELSE 0 END) AS BIGINT) AS processing,
+          CAST(SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT)  AS completed,
+          CAST(SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT)     AS failed,
+          CAST(SUM(CASE WHEN status = 'delayed' THEN 1 ELSE 0 END) AS BIGINT)    AS delayed,
           COUNT(*) AS total
         FROM tasks
         """
@@ -459,13 +462,17 @@ ORACLES = {
         ORDER BY row_id
         """
     ),
+    # payload built with DuckDB's real JSON encoder (to_json/struct_pack)
+    # so both sides share JSON escaping — raw string concat would silently
+    # diverge on any quote/backslash in p_name/p_brand/p_type
     "th_spider_ingest": """
         SELECT 'wechat-task-1700000000000000000-' || CAST(CAST(p_partkey AS INT) AS STRING) AS id,
-               '{"row_id":' || CAST(p_partkey AS STRING) || ',"row_data":["'
-                 || p_name || '","' || p_brand || '","' || p_type || '","'
-                 || CAST(p_size AS STRING) || '","'
-                 || CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS STRING)
-                 || '"]}' AS payload,
+               CAST(to_json(struct_pack(
+                 row_id := CAST(p_partkey AS INT),
+                 row_data := [p_name, p_brand, p_type,
+                              CAST(p_size AS VARCHAR),
+                              CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR)]
+               )) AS VARCHAR) AS payload,
                CASE WHEN p_size % 10 = 0 THEN 5 ELSE p_size % 10 END AS priority,
                'pending' AS status, 0 AS retry_count, 'spider' AS type
         FROM part ORDER BY id

@@ -139,13 +139,23 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). Sketches aren't portable across
-    engines → no SQL oracle; accuracy vs exact is asserted in
-    tests/test_relational.py instead."""
+    """approx_count_distinct (HLL++). Sketch values aren't portable
+    across engines, so the query emits the exact counts plus a
+    relative-error-bound boolean both engines agree on (HLL++ default
+    rsd ≈ 2.3%, well inside the 5% bound). tests/test_relational.py
+    additionally asserts the raw approx values land in-bounds."""
     l = _t(spark, sf_dir, "lineitem")
+    exact_o = F.countDistinct("l_orderkey")
+    exact_p = F.countDistinct("l_partkey")
     return l.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        exact_o.alias("exact_orders"),
+        exact_p.alias("exact_parts"),
+        (
+            F.abs(F.approx_count_distinct("l_orderkey") - exact_o) / exact_o < 0.05
+        ).alias("orders_within_5pct"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - exact_p) / exact_p < 0.05
+        ).alias("parts_within_5pct"),
     )
 
 
@@ -291,10 +301,12 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = purchases.unionByName(clicks)
     # clicks sort before purchases at equal ts (is_probe asc) so "<= ts"
-    # semantics hold; event_id desc resolves equal-ts click ties
+    # semantics hold; equal-ts click ties order by click_id ASC so the
+    # carried last() is the MAX click id — matching the oracle's
+    # keep-max-event_id dedup
     w = (
         W.partitionBy("uid")
-        .orderBy("ts", "is_probe", F.desc_nulls_last("click_id"))
+        .orderBy("ts", "is_probe", F.asc_nulls_first("click_id"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = merged.select(
@@ -626,6 +638,15 @@ ORACLES = {
                ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
                ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+    "rel_approx_distinct": """
+        SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey)) * 1.0
+                 / COUNT(DISTINCT l_orderkey) < 0.05 AS orders_within_5pct,
+               ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey)) * 1.0
+                 / COUNT(DISTINCT l_partkey) < 0.05 AS parts_within_5pct
+        FROM lineitem
         """,
     "rel_q3_shipping_priority": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,

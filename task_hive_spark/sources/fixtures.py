@@ -53,8 +53,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (session id, sf_dir) pairs whose views are already registered. Re-running
+# registration re-reads 10 parquet schemas per query; across a 60+ query
+# suite that fixed cost is what got round 1's correctness run truncated.
+_REGISTERED: set[tuple[int, str]] = set()
+
+
 def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view (idempotent), matching
-    the view names the DuckDB oracle pre-registers."""
+    """Register every fixture table as a temp view (cached per session ×
+    sf_dir), matching the view names the DuckDB oracle pre-registers."""
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return
     for name in FIXTURE_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED.add(key)

@@ -147,14 +147,16 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     exact_o = F.countDistinct("l_orderkey")
     exact_p = F.countDistinct("l_partkey")
+    # rsd=0.01: the default 5% rsd leaves no headroom against the 5%
+    # gate bound on small cardinalities (observed >5% off at sf0.001)
     return l.agg(
         exact_o.alias("exact_orders"),
         exact_p.alias("exact_parts"),
         (
-            F.abs(F.approx_count_distinct("l_orderkey") - exact_o) / exact_o < 0.05
+            F.abs(F.approx_count_distinct("l_orderkey", 0.01) - exact_o) / exact_o < 0.05
         ).alias("orders_within_5pct"),
         (
-            F.abs(F.approx_count_distinct("l_partkey") - exact_p) / exact_p < 0.05
+            F.abs(F.approx_count_distinct("l_partkey", 0.01) - exact_p) / exact_p < 0.05
         ).alias("parts_within_5pct"),
     )
 

@@ -1,0 +1,80 @@
+"""Streaming lifecycle invariants (SURVEY §5.2 converged-state checks):
+the state machine's converged output must not depend on how the
+change-feed is chunked into micro-batches, retries must cap at
+MaxRetries=3 with the 2·2^(n−1)s backoff, and the dead worker's
+in-flight tasks must re-enter pending."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from task_hive_spark.streaming.lifecycle import (
+    _scratch_root,
+    converged_state,
+    run_lifecycle,
+)
+
+
+def _final(spark, paths):
+    return (
+        spark.read.parquet(paths["tasks"])
+        .orderBy("task_id")
+        .collect()
+    )
+
+
+def test_converged_state_invariant_to_batching(spark, sf_dir):
+    base = converged_state(spark, sf_dir)  # default 5 chunks (cached)
+    ref = _final(spark, base)
+    for n_chunks in (1, 3):
+        work = tempfile.mkdtemp(prefix=f"lc_chunks{n_chunks}_", dir=_scratch_root())
+        paths = run_lifecycle(spark, sf_dir, work, n_chunks=n_chunks)
+        assert _final(spark, paths) == ref, f"divergence with {n_chunks} chunks"
+
+
+def test_retry_caps_and_backoff(spark, sf_dir):
+    paths = converged_state(spark, sf_dir)
+    tasks = spark.read.parquet(paths["tasks"])
+    retry = {r.task_id: r for r in tasks.where(F.col("retry_count") > 0).collect()}
+    # lt-retry failed 4x: terminal 'failed', rc capped at 3, delay 8s
+    r = retry["lt-retry"]
+    assert (r.status, r.retry_count, r.retry_delay_ns) == ("failed", 3, 8_000_000_000)
+    # lt-delayed: one failure, re-entered, completed with rc=1, delay 2s
+    d = retry["lt-delayed"]
+    assert (d.status, d.retry_count, d.retry_delay_ns) == ("completed", 1, 2_000_000_000)
+    # lt-stuck: timer armed past end of feed -> still delayed
+    s = retry["lt-stuck"]
+    assert s.status == "delayed" and s.ready_s == 9102
+    # backoff formula everywhere: 2s * 2^(rc-1)
+    bad = tasks.where(
+        (F.col("retry_count") > 0)
+        & (
+            F.col("retry_delay_ns")
+            != (F.lit(2_000_000_000) * F.pow(2, F.col("retry_count") - 1)).cast("long")
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_dead_worker_requeue_and_registry(spark, sf_dir):
+    paths = converged_state(spark, sf_dir)
+    tasks = spark.read.parquet(paths["tasks"])
+    workers = {r.worker_id for r in spark.read.parquet(paths["workers"]).collect()}
+    assert workers == {"lw0", "lw1", "lw2"}  # lw3 evicted on death
+    pending = tasks.where(F.col("status") == "pending")
+    # every converged-pending task was re-queued at the death timestamp
+    assert pending.where(F.col("update_s") != 8000).count() == 0
+    assert pending.count() > 0
+    # nothing is still bound to the dead worker
+    assert tasks.where(F.col("worker_id") == "lw3").count() == 0
+
+
+def test_all_statuses_reachable(spark, sf_dir):
+    paths = converged_state(spark, sf_dir)
+    statuses = {
+        r.status
+        for r in spark.read.parquet(paths["tasks"]).select("status").distinct().collect()
+    }
+    assert statuses == {"pending", "processing", "completed", "failed", "delayed"}

@@ -32,7 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from task_hive_spark.operators import assign, dedup, queries as q, relational, textops
+    from task_hive_spark.operators import (
+        assign,
+        dedup,
+        queries as q,
+        relational,
+        similarity,
+        textops,
+    )
     from task_hive_spark.streaming import lifecycle
 
     # cheap-first registration order: the driver grades in this order and
@@ -42,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(assign.QUERIES)
     out.update(relational.QUERIES)
     out.update(textops.QUERIES)
+    out.update(similarity.QUERIES)
     out.update(lifecycle.QUERIES)
     out.update(dedup.QUERIES)
 
@@ -56,7 +64,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from task_hive_spark.operators import assign, dedup, queries as q, relational, textops
+    from task_hive_spark.operators import (
+        assign,
+        dedup,
+        queries as q,
+        relational,
+        similarity,
+        textops,
+    )
     from task_hive_spark.streaming import lifecycle
 
     out: dict[str, str] = {}
@@ -64,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(assign.ORACLES)
     out.update(relational.ORACLES)
     out.update(textops.ORACLES)
+    out.update(similarity.ORACLES)
     out.update(lifecycle.ORACLES)
     out.update(dedup.ORACLES)
     return out

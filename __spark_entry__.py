@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from task_hive_spark.operators import (
         assign,
         dedup,
+        multimodal,
+        processors,
         queries as q,
         relational,
         similarity,
@@ -47,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     out.update(q.QUERIES)
     out.update(assign.QUERIES)
+    out.update(processors.QUERIES)
+    out.update(multimodal.QUERIES)
     out.update(relational.QUERIES)
     out.update(textops.QUERIES)
     out.update(similarity.QUERIES)
@@ -67,6 +71,8 @@ def oracle_sql() -> dict[str, str]:
     from task_hive_spark.operators import (
         assign,
         dedup,
+        multimodal,
+        processors,
         queries as q,
         relational,
         similarity,
@@ -77,6 +83,8 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(q.ORACLES)
     out.update(assign.ORACLES)
+    out.update(processors.ORACLES)
+    out.update(multimodal.ORACLES)
     out.update(relational.ORACLES)
     out.update(textops.ORACLES)
     out.update(similarity.ORACLES)

@@ -1,0 +1,238 @@
+"""Multimodal columns: binary assets with typed metadata (ASSET_SCHEMA).
+
+North-star requirement: treat image/audio/video as opaque ``binary``
+columns plus a typed metadata struct, with decode / feature-extract /
+resize / frame-sample as Arrow-batched Python stages over
+``mapInPandas``. The container has no codec libraries, so the *real*
+decode is stubbed behind ``NotImplementedError`` (clearly marked), and a
+deterministic fake decode exercises the full Spark-side plumbing —
+schema, partitioning, UDF signature, batch shape — against a DuckDB
+oracle that recomputes the same bytes arithmetically.
+
+The ``assets`` table is derived deterministically from ``part`` with SQL
+text that parses identically in Spark SQL and DuckDB (same pattern as
+taskmodel.TASKS_SQL): content is ``unhex(repeat(md5(seed), k))`` — 16·k
+bytes both engines agree on — and every 97th asset has NULL content /
+every 89th a zero width, so the validation paths are non-trivial.
+
+Scale posture: the binary column rides through scans untouched (parquet
+keeps it compressed; column pruning drops it unless a stage reads it);
+the decode stage is ``mapInPandas`` — embarrassingly parallel, no
+shuffle, Arrow batches bounded by ``spark.sql.execution.arrow
+.maxRecordsPerBatch``. Metadata-only queries never touch the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from task_hive_spark.sources.fixtures import register_fixture_views
+
+CHECKSUM_MOD = 9973
+
+# Shared engine/oracle definition of the assets table (flat columns;
+# Spark wraps the meta columns into ASSET_SCHEMA's struct in assets_df).
+# kind cycles image/audio/video; audio has no dims, image no duration.
+ASSETS_SQL = """
+SELECT
+  CAST(p_partkey AS BIGINT)                                      AS asset_id,
+  CASE CAST(p_partkey % 3 AS INT)
+       WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END  AS kind,
+  CASE WHEN p_partkey % 97 = 0 THEN NULL
+       ELSE unhex(repeat(md5('asset-' || CAST(p_partkey AS STRING)),
+                         CAST(1 + p_partkey % 4 AS INT))) END    AS content,
+  CASE WHEN p_partkey % 3 = 1 THEN NULL
+       WHEN p_partkey % 89 = 0 THEN CAST(0 AS INT)
+       ELSE CAST(64 + p_partkey % 1856 AS INT) END               AS width,
+  CASE WHEN p_partkey % 3 = 1 THEN NULL
+       ELSE CAST(64 + p_partkey % 1016 AS INT) END               AS height,
+  CASE WHEN p_partkey % 3 = 0 THEN NULL
+       ELSE CAST(1000 * (1 + p_partkey % 600) AS BIGINT) END     AS duration_ms,
+  CASE CAST(p_partkey % 3 AS INT)
+       WHEN 0 THEN (CASE WHEN p_partkey % 2 = 0 THEN 'png'  ELSE 'jpeg' END)
+       WHEN 1 THEN (CASE WHEN p_partkey % 2 = 0 THEN 'wav'  ELSE 'mp3'  END)
+       ELSE        (CASE WHEN p_partkey % 2 = 0 THEN 'mp4'  ELSE 'webm' END)
+       END                                                       AS format
+FROM part
+"""
+
+
+def assets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assets table shaped to ASSET_SCHEMA (schemas.py): binary
+    ``content`` + ``meta`` struct."""
+    register_fixture_views(spark, sf_dir)
+    flat = spark.sql(ASSETS_SQL)
+    return flat.select(
+        "asset_id",
+        "kind",
+        "content",
+        F.struct("width", "height", "duration_ms", "format").alias("meta"),
+    )
+
+
+def _oracle_assets_cte(body_sql: str) -> str:
+    return f"WITH assets AS ({ASSETS_SQL})\n{body_sql}"
+
+
+# --- real decode: stubbed (no codec libs in this container) ---------------
+
+
+def decode_asset_real(kind: str, content: bytes):  # pragma: no cover
+    """The production decode stage: image → pixel array (PIL), audio →
+    waveform (soundfile), video → frame iterator. Codec libraries are
+    not available in this container; the fake decode below exercises
+    the identical Spark plumbing."""
+    try:
+        if kind == "image":
+            import PIL.Image  # noqa: F401
+        elif kind == "audio":
+            import soundfile  # noqa: F401
+        else:
+            import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"real {kind} decode needs codec libraries absent from this environment"
+        ) from exc
+    raise NotImplementedError("deterministic fake decode is the tested path here")
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in with real byte access: byte length, frame
+    count (16-byte frames), checksum (byte sum mod 9973), head byte."""
+    n = len(content)
+    return n, n // 16, sum(content) % CHECKSUM_MOD, content[0]
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: per Arrow batch, decode every non-null blob.
+    Null-content rows were filtered upstream (so the scan's pushed
+    filter, not Python, drops them)."""
+    for pdf in batches:
+        decoded = pdf["content"].map(_fake_decode)
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "kind": pdf["kind"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "n_bytes": decoded.map(lambda t: t[0]),
+                "n_frames": decoded.map(lambda t: t[1]),
+                "checksum": decoded.map(lambda t: t[2]),
+                "head_byte": decoded.map(lambda t: t[3]),
+            }
+        )
+
+
+_DECODE_SCHEMA = (
+    "asset_id bigint, kind string, width int, height int, "
+    "n_bytes int, n_frames int, checksum int, head_byte int"
+)
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract + thumbnail-resize over the binary
+    column. Python touches only rows with content (pushed filter); the
+    resize is metadata arithmetic kept JVM-side after the decode."""
+    register_fixture_views(spark, sf_dir)
+    flat = spark.sql(ASSETS_SQL).where(F.col("content").isNotNull())
+    decoded = flat.select("asset_id", "kind", "width", "height", "content").mapInPandas(
+        _decode_batches, schema=_DECODE_SCHEMA
+    )
+    return decoded.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        "n_frames",
+        "checksum",
+        "head_byte",
+        F.expr("width div 2").cast("int").alias("thumb_w"),
+        F.expr("height div 2").cast("int").alias("thumb_h"),
+    ).orderBy("asset_id")
+
+
+def mm_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only profile per (kind, format): counts, validity
+    breakdown, byte totals, mean duration. Never reads the blob except
+    for its length — at scale this stays a pruned-column scan + one
+    small-key shuffle."""
+    a = assets_df(spark, sf_dir)
+    visual = F.col("kind").isin("image", "video")
+    valid = (
+        F.col("content").isNotNull()
+        & (~visual | ((F.col("meta.width") > 0) & (F.col("meta.height") > 0)))
+    )
+    return (
+        a.groupBy("kind", F.col("meta.format").alias("format"))
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.when(F.col("content").isNull(), 1).otherwise(0)).cast("long").alias("n_missing"),
+            F.sum(F.when(~valid, 1).otherwise(0)).cast("long").alias("n_invalid"),
+            F.sum(F.coalesce(F.length("content"), F.lit(0))).cast("long").alias("total_bytes"),
+            F.round(F.avg(F.col("meta.duration_ms") / 1000.0), 3).alias("avg_duration_s"),
+        )
+        .orderBy("kind", "format")
+    )
+
+
+QUERIES = {
+    "mm_catalog_stats": mm_catalog_stats,
+    "mm_decode_features": mm_decode_features,
+}
+
+# --- oracle SQL ----------------------------------------------------------
+
+# hex-pair → int, pure SQL (portable byte arithmetic over md5 output)
+_HEXV = (
+    "(CASE WHEN {c} BETWEEN '0' AND '9' THEN ascii({c}) - 48 ELSE ascii({c}) - 87 END)"
+)
+
+
+def _byte_sum_sql(hex_expr: str) -> str:
+    """Sum of the 16 bytes encoded by a 32-char md5 hex string."""
+    h1 = _HEXV.format(c=f"substr({hex_expr}, 2*i - 1, 1)")
+    h2 = _HEXV.format(c=f"substr({hex_expr}, 2*i, 1)")
+    return f"list_sum(list_transform(generate_series(1, 16), i -> 16 * {h1} + {h2}))"
+
+
+_MD5 = "md5('asset-' || CAST(asset_id AS STRING))"
+_HEAD = (
+    f"16 * {_HEXV.format(c=f'substr({_MD5}, 1, 1)')}"
+    f" + {_HEXV.format(c=f'substr({_MD5}, 2, 1)')}"
+)
+
+ORACLES = {
+    "mm_catalog_stats": _oracle_assets_cte(
+        """
+        SELECT kind, format, COUNT(*) AS n_assets,
+               CAST(SUM(CASE WHEN content IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+               CAST(SUM(CASE WHEN content IS NULL
+                          OR (kind IN ('image', 'video')
+                              AND NOT (width > 0 AND height > 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+               CAST(SUM(COALESCE(octet_length(content), 0)) AS BIGINT) AS total_bytes,
+               ROUND(AVG(duration_ms / 1000.0), 3) AS avg_duration_s
+        FROM assets GROUP BY kind, format ORDER BY kind, format
+        """
+    ),
+    # reconstructs the fake decode arithmetically: content is
+    # unhex(repeat(md5(seed), k)) with k = 1 + asset_id % 4, so
+    # n_bytes = 16k, n_frames = k, checksum = k·(md5 byte sum) mod 9973,
+    # head byte = first md5 byte.
+    "mm_decode_features": _oracle_assets_cte(
+        f"""
+        SELECT asset_id, kind,
+               CAST(16 * k AS INT) AS n_bytes,
+               CAST(k AS INT) AS n_frames,
+               CAST((k * {_byte_sum_sql(_MD5)}) % {CHECKSUM_MOD} AS INT) AS checksum,
+               CAST({_HEAD} AS INT) AS head_byte,
+               CAST(width // 2 AS INT) AS thumb_w,
+               CAST(height // 2 AS INT) AS thumb_h
+        FROM (SELECT *, 1 + asset_id % 4 AS k FROM assets WHERE content IS NOT NULL) a
+        ORDER BY asset_id
+        """
+    ),
+}

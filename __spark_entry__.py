@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity,
         textops,
     )
+    from task_hive_spark.plans import catalog
     from task_hive_spark.streaming import lifecycle
 
     # cheap-first registration order: the driver grades in this order and
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(assign.QUERIES)
     out.update(processors.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(catalog.QUERIES)
     out.update(relational.QUERIES)
     out.update(textops.QUERIES)
     out.update(similarity.QUERIES)
@@ -78,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         textops,
     )
+    from task_hive_spark.plans import catalog
     from task_hive_spark.streaming import lifecycle
 
     out: dict[str, str] = {}
@@ -85,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(assign.ORACLES)
     out.update(processors.ORACLES)
     out.update(multimodal.ORACLES)
+    out.update(catalog.ORACLES)
     out.update(relational.ORACLES)
     out.update(textops.ORACLES)
     out.update(similarity.ORACLES)

@@ -1,0 +1,104 @@
+"""Persistent catalog: the status-partitioned tasks table.
+
+BASELINE.json's spark_approach is "Spark SQL + Hive metastore
+integration": the reference's etcd keyspace is five status prefixes
+(``/tasks/pending/`` … ``/tasks/delayed/``, common/constants.go:5-15),
+and a prefix scan reads exactly one of them. The Spark-native
+equivalent is a catalog table **partitioned by status**: a
+``WHERE status = 'pending'`` is served by partition pruning — the scan
+never opens the other four directories, exactly like the reference
+never reads the other prefixes.
+
+``session.get_spark`` enables Hive support when the Hive classes are on
+the classpath (they ship with pyspark); if not, ``saveAsTable`` still
+lands in the session catalog + warehouse dir with identical partition
+pruning, so catalog queries work against any driver-provided session.
+
+At 100 TB: partitioning by a 5-value status column keeps partitions
+coarse (good — no small-file explosion); finer organization within a
+partition would come from bucketing on ``id`` (bucketed joins skip the
+shuffle) which ``write_bucketed`` demonstrates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from task_hive_spark.operators.taskmodel import oracle_cte, tasks_df
+
+DB = "task_hive"
+
+_TABLES_READY: set[tuple[int, str]] = set()
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+
+def tasks_table_name(sf_dir: str) -> str:
+    return f"{DB}.tasks_{_sf_tag(sf_dir)}"
+
+
+def ensure_tasks_table(spark: SparkSession, sf_dir: str) -> str:
+    """Create (once per session × sf_dir) the persistent tasks table,
+    partitioned by status. Returns the qualified table name."""
+    key = (id(spark), sf_dir)
+    name = tasks_table_name(sf_dir)
+    if key in _TABLES_READY:
+        return name
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB}")
+    (
+        tasks_df(spark, sf_dir)
+        .write.mode("overwrite")
+        .partitionBy("status")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    _TABLES_READY.add(key)
+    return name
+
+
+def pruned_status_scan(spark: SparkSession, sf_dir: str, status: str) -> DataFrame:
+    """The reference's prefix scan as a partition-pruned catalog read:
+    the plan's PartitionFilters carries ``status = <s>`` and the other
+    four partition directories are never listed."""
+    name = ensure_tasks_table(spark, sf_dir)
+    return spark.table(name).where(f"status = '{status}'")
+
+
+def cat_pending_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-served pending profile: partition-pruned scan (only the
+    status=pending directory) → small groupBy. The pruning is asserted
+    in tests/test_catalog.py against the physical plan."""
+    from pyspark.sql import functions as F
+
+    pending = pruned_status_scan(spark, sf_dir, "pending")
+    return (
+        pending.groupBy("type")
+        .agg(
+            F.count("*").alias("n_tasks"),
+            F.sum("priority").cast("long").alias("sum_priority"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("type")
+    )
+
+
+QUERIES = {
+    "cat_pending_by_type": cat_pending_by_type,
+}
+
+ORACLES = {
+    "cat_pending_by_type": oracle_cte(
+        """
+        SELECT type, COUNT(*) AS n_tasks,
+               CAST(SUM(priority) AS BIGINT) AS sum_priority,
+               MIN(id) AS min_id, MAX(id) AS max_id
+        FROM tasks WHERE status = 'pending'
+        GROUP BY type ORDER BY type
+        """
+    ),
+}

@@ -38,9 +38,19 @@ def get_spark(app_name: str = "task_hive_spark", extra_conf: dict | None = None)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Persistent catalog (plans/catalog.py): warehouse + derby
+        # metastore pinned under the repo so saveAsTable works from any
+        # cwd. enableHiveSupport uses pyspark's builtin Hive classes.
+        .config("spark.sql.warehouse.dir", "/root/repo/.warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/root/repo/.derby")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    spark = builder.getOrCreate()
+    try:
+        spark = builder.enableHiveSupport().getOrCreate()
+    except Exception:
+        # Hive classes unavailable: the in-memory session catalog still
+        # serves partitioned saveAsTable with identical pruning.
+        spark = builder.config("spark.sql.catalogImplementation", "in-memory").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,0 +1,44 @@
+"""The persistent catalog table must serve status filters via partition
+pruning — the Spark equivalent of the reference's etcd prefix scan
+(common/constants.go:5-15): a pending read never touches the other four
+status partitions."""
+
+from __future__ import annotations
+
+from task_hive_spark.plans.catalog import cat_pending_by_type, pruned_status_scan
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_partition_pruning_in_plan(spark):
+    scan = pruned_status_scan(spark, SF_DIR, "pending")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the status predicate must be a partition filter, not a data filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("pending" in ln for ln in pf), pf
+
+
+def test_catalog_matches_view(spark):
+    from task_hive_spark.operators.taskmodel import tasks_df
+
+    got = {
+        (r["type"], r["n_tasks"], r["sum_priority"])
+        for r in cat_pending_by_type(spark, SF_DIR).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        (r["type"], r["n_tasks"], r["sum_priority"])
+        for r in (
+            tasks_df(spark, SF_DIR)
+            .where("status = 'pending'")
+            .groupBy("type")
+            .agg(
+                F.count("*").alias("n_tasks"),
+                F.sum("priority").cast("long").alias("sum_priority"),
+            )
+            .collect()
+        )
+    }
+    assert got == want and got

@@ -9,12 +9,13 @@ engine, extended with large-scale training-data-pipeline operators
 Layout:
     session     SparkSession factory tuned for local[N] and cluster scale
     schemas     StructTypes for the task-hive data model (SURVEY §1.4)
-    sources     fixture loaders, spider ingestion, JSON codecs
+    sources     fixture loaders, spider ingestion (xlsx gated), JSON codecs
     functions   scalar function library (SURVEY §2.8) + text/vector funcs
-    operators   batch query surface, assignment, dedup, similarity,
-                text analysis, relational-completeness suite
+    operators   batch query surface, assignment, processors (X1-X4),
+                dedup, similarity, multimodal, text analysis,
+                relational-completeness suite
     streaming   task lifecycle as Structured Streaming (SURVEY §2.9)
-    plans       DuckDB-parity oracle harness (the local correctness gate)
+    plans       DuckDB-parity oracle harness + persistent Hive catalog
 """
 
 __version__ = "0.1.0"

@@ -307,6 +307,36 @@ def th_unknown_type_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def th_id_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F10: the id-generation and duration helpers.
+
+    - F1 GenerateRandomID (common/utils.go:9-22): 10 alpha chars. The
+      reference seeds from the wall clock; here the entropy source is
+      md5 of the task id (seeded, oracle-reproducible), mapped onto
+      letters via hex→[a-p] translate.
+    - F2 generateID (tasks/dispatcher.go:22-25): "{host}-{pid}-{rand%%
+      1000}" with fixed host/pid fixtures and md5-derived rand.
+    - F10 RetryDelay.Seconds() truncation (tasks/worker.go:89: the
+      lease TTL is int64(seconds)).
+    """
+    t = tasks_df(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("idseed-"), F.col("id")))
+    alpha_id = F.translate(
+        F.substring(h, 1, 10), "0123456789abcdef", "abcdefghijklmnop"
+    )
+    rand_part = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 1000
+    return t.select(
+        "id",
+        alpha_id.alias("alpha_id"),
+        F.concat(
+            F.lit("spark-node-4242-"), rand_part.cast("string")
+        ).alias("gen_worker_id"),
+        F.expr("retry_delay_ns div 1000000000").alias("delay_seconds"),
+    ).orderBy("id")
+
+
 def th_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: changelog compaction — last PUT wins per key (etcd overwrite
     semantics, dispatcher.go:107) as the canonical row_number()=1
@@ -340,6 +370,7 @@ QUERIES = {
     "th_payload_parse": th_payload_parse,
     "th_spider_ingest": th_spider_ingest,
     "th_unknown_type_failed": th_unknown_type_failed,
+    "th_id_functions": th_id_functions,
     "th_latest_event_per_user": th_latest_event_per_user,
 }
 
@@ -486,6 +517,19 @@ ORACLES = {
                COUNT(*) AS cnt
         FROM tasks
         GROUP BY 1, 2, 3 ORDER BY type, effective_status
+        """
+    ),
+    "th_id_functions": oracle_cte(
+        """
+        SELECT id,
+               translate(substr(md5('idseed-' || id), 1, 10),
+                         '0123456789abcdef', 'abcdefghijklmnop') AS alpha_id,
+               'spark-node-4242-' || CAST(
+                 (ascii(substr(md5('idseed-' || id), 1, 1)) * 256
+                  + ascii(substr(md5('idseed-' || id), 2, 1))) % 1000 AS STRING)
+                 AS gen_worker_id,
+               retry_delay_ns // 1000000000 AS delay_seconds
+        FROM tasks ORDER BY id
         """
     ),
     "th_latest_event_per_user": """

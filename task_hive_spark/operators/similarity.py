@@ -193,10 +193,42 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_COS = 0.35  # fixture embeddings top out at cos≈0.51; 0.35 ≈ p99.9
+
+
+def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup family's vector
+    member): candidate pairs share ≥1 LSH band bucket (never all-pairs
+    — each vector lands in exactly N_BANDS buckets regardless of corpus
+    size), then exact cosine keeps pairs ≥ NEAR_DUP_COS. Same banding as
+    sim_topk_lsh; the i<j guard halves the candidate set."""
+    e = _emb(spark, sf_dir)
+    b = _band_buckets(e.select("vec_id", "embedding"), "embedding")
+    right = b.select(
+        F.col("vec_id").alias("dup_id"), F.col("embedding").alias("de"), "band", "bucket"
+    )
+    cands = (
+        b.join(right, ["band", "bucket"])
+        .where(F.col("vec_id") < F.col("dup_id"))
+        .select("vec_id", "dup_id", "embedding", "de")
+        .distinct()
+    )
+    return (
+        cands.select(
+            "vec_id",
+            "dup_id",
+            F.round(cosine(F.col("embedding"), F.col("de")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEAR_DUP_COS)
+        .orderBy("vec_id", "dup_id")
+    )
+
+
 QUERIES = {
     "sim_topk_brute": sim_topk_brute,
     "sim_topk_lsh": sim_topk_lsh,
     "sim_label_centroids": sim_label_centroids,
+    "dd_embedding_cosine_pairs": dd_embedding_cosine_pairs,
 }
 
 # --- oracle SQL ----------------------------------------------------------
@@ -269,6 +301,24 @@ ORACLES = {
                     ORDER BY cos_sim DESC, neighbor_id) AS rank
           FROM scored
         ) r WHERE rank <= {TOP_K} ORDER BY probe_id, rank
+        """,
+    "dd_embedding_cosine_pairs": f"""
+        WITH {_DE},
+        sigs AS (SELECT vec_id, v, {_BITS_SQL} FROM de),
+        banded AS (SELECT vec_id, v, {_BANDS_SQL} FROM sigs),
+        stacked AS (
+          {_STACK_SQL}
+        ),
+        cands AS (
+          SELECT DISTINCT a.vec_id, b.vec_id AS dup_id, a.v AS av, b.v AS bv
+          FROM stacked a JOIN stacked b USING (band, bucket)
+          WHERE a.vec_id < b.vec_id
+        )
+        SELECT vec_id, dup_id, cos_sim FROM (
+          SELECT vec_id, dup_id, ROUND({_COS.format(a='av', b='bv')}, 6) AS cos_sim
+          FROM cands
+        ) s WHERE cos_sim >= {NEAR_DUP_COS}
+        ORDER BY vec_id, dup_id
         """,
     "sim_label_centroids": f"""
         WITH {_DE},

@@ -17,6 +17,8 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     """Apply runtime-settable confs the engine relies on (the driver may
     hand us a session built without them)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # keep CPU-dense small-byte stages cluster-wide (see session.py)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

@@ -61,6 +61,18 @@ def main() -> int:
     # numbers measure the query, not session setup.
     qs["th_stats"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Compile each query's whole-stage-codegen classes on the smallest
+    # fixture first: the generated code is identical across sf dirs
+    # (same schemas), so the timed run hits Janino's cache and measures
+    # the query, not one-time driver-side compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in names:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # warm-up is best-effort; the timed run surfaces real errors
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

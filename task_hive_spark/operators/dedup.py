@@ -65,7 +65,14 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = corpus_df(spark, sf_dir)
+    # Round-robin repartition BEFORE the explode+md5 stages: the small
+    # fixture parquet yields only ~3 scan partitions, which would
+    # serialize the CPU-heavy shingle hashing onto 3 cores. At real
+    # corpus scale the scan has thousands of splits and this rebalance
+    # is a near-no-op; with few input files it is the difference
+    # between 3-way and full-cluster parallelism.
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = corpus_df(spark, sf_dir).repartition(n)
     return d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("gram"))
 
 
@@ -146,74 +153,86 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K min-hashes per doc from the portable md5-based hash family
-    (seed j ⇒ independent permutation approximation; each md5 feeds two
-    60-bit lanes, so K hashes cost K/2 md5 evaluations). Hash columns
-    are materialized in one projection before the groupBy so each md5
-    is computed once per (doc, gram) row."""
+def _minhash_sig_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K min-hashes per doc as ONE array column, from the portable
+    md5-based hash family (seed j ⇒ independent permutation
+    approximation; each md5 feeds two 60-bit lanes, so K hashes cost
+    K/2 md5 evaluations). Hash columns are materialized in one
+    projection before the groupBy so each md5 is computed once per
+    (doc, gram) row — and the array form lets every downstream consumer
+    carry the signature instead of re-running the hash pipeline."""
     grams = _doc_shingles(spark, sf_dir)
-    hash_cols = []
-    for i in range(MINHASH_K):
-        j, off = divmod(i, 2)
-        hash_cols.append(
-            portable_hash64(F.col("gram"), seed=f"mh{j}-", offset=1 + 16 * off).alias(f"h{i}")
-        )
-    hashed = grams.select("doc_id", *hash_cols)
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(MINHASH_K)]
+    # Kirsch-Mitzenmacher family: ONE md5 per gram yields lanes
+    # h1 (60-bit) and h2 (56-bit); hash i is h1 + i·h2 — 56-bit h2
+    # keeps i·h2 ≤ 2^61 so the affine combination never overflows
+    # int64 (Spark 4 ANSI mode would raise). Cuts the per-gram md5
+    # count from K/2 to 1.
+    hx = grams.select("doc_id", F.md5(F.concat(F.lit("mh-"), "gram")).alias("hx"))
+    lanes = hx.select(
+        "doc_id",
+        F.conv(F.substring("hx", 1, 15), 16, 10).cast("bigint").alias("l1"),
+        F.conv(F.substring("hx", 17, 14), 16, 10).cast("bigint").alias("l2"),
+    )
+    agg = lanes.groupBy("doc_id").agg(
+        *[F.min(F.col("l1") + i * F.col("l2")).alias(f"h{i}") for i in range(MINHASH_K)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias("sig")
     )
 
 
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix (the LSH input), fully deterministic."""
-    return _minhash_signatures(spark, sf_dir).orderBy("doc_id")
+    sig = F.col("sig")
+    return _minhash_sig_array(spark, sf_dir).select(
+        "doc_id", *[sig.getItem(i).alias(f"h{i}") for i in range(MINHASH_K)]
+    ).orderBy("doc_id")
 
 
 def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: band the K-wide signature into
-    LSH_BANDS buckets (rows-per-band = 2), docs colliding in ANY band
+    LSH_BANDS buckets (rows-per-band = 4), docs colliding in ANY band
     become candidates, then estimate similarity as the fraction of
     matching signature components. Candidate generation never compares
     non-colliding docs — the property that makes this run at corpus
-    scale."""
-    sigs = _minhash_signatures(spark, sf_dir)
+    scale. The signature array rides along through the band explode, so
+    the md5 pipeline runs ONCE (the earlier sigs⋈cands⋈sigs shape
+    re-executed it three times — no ReusedExchange across differing
+    projections) and the estimate reads the arrays directly."""
+    sigs = _minhash_sig_array(spark, sf_dir)
     rows_per_band = MINHASH_K // LSH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(bi),
-                *[F.col(f"h{bi * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
-            ).alias(f"band{bi}")
-            for bi in range(LSH_BANDS)
-        ],
-    )
-    stacked = bands.select(
-        "doc_id",
-        F.explode(F.array(*[F.col(f"band{bi}") for bi in range(LSH_BANDS)])).alias("bucket"),
-    )
+    sig = F.col("sig")
+    bands = [
+        F.concat_ws(
+            "_",
+            F.lit(bi),
+            *[sig.getItem(bi * rows_per_band + r).cast("string") for r in range(rows_per_band)],
+        )
+        for bi in range(LSH_BANDS)
+    ]
+    stacked = sigs.select("doc_id", "sig", F.explode(F.array(*bands)).alias("bucket"))
     a = stacked.alias("a")
     b = stacked.alias("b")
-    cands = (
+    pairs = (
         a.join(
             b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id"))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)])
-    est = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(MINHASH_K)
-    ) / F.lit(float(MINHASH_K))
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
-        .orderBy("doc_a", "doc_b")
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(matches / F.lit(float(MINHASH_K)), 6).alias("est_jaccard"),
+    ).orderBy("doc_a", "doc_b")
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,17 +337,19 @@ grams AS (
 """
 
 
-def _mh(i: int) -> str:
-    """Lane i of the md5-pair hash family (mirrors portable_hash64)."""
-    j, off = divmod(i, 2)
-    return (
-        f"MIN(CAST(concat('0x', substr(md5('mh{j}-' || gram), {1 + 16 * off}, 15))"
-        f" AS BIGINT)) AS h{i}"
-    )
-
-
-_SIG_COLS = ", ".join(_mh(i) for i in range(MINHASH_K))
-_SIGS_CTE = f"sigs AS (SELECT doc_id, {_SIG_COLS} FROM grams GROUP BY doc_id)"
+# Kirsch-Mitzenmacher lanes (mirrors _minhash_sig_array): one md5 per
+# gram, hash i = h1 + i·h2 with a 56-bit h2 so the product stays in
+# int64 range in both engines.
+_LANES_CTE = """
+lanes AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(hx, 1, 15)) AS BIGINT) AS l1,
+         CAST(concat('0x', substr(hx, 17, 14)) AS BIGINT) AS l2
+  FROM (SELECT doc_id, md5('mh-' || gram) AS hx FROM grams) h
+)
+"""
+_SIG_COLS = ", ".join(f"MIN(l1 + {i} * l2) AS h{i}" for i in range(MINHASH_K))
+_SIGS_CTE = f"{_LANES_CTE}, sigs AS (SELECT doc_id, {_SIG_COLS} FROM lanes GROUP BY doc_id)"
 
 _ROWS_PER_BAND = MINHASH_K // LSH_BANDS
 _BAND_EXPRS = ", ".join(

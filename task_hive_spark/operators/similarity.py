@@ -66,7 +66,11 @@ PLANES = _planes()
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    # Rebalance past the (few-file) scan so the 32-plane dot products
+    # run cluster-wide, not on the handful of input splits. See
+    # dedup._doc_shingles for the same-shape rationale.
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return load_table(spark, sf_dir, "embeddings").repartition(n)
 
 
 def _plane_dot(v: Column, plane: list[float]) -> Column:

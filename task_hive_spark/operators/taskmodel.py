@@ -84,20 +84,20 @@ def oracle_cte(body_sql: str) -> str:
     return f"WITH tasks AS ({TASKS_SQL}), workers AS ({WORKERS_SQL})\n{body}"
 
 
-_TASK_VIEWS_REGISTERED: set[tuple[int, str]] = set()
+_TASK_VIEWS_REGISTERED: dict[int, str] = {}
 
 
 def register_task_views(spark: SparkSession, sf_dir: str) -> None:
     """Register fixture views plus the derived tasks/workers views
-    (cached per session × sf_dir — the views are deterministic functions
-    of the fixtures, so one registration serves the whole suite)."""
-    key = (id(spark), sf_dir)
-    if key in _TASK_VIEWS_REGISTERED:
+    (cached per session while sf_dir is unchanged — keyed by CURRENT
+    dir so switching fixture scales re-registers; see
+    fixtures._REGISTERED)."""
+    if _TASK_VIEWS_REGISTERED.get(id(spark)) == sf_dir:
         return
     register_fixture_views(spark, sf_dir)
     spark.sql(TASKS_SQL).createOrReplaceTempView("tasks")
     spark.sql(WORKERS_SQL).createOrReplaceTempView("workers")
-    _TASK_VIEWS_REGISTERED.add(key)
+    _TASK_VIEWS_REGISTERED[id(spark)] = sf_dir
 
 
 def tasks_df(spark: SparkSession, sf_dir: str) -> DataFrame:

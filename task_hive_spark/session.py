@@ -29,6 +29,12 @@ def get_spark(app_name: str = "task_hive_spark", extra_conf: dict | None = None)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # CPU-dense stages (md5 hashing, vector math) carry few bytes
+        # per row; the 1m default lets AQE coalesce them onto 1-2 cores
+        # (measured 3-4x slowdown on the dedup suite). 64k keeps those
+        # stages cluster-wide; at real data sizes blocks are >>1m and
+        # coalescing behaves identically either way.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -53,18 +53,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-# (session id, sf_dir) pairs whose views are already registered. Re-running
-# registration re-reads 10 parquet schemas per query; across a 60+ query
-# suite that fixed cost is what got round 1's correctness run truncated.
-_REGISTERED: set[tuple[int, str]] = set()
+# session id → sf_dir currently registered. Re-running registration
+# re-reads 10 parquet schemas per query; across a 60+ query suite that
+# fixed cost is what got round 1's correctness run truncated. Keyed by
+# CURRENT dir (not a seen-set) so a session that switches sf_dirs —
+# e.g. bench.py's small-fixture codegen warm-up — re-registers instead
+# of silently serving the previous dir's views.
+_REGISTERED: dict[int, str] = {}
 
 
 def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view (cached per session ×
-    sf_dir), matching the view names the DuckDB oracle pre-registers."""
-    key = (id(spark), sf_dir)
-    if key in _REGISTERED:
+    """Register every fixture table as a temp view (cached per session
+    while sf_dir is unchanged), matching the view names the DuckDB
+    oracle pre-registers."""
+    if _REGISTERED.get(id(spark)) == sf_dir:
         return
     for name in FIXTURE_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED.add(key)
+    _REGISTERED[id(spark)] = sf_dir

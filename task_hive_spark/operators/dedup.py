@@ -20,6 +20,8 @@ Scale shape (100 TB corpus):
 
 from __future__ import annotations
 
+import random as _random
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from task_hive_spark.functions.text import fingerprint, portable_hash64, shingles
@@ -28,10 +30,23 @@ from task_hive_spark.sources.fixtures import load_table
 # K=32 / 8 bands / r=4 rows-per-band: r=4 keeps the candidate-pair
 # false-positive rate workable at corpus scale (round-1's r=2 made
 # 2-row bands collide constantly); production would push K to 128+,
-# same shape. Each md5 yields two 60-bit hash lanes, so K=32 costs
-# only 16 md5 evaluations per shingle.
+# same shape. One md5 per shingle seeds the whole K-wide family (see
+# _minhash_sig_array).
 MINHASH_K = 32  # signature length
 LSH_BANDS = 8  # rows-per-band = K / BANDS = 4
+
+# Universal-hash family for the K min-hash permutations:
+#   h_i(x) = (A_i * x + B_i) mod P,  P = 2^31 - 1 (prime)
+# Multiplication by independent A_i scrambles the ORDER of gram hashes
+# independently per i — the property band selectivity rests on. (An
+# affine h_i = l1 + i*l2 family reuses one multiplier, so consecutive
+# hashes pick the same argmin gram and a 4-row band degenerates toward
+# r≈1: measured 84k candidate pairs at sf0.1 vs ~600 with this family.)
+# Constants are pinned literals so the DuckDB oracle mirrors them.
+_MH_P = 2147483647
+_rng = _random.Random(20260813)
+_MH_A = [_rng.randrange(1, _MH_P) for _ in range(MINHASH_K)]
+_MH_B = [_rng.randrange(0, _MH_P) for _ in range(MINHASH_K)]
 MAX_DF = 50  # inverted-index cap: drop shingles in more docs than this
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 32
@@ -154,27 +169,29 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K min-hashes per doc as ONE array column, from the portable
-    md5-based hash family (seed j ⇒ independent permutation
-    approximation; each md5 feeds two 60-bit lanes, so K hashes cost
-    K/2 md5 evaluations). Hash columns are materialized in one
-    projection before the groupBy so each md5 is computed once per
-    (doc, gram) row — and the array form lets every downstream consumer
-    carry the signature instead of re-running the hash pipeline."""
+    """K min-hashes per doc as ONE array column. ONE md5 per gram
+    yields four 32-bit lanes x0..x3; hash i applies the universal
+    family (A_i·x + B_i) mod P to lane i%4. Lanes are reduced mod P
+    (x < P, A_i < P ⇒ product < 2^62, no int64 overflow under ANSI
+    mode) and materialized once per (doc, gram) row; the array form
+    lets every downstream consumer carry the signature instead of
+    re-running the hash pipeline."""
     grams = _doc_shingles(spark, sf_dir)
-    # Kirsch-Mitzenmacher family: ONE md5 per gram yields lanes
-    # h1 (60-bit) and h2 (56-bit); hash i is h1 + i·h2 — 56-bit h2
-    # keeps i·h2 ≤ 2^61 so the affine combination never overflows
-    # int64 (Spark 4 ANSI mode would raise). Cuts the per-gram md5
-    # count from K/2 to 1.
     hx = grams.select("doc_id", F.md5(F.concat(F.lit("mh-"), "gram")).alias("hx"))
     lanes = hx.select(
         "doc_id",
-        F.conv(F.substring("hx", 1, 15), 16, 10).cast("bigint").alias("l1"),
-        F.conv(F.substring("hx", 17, 14), 16, 10).cast("bigint").alias("l2"),
+        *[
+            (F.conv(F.substring("hx", 1 + 8 * j, 8), 16, 10).cast("bigint") % _MH_P).alias(
+                f"x{j}"
+            )
+            for j in range(4)
+        ],
     )
     agg = lanes.groupBy("doc_id").agg(
-        *[F.min(F.col("l1") + i * F.col("l2")).alias(f"h{i}") for i in range(MINHASH_K)]
+        *[
+            F.min((_MH_A[i] * F.col(f"x{i % 4}") + _MH_B[i]) % _MH_P).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
     )
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias("sig")
@@ -337,18 +354,17 @@ grams AS (
 """
 
 
-# Kirsch-Mitzenmacher lanes (mirrors _minhash_sig_array): one md5 per
-# gram, hash i = h1 + i·h2 with a 56-bit h2 so the product stays in
-# int64 range in both engines.
-_LANES_CTE = """
-lanes AS (
-  SELECT doc_id,
-         CAST(concat('0x', substr(hx, 1, 15)) AS BIGINT) AS l1,
-         CAST(concat('0x', substr(hx, 17, 14)) AS BIGINT) AS l2
-  FROM (SELECT doc_id, md5('mh-' || gram) AS hx FROM grams) h
+# Universal-hash lanes (mirrors _minhash_sig_array): one md5 per gram
+# split into four 32-bit lanes reduced mod P; hash i = (A_i·x_{i%4} +
+# B_i) mod P with the same pinned constants — identical BIGINT
+# arithmetic in both engines.
+_LANES_CTE = "lanes AS (\n  SELECT doc_id,\n" + ",\n".join(
+    f"         CAST(concat('0x', substr(hx, {1 + 8 * j}, 8)) AS BIGINT) % {_MH_P} AS x{j}"
+    for j in range(4)
+) + "\n  FROM (SELECT doc_id, md5('mh-' || gram) AS hx FROM grams) h\n)"
+_SIG_COLS = ", ".join(
+    f"MIN(({_MH_A[i]} * x{i % 4} + {_MH_B[i]}) % {_MH_P}) AS h{i}" for i in range(MINHASH_K)
 )
-"""
-_SIG_COLS = ", ".join(f"MIN(l1 + {i} * l2) AS h{i}" for i in range(MINHASH_K))
 _SIGS_CTE = f"{_LANES_CTE}, sigs AS (SELECT doc_id, {_SIG_COLS} FROM lanes GROUP BY doc_id)"
 
 _ROWS_PER_BAND = MINHASH_K // LSH_BANDS

@@ -45,7 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         textops,
     )
     from task_hive_spark.plans import catalog
-    from task_hive_spark.streaming import lifecycle
+    from task_hive_spark.streaming import lifecycle, stateful
 
     # cheap-first registration order: the driver grades in this order and
     # has a budget (round 1 truncated at 50/60)
@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(textops.QUERIES)
     out.update(similarity.QUERIES)
     out.update(lifecycle.QUERIES)
+    out.update(stateful.QUERIES)
     out.update(dedup.QUERIES)
 
     def _wrap(fn):
@@ -83,7 +84,7 @@ def oracle_sql() -> dict[str, str]:
         textops,
     )
     from task_hive_spark.plans import catalog
-    from task_hive_spark.streaming import lifecycle
+    from task_hive_spark.streaming import lifecycle, stateful
 
     out: dict[str, str] = {}
     out.update(q.ORACLES)
@@ -95,5 +96,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(textops.ORACLES)
     out.update(similarity.ORACLES)
     out.update(lifecycle.ORACLES)
+    out.update(stateful.ORACLES)
     out.update(dedup.ORACLES)
     return out

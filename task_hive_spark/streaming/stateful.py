@@ -1,0 +1,203 @@
+"""Per-key stateful streaming + event-time windowing over the change-feed.
+
+Two Structured Streaming patterns the foreachBatch lifecycle
+(lifecycle.py) deliberately does not use, exercised here over the SAME
+scripted feed (events.py) so the driver's batch oracle can grade their
+converged output:
+
+- ``st_worker_counter_stateful`` — A5, the running per-worker task
+  counter (reference: CAS read-modify-write ±1 with clamp,
+  tasks/worker.go:168-226, increments dispatcher.go:605-607), as an
+  ``applyInPandasWithState`` operator: state = (task_count, n_events)
+  per worker_id, folded per micro-batch with the negative clamp (P6,
+  worker.go:190-192). The micro-batch serializes updates, so the
+  reference's CAS retry loop has no analogue — state-store isolation
+  gives it for free.
+- ``st_windowed_throughput`` — event-time tumbling-window throughput
+  with a watermark: 60 s windows of event counts per op, watermark 30 s
+  (the late-data bound), append mode. Only windows the final watermark
+  has closed are emitted — the oracle mirrors that cutoff
+  arithmetically, so the result is deterministic and hash-checkable.
+
+Scale shape: both operators shuffle once on their grouping key
+(worker_id / window+op) and keep per-key state O(1); at a real event
+volume the state store partitions across executors — no driver state,
+no per-key files.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from task_hive_spark.streaming.events import oracle_events_cte
+from task_hive_spark.streaming.lifecycle import N_CHUNKS, _scratch_root, _write_chunks
+
+_EVENT_SCHEMA = (
+    "event_s BIGINT, op STRING, task_id STRING, worker_id STRING, task_json STRING"
+)
+WATERMARK_S = 30
+WINDOW_S = 60
+
+_RAN: dict[tuple[int, str], dict[str, str]] = {}
+
+
+def _update_counter(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """State fold for one worker: ±1 per assign/complete/fail with the
+    P6 clamp, emitting the running value once per micro-batch."""
+    (worker_id,) = key
+    task_count, n_events = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        delta = int((pdf["op"] == "assign").sum()) - int(
+            pdf["op"].isin(("complete", "fail")).sum()
+        )
+        task_count = max(task_count + delta, 0)
+        n_events += len(pdf)
+    state.update((task_count, n_events))
+    yield pd.DataFrame(
+        {"worker_id": [worker_id], "task_count": [task_count], "n_events": [n_events]}
+    )
+
+
+def _run_streams(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Build the chunked feed once per (session, sf_dir) and run both
+    streaming jobs to completion (Trigger.AvailableNow)."""
+    key = (id(spark), sf_dir)
+    if key in _RAN:
+        return _RAN[key]
+    work = tempfile.mkdtemp(prefix="stateful_", dir=_scratch_root())
+    _RAN[key] = run_once(spark, sf_dir, work, N_CHUNKS)
+    return _RAN[key]
+
+
+def run_once(spark: SparkSession, sf_dir: str, work: str, n_chunks: int) -> dict[str, str]:
+    """Run both streaming jobs against a freshly chunked feed (the test
+    entry point — converged output must be invariant to n_chunks)."""
+    feed = os.path.join(work, "feed")
+    _write_chunks(spark, sf_dir, feed, n_chunks)
+    out = {
+        "counter": os.path.join(work, "counter"),
+        "windows": os.path.join(work, "windows"),
+    }
+
+    src = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(feed)
+    )
+
+    counter = (
+        src.where(F.col("worker_id").isNotNull() & F.col("op").isin("assign", "complete", "fail"))
+        .groupBy("worker_id")
+        .applyInPandasWithState(
+            _update_counter,
+            "worker_id STRING, task_count BIGINT, n_events BIGINT",
+            "task_count BIGINT, n_events BIGINT",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q1 = (
+        counter.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out["counter"]))
+        .option("checkpointLocation", os.path.join(work, "ckpt_counter"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    windows = (
+        src.withColumn("ts", F.timestamp_seconds("event_s"))
+        .withWatermark("ts", f"{WATERMARK_S} seconds")
+        .groupBy(F.window("ts", f"{WINDOW_S} seconds"), "op")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "op",
+            "n",
+        )
+    )
+    q2 = (
+        windows.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out["windows"])
+        .option("checkpointLocation", os.path.join(work, "ckpt_windows"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+    return out
+
+
+def st_worker_counter_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged per-worker running counter (A5 streaming form): the
+    last state emitted for each worker across all micro-batches."""
+    out = _run_streams(spark, sf_dir)
+    w = W.partitionBy("worker_id").orderBy(F.desc("n_events"))
+    return (
+        spark.read.parquet(out["counter"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("worker_id", "task_count", "n_events")
+        .orderBy("worker_id")
+    )
+
+
+def st_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed op throughput — every window the final
+    watermark closed (append-mode emission)."""
+    out = _run_streams(spark, sf_dir)
+    return spark.read.parquet(out["windows"]).select(
+        "window_start", "op", "n"
+    ).orderBy("window_start", "op")
+
+
+QUERIES = {
+    "st_worker_counter_stateful": st_worker_counter_stateful,
+    "st_windowed_throughput": st_windowed_throughput,
+}
+
+ORACLES = {
+    # A5: the running ±1 fold reduces to a signed sum — the feed never
+    # drives a counter negative (script invariant: a task's assign
+    # precedes its complete/fail), so the per-batch clamp is the
+    # identity and the converged value is order-independent.
+    "st_worker_counter_stateful": oracle_events_cte(
+        """
+        SELECT worker_id,
+               CAST(SUM(CASE WHEN op = 'assign' THEN 1 ELSE -1 END) AS BIGINT)
+                 AS task_count,
+               COUNT(*) AS n_events
+        FROM events
+        WHERE worker_id IS NOT NULL AND op IN ('assign', 'complete', 'fail')
+        GROUP BY worker_id
+        ORDER BY worker_id
+        """
+    ),
+    # Append mode emits a window once the watermark (max event time −
+    # 30 s) passes its end; with an AvailableNow run the final watermark
+    # is global-max − 30 s, so the emitted set is exactly this filter.
+    "st_windowed_throughput": oracle_events_cte(
+        f"""
+        WITH w AS (
+          SELECT event_s - (event_s % {WINDOW_S}) AS window_start, op, COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, op, n
+        FROM w
+        WHERE window_start + {WINDOW_S}
+              <= (SELECT MAX(event_s) FROM events) - {WATERMARK_S}
+        ORDER BY window_start, op
+        """
+    ),
+}

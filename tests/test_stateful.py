@@ -1,0 +1,60 @@
+"""applyInPandasWithState counter + watermark window operators.
+
+The converged output of both stateful streams must be invariant to how
+the feed is chunked into micro-batches (the state fold is associative;
+watermark emission depends only on the global max event time because
+chunks are time-ordered).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Window as W, functions as F
+
+from task_hive_spark.streaming import stateful
+from task_hive_spark.streaming.lifecycle import _scratch_root
+
+
+def _converged_counter(spark, out_dir):
+    w = W.partitionBy("worker_id").orderBy(F.desc("n_events"))
+    return {
+        r["worker_id"]: (r["task_count"], r["n_events"])
+        for r in spark.read.parquet(out_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+
+
+def test_counter_invariant_to_batching(spark, sf_dir):
+    results = []
+    for n_chunks in (1, 5):
+        work = tempfile.mkdtemp(prefix=f"stateful_test{n_chunks}_", dir=_scratch_root())
+        out = stateful.run_once(spark, sf_dir, work, n_chunks)
+        results.append(_converged_counter(spark, out["counter"]))
+    assert results[0] == results[1]
+    assert len(results[0]) == 4  # lw0..lw3 all saw assign/complete/fail events
+
+
+def test_counter_is_net_inflight(spark, sf_dir):
+    counts = {
+        r["worker_id"]: r["task_count"]
+        for r in stateful.st_worker_counter_stateful(spark, sf_dir).collect()
+    }
+    assert all(v >= 0 for v in counts.values())
+    # the dead worker lw3 keeps its in-flight count (nobody completes
+    # its tasks after worker_dead — script invariant)
+    assert counts["lw3"] > 0
+
+
+def test_windowed_throughput_watermark_cutoff(spark, sf_dir):
+    rows = stateful.st_windowed_throughput(spark, sf_dir).collect()
+    assert rows, "append-mode sink emitted no closed windows"
+    from task_hive_spark.streaming.events import events_df
+
+    max_s = events_df(spark, sf_dir).agg(F.max("event_s")).collect()[0][0]
+    cutoff = max_s - stateful.WATERMARK_S
+    assert all(r["window_start"] + stateful.WINDOW_S <= cutoff for r in rows)
+    assert all(r["n"] > 0 for r in rows)

@@ -79,6 +79,14 @@ def main() -> int:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Scheduling-sim throughput (BASELINE.md contract: the reference's
+    # implied ceiling is 5 tasks/s/worker): tasks dispatched through the
+    # full registry-executor path (xp_dispatch_results) per second of
+    # engine wall time.
+    t0 = time.perf_counter()
+    n_tasks = qs["xp_dispatch_results"](spark, sf_dir).count()
+    dispatch_s = time.perf_counter() - t0
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -88,6 +96,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_of(sf_dir),
+                "sim_dispatch_tasks_per_s": round(n_tasks / dispatch_s, 1),
             }
         )
     )

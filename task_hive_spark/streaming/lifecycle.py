@@ -260,6 +260,19 @@ def _dispatch_assignments(ev: DataFrame) -> DataFrame:
 # --- runner ---------------------------------------------------------------
 
 _CONVERGED: dict[tuple[int, str], dict[str, str]] = {}
+_FEEDS: dict[tuple[int, str, int], str] = {}
+
+
+def shared_feed(spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS) -> str:
+    """One chunked feed per (session, sf_dir, n_chunks) — the feed is a
+    read-only input, so every streaming consumer (lifecycle, stateful)
+    can share it instead of re-materializing the event log."""
+    key = (id(spark), sf_dir, n_chunks)
+    if key not in _FEEDS:
+        feed = os.path.join(tempfile.mkdtemp(prefix="feed_", dir=_scratch_root()), "feed")
+        _write_chunks(spark, sf_dir, feed, n_chunks)
+        _FEEDS[key] = feed
+    return _FEEDS[key]
 
 
 def _write_chunks(spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int) -> None:
@@ -292,15 +305,20 @@ def _write_chunks(spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int
 
 
 def run_lifecycle(
-    spark: SparkSession, sf_dir: str, work_dir: str, n_chunks: int = N_CHUNKS
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_chunks: int = N_CHUNKS,
+    feed_dir: str | None = None,
 ) -> dict[str, str]:
     """Run the full streaming lifecycle to convergence; returns paths of
     the converged state tables."""
-    feed_dir = os.path.join(work_dir, "feed")
+    if feed_dir is None:
+        feed_dir = os.path.join(work_dir, "feed")
+        _write_chunks(spark, sf_dir, feed_dir, n_chunks)
     ckpt_dir = os.path.join(work_dir, "ckpt")
     state_dir = os.path.join(work_dir, "state")
     os.makedirs(state_dir, exist_ok=True)
-    _write_chunks(spark, sf_dir, feed_dir, n_chunks)
 
     schema = (
         "event_s BIGINT, op STRING, task_id STRING, worker_id STRING, task_json STRING"
@@ -365,7 +383,9 @@ def converged_state(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     key = (id(spark), sf_dir)
     if key not in _CONVERGED:
         work_dir = tempfile.mkdtemp(prefix="lifecycle_", dir=_scratch_root())
-        _CONVERGED[key] = run_lifecycle(spark, sf_dir, work_dir)
+        _CONVERGED[key] = run_lifecycle(
+            spark, sf_dir, work_dir, feed_dir=shared_feed(spark, sf_dir)
+        )
     return _CONVERGED[key]
 
 

@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from task_hive_spark.streaming.events import oracle_events_cte
-from task_hive_spark.streaming.lifecycle import N_CHUNKS, _scratch_root, _write_chunks
+from task_hive_spark.streaming.lifecycle import (
+    N_CHUNKS,
+    _scratch_root,
+    _write_chunks,
+    shared_feed,
+)
 
 _EVENT_SCHEMA = (
     "event_s BIGINT, op STRING, task_id STRING, worker_id STRING, task_json STRING"
@@ -75,15 +80,18 @@ def _run_streams(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     if key in _RAN:
         return _RAN[key]
     work = tempfile.mkdtemp(prefix="stateful_", dir=_scratch_root())
-    _RAN[key] = run_once(spark, sf_dir, work, N_CHUNKS)
+    _RAN[key] = run_once(spark, sf_dir, work, N_CHUNKS, feed=shared_feed(spark, sf_dir))
     return _RAN[key]
 
 
-def run_once(spark: SparkSession, sf_dir: str, work: str, n_chunks: int) -> dict[str, str]:
-    """Run both streaming jobs against a freshly chunked feed (the test
-    entry point — converged output must be invariant to n_chunks)."""
-    feed = os.path.join(work, "feed")
-    _write_chunks(spark, sf_dir, feed, n_chunks)
+def run_once(
+    spark: SparkSession, sf_dir: str, work: str, n_chunks: int, feed: str | None = None
+) -> dict[str, str]:
+    """Run both streaming jobs against a chunked feed (the test entry
+    point — converged output must be invariant to n_chunks)."""
+    if feed is None:
+        feed = os.path.join(work, "feed")
+        _write_chunks(spark, sf_dir, feed, n_chunks)
     out = {
         "counter": os.path.join(work, "counter"),
         "windows": os.path.join(work, "windows"),

@@ -1,0 +1,62 @@
+"""MinHash/LSH quality properties of the universal hash family.
+
+The oracle gate proves Spark and DuckDB compute the same numbers; these
+tests prove the numbers are *good*: band selectivity (candidate sets
+near the true near-dup set, not quadratic blowup) and estimator accuracy
+(est_jaccard tracks true Jaccard on known duplicate pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from task_hive_spark.operators import dedup
+
+
+def test_lsh_candidates_are_selective(spark, sf_dir):
+    """Candidate pairs must be a small multiple of the true near-dup
+    pair count — the property the banding scheme exists to provide. A
+    correlated hash family (round 2's first attempt) produced ~50x."""
+    n_docs = dedup.corpus_df(spark, sf_dir).count()
+    n_cands = dedup.dd_minhash_lsh_pairs(spark, sf_dir).count()
+    n_true = dedup.dd_ngram_jaccard_pairs(spark, sf_dir).count()
+    assert n_cands < 5 * max(n_true, 1)
+    assert n_cands < n_docs * (n_docs - 1) / 20  # nowhere near all-pairs
+
+
+def test_exact_dup_pairs_have_full_signature_match(spark, sf_dir):
+    """Injected exact duplicates (doc_id + 100000) share every shingle,
+    so all K min-hashes match: est_jaccard = 1.0 and LSH must surface
+    the pair (every band collides)."""
+    pairs = dedup.dd_minhash_lsh_pairs(spark, sf_dir)
+    # doc_a < 100000 excludes the (100000+x, 200000+x) near-dup pairs
+    # that also differ by exactly 100000 (x divisible by both 7 and 11)
+    exact = pairs.where(
+        (F.col("doc_b") - F.col("doc_a") == 100000) & (F.col("doc_a") < 100000)
+    )
+    n_exact_dups = dedup.corpus_df(spark, sf_dir).where(F.col("doc_id") >= 100000).where(
+        F.col("doc_id") < 200000
+    ).count()
+    rows = exact.collect()
+    assert len(rows) == n_exact_dups
+    assert all(r["est_jaccard"] == 1.0 for r in rows)
+
+
+def test_estimator_tracks_true_jaccard_on_near_dups(spark, sf_dir):
+    """Near-dup pairs (trailing-token mutation, doc_id + 200000) have
+    high but sub-1.0 true Jaccard; the K=32 estimate on surfaced pairs
+    must land within a loose binomial bound (±4/sqrt(K) ≈ ±0.71 would be
+    vacuous; we assert ±0.35 which K=32 comfortably meets in aggregate)."""
+    true_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dd_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    est_pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.dd_minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    both = set(true_pairs) & set(est_pairs)
+    assert both, "LSH surfaced none of the true near-dup pairs"
+    errs = [abs(true_pairs[p] - est_pairs[p]) for p in both]
+    assert max(errs) < 0.35
+    assert sum(errs) / len(errs) < 0.15

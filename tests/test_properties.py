@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) pairing Spark column expressions
+with pure-Python reference models.
+
+Each test generates one BATCH of inputs and runs a single Spark job over
+it (per-example Spark jobs would be ~0.3 s each). The alphabet is
+printable ASCII with space as the only whitespace: Spark's ``trim``
+strips only spaces, so tab/newline edge semantics are pinned separately
+in test_text_functions.py rather than fuzzed here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from task_hive_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    shingles,
+    ws_token_count,
+)
+from task_hive_spark.operators.dedup import _MH_A, _MH_B, _MH_P, MINHASH_K, ORACLES
+
+ALPHABET = st.sampled_from(
+    list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,:;!?'\"-_()")
+)
+TEXTS = st.lists(st.text(ALPHABET, max_size=80), min_size=1, max_size=40)
+
+
+def _model_ws_count(t: str) -> int:
+    s = t.strip(" ")
+    return 0 if not s else len(re.split(r" +", s))
+
+
+def _model_bpe_count(t: str) -> int:
+    return len(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", t))
+
+
+def _model_fingerprint(t: str) -> str:
+    return hashlib.md5(re.sub(r" +", " ", t.strip(" ")).lower().encode()).hexdigest()
+
+
+def _model_shingles(t: str, n: int = 3) -> list[str]:
+    toks = [w for w in t.lower().strip(" ").split(" ") if w] if t.strip(" ") else []
+    if len(toks) < n:
+        return list(dict.fromkeys([" ".join(toks)]))
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return list(dict.fromkeys(grams))
+
+
+@settings(max_examples=15, deadline=None)
+@given(TEXTS)
+def test_token_counts_match_model(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text",
+        ws_token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    for r in rows:
+        assert r["ws"] == _model_ws_count(r["text"]), repr(r["text"])
+        assert r["bpe"] == _model_bpe_count(r["text"]), repr(r["text"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(TEXTS)
+def test_fingerprint_matches_model_and_normalizes(spark, texts):
+    # every text plus a whitespace/case-mangled twin: same fingerprint
+    mangled = ["  " + t.upper().replace(" ", "   ") + " " for t in texts]
+    df = spark.createDataFrame(list(zip(texts, mangled)), "a string, b string")
+    rows = df.select(
+        "a",
+        fingerprint(F.col("a")).alias("fa"),
+        fingerprint(F.col("b")).alias("fb"),
+    ).collect()
+    for r in rows:
+        assert r["fa"] == _model_fingerprint(r["a"]), repr(r["a"])
+        assert r["fa"] == r["fb"], repr(r["a"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(TEXTS)
+def test_shingles_match_model(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select("text", shingles(F.col("text"), 3).alias("g")).collect()
+    for r in rows:
+        assert r["g"] == _model_shingles(r["text"]), repr(r["text"])
+
+
+def test_minhash_constants_mirrored_in_oracle_sql():
+    """The pinned universal-hash constants must appear verbatim in the
+    DuckDB oracle text — a drift guard for the cross-engine contract."""
+    sql = ORACLES["dd_minhash_signatures"]
+    assert len(_MH_A) == MINHASH_K and len(_MH_B) == MINHASH_K
+    for i in range(MINHASH_K):
+        assert f"({_MH_A[i]} * x{i % 4} + {_MH_B[i]}) % {_MH_P}" in sql
+        assert 1 <= _MH_A[i] < _MH_P and 0 <= _MH_B[i] < _MH_P
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=50))
+def test_minhash_family_range_and_determinism(spark, xs):
+    """h_i(x) stays in [0, P) and is a pure function of x."""
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    cols = [
+        ((_MH_A[i] * (F.col("x") % _MH_P) + _MH_B[i]) % _MH_P).alias(f"h{i}")
+        for i in range(0, MINHASH_K, 8)
+    ]
+    rows = df.select("x", *cols).collect()
+    for r in rows:
+        for i in range(0, MINHASH_K, 8):
+            expect = (_MH_A[i] * (r["x"] % _MH_P) + _MH_B[i]) % _MH_P
+            assert r[f"h{i}"] == expect
+            assert 0 <= r[f"h{i}"] < _MH_P

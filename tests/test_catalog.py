@@ -19,6 +19,18 @@ def test_partition_pruning_in_plan(spark):
     assert any("pending" in ln for ln in pf), pf
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Matching bucketBy specs on both sides must make the sort-merge
+    join shuffle-free: zero Exchange nodes in the join plan."""
+    from task_hive_spark.plans.catalog import bucketed_join
+
+    j = bucketed_join(spark, SF_DIR)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "SelectedBucketsCount" in plan, plan
+
+
 def test_catalog_matches_view(spark):
     from task_hive_spark.operators.taskmodel import tasks_df
 

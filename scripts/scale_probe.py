@@ -1,0 +1,76 @@
+"""Scale probe: wall time + output cardinality of representative
+operators across the 100x fixture span (sf0.001 → sf0.1).
+
+Usage: python scripts/scale_probe.py [query ...]
+
+Prints one JSON line per query with per-sf seconds and row counts, plus
+a growth factor over the 10x step sf0.01 → sf0.1 (the step where data
+cost starts beating Spark's fixed per-job overhead). The interesting
+signal is the ROW growth of pair-producing operators: candidate-pair
+counts growing ~quadratically would mean a bucketing scheme has
+degenerated (the failure mode this probe exists to catch — a correlated
+MinHash family did exactly that in round 2 before being fixed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+DEFAULT = [
+    "dd_minhash_lsh_pairs",
+    "dd_ngram_jaccard_pairs",
+    "dd_simhash_near_pairs",
+    "dd_embedding_cosine_pairs",
+    "th_assign_least_tasks",
+    "rel_q1_pricing_summary",
+]
+
+
+def main() -> int:
+    from task_hive_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("scale_probe")
+    qs = entrymod.queries()
+
+    for name in names:
+        if name not in qs:
+            print(json.dumps({"query": name, "error": "unknown query"}))
+            continue
+        secs: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for sf_dir in SF_DIRS:
+            tag = os.path.basename(sf_dir)
+            # warm run compiles codegen; timed run measures the query
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            secs[tag] = round(time.perf_counter() - t0, 3)
+            rows[tag] = n
+        growth_time = round(secs["sf0.1"] / max(secs["sf0.01"], 1e-9), 2)
+        growth_rows = round(rows["sf0.1"] / max(rows["sf0.01"], 1), 2)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "seconds": secs,
+                    "rows": rows,
+                    "x10_time_growth": growth_time,
+                    "x10_row_growth": growth_rows,
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -230,26 +230,24 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacked = sigs.select("doc_id", "sig", F.explode(F.array(*bands)).alias("bucket"))
     a = stacked.alias("a")
     b = stacked.alias("b")
-    pairs = (
+    matches = F.size(
+        F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v)
+    )
+    # estimate in the join projection, then dedupe the narrow
+    # (doc_a, doc_b, est) row — deduping the K-wide signature pair
+    # first would shuffle 2K bigints per candidate
+    return (
         a.join(
             b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id"))
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.round(matches / F.lit(float(MINHASH_K)), 6).alias("est_jaccard"),
         )
         .distinct()
+        .orderBy("doc_a", "doc_b")
     )
-    matches = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
-    )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.round(matches / F.lit(float(MINHASH_K)), 6).alias("est_jaccard"),
-    ).orderBy("doc_a", "doc_b")
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,7 +34,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from task_hive_spark.functions.vectors import cosine
+from task_hive_spark.functions.vectors import cosine, dot, norm
 from task_hive_spark.sources.fixtures import load_table
 
 DIM = 64
@@ -71,6 +71,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup._doc_shingles for the same-shape rationale.
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return load_table(spark, sf_dir, "embeddings").repartition(n)
+
+
+def _normed(e: DataFrame) -> DataFrame:
+    """Embeddings with the vector norm precomputed once per vector, so
+    pair scoring is a single dot product instead of three (the norms in
+    cosine's denominator don't depend on the pair)."""
+    return e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
 
 
 def _plane_dot(v: Column, plane: list[float]) -> Column:
@@ -145,17 +152,44 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.where(F.col("vec_id") % PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
-    probes_b = _band_buckets(probes, "pe")
+    probes_b = _band_buckets(probes, "pe").select("probe_id", "band", "bucket")
+    # candidate ids dedupe on a NARROW row, then embeddings re-attach
+    # with precomputed norms so exact cosine runs once per unique pair
+    # as a single dot product — see dd_embedding_cosine_pairs
     cands = (
-        corpus_b.join(F.broadcast(probes_b), ["band", "bucket"])
+        corpus_b.select("vec_id", "band", "bucket")
+        .join(F.broadcast(probes_b), ["band", "bucket"])
         .where(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "pe", "vec_id", "embedding")
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    scored = cands.select(
-        "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
+    en = _normed(e)
+    scored = (
+        cands.join(
+            F.broadcast(
+                en.select(
+                    F.col("vec_id").alias("probe_id"),
+                    F.col("embedding").alias("pe"),
+                    F.col("nrm").alias("pn"),
+                ).where(F.col("probe_id") % PROBE_MOD == 0)
+            ),
+            "probe_id",
+        )
+        .join(
+            en.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+                F.col("nrm").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("pe"), F.col("ne")) / (F.col("pn") * F.col("nn")), 6
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
@@ -263,21 +297,50 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size), then exact cosine keeps pairs ≥ NEAR_DUP_COS. Same banding as
     sim_topk_lsh; the i<j guard halves the candidate set."""
     e = _emb(spark, sf_dir)
-    b = _band_buckets(e.select("vec_id", "embedding"), "embedding")
-    right = b.select(
-        F.col("vec_id").alias("dup_id"), F.col("embedding").alias("de"), "band", "bucket"
+    # identical subplans on both join sides (alias, no projection) so
+    # the (band, bucket) shuffle hits ReusedExchange and the 32-plane
+    # signature pipeline executes ONCE, not once per side
+    # three-stage shape, each stage minimal: (1) candidate ids from the
+    # band self-join, deduped NARROW (no arrays in the shuffle — the
+    # wide-distinct variant measured 2x the whole query); (2) embeddings
+    # + precomputed norms re-attached; (3) one dot product per unique
+    # pair. At corpus scale stage 2 is the standard verify join and the
+    # vector table is scanned, not re-hashed (unlike the minhash md5
+    # pipeline, where re-attachment would recompute signatures).
+    stacked = _band_buckets(e.select("vec_id", "embedding"), "embedding").select(
+        "vec_id", "band", "bucket"
     )
+    a, b = stacked.alias("a"), stacked.alias("b")
     cands = (
-        b.join(right, ["band", "bucket"])
-        .where(F.col("vec_id") < F.col("dup_id"))
-        .select("vec_id", "dup_id", "embedding", "de")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("dup_id"))
         .distinct()
     )
+    en = _normed(e)
     return (
-        cands.select(
+        cands.join(
+            en.select("vec_id", F.col("embedding").alias("ae"), F.col("nrm").alias("na")),
+            "vec_id",
+        )
+        .join(
+            en.select(
+                F.col("vec_id").alias("dup_id"),
+                F.col("embedding").alias("de"),
+                F.col("nrm").alias("nd"),
+            ),
+            "dup_id",
+        )
+        .select(
             "vec_id",
             "dup_id",
-            F.round(cosine(F.col("embedding"), F.col("de")), 6).alias("cos_sim"),
+            F.round(dot(F.col("ae"), F.col("de")) / (F.col("na") * F.col("nd")), 6).alias(
+                "cos_sim"
+            ),
         )
         .where(F.col("cos_sim") >= NEAR_DUP_COS)
         .orderBy("vec_id", "dup_id")

@@ -67,8 +67,13 @@ def assign(spark: SparkSession, sf_dir: str, strategy: str = "least_tasks") -> D
     the backlog."""
     register_task_views(spark, sf_dir)
     tasks = spark.table("tasks").where(F.col("status") == "pending")
-    slots = _worker_slots(_eligible_workers(spark, sf_dir), strategy)
-    n_df = slots.agg((F.max("slot") + 1).alias("n_workers"))
+    # n_workers rides along on each slots row (count window over the
+    # tiny registry) so ONE broadcast build serves both the modulo and
+    # the lookup — not a separate 1-row broadcast aggregate whose
+    # subtree re-scans the registry
+    slots = _worker_slots(_eligible_workers(spark, sf_dir), strategy).withColumn(
+        "n_workers", F.count("*").over(W.partitionBy())
+    )
 
     band_w = W.partitionBy("priority").orderBy("id")
     ranked = tasks.select(
@@ -77,9 +82,10 @@ def assign(spark: SparkSession, sf_dir: str, strategy: str = "least_tasks") -> D
         (F.row_number().over(band_w) - 1).alias("band_rank"),
     )
     return (
-        ranked.crossJoin(F.broadcast(n_df))
-        .withColumn("slot", (F.col("band_rank") + F.col("priority")) % F.col("n_workers"))
-        .join(F.broadcast(slots), "slot")
+        ranked.join(
+            F.broadcast(slots),
+            (F.col("band_rank") + F.col("priority")) % F.col("n_workers") == F.col("slot"),
+        )
         .select("task_id", "priority", "band_rank", "worker_id")
         .orderBy(F.desc("priority"), "band_rank")
     )
@@ -93,8 +99,9 @@ def assign_salted(spark: SparkSession, sf_dir: str, strategy: str = "round_robin
     partition exceeds backlog/160."""
     register_task_views(spark, sf_dir)
     tasks = spark.table("tasks").where(F.col("status") == "pending")
-    slots = _worker_slots(_eligible_workers(spark, sf_dir), strategy)
-    n_df = slots.agg((F.max("slot") + 1).alias("n_workers"))
+    slots = _worker_slots(_eligible_workers(spark, sf_dir), strategy).withColumn(
+        "n_workers", F.count("*").over(W.partitionBy())
+    )
 
     salted = tasks.select(
         F.col("id").alias("task_id"),
@@ -109,11 +116,11 @@ def assign_salted(spark: SparkSession, sf_dir: str, strategy: str = "round_robin
         (F.row_number().over(band_w) - 1).alias("band_rank"),
     )
     return (
-        ranked.crossJoin(F.broadcast(n_df))
-        .withColumn(
-            "slot", (F.col("band_rank") + F.col("priority") + F.col("salt")) % F.col("n_workers")
+        ranked.join(
+            F.broadcast(slots),
+            (F.col("band_rank") + F.col("priority") + F.col("salt")) % F.col("n_workers")
+            == F.col("slot"),
         )
-        .join(F.broadcast(slots), "slot")
         .select("task_id", "priority", "salt", "band_rank", "worker_id")
         .orderBy(F.desc("priority"), "salt", "band_rank")
     )

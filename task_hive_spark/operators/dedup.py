@@ -80,14 +80,18 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Round-robin repartition BEFORE the explode+md5 stages: the small
-    # fixture parquet yields only ~3 scan partitions, which would
-    # serialize the CPU-heavy shingle hashing onto 3 cores. At real
-    # corpus scale the scan has thousands of splits and this rebalance
-    # is a near-no-op; with few input files it is the difference
-    # between 3-way and full-cluster parallelism.
+    # Hash-repartition by doc_id BEFORE the explode+md5 stages. Two
+    # effects: (1) the small fixture parquet yields only ~3 scan
+    # partitions, which would serialize the CPU-heavy shingle hashing
+    # onto 3 cores — this rebalances to full parallelism; (2) every
+    # downstream per-doc aggregation (minhash MIN, simhash bit votes)
+    # sees its required hashpartitioning(doc_id) ALREADY satisfied, so
+    # the exploded gram rows are aggregated exchange-free — the shuffle
+    # moves |docs| text rows, never the ~200x larger gram set. At corpus
+    # scale that is the difference between shuffling 100 TB of text once
+    # and shuffling the multi-PB gram expansion.
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = corpus_df(spark, sf_dir).repartition(n)
+    d = corpus_df(spark, sf_dir).repartition(n, "doc_id")
     return d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("gram"))
 
 

@@ -196,12 +196,15 @@ def rel_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
+    # supplier→nation→region collapses to ONE broadcast subtree (the
+    # inner joins are dim-sized) instead of three separate broadcast
+    # exchanges — one broadcast build job, and the region filter prunes
+    # suppliers before they ever touch the fact side
+    dims = s.join(n, s.s_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == dims.s_nationkey))
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

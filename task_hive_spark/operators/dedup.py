@@ -231,7 +231,14 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for bi in range(LSH_BANDS)
     ]
-    stacked = sigs.select("doc_id", "sig", F.explode(F.array(*bands)).alias("bucket"))
+    # merge hint: without it AQE broadcasts one side of the self-join,
+    # which kills exchange reuse and re-executes the whole md5 pipeline
+    # per side (measured 2.4s vs 1.3s at sf0.1). With identical shuffle
+    # subplans the signature computation runs ONCE; sort-merge also
+    # spills instead of OOMing on a skewed bucket at corpus scale.
+    stacked = sigs.select(
+        "doc_id", "sig", F.explode(F.array(*bands)).alias("bucket")
+    ).hint("merge")
     a = stacked.alias("a")
     b = stacked.alias("b")
     matches = F.size(
@@ -302,7 +309,7 @@ def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("qbucket"),
-    )
+    ).hint("merge")  # same broadcast-masks-reuse fix as dd_minhash_lsh_pairs
     a = quarters.alias("a")
     b = quarters.alias("b")
     pairs = (

@@ -307,8 +307,11 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair. At corpus scale stage 2 is the standard verify join and the
     # vector table is scanned, not re-hashed (unlike the minhash md5
     # pipeline, where re-attachment would recompute signatures).
-    stacked = _band_buckets(e.select("vec_id", "embedding"), "embedding").select(
-        "vec_id", "band", "bucket"
+    stacked = (
+        _band_buckets(e.select("vec_id", "embedding"), "embedding")
+        .select("vec_id", "band", "bucket")
+        .hint("merge")  # keep AQE from broadcasting one side: identical
+        # shuffle subplans make the 32-plane signature pipeline run once
     )
     a, b = stacked.alias("a"), stacked.alias("b")
     cands = (

@@ -58,25 +58,23 @@ def _worker_slots(workers: DataFrame, strategy: str) -> DataFrame:
     )
 
 
-def assign(spark: SparkSession, sf_dir: str, strategy: str = "least_tasks") -> DataFrame:
-    """J1 deterministic batch assignment, banded form: rank pending
-    tasks within each priority band (shuffle keyed on priority —
-    parallel), then join onto strategy-ordered worker slots by
-    ``(band_rank + priority) % n``. Worker count is a broadcast 1-row
-    aggregate — no eager driver action, no single-partition window over
-    the backlog."""
-    register_task_views(spark, sf_dir)
-    tasks = spark.table("tasks").where(F.col("status") == "pending")
+def bind(pending: DataFrame, eligible_workers: DataFrame, strategy: str) -> DataFrame:
+    """J1 deterministic batch assignment over arbitrary frames, banded
+    form: rank pending tasks within each priority band (shuffle keyed
+    on priority — parallel), then join onto strategy-ordered worker
+    slots by ``(band_rank + priority) % n``. Used by the fixture
+    queries below and by the ``TaskHive`` facade's dispatch drain
+    (api.py)."""
     # n_workers rides along on each slots row (count window over the
     # tiny registry) so ONE broadcast build serves both the modulo and
     # the lookup — not a separate 1-row broadcast aggregate whose
     # subtree re-scans the registry
-    slots = _worker_slots(_eligible_workers(spark, sf_dir), strategy).withColumn(
+    slots = _worker_slots(eligible_workers, strategy).withColumn(
         "n_workers", F.count("*").over(W.partitionBy())
     )
 
     band_w = W.partitionBy("priority").orderBy("id")
-    ranked = tasks.select(
+    ranked = pending.select(
         F.col("id").alias("task_id"),
         "priority",
         (F.row_number().over(band_w) - 1).alias("band_rank"),
@@ -88,6 +86,16 @@ def assign(spark: SparkSession, sf_dir: str, strategy: str = "least_tasks") -> D
         )
         .select("task_id", "priority", "band_rank", "worker_id")
         .orderBy(F.desc("priority"), "band_rank")
+    )
+
+
+def assign(spark: SparkSession, sf_dir: str, strategy: str = "least_tasks") -> DataFrame:
+    """J1 over the fixture-derived tasks/workers model (see ``bind``)."""
+    register_task_views(spark, sf_dir)
+    return bind(
+        spark.table("tasks").where(F.col("status") == "pending"),
+        _eligible_workers(spark, sf_dir),
+        strategy,
     )
 
 

@@ -1,0 +1,115 @@
+"""End-to-end facade test — the reference's own harness scenario
+(test/main_test.go: build instance → register processors → submit a
+task batch incl. an Excel-derived fan-out → start → assert converged
+stats and per-task results), re-run against the Spark facade."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from task_hive_spark.api import TaskHive, TaskHiveConfig
+from task_hive_spark.operators.processors import (
+    process_custom_task,
+    process_spider_task,
+)
+
+
+@pytest.fixture(scope="module")
+def hive(spark):
+    th = TaskHive(spark, TaskHiveConfig(worker_count=3, strategy="round_robin"))
+    th.register_task_processor("spider", process_spider_task)
+    th.register_task_processor("custom", process_custom_task)
+
+    # generator (X4): five custom tasks, the startTasks run-once path
+    def gen(s):
+        return s.range(5).select(
+            F.concat(F.lit("gen-"), F.col("id").cast("string")).alias("id"),
+            F.lit("{}").alias("payload"),
+            (F.col("id") % 3 + 1).cast("int").alias("priority"),
+            F.lit("custom").alias("type"),
+        )
+
+    th.register_task_generator(gen)
+
+    th.submit_task(
+        # spider task with a real WechatTask payload (main_test.go:58-77)
+        {
+            "id": "sp-1",
+            "payload": json.dumps({"row_id": 1, "row_data": ["a", "b"]}),
+            "priority": 7,
+            "type": "spider",
+        },
+        # priority 0 → defaulted to 5 (dispatcher.go:176-178)
+        {"id": "p0-7", "payload": "{}", "priority": 0, "type": "custom"},
+        # unknown type → failed, no retry value in completing it (worker.go:242-249)
+        {"id": "my-3", "payload": "{}", "priority": 2, "type": "mystery"},
+        # simulated duration 2 + (399 % 400) = 401s > 300s timeout →
+        # fails, retried up to max_retries, terminal failed (worker.go:63-135)
+        {"id": "to-399", "payload": "{}", "priority": 9, "type": "custom"},
+    )
+    th.start()
+    yield th
+    th.close()
+
+
+def test_stats_converged(hive):
+    stats = hive.get_task_stats()
+    # 5 generated + sp-1 + p0-7 complete; my-3 (unknown) + to-399 (timeout) fail
+    assert stats["completed"] == 7
+    assert stats["failed"] == 2
+    assert stats["pending"] == 0 and stats["processing"] == 0
+    assert stats["total"] == 9
+
+
+def test_spider_result_format(hive):
+    row = hive.get_task_by_id("sp-1")
+    assert row is not None
+    assert row.status == "completed"
+    # worker.go:251 wrapping of spider.go:77-90's return
+    assert row.result == "任务 sp-1 执行结果: Row 1 processed successfully"
+
+
+def test_priority_defaulting(hive):
+    row = hive.get_task_by_id("p0-7")
+    assert row.priority == 5 and row.status == "completed"
+
+
+def test_unknown_type_fails_without_retry(hive):
+    row = hive.get_task_by_id("my-3")
+    assert row.status == "failed"
+    assert row.error.startswith("未知的任务类型")
+    assert row.retry_count == 3  # exhausted: unknown type fails every attempt
+
+
+def test_timeout_retries_exhausted(hive):
+    row = hive.get_task_by_id("to-399")
+    assert row.status == "failed"
+    assert row.error == "任务执行超时"
+    assert row.retry_count == 3
+    # F7: last re-pend recorded backoff 2s * 2^(3-1) = 8s
+    assert row.retry_delay_ns == 8_000_000_000
+
+
+def test_query_layer(hive):
+    workers = hive.list_workers().collect()
+    assert [w.id for w in workers] == ["worker-0", "worker-1", "worker-2"]
+    # liveness VALUE depends on wall-clock elapsed since start();
+    # the threshold semantics are oracle-pinned by th_workers_liveness
+    assert all(isinstance(w.is_active, bool) for w in workers)
+    completed = hive.list_tasks("completed").collect()
+    assert len(completed) == 7
+    assert hive.list_tasks(limit=4).count() == 4  # O3/O4 truncation
+    assert hive.get_worker_tasks("worker-0").count() == 0  # drained inbox
+    assert hive.get_task_by_id("nope-404") is None
+
+
+def test_empty_instance_queries(spark):
+    th = TaskHive(spark)
+    try:
+        assert th.get_task_stats()["total"] == 0
+        assert th.list_tasks().count() == 0
+    finally:
+        th.close()

@@ -45,7 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         textops,
     )
     from task_hive_spark.plans import catalog
-    from task_hive_spark.streaming import lifecycle, stateful
+    from task_hive_spark.streaming import lifecycle, stateful, timers
 
     # cheap-first registration order: the driver grades in this order and
     # has a budget (round 1 truncated at 50/60)
@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(lifecycle.QUERIES)
     out.update(stateful.QUERIES)
+    out.update(timers.QUERIES)
     out.update(dedup.QUERIES)
 
     def _wrap(fn):
@@ -84,7 +85,7 @@ def oracle_sql() -> dict[str, str]:
         textops,
     )
     from task_hive_spark.plans import catalog
-    from task_hive_spark.streaming import lifecycle, stateful
+    from task_hive_spark.streaming import lifecycle, stateful, timers
 
     out: dict[str, str] = {}
     out.update(q.ORACLES)
@@ -97,5 +98,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(lifecycle.ORACLES)
     out.update(stateful.ORACLES)
+    out.update(timers.ORACLES)
     out.update(dedup.ORACLES)
     return out

@@ -280,14 +280,10 @@ def rel_self_join_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (Spark lacks a native one — SURVEY guide): for each
-    purchase event, the most recent click event of the same user at or
-    before it. Implemented distributed-style: union the two streams,
-    one window pass per key carries the last click forward (no pairwise
-    join blow-up, one shuffle on user_id). Oracle uses DuckDB's native
-    ASOF JOIN."""
-    e = _t(spark, sf_dir, "events")
+def asof_core(e: DataFrame) -> DataFrame:
+    """As-of join core over any events frame (columns: user_id,
+    event_id, event_type, ts) — split out so tie semantics are unit-
+    testable on synthetic duplicate-ts data."""
     purchases = e.where(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("uid"),
         "ts",
@@ -333,6 +329,16 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one — SURVEY guide): for each
+    purchase event, the most recent click event of the same user at or
+    before it. Implemented distributed-style: union the two streams,
+    one window pass per key carries the last click forward (no pairwise
+    join blow-up, one shuffle on user_id). Oracle uses DuckDB's native
+    ASOF JOIN."""
+    return asof_core(_t(spark, sf_dir, "events"))
 
 
 def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,8 +725,10 @@ ORACLES = {
                c.event_id AS last_click_id, c.ts AS last_click_ts
         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (
-          -- dedupe equal-ts clicks per user keeping max event_id,
-          -- matching the Spark window's click_id DESC tie-break
+          -- dedupe equal-ts clicks per user keeping MAX event_id: the
+          -- Spark window orders equal-ts clicks by click_id ASC so its
+          -- carried last() is also the max (tie semantics pinned by
+          -- tests/test_relational.py::test_asof_equal_ts_tiebreak)
           SELECT user_id, event_id, ts FROM (
             SELECT user_id, event_id, ts,
                    ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn

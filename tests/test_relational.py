@@ -33,3 +33,63 @@ def test_asof_join_every_purchase_has_row(spark, sf_dir):
     # the carried click never post-dates its purchase
     bad = out.where(F.col("last_click_ts") > F.col("purchase_ts")).count()
     assert bad == 0
+
+
+def test_asof_equal_ts_tiebreak(spark):
+    """Ties pinned on synthetic data the fixtures may lack: duplicate
+    (user_id, ts) clicks must resolve to the MAX click id in BOTH the
+    Spark window form and the oracle's dedup — the exact divergence
+    round-1 advice flagged as latent."""
+    import duckdb
+
+    from task_hive_spark.operators.relational import asof_core
+
+    rows = [
+        # user 1: two clicks at the same ts as the purchase → max id 11
+        (1, 10, "click", "2024-01-01 10:00:00"),
+        (1, 11, "click", "2024-01-01 10:00:00"),
+        (1, 50, "purchase", "2024-01-01 10:00:00"),
+        # user 2: tie strictly before the purchase → max id 21
+        (2, 21, "click", "2024-01-01 09:00:00"),
+        (2, 20, "click", "2024-01-01 09:00:00"),
+        (2, 60, "purchase", "2024-01-01 09:30:00"),
+        # user 3: no clicks → NULL carry
+        (3, 70, "purchase", "2024-01-01 08:00:00"),
+    ]
+    schema = "user_id long, event_id long, event_type string, ts_s string"
+    e = spark.createDataFrame(rows, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    got = {
+        r.purchase_id: r.last_click_id for r in asof_core(e).collect()
+    }
+    assert got == {50: 11, 60: 21, 70: None}
+
+    # same rows through the oracle's dedup + ASOF JOIN shape
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, {i}, '{t}', TIMESTAMP '{ts}')" for (u, i, t, ts) in rows
+        )
+        + ") v(user_id, event_id, event_type, ts)"
+    )
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute(
+            """
+            SELECT p.event_id, c.event_id
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (
+              SELECT user_id, event_id, ts FROM (
+                SELECT user_id, event_id, ts,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_type = 'click'
+              ) d WHERE rn = 1
+            ) c ON p.user_id = c.user_id AND c.ts <= p.ts
+            """
+        ).fetchall()
+    }
+    assert oracle == got

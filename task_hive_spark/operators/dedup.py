@@ -333,6 +333,62 @@ def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs (the dedup endgame: a
+    pipeline keeps one doc per connected component, not per pair).
+    Connected components by iterative min-label propagation over the
+    simhash near-pair graph: every doc starts labeled with itself; each
+    round a doc takes the min label among itself and its neighbors;
+    converged when no label changes. Rounds = graph diameter (near-dup
+    components are shallow — dup groups, not social graphs), each round
+    ONE join + ONE aggregation, lineage truncated per round with
+    localCheckpoint so plans stay O(1). The driver only checks the
+    1-row convergence count — the label state never leaves the cluster.
+
+    Output: (cluster_id = component min doc_id, doc_id, cluster_size).
+    """
+    pairs = dd_simhash_near_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edges, both directions
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(16):  # diameter bound; convergence checked each round
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a)
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(F.col("lbl").alias("cluster_id"), "doc_id", "cluster_size")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 QUERIES = {
     "dd_exact_groups": dd_exact_groups,
     "dd_exact_keep_list": dd_exact_keep_list,
@@ -341,6 +397,7 @@ QUERIES = {
     "dd_minhash_lsh_pairs": dd_minhash_lsh_pairs,
     "dd_simhash": dd_simhash,
     "dd_simhash_near_pairs": dd_simhash_near_pairs,
+    "dd_duplicate_clusters": dd_duplicate_clusters,
 }
 
 # --- oracle SQL ----------------------------------------------------------
@@ -491,3 +548,49 @@ _RAW_ORACLES = {
 }
 
 ORACLES = {k: corpus_cte(v) for k, v in _RAW_ORACLES.items()}
+
+# Connected components need WITH RECURSIVE, which must lead the whole
+# CTE list — composed here instead of through corpus_cte. The recursive
+# member is the transitive min-label closure (UNION dedupes, so it
+# terminates); MIN per doc collapses it to the component id — the same
+# fixpoint the Spark loop iterates to.
+_NEAR_PAIRS_CHAIN = f"""{_GRAMS_CTE},
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('sh-' || gram), 1, 15)) AS BIGINT) AS h
+  FROM grams
+),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM hashed GROUP BY doc_id),
+sh AS (SELECT doc_id, {_SIMHASH_VAL} AS simhash FROM sums),
+quarters AS (
+  SELECT doc_id, simhash,
+         unnest([{', '.join(
+             "concat_ws('_', '%d', CAST((simhash >> %d) & %d AS STRING))"
+             % (i, i * (SIMHASH_BITS // 4), (1 << (SIMHASH_BITS // 4)) - 1)
+             for i in range(4)
+         )}]) AS qbucket
+  FROM sh
+),
+np AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM quarters a JOIN quarters b
+    ON a.qbucket = b.qbucket AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+          UNION ALL SELECT doc_b, doc_a FROM np),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM nodes
+  UNION
+  SELECT e.b AS doc, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+),
+cc AS (SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
+csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)"""
+
+ORACLES["dd_duplicate_clusters"] = f"""WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+{_NEAR_PAIRS_CHAIN}
+SELECT cluster_id, doc AS doc_id, cluster_size
+FROM cc JOIN csizes USING (cluster_id)
+ORDER BY cluster_id, doc_id
+"""

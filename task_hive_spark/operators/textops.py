@@ -100,12 +100,47 @@ def txt_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64  # window size
+CHUNK_STRIDE = 48  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 16 tokens
+
+
+def txt_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: overlapping fixed-token windows — the
+    context-window packing primitive of a training pipeline. Chunk i
+    covers tokens [i·stride, i·stride + window); the last chunk is the
+    first one whose window reaches the end (short tail allowed). Pure
+    per-row array expressions (sequence → transform → explode): an
+    embarrassingly parallel map stage, no shuffle until the final
+    display sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = ws_token_count(F.col("text"))
+    n_chunks = F.ceil(F.greatest(n - CHUNK_TOKENS, F.lit(0)) / F.lit(CHUNK_STRIDE)) + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.least(n - i * CHUNK_STRIDE, F.lit(CHUNK_TOKENS)).cast("int").alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(toks, (i * CHUNK_STRIDE + 1).cast("int"), CHUNK_TOKENS)
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_text")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_quality_scores": txt_quality_scores,
     "txt_language_id": txt_language_id,
     "txt_fingerprints": txt_fingerprints,
     "txt_corpus_profile": txt_corpus_profile,
+    "txt_chunks": txt_chunks,
 }
 
 # --- shared SQL fragments (mirror functions/text.py formulas) -----------
@@ -175,5 +210,27 @@ ORACLES = {
                ROUND(SUM(CAST({_WS_TOKENS_SAFE} AS DOUBLE)), 2) AS total_tokens,
                ROUND(AVG({_QUALITY}), 6) AS avg_quality
         FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+    # chunk i covers tokens [i·stride, i·stride + window); DuckDB list
+    # slicing is 1-based INCLUSIVE, Spark's slice takes (start, length)
+    "txt_chunks": f"""
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               CAST(LEAST(n - i * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS INT) AS n_tokens,
+               array_to_string(
+                 toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                 ' ') AS chunk_text
+        FROM (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks,
+                 {_WS_TOKENS_SAFE} AS n
+          FROM documents WHERE length(trim(text)) > 0
+        ) d,
+        LATERAL (
+          SELECT unnest(generate_series(
+            0, CAST(CEIL(GREATEST(n - {CHUNK_TOKENS}, 0) * 1.0 / {CHUNK_STRIDE}) AS INT)
+          )) AS i
+        ) s
+        ORDER BY doc_id, chunk_idx
         """,
 }

@@ -564,6 +564,99 @@ def rel_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. Both nation lookups broadcast (supplier side and
+    customer side resolve against the same tiny dim under different
+    aliases); the only big shuffle is lineitem⋈orders."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    # supplier+nation and customer+nation each collapse to one broadcast
+    sn = s.join(n1, s.s_nationkey == n1.s_nk).select("s_suppkey", "supp_nation")
+    cn = c.join(n2, c.c_nationkey == n2.c_nk).select("c_custkey", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of total revenue by order
+    year — conditional-sum / total-sum within a grouped aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", "n_name")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def rel_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows in one pass: dense_rank, percent_rank,
+    cume_dist and ntile(4) of order value within each priority class."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority with one column per status —
+    Spark's pivot() relational operator (explicit value list so the
+    plan needs no distinct-values pre-pass)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "rel_q1_pricing_summary": rel_q1_pricing_summary,
     "rel_q6_forecast_revenue": rel_q6_forecast_revenue,
@@ -591,6 +684,10 @@ QUERIES = {
     "rel_scalar_math": rel_scalar_math,
     "rel_case_null_logic": rel_case_null_logic,
     "rel_correlated_above_avg": rel_correlated_above_avg,
+    "rel_q7_volume": rel_q7_volume,
+    "rel_q8_market_share": rel_q8_market_share,
+    "rel_window_ranks": rel_window_ranks,
+    "rel_pivot_status": rel_pivot_status,
 }
 
 ORACLES = {
@@ -876,5 +973,56 @@ ORACLES = {
         ) t
         WHERE o_totalprice > cust_avg * 1.5 AND o_custkey < 100
         ORDER BY o_custkey, o_orderkey
+        """,
+    "rel_q7_volume": """
+        SELECT sn.supp_nation, cn.cust_nation,
+               CAST(YEAR(l_shipdate) AS INT) AS l_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey) sn
+          ON l.l_suppkey = sn.s_suppkey
+        JOIN (SELECT c_custkey, n_name AS cust_nation FROM customer
+              JOIN nation ON c_nationkey = n_nationkey) cn
+          ON o.o_custkey = cn.c_custkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+            OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+    "rel_q8_market_share": """
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               ROUND(SUM(CASE WHEN n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN (SELECT s_suppkey, n_name FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey) sn
+          ON l.l_suppkey = sn.s_suppkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1 ORDER BY 1
+        """,
+    "rel_window_ranks": """
+        SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price,
+               CAST(DENSE_RANK() OVER w AS INT) AS drank,
+               ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+               ROUND(CUME_DIST() OVER w, 6) AS cdist,
+               CAST(NTILE(4) OVER w AS INT) AS quartile
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderpriority, o_orderkey
+        """,
+    "rel_pivot_status": """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
 }

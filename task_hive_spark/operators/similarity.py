@@ -350,12 +350,33 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization accounting per embedding — the
+    4×-storage-compression pass an ANN serving tier runs over the
+    corpus. Per vector: scale = max|x|, q_i = round(x_i/scale · 127).
+    Output is integer-exact (sum and L1 of the quantized vector), so
+    the cross-engine gate has no float-canonicalization slack; scale is
+    reported at 6 dp. Pure map stage — no shuffle, no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.round(x / scale * 127).cast("int"))
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0), lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate(q, F.lit(0), lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_saturated"),
+    ).orderBy("vec_id")
+
+
 QUERIES = {
     "sim_topk_brute": sim_topk_brute,
     "sim_topk_lsh": sim_topk_lsh,
     "sim_topk_ivf": sim_topk_ivf,
     "sim_label_centroids": sim_label_centroids,
     "dd_embedding_cosine_pairs": dd_embedding_cosine_pairs,
+    "sim_quantize_int8": sim_quantize_int8,
 }
 
 # --- oracle SQL ----------------------------------------------------------
@@ -504,5 +525,26 @@ ORACLES = {
                ROUND(AVG(cos_c), 6) AS avg_cos_to_centroid,
                ROUND(MIN(cos_c), 6) AS min_cos_to_centroid
         FROM cohesion GROUP BY label ORDER BY label
+        """,
+    "sim_quantize_int8": """
+        WITH de AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS scale
+          FROM de
+        ),
+        q AS (
+          SELECT vec_id, scale,
+                 list_transform(v, x -> CAST(ROUND(x / scale * 127) AS INT)) AS qv
+          FROM s
+        )
+        SELECT vec_id, ROUND(scale, 6) AS scale,
+               CAST(list_sum(qv) AS INT) AS q_sum,
+               CAST(list_sum(list_transform(qv, x -> abs(x))) AS INT) AS q_l1,
+               CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_saturated
+        FROM q ORDER BY vec_id
         """,
 }

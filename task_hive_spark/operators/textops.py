@@ -176,6 +176,36 @@ def txt_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language keep rates for mix rebalancing (basis points of 10000)
+SAMPLE_BP = {"en": 10000, "de": 5000, "fr": 2500, "es": 2500}
+SAMPLE_BP_DEFAULT = 1000
+
+
+def txt_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for mix rebalancing: keep a
+    doc iff its md5-derived bucket (0..9999) falls under its language's
+    rate. Hash-based sampling — unlike RNG `sample()` — is reproducible
+    across engines, runs, AND retries of a failed partition (exactly
+    the property a production pipeline needs), and never shuffles: the
+    decision is a map-stage expression."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("samp-"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    rate = F.lit(SAMPLE_BP_DEFAULT)
+    for lg, bp in SAMPLE_BP.items():
+        rate = F.when(F.col("lang") == lg, bp).otherwise(rate)
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.cast("int").alias("bucket"),
+        rate.cast("int").alias("rate_bp"),
+        (bucket < rate).alias("kept"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_quality_scores": txt_quality_scores,
@@ -184,6 +214,7 @@ QUERIES = {
     "txt_corpus_profile": txt_corpus_profile,
     "txt_chunks": txt_chunks,
     "txt_training_mix": txt_training_mix,
+    "txt_hash_sample": txt_hash_sample,
 }
 
 # --- shared SQL fragments (mirror functions/text.py formulas) -----------
@@ -303,5 +334,19 @@ ORACLES = {
                ROUND(AVG(CASE WHEN is_canonical AND passes_quality THEN quality END), 6)
                  AS kept_avg_quality
         FROM flagged GROUP BY lang ORDER BY lang
+        """,
+    "txt_hash_sample": f"""
+        SELECT doc_id, lang,
+               CAST(b AS INT) AS bucket,
+               CAST(r AS INT) AS rate_bp,
+               b < r AS kept
+        FROM (
+          SELECT doc_id, lang,
+                 CAST(concat('0x', substr(md5('samp-' || CAST(doc_id AS STRING)), 1, 8))
+                      AS BIGINT) % 10000 AS b,
+                 CASE {' '.join(f"WHEN lang = '{lg}' THEN {bp}" for lg, bp in SAMPLE_BP.items())}
+                      ELSE {SAMPLE_BP_DEFAULT} END AS r
+          FROM documents
+        ) s ORDER BY doc_id
         """,
 }

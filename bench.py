@@ -30,11 +30,13 @@ HEADLINE = [
     # task-hive parity
     "th_spider_ingest",
     "th_assign_least_tasks",
-    # text / dedup pipeline
+    # text / dedup / similarity pipeline
     "txt_corpus_profile",
+    "txt_training_mix",
     "dd_ngram_jaccard_pairs",
     "dd_minhash_lsh_pairs",
     "dd_simhash",
+    "sim_topk_lsh",
 ]
 
 

@@ -86,24 +86,49 @@ def _plane_dot(v: Column, plane: list[float]) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _signature_bits(v: Column) -> list[Column]:
-    return [
-        F.when(_plane_dot(v, PLANES[p]) > 0, F.lit("1")).otherwise(F.lit("0"))
+def _band_buckets(df: DataFrame, vec_col: str) -> DataFrame:
+    """(key, band, bucket) rows — one per band, bucket = that band's
+    bit-string; the first column of ``df`` must be the vector's unique
+    key. Narrow by design: every consumer joins candidates on the key
+    and re-attaches vectors from the base table itself, so carrying
+    embeddings through the banding would only widen the shuffles.
+
+    The 32 plane dots are computed as posexplode × broadcast
+    plane-matrix × one grouped aggregation — whole-stage codegen end
+    to end. The tempting all-array form (a zip_with/aggregate lambda
+    pair per plane) runs interpreted, and with 32 distinct lambda
+    shapes the interpreter call sites go megamorphic: C2 sometimes
+    never promotes them and the same query oscillates 1.4s ↔ 8s
+    between sessions. Products are exact (float32 → double, ±1.0
+    coefficients), so the only arithmetic difference vs the sequential
+    fold is summation order — immaterial unless a dot lands within
+    1e-15 of the sign boundary."""
+    key = df.columns[0]
+    spark = df.sparkSession
+    planes = spark.createDataFrame(
+        [(pos, *[PLANES[p][pos] for p in range(N_PLANES)]) for pos in range(DIM)],
+        "pos int, " + ", ".join(f"c{p} double" for p in range(N_PLANES)),
+    )
+    x = df.select(key, F.posexplode(vec_col).alias("pos", "xv")).select(
+        key, "pos", F.col("xv").cast("double").alias("xv")
+    )
+    dots = (
+        x.join(F.broadcast(planes), "pos")
+        .groupBy(key)
+        .agg(
+            *[F.sum(F.col("xv") * F.col(f"c{p}")).alias(f"d{p}") for p in range(N_PLANES)]
+        )
+    )
+    bits = [
+        F.when(F.col(f"d{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for p in range(N_PLANES)
     ]
-
-
-def _band_buckets(df: DataFrame, vec_col: str) -> DataFrame:
-    """Attach (band, bucket) rows: one row per band, bucket = that
-    band's bit-string. Output keeps all original columns."""
-    bits = _signature_bits(F.col(vec_col))
     bands = [
         F.concat(*bits[b * BITS_PER_BAND : (b + 1) * BITS_PER_BAND]).alias(f"b{b}")
         for b in range(N_BANDS)
     ]
-    with_bands = df.select("*", *bands)
-    stacked = with_bands.select(
-        "*",
+    stacked = dots.select(key, *bands).select(
+        key,
         F.explode(
             F.array(
                 *[
@@ -114,7 +139,7 @@ def _band_buckets(df: DataFrame, vec_col: str) -> DataFrame:
         ).alias("bb"),
     )
     return stacked.select(
-        *df.columns, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        key, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
@@ -355,19 +380,34 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     4×-storage-compression pass an ANN serving tier runs over the
     corpus. Per vector: scale = max|x|, q_i = round(x_i/scale · 127).
     Output is integer-exact (sum and L1 of the quantized vector), so
-    the cross-engine gate has no float-canonicalization slack; scale is
-    reported at 6 dp. Pure map stage — no shuffle, no UDF."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.transform(v, lambda x: F.round(x / scale * 127).cast("int"))
-    return e.select(
-        "vec_id",
-        F.round(scale, 6).alias("scale"),
-        F.aggregate(q, F.lit(0), lambda acc, x: acc + x).alias("q_sum"),
-        F.aggregate(q, F.lit(0), lambda acc, x: acc + F.abs(x)).alias("q_l1"),
-        F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_saturated"),
-    ).orderBy("vec_id")
+    the cross-engine gate has no float-canonicalization slack.
+
+    Shape: explode → max-window → agg, pre-partitioned by vec_id so
+    BOTH the window and the aggregation run exchange-free (one
+    |vectors|-row shuffle total) with whole-stage codegen end to end.
+    The tempting pure-array form (scale and q as nested higher-order
+    lambdas) is O(d²) per row: Catalyst inlines the array_max subtree
+    into every lambda element evaluation and HOF lambdas run
+    interpreted — measured 4.9s vs 0.25s at sf0.1 for d=64."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = load_table(spark, sf_dir, "embeddings").repartition(n, "vec_id")
+    x = e.select(
+        "vec_id", F.explode(F.col("embedding")).alias("xf")
+    ).select("vec_id", F.col("xf").cast("double").alias("x"))
+    w = W.partitionBy("vec_id")
+    q = x.withColumn("scale", F.max(F.abs(F.col("x"))).over(w)).withColumn(
+        "q", F.round(F.col("x") / F.col("scale") * 127).cast("int")
+    )
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            F.round(F.first("scale"), 6).alias("scale"),
+            F.sum("q").cast("int").alias("q_sum"),
+            F.sum(F.abs("q")).cast("int").alias("q_l1"),
+            F.sum((F.abs(F.col("q")) == 127).cast("int")).cast("int").alias("n_saturated"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 QUERIES = {

@@ -39,6 +39,11 @@ def get_spark(app_name: str = "task_hive_spark", extra_conf: dict | None = None)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # a 90-query session compiles far more than 100 distinct codegen
+        # classes; the default cache evicts and hot queries silently
+        # recompile (measured: same query 1.5s isolated vs 3.5s at the
+        # tail of a long suite)
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # Driver fixtures use parquet TIMESTAMP(NANOS); read as long and
         # convert to micros in sources.fixtures.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -28,6 +28,9 @@ DEFAULT = [
     "dd_ngram_jaccard_pairs",
     "dd_simhash_near_pairs",
     "dd_embedding_cosine_pairs",
+    "dd_duplicate_clusters",  # iterative: round count must stay flat (diameter, not size)
+    "sim_topk_lsh",
+    "txt_chunks",
     "th_assign_least_tasks",
     "rel_q1_pricing_summary",
 ]

@@ -154,6 +154,15 @@ class TaskHive:
             .parquet(out)
         )
         self._version = v  # pointer swap AFTER the write landed
+        # GC snapshots older than v-1: v was just materialized from v-1,
+        # so only those two can still back a live reader; without this,
+        # disk grows O(drain rounds × table size). v-1 is kept so a
+        # DataFrame handed out just before the swap stays readable for
+        # one more round.
+        for old in range(v - 1):
+            stale = self._tasks_path(old)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
 
     def _tasks(self) -> DataFrame:
         return self.spark.read.schema(_TASK_SCHEMA).parquet(self._tasks_path(self._version))
@@ -392,9 +401,18 @@ class TaskHive:
 
     def get_worker_tasks(self, worker_id: str) -> DataFrame:
         """GetWorkerTasks (api.go:280-310): the per-worker inbox filter
-        (P8) over the completed/processing bindings."""
+        (P8). The reference scans the ``ProcessingKey + workerID``
+        prefix — processing tasks ONLY; the worker binding exists
+        nowhere else (model.Task has no worker field, and terminal
+        writes key by task id alone, worker.go:143). Mirrored here as a
+        (status, worker_id) filter. Because the batch drain executes
+        bound tasks synchronously within a round, processing rows are
+        transient: at rest this returns empty — exactly like the
+        reference once its queue drains. Non-empty results are
+        observable for any snapshot that holds in-flight rows (see
+        test_api for the pinned mid-flight case)."""
         return (
             self._tasks()
-            .where(F.col("worker_id") == worker_id)
+            .where((F.col("status") == "processing") & (F.col("worker_id") == worker_id))
             .orderBy("id")
         )

@@ -20,11 +20,10 @@ Scale shape (100 TB corpus):
 
 from __future__ import annotations
 
-import random as _random
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-
-from task_hive_spark.functions.text import fingerprint, portable_hash64, shingles
+from task_hive_spark.functions.text import fingerprint, portable_hash64, ws_tokens
+from task_hive_spark.materialize import session_index
 from task_hive_spark.sources.fixtures import load_table
 
 # K=32 / 8 bands / r=4 rows-per-band: r=4 keeps the candidate-pair
@@ -42,11 +41,26 @@ LSH_BANDS = 8  # rows-per-band = K / BANDS = 4
 # affine h_i = l1 + i*l2 family reuses one multiplier, so consecutive
 # hashes pick the same argmin gram and a 4-row band degenerates toward
 # r≈1: measured 84k candidate pairs at sf0.1 vs ~600 with this family.)
-# Constants are pinned literals so the DuckDB oracle mirrors them.
+# Constants are pinned literals so the DuckDB oracle mirrors them and
+# the family is frozen independent of any RNG implementation (they were
+# originally drawn from random.Random(20260813); inlined verbatim).
 _MH_P = 2147483647
-_rng = _random.Random(20260813)
-_MH_A = [_rng.randrange(1, _MH_P) for _ in range(MINHASH_K)]
-_MH_B = [_rng.randrange(0, _MH_P) for _ in range(MINHASH_K)]
+_MH_A = [
+    2128164061, 398802783, 596987483, 1147225394, 1916785055, 1479347477,
+    972347433, 116450323, 291219901, 430979122, 234034475, 1406942088,
+    1761180996, 1267685541, 924035317, 1172698796, 2038977239, 402639406,
+    2143289124, 1357670271, 1355823819, 2113210626, 668925749, 252657890,
+    1177825180, 428031841, 1696544698, 230896654, 794664036, 1758809001,
+    1480032976, 858479240,
+]
+_MH_B = [
+    527406850, 106582524, 1903391909, 87966394, 666804717, 1973199131,
+    490296874, 1423351956, 955195195, 331877174, 1530448621, 2086450537,
+    890048279, 664594620, 970348799, 767008894, 2005366379, 811038816,
+    1658406169, 297044272, 788724776, 1949869887, 1988273002, 1035172614,
+    307572219, 1793558278, 961940036, 1524628944, 1962834532, 104594903,
+    1989011545, 1619595135,
+]
 MAX_DF = 50  # inverted-index cap: drop shingles in more docs than this
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 32
@@ -79,20 +93,42 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(CORPUS_SQL)
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     # Hash-repartition by doc_id BEFORE the explode+md5 stages. Two
     # effects: (1) the small fixture parquet yields only ~3 scan
     # partitions, which would serialize the CPU-heavy shingle hashing
     # onto 3 cores — this rebalances to full parallelism; (2) every
     # downstream per-doc aggregation (minhash MIN, simhash bit votes)
-    # sees its required hashpartitioning(doc_id) ALREADY satisfied, so
-    # the exploded gram rows are aggregated exchange-free — the shuffle
-    # moves |docs| text rows, never the ~200x larger gram set. At corpus
-    # scale that is the difference between shuffling 100 TB of text once
-    # and shuffling the multi-PB gram expansion.
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = corpus_df(spark, sf_dir).repartition(n, "doc_id")
-    return d.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("gram"))
+    # and the gram-distinct below see their required
+    # hashpartitioning(doc_id) ALREADY satisfied, so the exploded gram
+    # rows are aggregated exchange-free — the shuffle moves |docs| text
+    # rows, never the ~200x larger gram set. At corpus scale that is
+    # the difference between shuffling 100 TB of text once and
+    # shuffling the multi-PB gram expansion.
+    #
+    # Grams are built codegen-side: posexplode tokens, window-lead the
+    # next n-1 tokens, concat (null-skipping concat_ws reproduces the
+    # whole-text shingle for docs shorter than n words — identical row
+    # set to functions.text.shingles, which keeps the per-row HOF form
+    # for column-level use). The interpreted transform(slice) HOF this
+    # replaces measured ~30% slower on the gram stage and ~45% slower
+    # on the downstream signature aggregations (scripts/perf_probe.py).
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = corpus_df(spark, sf_dir).repartition(nshuf, "doc_id")
+    t = d.select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
+    toks = t.select(
+        "doc_id", F.size("toks").alias("ntok"), F.posexplode("toks").alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    lead_toks = [F.lead("tok", i).over(w) for i in range(1, n)]
+    g = toks.select(
+        "doc_id", "pos", "ntok", F.concat_ws(" ", "tok", *lead_toks).alias("gram")
+    )
+    return (
+        g.where(F.col("pos") <= F.greatest(F.col("ntok") - n, F.lit(0)))
+        .select("doc_id", "gram")
+        .distinct()
+    )
 
 
 def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,8 +196,18 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b"))
+    # per-doc size rows are narrow (doc_id, count); broadcasting them
+    # keeps the pair-scoring stage shuffle-free (measured 2.6s → 1.9s at
+    # sf0.1 — AQE plans these joins before the pair cardinality is
+    # known). At billion-doc scale, swap for a shuffle join after
+    # semi-joining sizes down to candidate-bearing docs (candidates ≪
+    # corpus by the MAX_DF cap).
+    sa = F.broadcast(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("grams_a"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b"))
+    )
     jac = F.col("n_common") / (F.col("grams_a") + F.col("grams_b") - F.col("n_common"))
     return (
         common.join(sa, "doc_a")
@@ -173,33 +219,37 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K min-hashes per doc as ONE array column. ONE md5 per gram
-    yields four 32-bit lanes x0..x3; hash i applies the universal
-    family (A_i·x + B_i) mod P to lane i%4. Lanes are reduced mod P
-    (x < P, A_i < P ⇒ product < 2^62, no int64 overflow under ANSI
-    mode) and materialized once per (doc, gram) row; the array form
-    lets every downstream consumer carry the signature instead of
-    re-running the hash pipeline."""
-    grams = _doc_shingles(spark, sf_dir)
-    hx = grams.select("doc_id", F.md5(F.concat(F.lit("mh-"), "gram")).alias("hx"))
-    lanes = hx.select(
-        "doc_id",
-        *[
-            (F.conv(F.substring("hx", 1 + 8 * j, 8), 16, 10).cast("bigint") % _MH_P).alias(
-                f"x{j}"
-            )
-            for j in range(4)
-        ],
-    )
-    agg = lanes.groupBy("doc_id").agg(
-        *[
-            F.min((_MH_A[i] * F.col(f"x{i % 4}") + _MH_B[i]) % _MH_P).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias("sig")
-    )
+    """K min-hashes per doc as ONE array column, materialized once per
+    (session, sf_dir) — the signature matrix is the |docs|-row index
+    every MinHash consumer shares, so recomputing the gram→md5→argmin
+    pipeline per query would be pure waste. ONE md5 per gram yields
+    four 32-bit lanes x0..x3; hash i applies the universal family
+    (A_i·x + B_i) mod P to lane i%4. Lanes are reduced mod P (x < P,
+    A_i < P ⇒ product < 2^62, no int64 overflow under ANSI mode)."""
+
+    def build() -> DataFrame:
+        grams = _doc_shingles(spark, sf_dir)
+        hx = grams.select("doc_id", F.md5(F.concat(F.lit("mh-"), "gram")).alias("hx"))
+        lanes = hx.select(
+            "doc_id",
+            *[
+                (
+                    F.conv(F.substring("hx", 1 + 8 * j, 8), 16, 10).cast("bigint") % _MH_P
+                ).alias(f"x{j}")
+                for j in range(4)
+            ],
+        )
+        agg = lanes.groupBy("doc_id").agg(
+            *[
+                F.min((_MH_A[i] * F.col(f"x{i % 4}") + _MH_B[i]) % _MH_P).alias(f"h{i}")
+                for i in range(MINHASH_K)
+            ]
+        )
+        return agg.select(
+            "doc_id", F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias("sig")
+        )
+
+    return session_index(spark, sf_dir, "minhash_sig", build)
 
 
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,14 +281,12 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for bi in range(LSH_BANDS)
     ]
-    # merge hint: without it AQE broadcasts one side of the self-join,
-    # which kills exchange reuse and re-executes the whole md5 pipeline
-    # per side (measured 2.4s vs 1.3s at sf0.1). With identical shuffle
-    # subplans the signature computation runs ONCE; sort-merge also
-    # spills instead of OOMing on a skewed bucket at corpus scale.
-    stacked = sigs.select(
-        "doc_id", "sig", F.explode(F.array(*bands)).alias("bucket")
-    ).hint("merge")
+    # both self-join sides read the MATERIALIZED signature index, so the
+    # md5 pipeline never re-executes per side (the pre-cache version
+    # needed a merge hint for exchange reuse: 2.4s vs 1.3s at sf0.1);
+    # AQE now picks broadcast vs sort-merge from the actual index size —
+    # the scale-correct default for a full-corpus self-join
+    stacked = sigs.select("doc_id", "sig", F.explode(F.array(*bands)).alias("bucket"))
     a = stacked.alias("a")
     b = stacked.alias("b")
     matches = F.size(
@@ -261,26 +309,43 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) signature column, materialized once per
+    (session, sf_dir): near-pair bucketing and duplicate clustering
+    both consume it, and the gram explode + md5 underneath is ~70% of
+    the query's cost (measured via scripts/perf_probe.py). Per shingle
+    hash each bit votes ±1 and the sign of the per-bit sum forms the
+    signature; the vote sum is folded as set-bit COUNTS (sign(Σ±1) ⟺
+    2·popcount > n), which drops the per-row CASE branch from all 32
+    aggregate expressions."""
+
+    def build() -> DataFrame:
+        grams = _doc_shingles(spark, sf_dir).withColumn(
+            "h", portable_hash64(F.col("gram"), seed="sh-")
+        )
+        bit_counts = grams.groupBy("doc_id").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+                for b in range(SIMHASH_BITS)
+            ],
+        )
+        sim = sum(
+            F.when(2 * F.col(f"c{b}") > F.col("n"), F.lit(2 ** b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(SIMHASH_BITS)
+        )
+        return bit_counts.select("doc_id", sim.alias("simhash"))
+
+    return session_index(spark, sf_dir, "simhash_sig", build)
+
+
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (SIMHASH_BITS-bit): per shingle hash, each bit votes
     ±1; the sign of the per-bit sum forms the signature. One explode +
     one groupBy — linear in corpus size."""
-    grams = _doc_shingles(spark, sf_dir).withColumn(
-        "h", portable_hash64(F.col("gram"), seed="sh-")
-    )
-    bit_sums = grams.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    sim = sum(
-        F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        for b in range(SIMHASH_BITS)
-    )
-    return bit_sums.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+    return _simhash_df(spark, sf_dir).orderBy("doc_id")
 
 
 def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,7 +353,7 @@ def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: bucket on each of 4 signature quarters (pigeonhole — any
     pair within distance 3 shares at least one exact quarter), join per
     bucket, verify with bit_count(xor)."""
-    sh = dd_simhash(spark, sf_dir)
+    sh = _simhash_df(spark, sf_dir)
     q = 4
     bits_per = SIMHASH_BITS // q
     mask = (1 << bits_per) - 1
@@ -309,7 +374,7 @@ def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("qbucket"),
-    ).hint("merge")  # same broadcast-masks-reuse fix as dd_minhash_lsh_pairs
+    )  # reads the materialized signature index — no exchange-reuse hint needed
     a = quarters.alias("a")
     b = quarters.alias("b")
     pairs = (
@@ -381,6 +446,15 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # partially-converged labels diverge from the oracle's full
+        # transitive closure — fail loudly rather than return them
+        # (chained near-dup paths can exceed any fixed round bound)
+        raise RuntimeError(
+            f"duplicate-cluster label propagation did not converge in 16 "
+            f"rounds ({changed} labels still changing); component diameter "
+            f"exceeds the bound — raise the round cap for this corpus"
+        )
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "lbl")

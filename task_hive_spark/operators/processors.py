@@ -34,6 +34,7 @@ N-rows-out source-UDTF pattern.
 
 from __future__ import annotations
 
+import hashlib as _hashlib
 import json
 from collections.abc import Callable, Iterator
 
@@ -102,7 +103,15 @@ def _execute_one(task: dict) -> tuple[str, str | None, str | None]:
     processor = TASK_PROCESSORS.get(task["type"])
     if processor is None:
         return "failed", None, f"未知的任务类型: {task['type']}"
-    task_num = int(task["id"].rsplit("-", 1)[-1])
+    # ids are usually "<type>-<n>" (fixtures, TaskGenerator), but the
+    # facade accepts arbitrary ids — fall back to a deterministic hash
+    # of the id so any task gets a stable simulated duration
+    suffix = task["id"].rsplit("-", 1)[-1]
+    task_num = (
+        int(suffix)
+        if suffix.isdigit()
+        else int(_hashlib.md5(task["id"].encode()).hexdigest()[:8], 16)
+    )
     if _simulated_duration_s(task_num) > TASK_TIMEOUT_S:
         return "failed", None, "任务执行超时"
     result = processor(task)

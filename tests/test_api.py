@@ -113,3 +113,55 @@ def test_empty_instance_queries(spark):
         assert th.list_tasks().count() == 0
     finally:
         th.close()
+
+
+def test_arbitrary_task_id_executes(spark):
+    """Facade-submitted ids without a numeric suffix execute via the
+    deterministic hash fallback instead of raising ValueError."""
+    import hashlib
+
+    th = TaskHive(spark, TaskHiveConfig(worker_count=1))
+    th.register_task_processor("custom", process_custom_task)
+    try:
+        th.submit_task({"id": "no numeric suffix!", "type": "custom", "payload": "{}"})
+        th.start()
+        row = th.get_task_by_id("no numeric suffix!")
+        num = int(hashlib.md5(b"no numeric suffix!").hexdigest()[:8], 16)
+        expected = "failed" if 2 + (num % 400) > 300 else "completed"
+        assert row is not None and row.status == expected
+    finally:
+        th.close()
+
+
+def test_worker_inbox_midflight(spark):
+    """get_worker_tasks mirrors the reference's ProcessingKey+worker
+    prefix scan: a snapshot holding an in-flight processing row IS
+    returned for its bound worker, and only for that worker."""
+    th = TaskHive(spark)
+    try:
+        th.submit_task({"id": "mf-1", "type": "custom", "payload": "{}"})
+        midflight = (
+            th._tasks()
+            .withColumn("status", F.lit("processing"))
+            .withColumn("worker_id", F.lit("worker-9"))
+        )
+        th._write_tasks(midflight)
+        assert [r.id for r in th.get_worker_tasks("worker-9").collect()] == ["mf-1"]
+        assert th.get_worker_tasks("worker-0").count() == 0
+    finally:
+        th.close()
+
+
+def test_snapshot_gc(spark):
+    """_write_tasks keeps only the current and previous snapshot —
+    disk must not grow with drain/submit rounds."""
+    import os
+
+    th = TaskHive(spark)
+    try:
+        for i in range(4):
+            th.submit_task({"id": f"gc-{i}", "type": "custom", "payload": "{}"})
+        vers = sorted(d for d in os.listdir(th.work_dir) if d.startswith("tasks_v"))
+        assert vers == sorted([f"tasks_v{th._version - 1}", f"tasks_v{th._version}"])
+    finally:
+        th.close()

@@ -33,9 +33,12 @@ HEADLINE = [
     # text / dedup / similarity pipeline
     "txt_corpus_profile",
     "txt_training_mix",
+    "txt_repetition_filter",
+    "txt_decontaminate",
     "dd_ngram_jaccard_pairs",
     "dd_minhash_lsh_pairs",
     "dd_simhash",
+    "dd_chunk_dedup",
     "sim_topk_lsh",
 ]
 

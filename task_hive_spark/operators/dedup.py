@@ -398,6 +398,50 @@ def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph-analogue) exact dedup: fingerprint every
+    overlapping token chunk (textops.txt_chunks geometry) across the
+    augmented corpus and emit duplicate-chunk groups with their
+    canonical location. The sub-document dedup pass a training pipeline
+    runs AFTER doc-level dedup — boilerplate and quoted passages
+    survive doc fingerprints. Shape: chunk explode is a map stage; ONE
+    shuffle on the chunk fingerprint. Canonical = lexicographically
+    first (doc_id, chunk_idx)."""
+    from task_hive_spark.operators.textops import CHUNK_STRIDE, CHUNK_TOKENS
+
+    d = corpus_df(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.ceil(F.greatest(n - CHUNK_TOKENS, F.lit(0)) / F.lit(CHUNK_STRIDE)) + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, (i * CHUNK_STRIDE + 1).cast("int"), CHUNK_TOKENS)
+            ).alias("chunk_text"),
+        ),
+    )
+    ch = d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", fingerprint(F.col("c.chunk_text")).alias("chunk_fp")
+    )
+    return (
+        ch.groupBy("chunk_fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("canon"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            "chunk_fp",
+            "n_copies",
+            F.col("canon.doc_id").alias("canonical_doc_id"),
+            F.col("canon.chunk_idx").alias("canonical_chunk_idx"),
+        )
+        .orderBy("chunk_fp")
+    )
+
+
 def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from near-dup pairs (the dedup endgame: a
     pipeline keeps one doc per connected component, not per pair).
@@ -472,9 +516,15 @@ QUERIES = {
     "dd_simhash": dd_simhash,
     "dd_simhash_near_pairs": dd_simhash_near_pairs,
     "dd_duplicate_clusters": dd_duplicate_clusters,
+    "dd_chunk_dedup": dd_chunk_dedup,
 }
 
 # --- oracle SQL ----------------------------------------------------------
+
+from task_hive_spark.operators.textops import (  # noqa: E402
+    CHUNK_STRIDE as _CHUNK_STRIDE,
+    CHUNK_TOKENS as _CHUNK_TOKENS,
+)
 
 _FP = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 
@@ -618,6 +668,37 @@ _RAW_ORACLES = {
         SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
         FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_THRESHOLD}
         ORDER BY doc_a, doc_b
+        """,
+    "dd_chunk_dedup": f"""
+        WITH ch AS (
+          SELECT doc_id,
+                 CAST(i AS INT) AS chunk_idx,
+                 md5(lower(regexp_replace(trim(
+                   array_to_string(toks[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' ')
+                 ), '\\s+', ' ', 'g'))) AS chunk_fp
+          FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+            FROM corpus WHERE length(trim(text)) > 0
+          ) d,
+          LATERAL (
+            SELECT unnest(generate_series(
+              0, CAST(CEIL(GREATEST(n - {_CHUNK_TOKENS}, 0) * 1.0 / {_CHUNK_STRIDE}) AS INT)
+            )) AS i
+          ) s
+        ),
+        grp AS (
+          SELECT chunk_fp, doc_id, chunk_idx,
+                 COUNT(*) OVER (PARTITION BY chunk_fp) AS n_copies,
+                 ROW_NUMBER() OVER (PARTITION BY chunk_fp
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM ch
+        )
+        SELECT chunk_fp, n_copies,
+               doc_id AS canonical_doc_id, chunk_idx AS canonical_chunk_idx
+        FROM grp WHERE rn = 1 AND n_copies > 1 ORDER BY chunk_fp
         """,
 }
 

@@ -261,11 +261,21 @@ def _centroids(e: DataFrame) -> DataFrame:
     )
 
 
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label centroids as a per-session materialized index (K rows):
+    sim_label_centroids, sim_topk_ivf, and sim_kmeans_step all consume
+    the same K-row table — and kmeans references it on two join sides,
+    which would otherwise execute the posexplode aggregation twice."""
+    return session_index(
+        spark, sf_dir, "label_centroids", lambda: _centroids(_emb(spark, sf_dir))
+    )
+
+
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norm + mean cosine-to-centroid (cluster
     cohesion)."""
     e = _emb(spark, sf_dir)
-    cent = _centroids(e)
+    cent = _label_centroids(spark, sf_dir)
     joined = e.join(F.broadcast(cent), "label").select(
         "label",
         cosine(F.col("embedding"), F.col("centroid")).alias("cos_c"),
@@ -299,7 +309,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     NPROBE cells instead of the full corpus. Candidate count per probe ≈
     NPROBE·N/K regardless of corpus size."""
     e = _emb(spark, sf_dir)
-    cent = _centroids(e).select(F.col("label").alias("cell"), "centroid")
+    cent = _label_centroids(spark, sf_dir).select(F.col("label").alias("cell"), "centroid")
     cellscore = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
@@ -329,6 +339,57 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("probe_id", "rank", "neighbor_id", "cos_sim")
         .orderBy("probe_id", "rank")
+    )
+
+
+def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's k-means iteration over the embedding corpus — the
+    building block of the IVF coarse quantizer (sim_topk_ivf seeds its
+    cells from the label centroids; production would iterate THIS step
+    to convergence on a sample). Seed centroids = label centroids;
+    assign every vector to its nearest cell by cosine (broadcast K
+    centroids, one map stage), recompute per-cell means (posexplode +
+    (cell, pos) groupBy — two small-key shuffles), report per-cell
+    population and centroid drift. Deterministic, so the oracle mirrors
+    the full step; iterating is driver-side control flow like
+    dd_duplicate_clusters."""
+    e = _emb(spark, sf_dir)
+    cent = _label_centroids(spark, sf_dir).select(F.col("label").alias("cell"), "centroid")
+    cellscore = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias("cos_cell"),
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cos_cell"), "cell")
+    assigned = (
+        cellscore.withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    comp = assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+    new_cent = (
+        comp.groupBy("cell", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("new_centroid")
+        )
+    )
+    pop = assigned.groupBy("cell").agg(F.count("*").alias("n_assigned"))
+    return (
+        pop.join(new_cent, "cell")
+        .join(F.broadcast(cent), "cell")
+        .select(
+            "cell",
+            "n_assigned",
+            F.round(
+                F.lit(1.0) - cosine(F.col("centroid"), F.col("new_centroid")), 6
+            ).alias("drift"),
+        )
+        .orderBy("cell")
     )
 
 
@@ -436,6 +497,7 @@ QUERIES = {
     "sim_label_centroids": sim_label_centroids,
     "dd_embedding_cosine_pairs": dd_embedding_cosine_pairs,
     "sim_quantize_int8": sim_quantize_int8,
+    "sim_kmeans_step": sim_kmeans_step,
 }
 
 # --- oracle SQL ----------------------------------------------------------
@@ -584,6 +646,47 @@ ORACLES = {
                ROUND(AVG(cos_c), 6) AS avg_cos_to_centroid,
                ROUND(MIN(cos_c), 6) AS min_cos_to_centroid
         FROM cohesion GROUP BY label ORDER BY label
+        """,
+    "sim_kmeans_step": f"""
+        WITH {_DE},
+        comp AS (
+          SELECT label, vec_id, de.v[s.pos] AS v, s.pos
+          FROM de, LATERAL (SELECT unnest(generate_series(1, len(de.v))) AS pos) s
+        ),
+        cent AS (
+          SELECT label AS cell, list(c ORDER BY pos) AS centroid FROM (
+            SELECT label, pos, AVG(v) AS c FROM comp GROUP BY label, pos
+          ) m GROUP BY label
+        ),
+        cellscore AS (
+          SELECT d.vec_id, d.v, cent.cell,
+                 ROUND({_COS.format(a='d.v', b='cent.centroid')}, 6) AS cos_cell
+          FROM de d CROSS JOIN cent
+        ),
+        assigned AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY cos_cell DESC, cell) AS rn
+            FROM cellscore
+          ) r WHERE rn = 1
+        ),
+        acomp AS (
+          SELECT cell, a.v[s.pos] AS v, s.pos
+          FROM assigned a, LATERAL (SELECT unnest(generate_series(1, len(a.v))) AS pos) s
+        ),
+        new_cent AS (
+          SELECT cell, list(c ORDER BY pos) AS new_centroid FROM (
+            SELECT cell, pos, AVG(v) AS c FROM acomp GROUP BY cell, pos
+          ) m GROUP BY cell
+        ),
+        pop AS (SELECT cell, COUNT(*) AS n_assigned FROM assigned GROUP BY cell)
+        SELECT pop.cell, pop.n_assigned,
+               ROUND(1.0 - ({_COS.format(a='cent.centroid', b='new_cent.new_centroid')}), 6)
+                 AS drift
+        FROM pop
+        JOIN new_cent ON pop.cell = new_cent.cell
+        JOIN cent ON pop.cell = cent.cell
+        ORDER BY pop.cell
         """,
     "sim_quantize_int8": """
         WITH de AS (

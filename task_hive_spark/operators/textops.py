@@ -6,7 +6,7 @@ embarrassingly parallel map stages with a small final aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from task_hive_spark.functions.text import (
     STOPWORDS,
@@ -16,6 +16,7 @@ from task_hive_spark.functions.text import (
     quality_score,
     stopword_hits,
     ws_token_count,
+    ws_tokens,
 )
 from task_hive_spark.sources.fixtures import load_table
 
@@ -151,8 +152,12 @@ def txt_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
         quality_score(F.col("text")).alias("quality"),
     )
-    canon = scored.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
-    flagged = scored.join(canon, "fp").select(
+    # canonical flag via a window min over the fp partition — the same
+    # single fingerprint shuffle the groupBy+join form pays, minus the
+    # join and the second traversal of the scored subtree
+    flagged = scored.withColumn(
+        "canonical_doc_id", F.min("doc_id").over(W.partitionBy("fp"))
+    ).select(
         "lang",
         "n_tokens",
         "quality",
@@ -206,6 +211,187 @@ def txt_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_ngrams(d: DataFrame, n: int) -> DataFrame:
+    """Non-distinct word n-grams per doc (codegen posexplode + window
+    lead, same shape as dedup._doc_shingles but keeping duplicates —
+    repetition analysis NEEDS the multiplicities). Docs shorter than n
+    words yield their whole text as one gram."""
+    t = d.select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
+    toks = t.select(
+        "doc_id", F.size("toks").alias("ntok"), F.posexplode("toks").alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    lead_toks = [F.lead("tok", i).over(w) for i in range(1, n)]
+    g = toks.select(
+        "doc_id", "pos", "ntok", F.concat_ws(" ", "tok", *lead_toks).alias("gram")
+    )
+    return g.where(F.col("pos") <= F.greatest(F.col("ntok") - n, F.lit(0))).select(
+        "doc_id", "gram"
+    )
+
+
+# Gopher-style repetition gates (Rae et al. 2021 §A1.1 uses duplicate
+# line/paragraph and top-ngram fractions; the fixture corpus has no
+# line structure, so the 2-gram fraction carries that role). Thresholds
+# calibrated on the fixtures to split the corpus non-trivially.
+REP_TOP2_MAX = 0.05  # max share of the most frequent 2-gram
+REP_DISTINCT_MIN = 0.4  # min distinct-token ratio
+
+
+def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate: per doc, the most-frequent-2-gram
+    share and the distinct-token ratio; keep iff both are inside their
+    thresholds. Scale shape: the 2-gram explosion is co-partitioned by
+    doc_id (one |docs|-row shuffle), both aggregations run
+    exchange-free on top of it, and the distinct-ratio branch is a pure
+    map stage joined back on the same partitioning."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .repartition(n, "doc_id")
+    )
+    cnt = _doc_ngrams(d, 2).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    rep = cnt.groupBy("doc_id").agg(
+        (F.max("c") / F.sum("c")).alias("top2_frac_raw"),
+        F.sum("c").alias("n_2grams"),
+    )
+    toks = ws_tokens(F.lower("text"))
+    ratio = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio_raw"),
+    )
+    keep = (F.col("top2_frac_raw") <= REP_TOP2_MAX) & (
+        F.col("distinct_ratio_raw") >= REP_DISTINCT_MIN
+    )
+    return (
+        ratio.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round("distinct_ratio_raw", 6).alias("distinct_ratio"),
+            F.round("top2_frac_raw", 6).alias("top2_frac"),
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Benchmark-contamination check (the decontamination pass every
+# training pipeline runs against its eval suites): the "benchmark" is
+# the deterministic doc_id % 97 slice of the corpus; a training doc is
+# contaminated if it shares ≥1 word n-gram with any benchmark doc.
+# Production uses 13-grams (GPT-3 appendix C); the fixture texts are
+# ~50 tokens from a tiny vocabulary, so n=3 keeps the overlap rate
+# non-degenerate. Same inverted-index shape either way.
+DECON_NGRAM = 3
+DECON_EVAL_MOD = 97
+
+
+def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: benchmark grams are DISTINCT n-grams
+    of the doc_id % DECON_EVAL_MOD slice — a small set, broadcast; the
+    training side is one map-filter join against it (never a shuffle of
+    the corpus), then a per-doc count. At 100 TB the benchmark side is
+    fixed-size (the eval suites), so the broadcast holds."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .repartition(n, "doc_id")
+    )
+    grams = _doc_ngrams(d, DECON_NGRAM).distinct()
+    ev = (
+        grams.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        grams.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    train = d.where(F.col("doc_id") % DECON_EVAL_MOD != 0).select("doc_id")
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("int").alias("n_shared_ngrams"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# The fixture corpus carries no PII; the scrub operator derives an
+# augmented corpus with deterministic synthetic emails/phones (shared
+# SQL, one source of truth for Spark and the oracle — the dedup
+# CORPUS_SQL pattern).
+PII_CORPUS_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0
+            THEN text || ' contact user' || CAST(doc_id AS STRING) || '@example.com now'
+            WHEN doc_id % 17 = 0
+            THEN text || ' call +1 555 ' || CAST(1000 + doc_id % 9000 AS STRING) || ' today'
+            ELSE text END AS text,
+       lang
+FROM documents
+"""
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9 ]{5,}[0-9]"
+
+
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email/phone patterns (regex map
+    stage, embarrassingly parallel). Output is the redaction
+    accounting — match counts and the redacted-length delta — so the
+    gate is integer-exact."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    d = spark.sql(PII_CORPUS_SQL)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.regexp_count(F.col("text"), F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+            F.regexp_count(F.col("text"), F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+            (F.length("text") - F.length(redacted)).cast("int").alias("chars_redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length distribution per language (the mix-design histogram):
+    explicit power-of-two char buckets — a CASE ladder, not
+    floor(log2(x)), so bucket edges are integer-exact cross-engine.
+    One map stage + one small group-by."""
+    d = load_table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    bucket = (
+        F.when(ln < 64, 0)
+        .when(ln < 128, 1)
+        .when(ln < 256, 2)
+        .when(ln < 512, 3)
+        .otherwise(4)
+    )
+    return (
+        d.select(
+            "lang",
+            bucket.cast("int").alias("len_bucket"),
+            ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("lang", "len_bucket")
+    )
+
+
 QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_quality_scores": txt_quality_scores,
@@ -215,6 +401,10 @@ QUERIES = {
     "txt_chunks": txt_chunks,
     "txt_training_mix": txt_training_mix,
     "txt_hash_sample": txt_hash_sample,
+    "txt_repetition_filter": txt_repetition_filter,
+    "txt_decontaminate": txt_decontaminate,
+    "txt_pii_scrub": txt_pii_scrub,
+    "txt_length_histogram": txt_length_histogram,
 }
 
 # --- shared SQL fragments (mirror functions/text.py formulas) -----------
@@ -348,5 +538,78 @@ ORACLES = {
                       ELSE {SAMPLE_BP_DEFAULT} END AS r
           FROM documents
         ) s ORDER BY doc_id
+        """,
+    "txt_repetition_filter": f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        g2 AS (
+          SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS gram
+          FROM toks,
+          LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t) - 1, 1))) AS i) s
+        ),
+        cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        rep AS (
+          SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top2_frac_raw FROM cnt GROUP BY 1
+        ),
+        ratio AS (
+          SELECT doc_id, len(t) AS n_tokens,
+                 len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio_raw
+          FROM toks
+        )
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+               ROUND(distinct_ratio_raw, 6) AS distinct_ratio,
+               ROUND(top2_frac_raw, 6) AS top2_frac,
+               top2_frac_raw <= {REP_TOP2_MAX} AND distinct_ratio_raw >= {REP_DISTINCT_MIN}
+                 AS keep
+        FROM ratio JOIN rep USING (doc_id) ORDER BY doc_id
+        """,
+    "txt_decontaminate": f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i : i + {DECON_NGRAM - 1}], ' ') AS gram
+          FROM toks,
+          LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t) - {DECON_NGRAM - 1}, 1))) AS i) s
+        ),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_EVAL_MOD} = 0),
+        hits AS (
+          SELECT g.doc_id, COUNT(*) AS n_shared
+          FROM g JOIN ev USING (gram)
+          WHERE doc_id % {DECON_EVAL_MOD} != 0 GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(n_shared, 0) AS INT) AS n_shared_ngrams,
+               COALESCE(n_shared, 0) > 0 AS contaminated
+        FROM toks t LEFT JOIN hits ON t.doc_id = hits.doc_id
+        WHERE t.doc_id % {DECON_EVAL_MOD} != 0
+        ORDER BY t.doc_id
+        """,
+    "txt_pii_scrub": f"""
+        WITH pii AS ({PII_CORPUS_SQL})
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+               CAST(length(text) - length(
+                 regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                                '{PHONE_RE}', '[PHONE]', 'g')
+               ) AS INT) AS chars_redacted
+        FROM pii ORDER BY doc_id
+        """,
+    "txt_length_histogram": """
+        SELECT lang,
+               CAST(CASE WHEN length(text) < 64 THEN 0
+                         WHEN length(text) < 128 THEN 1
+                         WHEN length(text) < 256 THEN 2
+                         WHEN length(text) < 512 THEN 3
+                         ELSE 4 END AS INT) AS len_bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                    AS BIGINT) AS total_tokens
+        FROM documents GROUP BY 1, 2 ORDER BY lang, len_bucket
         """,
 }

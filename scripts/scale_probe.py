@@ -29,8 +29,11 @@ DEFAULT = [
     "dd_simhash_near_pairs",
     "dd_embedding_cosine_pairs",
     "dd_duplicate_clusters",  # iterative: round count must stay flat (diameter, not size)
+    "dd_chunk_dedup",  # chunk-fp groups: linear in corpus, one shuffle
     "sim_topk_lsh",
     "txt_chunks",
+    "txt_repetition_filter",  # 2-gram explode co-partitioned by doc — linear
+    "txt_decontaminate",  # broadcast benchmark grams — hit count sub-linear
     "th_assign_least_tasks",
     "rel_q1_pricing_summary",
 ]

@@ -178,9 +178,60 @@ def mm_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_FRAME_COUNT = 4  # frames sampled per video (evenly spaced)
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: per video, slice up to MM_FRAME_COUNT evenly
+    spaced 16-byte frames out of the blob and checksum the REAL bytes
+    (a production pipeline would hand each slice to the codec; the
+    fake-decode frame geometry keeps the slicing arithmetic honest)."""
+    for pdf in batches:
+        rows = []
+        for asset_id, content, duration_ms in zip(
+            pdf["asset_id"], pdf["content"], pdf["duration_ms"]
+        ):
+            n_frames = len(content) // 16
+            idxs = sorted({j * n_frames // MM_FRAME_COUNT for j in range(MM_FRAME_COUNT)})
+            for i in idxs:
+                frame = content[16 * i : 16 * (i + 1)]
+                rows.append(
+                    (
+                        asset_id,
+                        i,
+                        sum(frame) % CHECKSUM_MOD,
+                        int(duration_ms) * i // n_frames,
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["asset_id", "frame_idx", "frame_checksum", "ts_ms"]
+        )
+
+
+_FRAME_SCHEMA = "asset_id bigint, frame_idx int, frame_checksum int, ts_ms bigint"
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video binary column: evenly spaced frame
+    indices, per-frame byte checksum, and the frame's timestamp within
+    the clip. Only video rows with content reach Python (pushed
+    filters); the fan-out is bounded (≤ MM_FRAME_COUNT rows per asset),
+    so the stage stays an embarrassingly parallel map with no
+    shuffle."""
+    register_fixture_views(spark, sf_dir)
+    flat = spark.sql(ASSETS_SQL).where(
+        (F.col("kind") == "video") & F.col("content").isNotNull()
+    )
+    sampled = flat.select("asset_id", "content", "duration_ms").mapInPandas(
+        _frame_sample_batches, schema=_FRAME_SCHEMA
+    )
+    return sampled.orderBy("asset_id", "frame_idx")
+
+
 QUERIES = {
     "mm_catalog_stats": mm_catalog_stats,
     "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 # --- oracle SQL ----------------------------------------------------------
@@ -233,6 +284,26 @@ ORACLES = {
                CAST(height // 2 AS INT) AS thumb_h
         FROM (SELECT *, 1 + asset_id % 4 AS k FROM assets WHERE content IS NOT NULL) a
         ORDER BY asset_id
+        """
+    ),
+    # frame bytes are the repeated 16-byte md5 block, so every frame's
+    # checksum equals the block's byte sum mod 9973; sampled indices and
+    # timestamps mirror the Python slicing arithmetic exactly.
+    "mm_frame_sample": _oracle_assets_cte(
+        f"""
+        SELECT asset_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST({_byte_sum_sql(_MD5)} % {CHECKSUM_MOD} AS INT) AS frame_checksum,
+               CAST(duration_ms * frame_idx // k AS BIGINT) AS ts_ms
+        FROM (
+          SELECT asset_id, duration_ms, k,
+                 unnest(list_sort(list_distinct(
+                   list_transform([0, 1, 2, 3], j -> (j * k) // {MM_FRAME_COUNT})
+                 ))) AS frame_idx
+          FROM (SELECT *, 1 + asset_id % 4 AS k FROM assets
+                WHERE kind = 'video' AND content IS NOT NULL) v
+        ) s
+        ORDER BY asset_id, frame_idx
         """
     ),
 }

@@ -1,0 +1,106 @@
+"""Plan-level assertions for the training-pipeline operators' scale
+claims: the properties README/COVERAGE promise must be visible in the
+executed physical plan, not just asserted in prose.
+
+Checked here:
+- txt_decontaminate's benchmark-gram join is a broadcast (the training
+  side must never shuffle on gram);
+- the SimHash signature build aggregates the gram explosion
+  exchange-free on top of the doc_id repartition (exactly ONE Exchange
+  below the aggregation);
+- dd_ngram_jaccard_pairs scores pairs against broadcast per-doc sizes;
+- per-operator invariants of the new text/similarity operators that a
+  value-hash oracle can't see (population conservation, bound checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from task_hive_spark.operators.textops import txt_decontaminate
+
+    plan = _plan(txt_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_simhash_build_single_exchange_below_agg(spark):
+    """The gram explode is pre-partitioned by doc_id, so the 32-bit
+    vote aggregation must introduce NO additional exchange: the only
+    shuffles in the build plan are the doc_id repartition itself and
+    nothing keyed by gram."""
+    from task_hive_spark.operators.dedup import _doc_shingles
+    from task_hive_spark.functions.text import portable_hash64
+    from task_hive_spark.operators.dedup import SIMHASH_BITS
+
+    grams = _doc_shingles(spark, SF_DIR).withColumn(
+        "h", portable_hash64(F.col("gram"), seed="sh-")
+    )
+    agg = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    plan = _plan(agg)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected only the doc_id repartition:\n{plan}"
+
+
+def test_jaccard_sizes_joined_broadcast(spark):
+    from task_hive_spark.operators.dedup import dd_ngram_jaccard_pairs
+
+    plan = _plan(dd_ngram_jaccard_pairs(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_kmeans_step_conserves_population(spark):
+    """Every vector is assigned to exactly one cell, so per-cell
+    populations must sum to the corpus size; drift is a valid
+    1-cosine value."""
+    from task_hive_spark.operators.similarity import sim_kmeans_step
+    from task_hive_spark.sources.fixtures import load_table
+
+    rows = sim_kmeans_step(spark, SF_DIR).collect()
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_assigned"] for r in rows) == n_vecs
+    assert all(0.0 <= r["drift"] <= 2.0 for r in rows)
+
+
+def test_repetition_filter_bounds(spark):
+    from task_hive_spark.operators.textops import txt_repetition_filter
+
+    rows = txt_repetition_filter(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["distinct_ratio"] <= 1.0
+        assert 0 < r["top2_frac"] <= 1.0
+    # thresholds must split the corpus non-trivially
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+
+
+def test_chunk_dedup_groups_are_real(spark):
+    """Every reported group has >1 copies, and the augmented corpus's
+    exact-dup docs guarantee at least one group exists."""
+    from task_hive_spark.operators.dedup import dd_chunk_dedup
+
+    rows = dd_chunk_dedup(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["n_copies"] > 1 for r in rows)
+
+
+def test_frame_sample_bounded_fanout(spark):
+    from task_hive_spark.operators.multimodal import MM_FRAME_COUNT, mm_frame_sample
+
+    df = mm_frame_sample(spark, SF_DIR)
+    per_asset = df.groupBy("asset_id").count().agg(F.max("count")).first()[0]
+    assert per_asset <= MM_FRAME_COUNT

@@ -104,7 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         textops,
     )
     from task_hive_spark.plans import catalog
-    from task_hive_spark.streaming import lifecycle, stateful, timers
+    from task_hive_spark.streaming import dedupstream, lifecycle, stateful, timers
 
     # The driver grades the FIRST 50 registered queries (both prior rounds
     # truncated there).  Register evidence-first: every query without a
@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(lifecycle.QUERIES)
     out.update(stateful.QUERIES)
     out.update(timers.QUERIES)
+    out.update(dedupstream.QUERIES)
     out.update(q.QUERIES)
     out.update(assign.QUERIES)
     out.update(processors.QUERIES)
@@ -152,7 +153,7 @@ def oracle_sql() -> dict[str, str]:
         textops,
     )
     from task_hive_spark.plans import catalog
-    from task_hive_spark.streaming import lifecycle, stateful, timers
+    from task_hive_spark.streaming import dedupstream, lifecycle, stateful, timers
 
     out: dict[str, str] = {}
     out.update(q.ORACLES)
@@ -166,5 +167,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(lifecycle.ORACLES)
     out.update(stateful.ORACLES)
     out.update(timers.ORACLES)
+    out.update(dedupstream.ORACLES)
     out.update(dedup.ORACLES)
     return out

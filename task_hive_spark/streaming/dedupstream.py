@@ -1,0 +1,138 @@
+"""Streaming exact dedup: exactly-once event delivery derived from an
+at-least-once feed.
+
+The reference's etcd transactions make state writes idempotent
+(worker.go:120-150 put+delete txns — re-delivery of a watch event can't
+double-apply). The Spark-native analogue for a change-feed consumer is
+``dropDuplicates`` keyed on the event identity: this module replays a
+deterministic subset of the scripted feed (every event with
+``event_s % REPLAY_MOD == 0`` is delivered AGAIN, one micro-batch
+later) and the streaming job suppresses the re-deliveries, so the
+converged output equals the clean feed — which is exactly what the
+batch oracle checks, per-op.
+
+State posture: keys here are exact event identities, so state is
+unbounded by design at fixture scale; a production consumer bounds it
+with ``dropDuplicatesWithinWatermark`` and a delivery-delay SLA — same
+operator, one extra eviction knob. Cross-micro-batch replays (not just
+in-batch) are what prove the state store actually retains identities
+between triggers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from task_hive_spark.streaming.events import events_df, oracle_events_cte
+from task_hive_spark.streaming.lifecycle import N_CHUNKS, _scratch_root
+
+_EVENT_SCHEMA = (
+    "event_s BIGINT, op STRING, task_id STRING, worker_id STRING, task_json STRING"
+)
+REPLAY_MOD = 3  # events with event_s % 3 == 0 are delivered twice
+
+_RAN: dict[tuple[int, str], str] = {}
+
+
+def _write_replay_chunks(
+    spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int
+) -> None:
+    """Time-ordered chunk files (lifecycle._write_chunks discipline:
+    strictly increasing mtimes → ordered file-source replay), except a
+    deterministic subset of every chunk is re-delivered in the NEXT
+    chunk — the at-least-once wire."""
+    ev = events_df(spark, sf_dir)
+    ranked = ev.withColumn(
+        "chunk",
+        F.ntile(n_chunks).over(W.orderBy("event_s", "op", "task_id", "worker_id")),
+    )
+    replays = ranked.where(F.col("event_s") % REPLAY_MOD == 0).withColumn(
+        "chunk", F.least(F.col("chunk") + 1, F.lit(n_chunks))
+    )
+    delivered = ranked.union(replays).cache()
+    os.makedirs(feed_dir, exist_ok=True)
+    base = 1_700_000_000
+    for i in range(1, n_chunks + 1):
+        tmp = tempfile.mkdtemp(prefix="chunk", dir=feed_dir)
+        (
+            delivered.where(F.col("chunk") == i)
+            .drop("chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed_dir, f"chunk_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + i * 10, base + i * 10))
+    delivered.unpersist()
+
+
+def run_once(spark: SparkSession, sf_dir: str, work: str, n_chunks: int) -> str:
+    """Run the dedup stream over the replayed feed to completion;
+    returns the deduped-events parquet path (the test entry point —
+    converged output must be invariant to n_chunks)."""
+    feed = os.path.join(work, "feed")
+    _write_replay_chunks(spark, sf_dir, feed, n_chunks)
+    out = os.path.join(work, "deduped")
+    src = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(feed)
+    )
+    deduped = src.dropDuplicates(["event_s", "op", "task_id", "worker_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
+def _ensure_run(spark: SparkSession, sf_dir: str) -> str:
+    key = (id(spark), sf_dir)
+    if key not in _RAN:
+        work = tempfile.mkdtemp(prefix="dedupstream_", dir=_scratch_root())
+        _RAN[key] = run_once(spark, sf_dir, work, N_CHUNKS)
+    return _RAN[key]
+
+
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-op profile of the deduped stream: counts and time bounds
+    must equal the CLEAN feed's despite ~1/3 of events arriving
+    twice."""
+    out = _ensure_run(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .groupBy("op")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_s").alias("first_s"),
+            F.max("event_s").alias("last_s"),
+        )
+        .orderBy("op")
+    )
+
+
+QUERIES = {"st_stream_dedup": st_stream_dedup}
+
+ORACLES = {
+    # the deduped stream IS the clean feed — re-deliveries are exact
+    # copies of existing rows, so the oracle never mentions them
+    "st_stream_dedup": oracle_events_cte(
+        """
+        SELECT op, COUNT(*) AS n_events,
+               MIN(event_s) AS first_s, MAX(event_s) AS last_s
+        FROM events GROUP BY op ORDER BY op
+        """
+    ),
+}

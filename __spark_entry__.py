@@ -13,61 +13,63 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Queries with a green row in CORRECTNESS_r02.json (the driver's round-2
-# gate).  Anything NOT in this set — including queries added later —
-# registers first so the 50-query grading budget covers it.
-_GRADED_R2 = frozenset(
+# Queries with a green row in CORRECTNESS_r03.json (the driver's round-3
+# gate).  Anything NOT in this set — the 48 queries whose only driver
+# evidence is round 2, plus anything added later — registers first so the
+# 50-query grading budget lands on the set with the stalest evidence.
+# (Re-pointed each round: r2 → r3 → …, per VERDICT "evidence rotates".)
+_GRADED_R3 = frozenset(
     {
-        "cat_bucketed_join_stats",
-        "cat_pending_by_type",
-        "mm_catalog_stats",
-        "mm_decode_features",
-        "rel_approx_distinct",
-        "rel_asof_join",
-        "rel_cube_part",
-        "rel_distinct_aggs",
-        "rel_grouping_sets_events",
-        "rel_lag_lead_delta",
-        "rel_outer_join_nulls",
-        "rel_percentiles",
+        "dd_chunk_dedup",
+        "dd_duplicate_clusters",
+        "dd_embedding_cosine_pairs",
+        "dd_exact_groups",
+        "dd_exact_keep_list",
+        "dd_minhash_lsh_pairs",
+        "dd_minhash_signatures",
+        "dd_ngram_jaccard_pairs",
+        "dd_simhash",
+        "dd_simhash_near_pairs",
+        "mm_frame_sample",
+        "rel_case_null_logic",
+        "rel_correlated_above_avg",
+        "rel_pivot_status",
         "rel_q1_pricing_summary",
-        "rel_q3_shipping_priority",
-        "rel_q5_regional_revenue",
         "rel_q6_forecast_revenue",
-        "rel_range_join",
-        "rel_rollup_orders",
-        "rel_self_join_prev_order",
-        "rel_semi_anti_join",
-        "rel_sessionize",
-        "rel_set_ops",
-        "rel_topk_per_group",
-        "rel_window_frames",
-        "rel_window_running",
-        "th_assign_banded",
-        "th_assign_least_tasks",
-        "th_assign_random",
-        "th_assign_round_robin",
-        "th_assignment_load",
-        "th_backoff_schedule",
-        "th_composite_keys",
-        "th_eligible_workers",
-        "th_id_functions",
-        "th_latest_event_per_user",
-        "th_least_tasks_worker",
-        "th_list_all_union",
-        "th_list_by_status",
-        "th_payload_parse",
-        "th_pending_count",
-        "th_point_get",
-        "th_spider_ingest",
-        "th_stats",
-        "th_status_enum_roundtrip",
-        "th_top10_pending",
-        "th_unknown_type_failed",
-        "th_worker_inbox",
-        "th_workers_liveness",
-        "xp_dispatch_results",
-        "xp_taskgen_summary",
+        "rel_q7_volume",
+        "rel_q8_market_share",
+        "rel_scalar_datetime",
+        "rel_scalar_math",
+        "rel_scalar_string",
+        "rel_window_ranks",
+        "sim_kmeans_step",
+        "sim_label_centroids",
+        "sim_quantize_int8",
+        "sim_topk_brute",
+        "sim_topk_ivf",
+        "sim_topk_lsh",
+        "st_dispatch_assignments",
+        "st_final_tasks",
+        "st_requeued_pending",
+        "st_retry_backoff",
+        "st_status_counts",
+        "st_stream_dedup",
+        "st_timer_requeue",
+        "st_windowed_throughput",
+        "st_worker_counter_stateful",
+        "st_worker_state",
+        "txt_chunks",
+        "txt_corpus_profile",
+        "txt_decontaminate",
+        "txt_fingerprints",
+        "txt_hash_sample",
+        "txt_language_id",
+        "txt_length_histogram",
+        "txt_pii_scrub",
+        "txt_quality_scores",
+        "txt_repetition_filter",
+        "txt_token_stats",
+        "txt_training_mix",
     }
 )
 
@@ -106,29 +108,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from task_hive_spark.plans import catalog
     from task_hive_spark.streaming import dedupstream, lifecycle, stateful, timers
 
-    # The driver grades the FIRST 50 registered queries (both prior rounds
-    # truncated there).  Register evidence-first: every query without a
-    # round-2 CORRECTNESS row — the dedup/similarity/text pipeline, the
-    # whole streaming lifecycle, and the round-2 relational additions —
-    # goes ahead of the set that is already double-green, so the driver's
-    # budget lands on the queries that still need driver-side evidence.
+    # The driver grades the FIRST 50 registered queries (every prior round
+    # truncated there).  Register evidence-first: the 48 queries whose only
+    # driver CORRECTNESS row is round 2 — the th_/xp_/cat_/mm_catalog
+    # family and the round-2 relational suite — go ahead of the
+    # round-3-graded set, so every query's driver evidence stays ≤2
+    # rounds old.
     out: dict[str, Callable] = {}
-    out.update(textops.QUERIES)
-    out.update(similarity.QUERIES)
-    out.update(dedup.QUERIES)
-    out.update(relational.QUERIES)
-    out.update(lifecycle.QUERIES)
-    out.update(stateful.QUERIES)
-    out.update(timers.QUERIES)
-    out.update(dedupstream.QUERIES)
     out.update(q.QUERIES)
     out.update(assign.QUERIES)
     out.update(processors.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(catalog.QUERIES)
+    out.update(relational.QUERIES)
+    out.update(textops.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(lifecycle.QUERIES)
+    out.update(stateful.QUERIES)
+    out.update(timers.QUERIES)
+    out.update(dedupstream.QUERIES)
 
-    front = {k: v for k, v in out.items() if k not in _GRADED_R2}
-    back = {k: v for k, v in out.items() if k in _GRADED_R2}
+    front = {k: v for k, v in out.items() if k not in _GRADED_R3}
+    back = {k: v for k, v in out.items() if k in _GRADED_R3}
     ordered = {**front, **back}
 
     def _wrap(fn):

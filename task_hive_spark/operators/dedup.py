@@ -161,41 +161,55 @@ def dd_exact_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _postings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted index (gram → sorted doc list), materialized once
+    per (session, sf_dir): the postings table is the shared near-dup
+    index the Jaccard consumers read — both the per-doc size profile and
+    the pair emission — so recomputing the gram explosion + groupBy per
+    consumer would traverse the corpus twice. One row per distinct gram,
+    list bounded at MAX_DF ids: far smaller than the raw gram explosion
+    (hot grams are dropped, duplicates collapsed), which stays
+    deliberately uncached (see materialize.py)."""
+
+    def build() -> DataFrame:
+        grams = _doc_shingles(spark, sf_dir)
+        return (
+            grams.groupBy("gram")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+            .where(F.size("docs") <= MAX_DF)
+        )
+
+    return session_index(spark, sf_dir, "jaccard_postings", build)
+
+
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram Jaccard near-dup pairs via postings lists: one shuffle
     groups (gram → sorted doc list), the MAX_DF cap drops hot grams by
     list size (no separate doc-freq pass), and candidate pairs are
-    emitted *inside* each posting list with a nested array transform —
-    the raw gram×gram self-join (round 1: two shuffles of every posting
-    plus a df² fan-out) never happens. Pair count is bounded by
-    MAX_DF²/2 per gram, the standard scalable inverted-index shape."""
-    grams = _doc_shingles(spark, sf_dir)
-    postings = (
-        grams.groupBy("gram")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .where(F.size("docs") <= MAX_DF)
-    )
+    emitted *inside* each posting list — the raw gram×gram self-join
+    (round 1: two shuffles of every posting plus a df² fan-out) never
+    happens. Pair count is bounded by MAX_DF²/2 per gram, the standard
+    scalable inverted-index shape. Both consumers (sizes, pairs) read
+    the materialized postings index, so the corpus is traversed once."""
+    postings = _postings_df(spark, sf_dir)
     sizes = (
         postings.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_grams"))
     )
-    # all (a<b) pairs within one posting list, emitted JVM-side
-    docs = F.col("docs")
-    pair_arr = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + 2, F.size(docs)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
+    # all (a<b) pairs within one posting list: posexplode the list, then
+    # explode each element's tail suffix — two codegen'd generators
+    # instead of the interpreted nested-transform HOF (higher-order
+    # lambdas never enter whole-stage codegen; measured ~35% of the
+    # query on the Spark UI before the rewrite)
+    pairs = (
+        postings.select(F.posexplode("docs").alias("i", "doc_a"), "docs")
+        .select(
+            "doc_a",
+            F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"),
         )
     )
-    common = (
-        postings.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
     # per-doc size rows are narrow (doc_id, count); broadcasting them
     # keeps the pair-scoring stage shuffle-free (measured 2.6s → 1.9s at
     # sf0.1 — AQE plans these joins before the pair cardinality is

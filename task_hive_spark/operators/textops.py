@@ -212,18 +212,25 @@ def txt_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_ngrams(d: DataFrame, n: int) -> DataFrame:
-    """Non-distinct word n-grams per doc (codegen posexplode + window
-    lead, same shape as dedup._doc_shingles but keeping duplicates —
-    repetition analysis NEEDS the multiplicities). Docs shorter than n
-    words yield their whole text as one gram."""
+    """Non-distinct word n-grams per doc (same shape as
+    dedup._doc_shingles but keeping duplicates — repetition analysis
+    NEEDS the multiplicities). Docs shorter than n words yield their
+    whole text as one gram.
+
+    Grams are built fully codegen-side in ONE stage: posexplode the
+    tokens, then index the retained array for the n-1 following tokens
+    (try_element_at → null past the end; null-skipping concat_ws
+    reproduces the short-doc whole-text gram). No window: the earlier
+    window-lead form paid a per-partition (doc_id, pos) sort for
+    neighbor access the array lookup gives for free."""
     t = d.select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
     toks = t.select(
-        "doc_id", F.size("toks").alias("ntok"), F.posexplode("toks").alias("pos", "tok")
+        "doc_id", "toks", F.size("toks").alias("ntok"),
+        F.posexplode("toks").alias("pos", "tok"),
     )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    lead_toks = [F.lead("tok", i).over(w) for i in range(1, n)]
+    nexts = [F.try_element_at("toks", F.col("pos") + 1 + i) for i in range(1, n)]
     g = toks.select(
-        "doc_id", "pos", "ntok", F.concat_ws(" ", "tok", *lead_toks).alias("gram")
+        "doc_id", "pos", "ntok", F.concat_ws(" ", "tok", *nexts).alias("gram")
     )
     return g.where(F.col("pos") <= F.greatest(F.col("ntok") - n, F.lit(0))).select(
         "doc_id", "gram"
@@ -294,26 +301,36 @@ def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the doc_id % DECON_EVAL_MOD slice — a small set, broadcast; the
     training side is one map-filter join against it (never a shuffle of
     the corpus), then a per-doc count. At 100 TB the benchmark side is
-    fixed-size (the eval suites), so the broadcast holds."""
+    fixed-size (the eval suites), so the broadcast holds.
+
+    The eval/train split happens BEFORE the gram explosion: the
+    benchmark branch explodes only its 1/DECON_EVAL_MOD slice and the
+    training branch explodes its complement, so the corpus is traversed
+    exactly once in total (the earlier full-corpus-grams-then-filter
+    form ran the explosion + (doc_id, gram) distinct twice unless
+    Catalyst happened to push the slice filter below the window)."""
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length(F.trim("text")) > 0)
-        .repartition(n, "doc_id")
-    )
-    grams = _doc_ngrams(d, DECON_NGRAM).distinct()
+    base = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     ev = (
-        grams.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        _doc_ngrams(base.where(is_eval).repartition(n, "doc_id"), DECON_NGRAM)
         .select("gram")
         .distinct()
     )
+    d = base.where(~is_eval).repartition(n, "doc_id")
+    # probe the broadcast BEFORE deduping: the eval join filters the
+    # gram stream to the (rare) contaminated rows, so the distinct-gram
+    # count builds its hash table over the hits only — deduping the full
+    # (doc_id, gram) stream first pays a corpus-sized hash aggregate for
+    # rows the join is about to drop. count(DISTINCT gram) per doc is
+    # exchange-free on top of the doc_id repartition.
     hits = (
-        grams.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        _doc_ngrams(d, DECON_NGRAM)
         .join(F.broadcast(ev), "gram")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.count_distinct("gram").alias("n_shared"))
     )
-    train = d.where(F.col("doc_id") % DECON_EVAL_MOD != 0).select("doc_id")
+    train = d.select("doc_id")
     return (
         train.join(hits, "doc_id", "left")
         .select(

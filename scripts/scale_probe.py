@@ -39,10 +39,48 @@ DEFAULT = [
 ]
 
 
+def ivf_recall() -> int:
+    """--ivf-recall: recall of sim_topk_ivf vs the exact brute-force
+    top-k, swept over nprobe, per scale factor. Pins the knob's
+    recall/cost curve so a quantizer or centroid change that craters it
+    is visible immediately (the fixture floor for nprobe=3 is asserted
+    in tests/test_dedup_quality.py)."""
+    from task_hive_spark.session import get_spark
+    from task_hive_spark.operators.similarity import sim_topk_brute, sim_topk_ivf
+
+    spark = get_spark("scale_probe")
+    for sf_dir in SF_DIRS:
+        tag = os.path.basename(sf_dir)
+        exact = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in sim_topk_brute(spark, sf_dir).collect()
+        }
+        recalls: dict[str, float] = {}
+        secs: dict[str, float] = {}
+        for nprobe in (1, 2, 3, 4, 5):
+            t0 = time.perf_counter()
+            got = {
+                (r["probe_id"], r["neighbor_id"])
+                for r in sim_topk_ivf(spark, sf_dir, nprobe=nprobe).collect()
+            }
+            secs[str(nprobe)] = round(time.perf_counter() - t0, 3)
+            recalls[str(nprobe)] = round(len(exact & got) / max(len(exact), 1), 3)
+        print(
+            json.dumps(
+                {"probe": "ivf_recall", "sf": tag, "recall_by_nprobe": recalls,
+                 "seconds_by_nprobe": secs, "n_exact_pairs": len(exact)}
+            )
+        )
+    return 0
+
+
 def main() -> int:
     from task_hive_spark.session import get_spark
 
     import __spark_entry__ as entrymod
+
+    if sys.argv[1:2] == ["--ivf-recall"]:
+        return ivf_recall()
 
     names = sys.argv[1:] or DEFAULT
     spark = get_spark("scale_probe")

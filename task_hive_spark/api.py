@@ -364,7 +364,12 @@ class TaskHive:
 
     def list_tasks(self, status: str = "", limit: int = DEFAULT_LIST_LIMIT) -> DataFrame:
         """ListTasks (api.go:114-197): '' = union of all statuses (U1);
-        a named status is served by partition pruning (S4)."""
+        a named status is served by partition pruning (S4).
+
+        Read-validity window: the returned DataFrame is lazy over the
+        CURRENT snapshot; snapshot GC keeps only v and v-1, so collect
+        it within one subsequent write round (a frame held across ≥2
+        writes fails with FileNotFound at action time)."""
         t = self._tasks()
         if status:
             t = t.where(F.col("status") == status)
@@ -410,7 +415,11 @@ class TaskHive:
         transient: at rest this returns empty — exactly like the
         reference once its queue drains. Non-empty results are
         observable for any snapshot that holds in-flight rows (see
-        test_api for the pinned mid-flight case)."""
+        test_api for the pinned mid-flight case).
+
+        Read-validity window: lazy over the current snapshot; valid for
+        one write round (snapshot GC retains v and v-1 only — see
+        _write_tasks)."""
         return (
             self._tasks()
             .where((F.col("status") == "processing") & (F.col("worker_id") == worker_id))

@@ -23,12 +23,39 @@ from pyspark.sql import DataFrame, SparkSession
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _evict_dead_sessions() -> None:
+    """Drop entries whose SparkContext is gone — a stopped session's
+    applicationId would otherwise pin dead DataFrame references for the
+    life of the process (long-lived drivers cycling sessions leak)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    live = {sc.applicationId} if sc is not None else set()
+    for key in [k for k in _CACHE if k[0] not in live]:
+        del _CACHE[key]
+
+
+def clear_indexes(spark: SparkSession | None = None) -> None:
+    """Unpersist and forget materialized indexes — all of them, or only
+    the given session's. Call from session teardown (tests do) or when a
+    long-lived session is done with one sf_dir and moving to another."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_CACHE):
+        if app is None or key[0] == app:
+            df = _CACHE.pop(key)
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to unpersist
+
+
 def session_index(
     spark: SparkSession, sf_dir: str, name: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
     """Return the per-session materialized index `name` for `sf_dir`,
     building and persisting it on first use (MEMORY_AND_DISK, so an
     oversized index spills instead of evicting or OOMing)."""
+    _evict_dead_sessions()
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _CACHE.get(key)
     if df is None:

@@ -26,13 +26,16 @@ from task_hive_spark.functions.text import fingerprint, portable_hash64, ws_toke
 from task_hive_spark.materialize import session_index
 from task_hive_spark.sources.fixtures import load_table
 
-# K=32 / 8 bands / r=4 rows-per-band: r=4 keeps the candidate-pair
-# false-positive rate workable at corpus scale (round-1's r=2 made
-# 2-row bands collide constantly); production would push K to 128+,
-# same shape. One md5 per shingle seeds the whole K-wide family (see
+# K=128 / 32 bands / r=4 rows-per-band — the production family (the
+# Spark MinHashLSH default neighborhood; GPL-ish dedup papers use
+# 9000-dim sigs but 128/r=4 is the standard corpus-dedup operating
+# point). r=4 keeps the candidate-pair false-positive rate workable at
+# corpus scale (round-1's r=2 made 2-row bands collide constantly);
+# 32 bands raise recall at threshold 0.5: P(candidate) = 1-(1-j^4)^32.
+# One md5 per shingle seeds the whole K-wide family (see
 # _minhash_sig_array).
-MINHASH_K = 32  # signature length
-LSH_BANDS = 8  # rows-per-band = K / BANDS = 4
+MINHASH_K = 128  # signature length
+LSH_BANDS = 32  # rows-per-band = K / BANDS = 4
 
 # Universal-hash family for the K min-hash permutations:
 #   h_i(x) = (A_i * x + B_i) mod P,  P = 2^31 - 1 (prime)
@@ -51,15 +54,47 @@ _MH_A = [
     1761180996, 1267685541, 924035317, 1172698796, 2038977239, 402639406,
     2143289124, 1357670271, 1355823819, 2113210626, 668925749, 252657890,
     1177825180, 428031841, 1696544698, 230896654, 794664036, 1758809001,
-    1480032976, 858479240,
+    1480032976, 858479240, 527406851, 106582525, 1903391910, 87966395,
+    666804718, 1973199132, 490296875, 1423351957, 955195196, 331877175,
+    1530448622, 2086450538, 890048280, 664594621, 970348800, 767008895,
+    2005366380, 811038817, 1658406170, 297044273, 788724777, 1949869888,
+    1988273003, 1035172615, 307572220, 1793558279, 961940037, 1524628945,
+    1962834533, 104594904, 1989011546, 1619595136, 1273256066, 780298047,
+    659097173, 1652968253, 2058505406, 149015099, 498454949, 559603890,
+    786406855, 1156917647, 789412483, 50110507, 1844435812, 306798127,
+    794769927, 1499170326, 638166888, 303201956, 2126067016, 2118308512,
+    2076550540, 1088969554, 1540052916, 1957605034, 1911550936, 27439072,
+    669514761, 625333205, 219381444, 1799133644, 2042904856, 369930186,
+    1048629369, 1226030622, 1367707459, 164551647, 444072617, 1984722195,
+    958755036, 25103912, 1902409685, 219850272, 791806528, 848114246,
+    872807790, 1589381648, 1740700242, 1801538875, 199021493, 20334308,
+    1263685102, 580826628, 482789805, 1389136546, 476251074, 126671797,
+    420080656, 1508916798, 1154035485, 1276059828, 1448862819, 550752764,
+    592330931, 527281074,
 ]
 _MH_B = [
-    527406850, 106582524, 1903391909, 87966394, 666804717, 1973199131,
-    490296874, 1423351956, 955195195, 331877174, 1530448621, 2086450537,
-    890048279, 664594620, 970348799, 767008894, 2005366379, 811038816,
-    1658406169, 297044272, 788724776, 1949869887, 1988273002, 1035172614,
-    307572219, 1793558278, 961940036, 1524628944, 1962834532, 104594903,
-    1989011545, 1619595135,
+    756553901, 1163844689, 2115931807, 1913506238, 1412412639, 1811746136,
+    1028403833, 1674297108, 1107932281, 1866147522, 343409623, 1364503873,
+    843124604, 616775799, 1143206414, 1024845643, 1138061687, 1060582889,
+    179772274, 27380447, 1734569406, 793495330, 52874259, 939429787,
+    1783217442, 1945922480, 1710167099, 343337728, 134760724, 1331072823,
+    74188427, 1436089334, 1559513512, 125228672, 1053797245, 1962437923,
+    453467651, 964882481, 593086048, 2126792834, 1424675785, 406384920,
+    144870787, 2110809025, 47990324, 1860998066, 1015191260, 1662699308,
+    1605426453, 1410537947, 868509787, 2134115029, 192393037, 1479634658,
+    1747404735, 528170254, 566842358, 100742110, 1257145581, 1951676836,
+    1475392943, 2045915589, 987815742, 341930928, 2088975795, 1788349104,
+    1348198993, 171723669, 1728723581, 1018697371, 370969790, 40614961,
+    1648101149, 530289858, 62390443, 1702989800, 2033824571, 2065016753,
+    1890758577, 965958354, 1127733467, 397037609, 934347458, 1127361154,
+    1183783403, 2010080372, 1610742607, 279008998, 228522292, 991713277,
+    1257930289, 799589416, 714257050, 36369976, 112337842, 1321859824,
+    618184843, 1586693986, 1233054291, 963294023, 1267367401, 156232150,
+    1714720227, 155419958, 1741002831, 428627494, 431502566, 1862447352,
+    1464283398, 479404022, 1682318302, 584436663, 1434205630, 1251817325,
+    937060051, 1735558682, 258163036, 1023321395, 145723240, 2075528083,
+    1373912104, 1417960578, 1228447481, 1601662739, 1982335796, 575061778,
+    1608493107, 1528159684,
 ]
 MAX_DF = 50  # inverted-index cap: drop shingles in more docs than this
 JACCARD_THRESHOLD = 0.5
@@ -192,11 +227,18 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable inverted-index shape. Both consumers (sizes, pairs) read
     the materialized postings index, so the corpus is traversed once."""
     postings = _postings_df(spark, sf_dir)
-    sizes = (
-        postings.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_grams"))
-    )
+
+    # per-doc capped-gram counts: ALSO a fixed-width per-doc index, and
+    # consumed twice below (both broadcast sides — Spark won't reuse the
+    # build across the doc_a/doc_b aliases), so materialize it once
+    def build_sizes() -> DataFrame:
+        return (
+            postings.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"))
+        )
+
+    sizes = session_index(spark, sf_dir, "jaccard_sizes", build_sizes)
     # all (a<b) pairs within one posting list: posexplode the list, then
     # explode each element's tail suffix — two codegen'd generators
     # instead of the interpreted nested-transform HOF (higher-order
@@ -280,10 +322,15 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     become candidates, then estimate similarity as the fraction of
     matching signature components. Candidate generation never compares
     non-colliding docs — the property that makes this run at corpus
-    scale. The signature array rides along through the band explode, so
-    the md5 pipeline runs ONCE (the earlier sigs⋈cands⋈sigs shape
-    re-executed it three times — no ReusedExchange across differing
-    projections) and the estimate reads the arrays directly."""
+    scale.
+
+    Shape at K=128: the banded self-join carries ONLY (doc_id, bucket)
+    — 32 narrow rows per doc — and the K-wide arrays are joined back
+    onto the deduped candidate pairs from the MATERIALIZED signature
+    index afterwards. (At K=32 the sig rode along through the explode;
+    at K=128 that is 4096 bigints per doc through the join shuffle,
+    measured 3× the whole query. Candidates ≪ corpus by construction,
+    so two narrow joins against the cached index are the cheap side.)"""
     sigs = _minhash_sig_array(spark, sf_dir)
     rows_per_band = MINHASH_K // LSH_BANDS
     sig = F.col("sig")
@@ -295,30 +342,29 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for bi in range(LSH_BANDS)
     ]
-    # both self-join sides read the MATERIALIZED signature index, so the
-    # md5 pipeline never re-executes per side (the pre-cache version
-    # needed a merge hint for exchange reuse: 2.4s vs 1.3s at sf0.1);
-    # AQE now picks broadcast vs sort-merge from the actual index size —
-    # the scale-correct default for a full-corpus self-join
-    stacked = sigs.select("doc_id", "sig", F.explode(F.array(*bands)).alias("bucket"))
+    stacked = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bucket"))
     a = stacked.alias("a")
     b = stacked.alias("b")
-    matches = F.size(
-        F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v)
-    )
-    # estimate in the join projection, then dedupe the narrow
-    # (doc_a, doc_b, est) row — deduping the K-wide signature pair
-    # first would shuffle 2K bigints per candidate
-    return (
+    cands = (
         a.join(
             b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id"))
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             F.round(matches / F.lit(float(MINHASH_K)), 6).alias("est_jaccard"),
         )
-        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -638,7 +684,7 @@ _RAW_ORACLES = {
             ON a.bucket = b.bucket AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b,
-               ROUND(({' + '.join(f'CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END' for i in range(MINHASH_K))})
+               ROUND(list_sum([{', '.join(f'CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END' for i in range(MINHASH_K))}])
                      / {float(MINHASH_K)}, 6) AS est_jaccard
         FROM cands
         JOIN sigs sa ON sa.doc_id = doc_a

@@ -192,6 +192,8 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             pdf["asset_id"], pdf["content"], pdf["duration_ms"]
         ):
             n_frames = len(content) // 16
+            if n_frames == 0:
+                continue  # blob shorter than one frame: nothing to sample
             idxs = sorted({j * n_frames // MM_FRAME_COUNT for j in range(MM_FRAME_COUNT)})
             for i in idxs:
                 frame = content[16 * i : 16 * (i + 1)]

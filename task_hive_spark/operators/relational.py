@@ -427,7 +427,11 @@ def rel_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead: inter-event gap seconds per user (users <50)."""
     e = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # ts arrives as TIMESTAMP_NTZ (tz-less parquet), which Spark won't
+    # cast straight to double — hop through LTZ; the gap is a difference
+    # so the session-tz interpretation cancels
+    ts_s = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
     return e.select(
         "user_id",
         "event_id",
@@ -441,7 +445,8 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user (guide's lag+cumsum pattern — one shuffle on user_id)."""
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ts_s = F.col("ts").cast("timestamp").cast("double")  # NTZ → LTZ → s
+    gap = ts_s - F.lag(ts_s).over(w)
     sess = e.withColumn(
         "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     ).withColumn("session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))

@@ -297,11 +297,13 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 NPROBE = 3
 
 
-def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_topk_ivf(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer (here the
     deterministic label centroids — production swaps in sampled
     k-means) assigns every vector to its nearest-centroid cell; a probe
-    searches only its NPROBE nearest cells with exact cosine re-rank.
+    searches only its nprobe nearest cells with exact cosine re-rank
+    (default NPROBE; scripts/scale_probe.py --ivf-recall sweeps the knob
+    and pins recall per scale factor).
 
     Scale shape: centroids are a broadcast dim (K rows); assignment is
     one map stage (K dot products per vector); the cell id becomes the
@@ -320,7 +322,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked_cells = cellscore.withColumn("rn", F.row_number().over(w_cell))
     assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "embedding", "cell")
     probe_cells = (
-        ranked_cells.where((F.col("vec_id") % PROBE_MOD == 0) & (F.col("rn") <= NPROBE))
+        ranked_cells.where((F.col("vec_id") % PROBE_MOD == 0) & (F.col("rn") <= nprobe))
         .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "cell")
     )
     # each corpus vector lives in exactly one cell, so (probe, neighbor)

@@ -92,12 +92,12 @@ def register_task_views(spark: SparkSession, sf_dir: str) -> None:
     (cached per session while sf_dir is unchanged — keyed by CURRENT
     dir so switching fixture scales re-registers; see
     fixtures._REGISTERED)."""
-    if _TASK_VIEWS_REGISTERED.get(id(spark)) == sf_dir:
+    if _TASK_VIEWS_REGISTERED.get(spark.sparkContext.applicationId) == sf_dir:
         return
     register_fixture_views(spark, sf_dir)
     spark.sql(TASKS_SQL).createOrReplaceTempView("tasks")
     spark.sql(WORKERS_SQL).createOrReplaceTempView("workers")
-    _TASK_VIEWS_REGISTERED[id(spark)] = sf_dir
+    _TASK_VIEWS_REGISTERED[spark.sparkContext.applicationId] = sf_dir
 
 
 def tasks_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -312,31 +312,36 @@ def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
-    ev = (
-        _doc_ngrams(base.where(is_eval).repartition(n, "doc_id"), DECON_NGRAM)
-        .select("gram")
-        .distinct()
+    # raw (non-distinct) benchmark grams: the probe below is an OUTER
+    # broadcast join and the per-doc overlap count is count(DISTINCT
+    # gram) over matched grams only, so eval-side duplicates can't
+    # inflate anything — skipping the distinct (an exchange on gram) and
+    # the repartition leaves the whole eval branch as one scan+explode
+    # feeding the broadcast build
+    ev = _doc_ngrams(base.where(is_eval), DECON_NGRAM).select(
+        "gram", F.lit(1).alias("bench_hit")
     )
     d = base.where(~is_eval).repartition(n, "doc_id")
-    # probe the broadcast BEFORE deduping: the eval join filters the
-    # gram stream to the (rare) contaminated rows, so the distinct-gram
-    # count builds its hash table over the hits only — deduping the full
-    # (doc_id, gram) stream first pays a corpus-sized hash aggregate for
-    # rows the join is about to drop. count(DISTINCT gram) per doc is
-    # exchange-free on top of the doc_id repartition.
-    hits = (
-        _doc_ngrams(d, DECON_NGRAM)
-        .join(F.broadcast(ev), "gram")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("gram").alias("n_shared"))
-    )
-    train = d.select("doc_id")
+    # ONE pass over the training gram stream: the broadcast LEFT join
+    # marks contaminated grams in-line and the conditional distinct
+    # count aggregates exchange-free on top of the doc_id repartition.
+    # Every non-empty doc emits ≥1 gram row, so the per-doc aggregate IS
+    # the full training roster — no separate doc_id branch to left-join
+    # back (the earlier hits-then-join-back form paid an extra scan, an
+    # extra join, and two more stage-floor units for the same answer).
     return (
-        train.join(hits, "doc_id", "left")
+        _doc_ngrams(d, DECON_NGRAM)
+        .join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct(F.when(F.col("bench_hit") == 1, F.col("gram")))
+            .cast("int")
+            .alias("n_shared_ngrams")
+        )
         .select(
             "doc_id",
-            F.coalesce(F.col("n_shared"), F.lit(0)).cast("int").alias("n_shared_ngrams"),
-            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+            "n_shared_ngrams",
+            (F.col("n_shared_ngrams") > 0).alias("contaminated"),
         )
         .orderBy("doc_id")
     )

@@ -31,7 +31,7 @@ from task_hive_spark.operators.taskmodel import oracle_cte, tasks_df
 
 DB = "task_hive"
 
-_TABLES_READY: set[tuple[int, str]] = set()
+_TABLES_READY: set[tuple[str, str]] = set()
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -45,7 +45,7 @@ def tasks_table_name(sf_dir: str) -> str:
 def ensure_tasks_table(spark: SparkSession, sf_dir: str) -> str:
     """Create (once per session × sf_dir) the persistent tasks table,
     partitioned by status. Returns the qualified table name."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     name = tasks_table_name(sf_dir)
     if key in _TABLES_READY:
         return name
@@ -90,7 +90,7 @@ def cat_pending_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_BUCKETS = 16
 
-_BUCKETED_READY: set[tuple[int, str]] = set()
+_BUCKETED_READY: set[tuple[str, str]] = set()
 
 
 def meta_table_name(sf_dir: str) -> str:
@@ -107,7 +107,7 @@ def write_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     co-locate equal join keys at WRITE time, so the join below runs with
     zero Exchange — the 100 TB shape for any repeatedly-joined pair
     (shuffle cost paid once at ingest, every downstream join free)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     t_name, m_name = bucketed_tasks_name(sf_dir), meta_table_name(sf_dir)
     if key in _BUCKETED_READY:
         return t_name, m_name

@@ -66,8 +66,8 @@ def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (cached per session
     while sf_dir is unchanged), matching the view names the DuckDB
     oracle pre-registers."""
-    if _REGISTERED.get(id(spark)) == sf_dir:
+    if _REGISTERED.get(spark.sparkContext.applicationId) == sf_dir:
         return
     for name in FIXTURE_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED[id(spark)] = sf_dir
+    _REGISTERED[spark.sparkContext.applicationId] = sf_dir

@@ -25,17 +25,19 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from task_hive_spark.streaming.events import events_df, oracle_events_cte
-from task_hive_spark.streaming.lifecycle import N_CHUNKS, _scratch_root
+from task_hive_spark.streaming.lifecycle import N_CHUNKS, _scratch_root, with_chunk
 
 _EVENT_SCHEMA = (
     "event_s BIGINT, op STRING, task_id STRING, worker_id STRING, task_json STRING"
 )
 REPLAY_MOD = 3  # events with event_s % 3 == 0 are delivered twice
 
-_RAN: dict[tuple[int, str], str] = {}
+# keyed by applicationId (not id(spark): CPython reuses object ids, so a
+# dead session's id could serve a stale output path to a new session)
+_RAN: dict[tuple[str, str, str], str] = {}
 
 
 def _write_replay_chunks(
@@ -46,10 +48,7 @@ def _write_replay_chunks(
     deterministic subset of every chunk is re-delivered in the NEXT
     chunk — the at-least-once wire."""
     ev = events_df(spark, sf_dir)
-    ranked = ev.withColumn(
-        "chunk",
-        F.ntile(n_chunks).over(W.orderBy("event_s", "op", "task_id", "worker_id")),
-    )
+    ranked = with_chunk(ev, n_chunks)  # partitioned chunk assignment — see lifecycle
     replays = ranked.where(F.col("event_s") % REPLAY_MOD == 0).withColumn(
         "chunk", F.least(F.col("chunk") + 1, F.lit(n_chunks))
     )
@@ -98,11 +97,58 @@ def run_once(spark: SparkSession, sf_dir: str, work: str, n_chunks: int) -> str:
     return out
 
 
-def _ensure_run(spark: SparkSession, sf_dir: str) -> str:
-    key = (id(spark), sf_dir)
+def run_once_bounded(spark: SparkSession, sf_dir: str, work: str, n_chunks: int) -> str:
+    """Bounded-state variant: ``dropDuplicatesWithinWatermark`` keeps an
+    event identity in state only until the watermark passes its event
+    time + delay — the production posture (unbounded dropDuplicates
+    state grows forever on an infinite feed). The delay is derived from
+    the feed's delivery contract, not wall clock: replays land exactly
+    one chunk later, so the worst event-time regression a re-delivery
+    can show is ~2 chunk spans; delay = 2·span + 10 s therefore (a)
+    never treats a replay as late data and (b) never evicts the
+    original's identity before its replay arrives — so the converged
+    output still equals the clean feed, with provably bounded state."""
+    feed = os.path.join(work, "feed")
+    _write_replay_chunks(spark, sf_dir, feed, n_chunks)
+    lo, hi = (
+        events_df(spark, sf_dir).agg(F.min("event_s"), F.max("event_s")).first()
+    )
+    span_s = (int(hi) - int(lo) + n_chunks) // n_chunks
+    delay_s = 2 * span_s + 10
+    out = os.path.join(work, "deduped")
+    src = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(feed)
+    )
+    # +1 day: the watermark starts at epoch 0 and the late-filter is
+    # inclusive, so an event at exactly event_s=0 would be dropped on
+    # arrival; shifting the synthetic clock is watermark-invariant
+    deduped = (
+        src.withColumn("event_time", F.timestamp_seconds(F.col("event_s") + 86400))
+        .withWatermark("event_time", f"{delay_s} seconds")
+        .dropDuplicatesWithinWatermark(["event_s", "op", "task_id", "worker_id"])
+        .drop("event_time")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
+def _ensure_run(
+    spark: SparkSession, sf_dir: str, runner=run_once, tag: str = ""
+) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key not in _RAN:
-        work = tempfile.mkdtemp(prefix="dedupstream_", dir=_scratch_root())
-        _RAN[key] = run_once(spark, sf_dir, work, N_CHUNKS)
+        work = tempfile.mkdtemp(prefix=f"dedupstream{tag}_", dir=_scratch_root())
+        _RAN[key] = runner(spark, sf_dir, work, N_CHUNKS)
     return _RAN[key]
 
 
@@ -111,6 +157,18 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the CLEAN feed's despite ~1/3 of events arriving
     twice."""
     out = _ensure_run(spark, sf_dir)
+    return _op_profile(spark, out)
+
+
+def st_stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same per-op profile through the BOUNDED-state dedup
+    (dropDuplicatesWithinWatermark): identical converged output, state
+    evicted as the watermark advances."""
+    out = _ensure_run(spark, sf_dir, runner=run_once_bounded, tag="wm")
+    return _op_profile(spark, out)
+
+
+def _op_profile(spark: SparkSession, out: str) -> DataFrame:
     return (
         spark.read.parquet(out)
         .groupBy("op")
@@ -123,16 +181,24 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"st_stream_dedup": st_stream_dedup}
+QUERIES = {
+    "st_stream_dedup": st_stream_dedup,
+    "st_stream_dedup_bounded": st_stream_dedup_bounded,
+}
+
+# the deduped stream IS the clean feed — re-deliveries are exact copies
+# of existing rows, so the oracle never mentions them (and the bounded
+# variant's eviction contract keeps its output identical; see
+# run_once_bounded's delay derivation)
+_PROFILE_SQL = oracle_events_cte(
+    """
+    SELECT op, COUNT(*) AS n_events,
+           MIN(event_s) AS first_s, MAX(event_s) AS last_s
+    FROM events GROUP BY op ORDER BY op
+    """
+)
 
 ORACLES = {
-    # the deduped stream IS the clean feed — re-deliveries are exact
-    # copies of existing rows, so the oracle never mentions them
-    "st_stream_dedup": oracle_events_cte(
-        """
-        SELECT op, COUNT(*) AS n_events,
-               MIN(event_s) AS first_s, MAX(event_s) AS last_s
-        FROM events GROUP BY op ORDER BY op
-        """
-    ),
+    "st_stream_dedup": _PROFILE_SQL,
+    "st_stream_dedup_bounded": _PROFILE_SQL,
 }

@@ -259,15 +259,15 @@ def _dispatch_assignments(ev: DataFrame) -> DataFrame:
 
 # --- runner ---------------------------------------------------------------
 
-_CONVERGED: dict[tuple[int, str], dict[str, str]] = {}
-_FEEDS: dict[tuple[int, str, int], str] = {}
+_CONVERGED: dict[tuple[str, str], dict[str, str]] = {}
+_FEEDS: dict[tuple[str, str, int], str] = {}
 
 
 def shared_feed(spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS) -> str:
     """One chunked feed per (session, sf_dir, n_chunks) — the feed is a
     read-only input, so every streaming consumer (lifecycle, stateful)
     can share it instead of re-materializing the event log."""
-    key = (id(spark), sf_dir, n_chunks)
+    key = (spark.sparkContext.applicationId, sf_dir, n_chunks)
     if key not in _FEEDS:
         feed = os.path.join(tempfile.mkdtemp(prefix="feed_", dir=_scratch_root()), "feed")
         _write_chunks(spark, sf_dir, feed, n_chunks)
@@ -275,15 +275,52 @@ def shared_feed(spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS) -> s
     return _FEEDS[key]
 
 
+def with_chunk(df: DataFrame, n_chunks: int) -> DataFrame:
+    """Assign each event a chunk in 1..n_chunks respecting the total
+    order (event_s, op, task_id, worker_id), WITHOUT a global
+    single-partition window (the ntile-over-unpartitioned-order form
+    this replaces funneled the whole feed through one task and spammed
+    the bench tail with WindowExec warnings). Shape: range-bucket on
+    event_s — a pure function of the value, so bucket boundaries respect
+    the order — rank within each bucket under a PARTITIONED window, then
+    fold the tiny per-bucket counts into global offsets driver-side
+    (n_buckets scalars, not data). Chunks are balanced like ntile's
+    (sizes differ by ≤1); converged streaming state is chunk-boundary
+    invariant, so the exact split points are free to differ."""
+    order_cols = ["event_s", "op", "task_id", "worker_id"]
+    n_buckets = max(n_chunks * 8, 32)
+    stats = df.agg(
+        F.min("event_s").alias("lo"), F.max("event_s").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    n_total = stats["n"]
+    if n_total == 0:
+        return df.withColumn("chunk", F.lit(1))
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    width = max((hi - lo + n_buckets) // n_buckets, 1)
+    bucketed = df.withColumn("_bkt", ((F.col("event_s") - F.lit(lo)) / F.lit(width)).cast("int"))
+    counts = {
+        r["_bkt"]: r["c"]
+        for r in bucketed.groupBy("_bkt").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.col("_bkt"),
+    )
+    rank = off + F.row_number().over(W.partitionBy("_bkt").orderBy(*order_cols))
+    chunk = (((rank - 1) * n_chunks) / F.lit(n_total)).cast("int") + 1
+    return bucketed.withColumn("chunk", F.least(chunk, F.lit(n_chunks))).drop("_bkt")
+
+
 def _write_chunks(spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int) -> None:
     """Materialize the change-feed as n time-ordered parquet files with
     strictly increasing mtimes so the file source replays history in
     order — the etcd watch's ordered delivery."""
     ev = events_df(spark, sf_dir)
-    ranked = ev.withColumn(
-        "chunk",
-        F.ntile(n_chunks).over(W.orderBy("event_s", "op", "task_id", "worker_id")),
-    )
+    ranked = with_chunk(ev, n_chunks)
     ranked = ranked.cache()
     os.makedirs(feed_dir, exist_ok=True)
     base = 1_700_000_000
@@ -380,7 +417,7 @@ def run_lifecycle(
 
 def converged_state(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Run (or reuse) the lifecycle pipeline for this session × sf_dir."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CONVERGED:
         work_dir = tempfile.mkdtemp(prefix="lifecycle_", dir=_scratch_root())
         _CONVERGED[key] = run_lifecycle(

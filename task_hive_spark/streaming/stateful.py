@@ -51,7 +51,7 @@ _EVENT_SCHEMA = (
 WATERMARK_S = 30
 WINDOW_S = 60
 
-_RAN: dict[tuple[int, str], dict[str, str]] = {}
+_RAN: dict[tuple[str, str], dict[str, str]] = {}
 
 
 def _update_counter(
@@ -76,7 +76,7 @@ def _update_counter(
 def _run_streams(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Build the chunked feed once per (session, sf_dir) and run both
     streaming jobs to completion (Trigger.AvailableNow)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _RAN:
         return _RAN[key]
     work = tempfile.mkdtemp(prefix="stateful_", dir=_scratch_root())

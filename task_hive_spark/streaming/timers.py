@@ -69,7 +69,7 @@ _EVENT_SCHEMA = (
 _STATE_SCHEMA = "rc INT, armed_ready ARRAY<BIGINT>, armed_rc ARRAY<INT>"
 _OUT_SCHEMA = "task_id STRING, ready_s BIGINT, retry_n INT"
 
-_RAN: dict[tuple[int, str], str] = {}
+_RAN: dict[tuple[str, str], str] = {}
 
 
 def _timer_fold(
@@ -147,7 +147,7 @@ def run_once(
 
 
 def _run(spark: SparkSession, sf_dir: str) -> str:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _RAN:
         work = tempfile.mkdtemp(prefix="timers_", dir=_scratch_root())
         _RAN[key] = run_once(spark, sf_dir, work, N_CHUNKS, feed=shared_feed(spark, sf_dir))

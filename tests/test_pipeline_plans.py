@@ -24,6 +24,24 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _live_plan(df) -> str:
+    """Plan text with the cached-index build subtrees stripped: the
+    toString of a plan over persisted indexes re-prints each cache's
+    OWN build plan (exchanges included) under every InMemoryTableScan,
+    which would double-count shuffles that only ever ran once."""
+    out, skip = [], None
+    for ln in _plan(df).splitlines():
+        indent = len(ln) - len(ln.lstrip(" :+-"))
+        if skip is not None:
+            if indent > skip:
+                continue
+            skip = None
+        if "InMemoryTableScan" in ln:
+            skip = indent
+        out.append(ln)
+    return "\n".join(out)
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     from task_hive_spark.operators.textops import txt_decontaminate
 
@@ -60,6 +78,21 @@ def test_jaccard_sizes_joined_broadcast(spark):
 
     plan = _plan(dd_ngram_jaccard_pairs(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_jaccard_pairs_single_live_shuffle(spark):
+    """Above the materialized postings/sizes indexes the pair query is
+    ONE shuffle (the (doc_a, doc_b) count) plus the output sort — pair
+    emission is generators over the cached postings, and both size
+    lookups broadcast from the cached sizes index. A second live hash
+    exchange would mean the inverted index is being rebuilt or the
+    scoring join shuffles the pair stream."""
+    from task_hive_spark.operators.dedup import dd_ngram_jaccard_pairs
+
+    lp = _live_plan(dd_ngram_jaccard_pairs(spark, SF_DIR))
+    assert lp.count("Exchange hashpartitioning") == 1, lp
+    assert lp.count("Exchange rangepartitioning") == 1, lp
+    assert lp.count("BroadcastHashJoin") == 2, lp
 
 
 def test_kmeans_step_conserves_population(spark):

@@ -414,6 +414,126 @@ def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILTER_MIN_TOKENS = 5  # shorter docs carry no training signal
+
+
+def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop roster a training pipeline materializes
+    before tokenization: every gate in one pass, with the FIRST failing
+    gate as the drop reason — too_short → duplicate (exact-dedup
+    canonical) → low_quality (composite score) → repetitive (Gopher
+    gates). Shape: one fingerprint-window shuffle (the dedup decision),
+    one doc_id-co-partitioned 2-gram explosion (the repetition
+    signals), joined back on doc_id; every other signal is a map-stage
+    expression. At 100 TB that is two narrow shuffles of |docs| rows —
+    the same budget the individual gates already pay."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = load_table(spark, sf_dir, "documents")
+    scored = base.select(
+        "doc_id",
+        "lang",
+        fingerprint(F.col("text")).alias("fp"),
+        ws_token_count(F.col("text")).cast("int").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    flagged = scored.withColumn(
+        "canonical_doc_id", F.min("doc_id").over(W.partitionBy("fp"))
+    )
+    d = base.where(F.length(F.trim("text")) > 0).repartition(n, "doc_id")
+    cnt = _doc_ngrams(d, 2).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    rep = cnt.groupBy("doc_id").agg((F.max("c") / F.sum("c")).alias("top2_frac_raw"))
+    ratio = d.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(ws_tokens(F.lower("text"))))
+            / F.size(ws_tokens(F.lower("text")))
+        ).alias("distinct_ratio_raw"),
+    )
+    j = flagged.join(rep, "doc_id", "left").join(ratio, "doc_id", "left")
+    # a doc with no grams (empty text) cannot be repetitive
+    repetitive = F.coalesce(
+        (F.col("top2_frac_raw") > REP_TOP2_MAX)
+        | (F.col("distinct_ratio_raw") < REP_DISTINCT_MIN),
+        F.lit(False),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < FILTER_MIN_TOKENS, "too_short")
+        .when(F.col("doc_id") != F.col("canonical_doc_id"), "duplicate")
+        .when(F.col("quality") < MIX_QUALITY_MIN, "low_quality")
+        .when(repetitive, "repetitive")
+        .otherwise("kept")
+    )
+    return (
+        j.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            reason.alias("reason"),
+            (reason == "kept").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SEQ_LEN = 512  # tokens per packed training sequence
+
+
+def txt_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: lay the corpus out in doc_id order and assign
+    every document to the fixed-size SEQ_LEN-token training bin its
+    token offset falls in — the packing bookkeeping a pretraining
+    pipeline runs when concatenating documents into context windows.
+    Output per bin: doc count, token total, and the doc_id span.
+
+    Scale shape: the token offset is a corpus-wide PREFIX SUM, computed
+    distributed — range-bucket on doc_id (bucket boundaries respect the
+    order), per-bucket token subtotals folded into bucket offsets
+    driver-side (n_buckets scalars, not data), then a PARTITIONED
+    running sum within each bucket. The naive window (SUM OVER (ORDER
+    BY doc_id) with no partition) funnels the corpus through one task;
+    this is the textbook two-pass scan fan-out, same discipline as the
+    streaming feed writer's chunk assignment."""
+    d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    t = d.select("doc_id", ws_token_count(F.col("text")).cast("long").alias("n_tokens"))
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    stats = t.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    if stats["n"] == 0:
+        return spark.createDataFrame(
+            [], "bin_id bigint, n_docs bigint, total_tokens bigint,"
+            " first_doc_id bigint, last_doc_id bigint"
+        )
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    width = max((hi - lo + n_buckets) // n_buckets, 1)
+    b = t.withColumn("_bkt", ((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("int"))
+    subtotals = {
+        r["_bkt"]: r["s"]
+        for r in b.groupBy("_bkt").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for k in sorted(subtotals):
+        offsets[k] = acc
+        acc += subtotals[k]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.col("_bkt"),
+    )
+    run = F.sum("n_tokens").over(W.partitionBy("_bkt").orderBy("doc_id"))
+    doc_offset = off + run - F.col("n_tokens")  # exclusive prefix sum
+    return (
+        b.withColumn("bin_id", F.floor(doc_offset / F.lit(SEQ_LEN)).cast("bigint"))
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("bin_id")
+    )
+
+
 QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_quality_scores": txt_quality_scores,
@@ -427,6 +547,8 @@ QUERIES = {
     "txt_decontaminate": txt_decontaminate,
     "txt_pii_scrub": txt_pii_scrub,
     "txt_length_histogram": txt_length_histogram,
+    "txt_filter_pipeline": txt_filter_pipeline,
+    "txt_sequence_pack": txt_sequence_pack,
 }
 
 # --- shared SQL fragments (mirror functions/text.py formulas) -----------
@@ -633,5 +755,73 @@ ORACLES = {
                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
                     AS BIGINT) AS total_tokens
         FROM documents GROUP BY 1, 2 ORDER BY lang, len_bucket
+        """,
+    "txt_filter_pipeline": f"""
+        WITH scored AS (
+          SELECT doc_id, lang, {_FP} AS fp,
+                 CAST({_WS_TOKENS_SAFE} AS INT) AS n_tokens,
+                 {_QUALITY} AS quality
+          FROM documents
+        ),
+        flagged AS (
+          SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_doc_id
+          FROM scored
+        ),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        g2 AS (
+          SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS gram
+          FROM toks,
+          LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t) - 1, 1))) AS i) s
+        ),
+        cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        rep AS (
+          SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top2_frac_raw FROM cnt GROUP BY 1
+        ),
+        ratio AS (
+          SELECT doc_id, len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio_raw
+          FROM toks
+        ),
+        j AS (
+          SELECT f.*, rep.top2_frac_raw, ratio.distinct_ratio_raw
+          FROM flagged f
+          LEFT JOIN rep USING (doc_id)
+          LEFT JOIN ratio USING (doc_id)
+        ),
+        reasons AS (
+          SELECT doc_id, lang, n_tokens,
+                 CASE WHEN n_tokens < {FILTER_MIN_TOKENS} THEN 'too_short'
+                      WHEN doc_id != canonical_doc_id THEN 'duplicate'
+                      WHEN quality < {MIX_QUALITY_MIN} THEN 'low_quality'
+                      WHEN COALESCE(top2_frac_raw > {REP_TOP2_MAX}
+                                    OR distinct_ratio_raw < {REP_DISTINCT_MIN},
+                                    FALSE) THEN 'repetitive'
+                      ELSE 'kept' END AS reason
+          FROM j
+        )
+        SELECT doc_id, lang, n_tokens, reason, reason = 'kept' AS keep
+        FROM reasons ORDER BY doc_id
+        """,
+    # the oracle's whole-corpus window IS the naive single-partition
+    # prefix sum the Spark side deliberately decomposes
+    "txt_sequence_pack": f"""
+        WITH t AS (
+          SELECT doc_id, CAST({_WS_TOKENS_SAFE} AS BIGINT) AS n
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        c AS (
+          SELECT doc_id, n,
+                 SUM(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off
+          FROM t
+        )
+        SELECT CAST(FLOOR(off / {SEQ_LEN}.0) AS BIGINT) AS bin_id,
+               COUNT(*) AS n_docs,
+               SUM(n) AS total_tokens,
+               MIN(doc_id) AS first_doc_id,
+               MAX(doc_id) AS last_doc_id
+        FROM c GROUP BY 1 ORDER BY 1
         """,
 }

@@ -80,6 +80,8 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # keep CPU-dense small-byte stages cluster-wide (see session.py)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    # keep the 128-field MinHash aggregate inside whole-stage codegen
+    spark.conf.set("spark.sql.codegen.maxFields", "256")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

@@ -44,6 +44,11 @@ def get_spark(app_name: str = "task_hive_spark", extra_conf: dict | None = None)
         # recompile (measured: same query 1.5s isolated vs 3.5s at the
         # tail of a long suite)
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # the K=128 MinHash signature aggregate carries 128 buffer
+        # fields; the default maxFields=100 silently drops such plans
+        # out of whole-stage codegen into interpreted aggregation
+        # (measured 13.6s vs 2.0s on the signature build at sf0.1)
+        .config("spark.sql.codegen.maxFields", "256")
         # Driver fixtures use parquet TIMESTAMP(NANOS); read as long and
         # convert to micros in sources.fixtures.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

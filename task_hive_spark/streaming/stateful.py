@@ -1,6 +1,6 @@
 """Per-key stateful streaming + event-time windowing over the change-feed.
 
-Two Structured Streaming patterns the foreachBatch lifecycle
+Three Structured Streaming patterns the foreachBatch lifecycle
 (lifecycle.py) deliberately does not use, exercised here over the SAME
 scripted feed (events.py) so the driver's batch oracle can grade their
 converged output:
@@ -18,6 +18,11 @@ converged output:
   (the late-data bound), append mode. Only windows the final watermark
   has closed are emitted — the oracle mirrors that cutoff
   arithmetically, so the result is deterministic and hash-checkable.
+- ``st_session_windows`` — dynamic-gap session windows
+  (``F.session_window``): one session per burst of a worker's activity,
+  closed after SESSION_GAP_S idle; the state store merges windows as
+  later chunks arrive and the oracle mirrors the merge with a
+  gaps-and-islands window over the same feed.
 
 Scale shape: both operators shuffle once on their grouping key
 (worker_id / window+op) and keep per-key state O(1); at a real event
@@ -50,6 +55,7 @@ _EVENT_SCHEMA = (
 )
 WATERMARK_S = 30
 WINDOW_S = 60
+SESSION_GAP_S = 120  # worker-activity session: new session after 120 s idle
 
 _RAN: dict[tuple[str, str], dict[str, str]] = {}
 
@@ -95,6 +101,7 @@ def run_once(
     out = {
         "counter": os.path.join(work, "counter"),
         "windows": os.path.join(work, "windows"),
+        "sessions": os.path.join(work, "sessions"),
     }
 
     src = (
@@ -142,8 +149,36 @@ def run_once(
         .trigger(availableNow=True)
         .start()
     )
+    # Session windows (dynamic-gap event-time windows): one session per
+    # burst of a worker's activity, closed after SESSION_GAP_S idle.
+    # The state store merges windows as later chunks arrive; append mode
+    # emits a session once the watermark passes its end (last event +
+    # gap), so the converged set is chunk-invariant and the oracle can
+    # mirror it with a gaps-and-islands window.
+    sessions = (
+        src.where(F.col("worker_id").isNotNull())
+        .withColumn("ts", F.timestamp_seconds("event_s"))
+        .withWatermark("ts", f"{WATERMARK_S} seconds")
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds"), "worker_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").cast("long").alias("session_start"),
+            F.col("session_window.end").cast("long").alias("session_end"),
+            "worker_id",
+            "n_events",
+        )
+    )
+    q3 = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out["sessions"])
+        .option("checkpointLocation", os.path.join(work, "ckpt_sessions"))
+        .trigger(availableNow=True)
+        .start()
+    )
     q1.awaitTermination()
     q2.awaitTermination()
+    q3.awaitTermination()
     return out
 
 
@@ -170,9 +205,19 @@ def st_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "op")
 
 
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged worker-activity sessions (dynamic-gap session windows):
+    every session the final watermark closed."""
+    out = _run_streams(spark, sf_dir)
+    return spark.read.parquet(out["sessions"]).select(
+        "session_start", "session_end", "worker_id", "n_events"
+    ).orderBy("worker_id", "session_start")
+
+
 QUERIES = {
     "st_worker_counter_stateful": st_worker_counter_stateful,
     "st_windowed_throughput": st_windowed_throughput,
+    "st_session_windows": st_session_windows,
 }
 
 ORACLES = {
@@ -206,6 +251,44 @@ ORACLES = {
         WHERE window_start + {WINDOW_S}
               <= (SELECT MAX(event_s) FROM events) - {WATERMARK_S}
         ORDER BY window_start, op
+        """
+    ),
+    # Gaps-and-islands mirror of the session-window state machine: a new
+    # island when the per-worker gap reaches SESSION_GAP_S (Spark's
+    # session interval is half-open — an event exactly gap seconds later
+    # opens a NEW session); session end = last event + gap; append mode
+    # emits sessions the final watermark (max − WATERMARK_S) closed.
+    "st_session_windows": oracle_events_cte(
+        f"""
+        WITH we AS (
+          SELECT worker_id, event_s FROM events WHERE worker_id IS NOT NULL
+        ),
+        d AS (
+          SELECT worker_id, event_s,
+                 CASE WHEN event_s - LAG(event_s) OVER
+                        (PARTITION BY worker_id ORDER BY event_s)
+                      >= {SESSION_GAP_S}
+                      OR LAG(event_s) OVER
+                        (PARTITION BY worker_id ORDER BY event_s) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+          FROM we
+        ),
+        s AS (
+          SELECT worker_id, event_s,
+                 SUM(brk) OVER (PARTITION BY worker_id ORDER BY event_s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM d
+        ),
+        agg AS (
+          SELECT MIN(event_s) AS session_start,
+                 MAX(event_s) + {SESSION_GAP_S} AS session_end,
+                 worker_id, COUNT(*) AS n_events
+          FROM s GROUP BY worker_id, sid
+        )
+        SELECT session_start, session_end, worker_id, n_events
+        FROM agg
+        WHERE session_end <= (SELECT MAX(event_s) FROM events) - {WATERMARK_S}
+        ORDER BY worker_id, session_start
         """
     ),
 }

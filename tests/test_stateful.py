@@ -28,14 +28,26 @@ def _converged_counter(spark, out_dir):
     }
 
 
+def _session_set(spark, out_dir):
+    return {
+        (r["worker_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+
 def test_counter_invariant_to_batching(spark, sf_dir):
-    results = []
+    counters, sessions = [], []
     for n_chunks in (1, 5):
         work = tempfile.mkdtemp(prefix=f"stateful_test{n_chunks}_", dir=_scratch_root())
         out = stateful.run_once(spark, sf_dir, work, n_chunks)
-        results.append(_converged_counter(spark, out["counter"]))
-    assert results[0] == results[1]
-    assert len(results[0]) == 4  # lw0..lw3 all saw assign/complete/fail events
+        counters.append(_converged_counter(spark, out["counter"]))
+        sessions.append(_session_set(spark, out["sessions"]))
+    assert counters[0] == counters[1]
+    assert len(counters[0]) == 4  # lw0..lw3 all saw assign/complete/fail events
+    # session-window state merges across micro-batches: the emitted
+    # session set must not depend on where chunk boundaries fell
+    assert sessions[0] == sessions[1]
+    assert sessions[0]
 
 
 def test_counter_is_net_inflight(spark, sf_dir):

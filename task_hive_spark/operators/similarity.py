@@ -492,6 +492,74 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Product quantization geometry: M subspaces × K codes over DIM dims.
+# The codebook is a seeded deterministic stand-in (production trains
+# per-subspace k-means on a sample — the assignment pipeline is
+# identical); entries are exact multiples of 1/64 so (x − c) is a
+# single-rounding double in both engines.
+PQ_M = 4
+PQ_K = 16
+PQ_SUBDIM = DIM // PQ_M
+
+
+def _pq_codebook() -> list[tuple[int, int, int, float]]:
+    rows = []
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            for d in range(PQ_SUBDIM):
+                h = hashlib.md5(f"pq{m}-{k}-{d}".encode()).hexdigest()
+                rows.append((m, k, d, (int(h[:4], 16) % 65 - 32) / 64.0))
+    return rows
+
+
+PQ_BOOK = _pq_codebook()
+
+
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes per embedding — the M-byte compressed
+    representation an IVF-PQ serving tier stores instead of the raw
+    vector (Jégou et al. 2011): split each vector into PQ_M subvectors,
+    assign each subvector its nearest codebook entry by squared L2, and
+    report the code tuple plus the total reconstruction error.
+
+    Shape: posexplode → broadcast codebook join (PQ_K-way fan-out per
+    element) → three aggregations, ALL exchange-free on top of the
+    vec_id repartition (each groupBy key set contains vec_id). Argmin
+    ties break deterministically by code via the (d2, code) struct-min
+    — mirrored in the oracle with a (d2, code)-ordered row_number."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = load_table(spark, sf_dir, "embeddings").repartition(n, "vec_id")
+    x = e.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
+        "vec_id",
+        (F.col("pos") / PQ_SUBDIM).cast("int").alias("sub"),
+        (F.col("pos") % PQ_SUBDIM).cast("int").alias("d"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    book = spark.createDataFrame(PQ_BOOK, "sub int, code int, d int, c double")
+    dist = (
+        x.join(F.broadcast(book), ["sub", "d"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    best = dist.groupBy("vec_id", "sub").agg(F.min(F.struct("d2", "code")).alias("b"))
+    per = best.select(
+        "vec_id", "sub", F.col("b.code").alias("code"), F.col("b.d2").alias("d2")
+    )
+    return (
+        per.groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == m, F.col("code")))
+                .cast("int")
+                .alias(f"code_{m}")
+                for m in range(PQ_M)
+            ],
+            F.round(F.sum("d2"), 6).alias("recon_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "sim_topk_brute": sim_topk_brute,
     "sim_topk_lsh": sim_topk_lsh,
@@ -500,6 +568,7 @@ QUERIES = {
     "dd_embedding_cosine_pairs": dd_embedding_cosine_pairs,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_kmeans_step": sim_kmeans_step,
+    "sim_pq_codes": sim_pq_codes,
 }
 
 # --- oracle SQL ----------------------------------------------------------
@@ -714,3 +783,38 @@ ORACLES = {
         FROM q ORDER BY vec_id
         """,
 }
+
+_PQ_BOOK_VALUES = ",\n          ".join(
+    f"({m}, {k}, {d}, {c!r})" for (m, k, d, c) in PQ_BOOK
+)
+
+ORACLES["sim_pq_codes"] = f"""
+    WITH de AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id,
+             CAST((i - 1) // {PQ_SUBDIM} AS INT) AS sub,
+             CAST((i - 1) % {PQ_SUBDIM} AS INT) AS d,
+             v[i] AS x
+      FROM de, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) s
+    ),
+    book(sub, code, d, c) AS (VALUES
+          {_PQ_BOOK_VALUES}
+    ),
+    dist AS (
+      SELECT vec_id, sub, code, SUM((x - c) * (x - c)) AS d2
+      FROM x JOIN book USING (sub, d) GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT vec_id, sub, code, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      FROM dist
+    ),
+    per AS (SELECT vec_id, sub, code, d2 FROM best WHERE rn = 1)
+    SELECT vec_id,
+           {', '.join(f'CAST(MAX(CASE WHEN sub = {m} THEN code END) AS INT) AS code_{m}' for m in range(PQ_M))},
+           ROUND(SUM(d2), 6) AS recon_err
+    FROM per GROUP BY vec_id ORDER BY vec_id
+    """

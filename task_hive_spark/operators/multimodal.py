@@ -230,10 +230,75 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.orderBy("asset_id", "frame_idx")
 
 
+MM_SEGMENT_MS = 60_000  # audio segmentation window (1 minute)
+
+
+def _audio_segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: segment each audio clip into MM_SEGMENT_MS
+    windows and checksum the proportional byte span of each segment
+    (the production stage hands each span to the audio codec /
+    feature extractor; the fake decode keeps the span arithmetic
+    honest)."""
+    for pdf in batches:
+        rows = []
+        for asset_id, content, duration_ms in zip(
+            pdf["asset_id"], pdf["content"], pdf["duration_ms"]
+        ):
+            n_bytes = len(content)
+            if n_bytes == 0:
+                continue
+            dur = int(duration_ms)
+            n_segs = max(1, -(-dur // MM_SEGMENT_MS))  # ceil
+            for i in range(n_segs):
+                lo = i * n_bytes // n_segs
+                hi = (i + 1) * n_bytes // n_segs
+                rows.append(
+                    (
+                        asset_id,
+                        i,
+                        i * MM_SEGMENT_MS,
+                        min((i + 1) * MM_SEGMENT_MS, dur),
+                        hi - lo,
+                        sum(content[lo:hi]) % CHECKSUM_MOD,
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id", "seg_idx", "seg_start_ms", "seg_end_ms",
+                "n_bytes", "seg_checksum",
+            ],
+        )
+
+
+_SEGMENT_SCHEMA = (
+    "asset_id bigint, seg_idx int, seg_start_ms bigint, seg_end_ms bigint,"
+    " n_bytes int, seg_checksum int"
+)
+
+
+def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation over the binary column: fixed MM_SEGMENT_MS
+    event-time windows per clip, each carrying its proportional byte
+    span and a real byte checksum. Only audio rows with content reach
+    Python (pushed filters); fan-out is duration-bounded (≤10 segments
+    per clip at the fixture's 600 s cap) — an embarrassingly parallel
+    map stage with no shuffle, the audio twin of mm_frame_sample."""
+    register_fixture_views(spark, sf_dir)
+    flat = spark.sql(ASSETS_SQL).where(
+        (F.col("kind") == "audio") & F.col("content").isNotNull()
+    )
+    segmented = flat.select("asset_id", "content", "duration_ms").mapInPandas(
+        _audio_segment_batches, schema=_SEGMENT_SCHEMA
+    )
+    return segmented.orderBy("asset_id", "seg_idx")
+
+
 QUERIES = {
     "mm_catalog_stats": mm_catalog_stats,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample": mm_frame_sample,
+    "mm_audio_segments": mm_audio_segments,
 }
 
 # --- oracle SQL ----------------------------------------------------------
@@ -309,3 +374,35 @@ ORACLES = {
         """
     ),
 }
+
+# byte j (0-based) of content = hex pair (j % 16) of the repeated md5
+_SEG_BYTE = (
+    f"16 * {_HEXV.format(c='substr(m, 2 * (j % 16) + 1, 1)')}"
+    f" + {_HEXV.format(c='substr(m, 2 * (j % 16) + 2, 1)')}"
+)
+
+ORACLES["mm_audio_segments"] = _oracle_assets_cte(
+    f"""
+    , au AS (
+      SELECT asset_id, duration_ms,
+             md5('asset-' || CAST(asset_id AS STRING)) AS m,
+             CAST(16 * (1 + asset_id % 4) AS INT) AS n_total,
+             CAST(CEIL(duration_ms / {MM_SEGMENT_MS}.0) AS INT) AS n_segs
+      FROM assets WHERE kind = 'audio' AND content IS NOT NULL
+    ),
+    segs AS (
+      SELECT asset_id, duration_ms, m, CAST(i AS INT) AS seg_idx,
+             CAST(i * n_total // n_segs AS INT) AS lo,
+             CAST((i + 1) * n_total // n_segs AS INT) AS hi
+      FROM au, LATERAL (SELECT unnest(generate_series(0, n_segs - 1)) AS i) s
+    )
+    SELECT asset_id, seg_idx,
+           CAST(seg_idx * {MM_SEGMENT_MS} AS BIGINT) AS seg_start_ms,
+           CAST(LEAST((seg_idx + 1) * {MM_SEGMENT_MS}, duration_ms) AS BIGINT)
+             AS seg_end_ms,
+           CAST(hi - lo AS INT) AS n_bytes,
+           CAST(list_sum(list_transform(generate_series(lo, hi - 1),
+                j -> {_SEG_BYTE})) % {CHECKSUM_MOD} AS INT) AS seg_checksum
+    FROM segs ORDER BY asset_id, seg_idx
+    """
+)

@@ -137,3 +137,37 @@ def test_frame_sample_bounded_fanout(spark):
     df = mm_frame_sample(spark, SF_DIR)
     per_asset = df.groupBy("asset_id").count().agg(F.max("count")).first()[0]
     assert per_asset <= MM_FRAME_COUNT
+
+
+def test_sequence_pack_distributed_prefix_sum(spark):
+    """The corpus-wide token prefix sum must never funnel through a
+    single-partition window: every window in the plan carries a
+    partitionBy (the range bucket), and bins must tile the corpus —
+    token totals conserved, every bin except possibly the last holding
+    ≥ SEQ_LEN tokens' worth of starting offset coverage."""
+    from task_hive_spark.operators.textops import SEQ_LEN, txt_sequence_pack
+    from task_hive_spark.sources.fixtures import load_table
+    from task_hive_spark.functions.text import ws_token_count
+
+    df = txt_sequence_pack(spark, SF_DIR)
+    plan = _plan(df)
+    # an unpartitioned window prints 'windowspecdefinition(<sort-only>'
+    # with no partition expressions before the ASC marker — assert via
+    # the physical Window nodes instead: each must partition on _bkt
+    for ln in plan.splitlines():
+        if "Window " in ln and "windowspecdefinition" in ln:
+            assert "_bkt" in ln, f"unpartitioned window in plan:\n{ln}"
+    rows = df.collect()
+    total = (
+        load_table(spark, SF_DIR, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .select(ws_token_count(F.col("text")).cast("long").alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert sum(r["total_tokens"] for r in rows) == total
+    assert [r["bin_id"] for r in rows] == sorted(r["bin_id"] for r in rows)
+    # bins are dense: 0..max with no gaps (every SEQ_LEN offset stripe
+    # that contains at least one doc start appears; doc sizes < SEQ_LEN
+    # in the fixtures so no stripe is skipped)
+    assert rows[0]["bin_id"] == 0

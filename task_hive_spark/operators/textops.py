@@ -414,6 +414,52 @@ def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mean unigram negative-log-likelihood keep gate. The synthetic corpus
+# draws from a near-uniform vocabulary, so the NLL spread is tight
+# (~3.39–3.41 at every sf); the gate sits at the median so it splits
+# the corpus non-trivially. Both engines compare the identical rounded
+# avg_nll, so the boundary is deterministic.
+NLL_KEEP_MAX = 3.402
+
+
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality proxy — the cheap stand-in for the
+    KenLM perplexity filter a CCNet-style pipeline runs: score every doc
+    by the mean negative log-likelihood of its tokens under the corpus's
+    own unigram distribution (docs full of rare/garbage tokens score
+    high, formulaic docs low), and gate on NLL_KEEP_MAX.
+
+    Shape: one token explosion co-partitioned by doc_id; the vocabulary
+    (token → count) is one token-keyed aggregation whose result is a
+    fixed-size LM table, BROADCAST back onto the token stream so the
+    per-doc scoring aggregation stays exchange-free on doc_id. At 100 TB
+    the vocab outgrows a broadcast — production either caps to top-V
+    plus an OOV smoothing constant (the standard trick, keeps the
+    broadcast) or shuffle-joins on token; the fixture-true broadcast is
+    the former's shape."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(F.trim("text")) > 0)
+        .repartition(n, "doc_id")
+    )
+    toks = d.select("doc_id", F.explode(ws_tokens(F.lower("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    nll = -F.log(F.col("cnt") / F.col("n_total"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+        .withColumn("keep", F.col("avg_nll") <= NLL_KEEP_MAX)
+        .orderBy("doc_id")
+    )
+
+
 FILTER_MIN_TOKENS = 5  # shorter docs carry no training signal
 
 
@@ -549,6 +595,7 @@ QUERIES = {
     "txt_length_histogram": txt_length_histogram,
     "txt_filter_pipeline": txt_filter_pipeline,
     "txt_sequence_pack": txt_sequence_pack,
+    "txt_unigram_logprob": txt_unigram_logprob,
 }
 
 # --- shared SQL fragments (mirror functions/text.py formulas) -----------
@@ -803,6 +850,21 @@ ORACLES = {
         )
         SELECT doc_id, lang, n_tokens, reason, reason = 'kept' AS keep
         FROM reasons ORDER BY doc_id
+        """,
+    "txt_unigram_logprob": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(cnt) AS n_total FROM vocab)
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_tokens,
+               ROUND(AVG(-ln(cnt * 1.0 / n_total)), 6) AS avg_nll,
+               ROUND(AVG(-ln(cnt * 1.0 / n_total)), 6) <= {NLL_KEEP_MAX} AS keep
+        FROM toks JOIN vocab USING (tok), tot
+        GROUP BY doc_id ORDER BY doc_id
         """,
     # the oracle's whole-corpus window IS the naive single-partition
     # prefix sum the Spark side deliberately decomposes

@@ -20,11 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 # (Re-pointed each round: r2 → r3 → …, per VERDICT "evidence rotates".)
 #
 # The front set must be ≤ 50 (the driver's grading window). Round 4 has
-# 48 r02-graded queries + 7 new operators = 55 candidates; the three
-# processors.py queries and the two r02 multimodal queries are
-# deprioritized to the back — all five were independently re-verified by
-# the round-3 judge (their r02 grades re-checked by hand), so they carry
-# the strongest evidence of the overflow candidates.
+# 48 r02-graded queries + 8 new operators = 56 candidates; six are
+# deprioritized to the back: the three processors.py queries and the two
+# r02 multimodal queries were independently re-verified by the round-3
+# judge (their r02 grades re-checked by hand), and th_stats is the
+# entry() flagship the driver smoke-checks every round regardless — so
+# these six carry the strongest evidence of the overflow candidates.
 _GRADED_R3 = frozenset(
     {
         "xp_dispatch_results",
@@ -32,6 +33,7 @@ _GRADED_R3 = frozenset(
         "th_unknown_type_failed",
         "mm_catalog_stats",
         "mm_decode_features",
+        "th_stats",
         "dd_chunk_dedup",
         "dd_duplicate_clusters",
         "dd_embedding_cosine_pairs",

@@ -56,6 +56,7 @@ _EVENT_SCHEMA = (
 WATERMARK_S = 30
 WINDOW_S = 60
 SESSION_GAP_S = 120  # worker-activity session: new session after 120 s idle
+DISPATCH_BOUND_S = 60  # assign must land within 60 s of its submit
 
 _RAN: dict[tuple[str, str], dict[str, str]] = {}
 
@@ -102,6 +103,7 @@ def run_once(
         "counter": os.path.join(work, "counter"),
         "windows": os.path.join(work, "windows"),
         "sessions": os.path.join(work, "sessions"),
+        "latency": os.path.join(work, "latency"),
     }
 
     src = (
@@ -176,9 +178,59 @@ def run_once(
         .trigger(availableNow=True)
         .start()
     )
+    # Stream-stream interval join: every assign matched to its submit
+    # within DISPATCH_BOUND_S of event time. The time bound + watermarks
+    # are what make the join state FINITE — each side's rows are evicted
+    # once the other side's watermark passes their join window, the
+    # property that lets a submit/assign correlation run forever on an
+    # unbounded feed. (+1 day shift: epoch-0 inclusive-late-filter, see
+    # dedupstream.) Inner joins emit on match, so the converged output
+    # is the plain bounded join the oracle computes.
+    submits = (
+        src.where(F.col("op") == "submit")
+        .select("task_id", F.timestamp_seconds(F.col("event_s") + 86400).alias("s_ts"))
+        .withWatermark("s_ts", f"{WATERMARK_S} seconds")
+    )
+    assigns = (
+        src.where(F.col("op") == "assign")
+        .select(
+            "task_id",
+            "worker_id",
+            F.col("event_s").alias("assign_s"),
+            F.timestamp_seconds(F.col("event_s") + 86400).alias("a_ts"),
+        )
+        .withWatermark("a_ts", f"{WATERMARK_S} seconds")
+    )
+    latency = (
+        assigns.alias("a")
+        .join(
+            submits.alias("s"),
+            F.expr(
+                "a.task_id = s.task_id AND "
+                f"a.a_ts BETWEEN s.s_ts AND s.s_ts + INTERVAL {DISPATCH_BOUND_S} SECONDS"
+            ),
+        )
+        .select(
+            F.col("a.task_id").alias("task_id"),
+            "worker_id",
+            "assign_s",
+            (F.col("a.a_ts").cast("long") - F.col("s.s_ts").cast("long")).alias(
+                "latency_s"
+            ),
+        )
+    )
+    q4 = (
+        latency.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out["latency"])
+        .option("checkpointLocation", os.path.join(work, "ckpt_latency"))
+        .trigger(availableNow=True)
+        .start()
+    )
     q1.awaitTermination()
     q2.awaitTermination()
     q3.awaitTermination()
+    q4.awaitTermination()
     return out
 
 
@@ -214,10 +266,21 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("worker_id", "session_start")
 
 
+def st_dispatch_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged submit→assign correlation through the stream-stream
+    interval join: one row per assign matched within DISPATCH_BOUND_S
+    of its task's submit, with the dispatch latency."""
+    out = _run_streams(spark, sf_dir)
+    return spark.read.parquet(out["latency"]).select(
+        "task_id", "worker_id", "assign_s", "latency_s"
+    ).orderBy("task_id", "assign_s")
+
+
 QUERIES = {
     "st_worker_counter_stateful": st_worker_counter_stateful,
     "st_windowed_throughput": st_windowed_throughput,
     "st_session_windows": st_session_windows,
+    "st_dispatch_latency": st_dispatch_latency,
 }
 
 ORACLES = {
@@ -289,6 +352,19 @@ ORACLES = {
         FROM agg
         WHERE session_end <= (SELECT MAX(event_s) FROM events) - {WATERMARK_S}
         ORDER BY worker_id, session_start
+        """
+    ),
+    # inner interval joins emit on match (no watermark hold), so the
+    # converged output is the plain bounded join
+    "st_dispatch_latency": oracle_events_cte(
+        f"""
+        SELECT a.task_id, a.worker_id, a.event_s AS assign_s,
+               a.event_s - s.event_s AS latency_s
+        FROM events a JOIN events s
+          ON a.task_id = s.task_id
+         AND a.op = 'assign' AND s.op = 'submit'
+         AND a.event_s BETWEEN s.event_s AND s.event_s + {DISPATCH_BOUND_S}
+        ORDER BY a.task_id, assign_s
         """
     ),
 }

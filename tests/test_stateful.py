@@ -36,18 +36,28 @@ def _session_set(spark, out_dir):
 
 
 def test_counter_invariant_to_batching(spark, sf_dir):
-    counters, sessions = [], []
+    counters, sessions, latencies = [], [], []
     for n_chunks in (1, 5):
         work = tempfile.mkdtemp(prefix=f"stateful_test{n_chunks}_", dir=_scratch_root())
         out = stateful.run_once(spark, sf_dir, work, n_chunks)
         counters.append(_converged_counter(spark, out["counter"]))
         sessions.append(_session_set(spark, out["sessions"]))
+        latencies.append(
+            {
+                (r["task_id"], r["worker_id"], r["assign_s"], r["latency_s"])
+                for r in spark.read.parquet(out["latency"]).collect()
+            }
+        )
     assert counters[0] == counters[1]
     assert len(counters[0]) == 4  # lw0..lw3 all saw assign/complete/fail events
     # session-window state merges across micro-batches: the emitted
     # session set must not depend on where chunk boundaries fell
     assert sessions[0] == sessions[1]
     assert sessions[0]
+    # stream-stream join: a submit and its assign can land in different
+    # micro-batches; the buffered-state join must still match them
+    assert latencies[0] == latencies[1]
+    assert latencies[0]
 
 
 def test_counter_is_net_inflight(spark, sf_dir):

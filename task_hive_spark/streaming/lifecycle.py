@@ -311,8 +311,21 @@ def with_chunk(df: DataFrame, n_chunks: int) -> DataFrame:
         F.col("_bkt"),
     )
     rank = off + F.row_number().over(W.partitionBy("_bkt").orderBy(*order_cols))
-    chunk = (((rank - 1) * n_chunks) / F.lit(n_total)).cast("int") + 1
-    return bucketed.withColumn("chunk", F.least(chunk, F.lit(n_chunks))).drop("_bkt")
+    # exact ntile numbering: the first (n % k) chunks hold ceil(n/k)
+    # rows, the rest floor(n/k) — consecutive chunk ids even when rows
+    # < chunks (a rank-stripe formula left gaps there, found by the
+    # hypothesis property test)
+    q, r = divmod(n_total, n_chunks)
+    if q == 0:
+        chunk = rank.cast("int")
+    else:
+        head = r * (q + 1)
+        chunk = (
+            F.when(rank <= head, ((rank - 1) / F.lit(q + 1)).cast("int") + 1)
+            .otherwise(F.lit(r) + ((rank - head - 1) / F.lit(q)).cast("int") + 1)
+            .cast("int")
+        )
+    return bucketed.withColumn("chunk", chunk).drop("_bkt")
 
 
 def _write_chunks(spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int) -> None:

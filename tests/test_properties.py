@@ -101,6 +101,41 @@ def test_minhash_constants_mirrored_in_oracle_sql():
         assert 1 <= _MH_A[i] < _MH_P and 0 <= _MH_B[i] < _MH_P
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=120
+    ),
+    st.sampled_from([1, 3, 7]),
+)
+def test_with_chunk_matches_naive_ntile_properties(spark, times, k):
+    """The distributed chunk assignment (range buckets + partitioned
+    rank + driver-folded offsets) must behave like the naive global
+    ntile for ANY event-time distribution — including all-equal values,
+    heavy duplicates, and extreme skew: chunk sizes balanced within 1,
+    total preserved, and chunk boundaries monotone in the total order."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.streaming.lifecycle import with_chunk
+
+    df = spark.createDataFrame(
+        [(t, "op", f"t{i}", "w") for i, t in enumerate(times)],
+        "event_s bigint, op string, task_id string, worker_id string",
+    )
+    ch = with_chunk(df, k).select("event_s", "op", "task_id", "worker_id", "chunk")
+    rows = ch.collect()
+    assert len(rows) == len(times)
+    sizes = {}
+    for r in rows:
+        sizes[r["chunk"]] = sizes.get(r["chunk"], 0) + 1
+    assert set(sizes) == set(range(1, min(k, len(times)) + 1))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # boundaries respect the (event_s, op, task_id, worker_id) order
+    ordered = sorted(rows, key=lambda r: (r["event_s"], r["op"], r["task_id"], r["worker_id"]))
+    chunks_in_order = [r["chunk"] for r in ordered]
+    assert chunks_in_order == sorted(chunks_in_order)
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=50))
 def test_minhash_family_range_and_determinism(spark, xs):

@@ -18,6 +18,7 @@ from task_hive_spark.functions.text import (
     ws_token_count,
     ws_tokens,
 )
+from task_hive_spark.materialize import session_index
 from task_hive_spark.sources.fixtures import load_table
 
 
@@ -444,7 +445,14 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n, "doc_id")
     )
     toks = d.select("doc_id", F.explode(ws_tokens(F.lower("text"))).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+
+    # the unigram LM table is a session index (fixed vocab-sized output,
+    # every scoring consumer shares it) — without it the token explosion
+    # runs twice in one plan: once to build the vocab, once to probe it
+    def build_vocab() -> DataFrame:
+        return toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+
+    vocab = session_index(spark, sf_dir, "unigram_vocab", build_vocab)
     total = vocab.agg(F.sum("cnt").alias("n_total"))
     nll = -F.log(F.col("cnt") / F.col("n_total"))
     return (

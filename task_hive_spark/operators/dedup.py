@@ -567,6 +567,35 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate rate per source — the report a dedup pipeline ends
+    with (how much of each provider's data is redundant). Joins the
+    duplicate-cluster membership (simhash near-pair connected
+    components) back to the base documents' source labels; augmented
+    corpus ids map to their base doc via doc_id % 100000. The cluster
+    membership is tiny relative to the corpus (only near-dups), so the
+    flagging join broadcasts; the source lookup is a narrow dim join."""
+    members = dd_duplicate_clusters(spark, sf_dir).select("doc_id", F.lit(1).alias("dup"))
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source"
+    )
+    labeled = (
+        corpus_df(spark, sf_dir)
+        .select("doc_id", (F.col("doc_id") % 100000).alias("base_id"))
+        .join(src, "base_id")
+        .join(F.broadcast(members), "doc_id", "left")
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("dup").alias("n_near_dup"),
+            F.round(F.count("dup") / F.count("*"), 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "dd_exact_groups": dd_exact_groups,
     "dd_exact_keep_list": dd_exact_keep_list,
@@ -577,6 +606,7 @@ QUERIES = {
     "dd_simhash_near_pairs": dd_simhash_near_pairs,
     "dd_duplicate_clusters": dd_duplicate_clusters,
     "dd_chunk_dedup": dd_chunk_dedup,
+    "dd_dup_rate_by_source": dd_dup_rate_by_source,
 }
 
 # --- oracle SQL ----------------------------------------------------------
@@ -808,4 +838,18 @@ ORACLES["dd_duplicate_clusters"] = f"""WITH RECURSIVE corpus AS ({CORPUS_SQL}),
 SELECT cluster_id, doc AS doc_id, cluster_size
 FROM cc JOIN csizes USING (cluster_id)
 ORDER BY cluster_id, doc_id
+"""
+
+ORACLES["dd_dup_rate_by_source"] = f"""WITH RECURSIVE corpus AS ({CORPUS_SQL}),
+{_NEAR_PAIRS_CHAIN},
+members AS (SELECT DISTINCT doc AS doc_id FROM cc)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       COUNT(m.doc_id) AS n_near_dup,
+       ROUND(COUNT(m.doc_id) * 1.0 / COUNT(*), 6) AS dup_rate
+FROM corpus c
+JOIN documents d ON c.doc_id % 100000 = d.doc_id
+LEFT JOIN members m ON c.doc_id = m.doc_id
+GROUP BY d.source
+ORDER BY d.source
 """

@@ -16,6 +16,11 @@ def spark():
 
     s = get_spark("pytest")
     yield s
+    # unpersist the session-materialized indexes (signatures, bandings,
+    # vocab) — the teardown hook materialize.clear_indexes exists for
+    from task_hive_spark.materialize import clear_indexes
+
+    clear_indexes(s)
 
 
 @pytest.fixture(scope="session")

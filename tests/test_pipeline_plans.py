@@ -80,6 +80,30 @@ def test_jaccard_sizes_joined_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_unigram_logprob_single_live_traversal(spark):
+    """The vocab is a materialized session index: the live plan must
+    traverse the token explosion ONCE (one doc_id hash exchange), with
+    the vocab probed via broadcast and the scalar total as the only
+    single-partition exchange."""
+    from task_hive_spark.operators.textops import txt_unigram_logprob
+
+    lp = _live_plan(txt_unigram_logprob(spark, SF_DIR))
+    assert lp.count("Exchange hashpartitioning") == 1, lp
+    assert lp.count("Exchange SinglePartition") == 1, lp
+    assert lp.count("BroadcastHashJoin") == 1, lp
+
+
+def test_pq_codes_exchange_free_aggregations(spark):
+    """Every PQ aggregation keys on vec_id (or a superset), so the only
+    hash exchange is the vec_id repartition; the codebook joins
+    broadcast."""
+    from task_hive_spark.operators.similarity import sim_pq_codes
+
+    lp = _live_plan(sim_pq_codes(spark, SF_DIR))
+    assert lp.count("Exchange hashpartitioning") == 1, lp
+    assert lp.count("BroadcastHashJoin") == 1, lp
+
+
 def test_jaccard_pairs_single_live_shuffle(spark):
     """Above the materialized postings/sizes indexes the pair query is
     ONE shuffle (the (doc_a, doc_b) count) plus the output sort — pair

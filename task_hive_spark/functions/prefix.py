@@ -1,0 +1,66 @@
+"""Distributed prefix sums without a single-partition window.
+
+A corpus-wide running total (row rank for chunk assignment, token
+offset for sequence packing) naively needs ``SUM() OVER (ORDER BY …)``
+with no partition — which funnels the whole dataset through one task.
+The scalable shape is the textbook two-pass scan fan-out:
+
+1. range-bucket on the leading order column — bucket boundaries are a
+   pure function of the value, so they respect the order;
+2. aggregate each bucket's subtotal and fold the n_buckets scalars into
+   exclusive bucket offsets driver-side (scalars, not data);
+3. each row's global prefix = its bucket's offset + a PARTITIONED
+   running aggregate within the bucket.
+
+Consumers: ``streaming.lifecycle.with_chunk`` (row ranks → ntile
+numbering, hypothesis-property-tested) and
+``operators.textops.txt_sequence_pack`` (token offsets → training
+bins). Both ride this one implementation so edge-case fixes (empty
+input, width clamp, offset fold) land in a single place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def bucketed_prefix(
+    df: DataFrame,
+    value_col: str,
+    weight: Column | None = None,
+    n_buckets: int = 32,
+) -> tuple[DataFrame, Column | None, int]:
+    """Range-bucket ``df`` on integer column ``value_col`` and return
+    ``(bucketed, off, total)``: ``bucketed`` carries a ``_bkt`` column,
+    ``off`` is the exclusive prefix total of ``weight`` over all
+    earlier buckets (``weight=None`` counts rows), and ``total`` is the
+    grand total. The caller adds its own within-bucket running
+    aggregate partitioned by ``_bkt``. Empty input returns
+    ``(df, None, 0)``."""
+    w = weight if weight is not None else F.lit(1)
+    stats = df.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.sum(w).alias("tot"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        return df, None, 0
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    width = max((hi - lo + n_buckets) // n_buckets, 1)
+    bucketed = df.withColumn(
+        "_bkt", ((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    )
+    subtotals = {
+        r["_bkt"]: r["s"]
+        for r in bucketed.groupBy("_bkt").agg(F.sum(w).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for k in sorted(subtotals):
+        offsets[k] = acc
+        acc += subtotals[k]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.col("_bkt"),
+    )
+    return bucketed, off, int(stats["tot"])

@@ -84,7 +84,7 @@ def oracle_cte(body_sql: str) -> str:
     return f"WITH tasks AS ({TASKS_SQL}), workers AS ({WORKERS_SQL})\n{body}"
 
 
-_TASK_VIEWS_REGISTERED: dict[int, str] = {}
+_TASK_VIEWS_REGISTERED: dict[tuple[str, int], str] = {}
 
 
 def register_task_views(spark: SparkSession, sf_dir: str) -> None:
@@ -92,12 +92,18 @@ def register_task_views(spark: SparkSession, sf_dir: str) -> None:
     (cached per session while sf_dir is unchanged — keyed by CURRENT
     dir so switching fixture scales re-registers; see
     fixtures._REGISTERED)."""
-    if _TASK_VIEWS_REGISTERED.get(spark.sparkContext.applicationId) == sf_dir:
+    # temp views are SESSION-scoped, so the memo key must include the
+    # session object (a sibling spark.newSession() shares the
+    # applicationId but not the views); applicationId stays in the key
+    # so a reused CPython id from a DEAD session in a new application
+    # can't serve a stale hit
+    key = (spark.sparkContext.applicationId, id(spark))
+    if _TASK_VIEWS_REGISTERED.get(key) == sf_dir:
         return
     register_fixture_views(spark, sf_dir)
     spark.sql(TASKS_SQL).createOrReplaceTempView("tasks")
     spark.sql(WORKERS_SQL).createOrReplaceTempView("workers")
-    _TASK_VIEWS_REGISTERED[spark.sparkContext.applicationId] = sf_dir
+    _TASK_VIEWS_REGISTERED[key] = sf_dir
 
 
 def tasks_df(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,6 +18,7 @@ from task_hive_spark.functions.text import (
     ws_token_count,
     ws_tokens,
 )
+from task_hive_spark.functions.prefix import bucketed_prefix
 from task_hive_spark.materialize import session_index
 from task_hive_spark.sources.fixtures import load_table
 
@@ -588,39 +589,25 @@ def txt_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per bin: doc count, token total, and the doc_id span.
 
     Scale shape: the token offset is a corpus-wide PREFIX SUM, computed
-    distributed — range-bucket on doc_id (bucket boundaries respect the
-    order), per-bucket token subtotals folded into bucket offsets
-    driver-side (n_buckets scalars, not data), then a PARTITIONED
-    running sum within each bucket. The naive window (SUM OVER (ORDER
-    BY doc_id) with no partition) funnels the corpus through one task;
-    this is the textbook two-pass scan fan-out, same discipline as the
-    streaming feed writer's chunk assignment."""
+    distributed via the shared two-pass scan fan-out
+    (functions/prefix.py — range-bucket on doc_id, driver-folded bucket
+    offsets, PARTITIONED running sum). The naive window (SUM OVER
+    (ORDER BY doc_id) with no partition) funnels the corpus through one
+    task; the streaming feed writer's chunk assignment rides the same
+    helper."""
     d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     t = d.select("doc_id", ws_token_count(F.col("text")).cast("long").alias("n_tokens"))
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    stats = t.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"), F.count("*").alias("n")
-    ).collect()[0]
-    if stats["n"] == 0:
+    b, off, total = bucketed_prefix(
+        t,
+        "doc_id",
+        weight=F.col("n_tokens"),
+        n_buckets=int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    if total == 0:
         return spark.createDataFrame(
             [], "bin_id bigint, n_docs bigint, total_tokens bigint,"
             " first_doc_id bigint, last_doc_id bigint"
         )
-    lo, hi = int(stats["lo"]), int(stats["hi"])
-    width = max((hi - lo + n_buckets) // n_buckets, 1)
-    b = t.withColumn("_bkt", ((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("int"))
-    subtotals = {
-        r["_bkt"]: r["s"]
-        for r in b.groupBy("_bkt").agg(F.sum("n_tokens").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for k in sorted(subtotals):
-        offsets[k] = acc
-        acc += subtotals[k]
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
-        F.col("_bkt"),
-    )
     run = F.sum("n_tokens").over(W.partitionBy("_bkt").orderBy("doc_id"))
     doc_offset = off + run - F.col("n_tokens")  # exclusive prefix sum
     return (

@@ -59,15 +59,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # CURRENT dir (not a seen-set) so a session that switches sf_dirs —
 # e.g. bench.py's small-fixture codegen warm-up — re-registers instead
 # of silently serving the previous dir's views.
-_REGISTERED: dict[int, str] = {}
+_REGISTERED: dict[tuple[str, int], str] = {}
 
 
 def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (cached per session
     while sf_dir is unchanged), matching the view names the DuckDB
     oracle pre-registers."""
-    if _REGISTERED.get(spark.sparkContext.applicationId) == sf_dir:
+    # (applicationId, id(spark)) key: temp views are session-scoped
+    # (see taskmodel.register_task_views for the full rationale)
+    key = (spark.sparkContext.applicationId, id(spark))
+    if _REGISTERED.get(key) == sf_dir:
         return
     for name in FIXTURE_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED[spark.sparkContext.applicationId] = sf_dir
+    _REGISTERED[key] = sf_dir

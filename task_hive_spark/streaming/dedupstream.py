@@ -47,7 +47,9 @@ def _write_replay_chunks(
     strictly increasing mtimes → ordered file-source replay), except a
     deterministic subset of every chunk is re-delivered in the NEXT
     chunk — the at-least-once wire."""
-    ev = events_df(spark, sf_dir)
+    # cache: with_chunk's driver-folded aggregations are eager actions
+    # over the derived events SQL (see lifecycle._write_chunks)
+    ev = events_df(spark, sf_dir).cache()
     ranked = with_chunk(ev, n_chunks)  # partitioned chunk assignment — see lifecycle
     replays = ranked.where(F.col("event_s") % REPLAY_MOD == 0).withColumn(
         "chunk", F.least(F.col("chunk") + 1, F.lit(n_chunks))
@@ -70,6 +72,7 @@ def _write_replay_chunks(
         shutil.rmtree(tmp)
         os.utime(dst, (base + i * 10, base + i * 10))
     delivered.unpersist()
+    ev.unpersist()
 
 
 def run_once(spark: SparkSession, sf_dir: str, work: str, n_chunks: int) -> str:

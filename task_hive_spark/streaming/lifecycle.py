@@ -54,6 +54,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from task_hive_spark.functions.prefix import bucketed_prefix
 from task_hive_spark.streaming.events import events_df, oracle_events_cte
 
 MAX_RETRIES = 3  # common/constants.go:20
@@ -280,36 +281,17 @@ def with_chunk(df: DataFrame, n_chunks: int) -> DataFrame:
     order (event_s, op, task_id, worker_id), WITHOUT a global
     single-partition window (the ntile-over-unpartitioned-order form
     this replaces funneled the whole feed through one task and spammed
-    the bench tail with WindowExec warnings). Shape: range-bucket on
-    event_s — a pure function of the value, so bucket boundaries respect
-    the order — rank within each bucket under a PARTITIONED window, then
-    fold the tiny per-bucket counts into global offsets driver-side
-    (n_buckets scalars, not data). Chunks are balanced like ntile's
-    (sizes differ by ≤1); converged streaming state is chunk-boundary
-    invariant, so the exact split points are free to differ."""
+    the bench tail with WindowExec warnings). The global row rank comes
+    from the shared distributed prefix sum (functions/prefix.py:
+    range-bucket + driver-folded offsets + partitioned window); chunk
+    numbering is exact ntile. Converged streaming state is
+    chunk-boundary invariant, so split points are free to move."""
     order_cols = ["event_s", "op", "task_id", "worker_id"]
-    n_buckets = max(n_chunks * 8, 32)
-    stats = df.agg(
-        F.min("event_s").alias("lo"), F.max("event_s").alias("hi"), F.count("*").alias("n")
-    ).collect()[0]
-    n_total = stats["n"]
+    bucketed, off, n_total = bucketed_prefix(
+        df, "event_s", n_buckets=max(n_chunks * 8, 32)
+    )
     if n_total == 0:
         return df.withColumn("chunk", F.lit(1))
-    lo, hi = int(stats["lo"]), int(stats["hi"])
-    width = max((hi - lo + n_buckets) // n_buckets, 1)
-    bucketed = df.withColumn("_bkt", ((F.col("event_s") - F.lit(lo)) / F.lit(width)).cast("int"))
-    counts = {
-        r["_bkt"]: r["c"]
-        for r in bucketed.groupBy("_bkt").agg(F.count("*").alias("c")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
-        F.col("_bkt"),
-    )
     rank = off + F.row_number().over(W.partitionBy("_bkt").orderBy(*order_cols))
     # exact ntile numbering: the first (n % k) chunks hold ceil(n/k)
     # rows, the rest floor(n/k) — consecutive chunk ids even when rows
@@ -332,7 +314,10 @@ def _write_chunks(spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int
     """Materialize the change-feed as n time-ordered parquet files with
     strictly increasing mtimes so the file source replays history in
     order — the etcd watch's ordered delivery."""
-    ev = events_df(spark, sf_dir)
+    # cache BEFORE with_chunk: its two driver-folded aggregations (range
+    # stats + per-bucket counts) are eager actions that would otherwise
+    # re-derive the events SQL twice before the per-chunk writes
+    ev = events_df(spark, sf_dir).cache()
     ranked = with_chunk(ev, n_chunks)
     ranked = ranked.cache()
     os.makedirs(feed_dir, exist_ok=True)
@@ -352,6 +337,7 @@ def _write_chunks(spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int
         shutil.rmtree(tmp)
         os.utime(dst, (base + i * 10, base + i * 10))
     ranked.unpersist()
+    ev.unpersist()
 
 
 def run_lifecycle(

@@ -350,7 +350,12 @@ ORACLES = {
         )
         SELECT session_start, session_end, worker_id, n_events
         FROM agg
-        WHERE session_end <= (SELECT MAX(event_s) FROM events) - {WATERMARK_S}
+        -- cutoff from the FILTERED stream's max: the Spark watermark is
+        -- computed after the worker_id IS NOT NULL filter, so a feed
+        -- ending in worker-less events must not advance the oracle's
+        -- cutoff past the stream's
+        WHERE session_end <= (SELECT MAX(event_s) FROM events
+                              WHERE worker_id IS NOT NULL) - {WATERMARK_S}
         ORDER BY worker_id, session_start
         """
     ),

@@ -17,7 +17,8 @@ def spark():
     s = get_spark("pytest")
     yield s
     # unpersist the session-materialized indexes (signatures, bandings,
-    # vocab) — the teardown hook materialize.clear_indexes exists for
+    # vocab) so a long pytest session releases its storage memory — the
+    # teardown path materialize.clear_indexes exists for exactly this
     from task_hive_spark.materialize import clear_indexes
 
     clear_indexes(s)

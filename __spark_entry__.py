@@ -20,15 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 # (Re-pointed each round: r2 → r3 → …, per VERDICT "evidence rotates".)
 #
 # The front set must be ≤ 50 (the driver's grading window). Round 4 has
-# 48 r02-graded queries + 10 new operators = 58 candidates; eight are
+# 48 r02-graded queries + 11 new operators = 59 candidates; nine are
 # deprioritized to the back: the three processors.py queries and the two
 # r02 multimodal queries were independently re-verified by the round-3
 # judge (their r02 grades re-checked by hand); th_stats is the entry()
-# flagship the driver smoke-checks every round regardless; th_point_get
-# and th_list_by_status live in operators/queries.py, untouched since
-# their r02 grades, with both paths also pinned by tests (test_api's
-# facade point-get, test_catalog's pruning assertions) — so these eight
-# carry the strongest evidence of the overflow candidates.
+# flagship the driver smoke-checks every round regardless; th_point_get,
+# th_list_by_status and th_list_all_union live in operators/queries.py,
+# untouched since their r02 grades, with the paths also pinned by tests
+# (test_api's facade queries, test_catalog's pruning assertions) — so
+# these nine carry the strongest evidence of the overflow candidates.
 _GRADED_R3 = frozenset(
     {
         "xp_dispatch_results",
@@ -39,6 +39,7 @@ _GRADED_R3 = frozenset(
         "th_stats",
         "th_point_get",
         "th_list_by_status",
+        "th_list_all_union",
         "dd_chunk_dedup",
         "dd_duplicate_clusters",
         "dd_embedding_cosine_pairs",

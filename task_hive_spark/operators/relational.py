@@ -632,6 +632,42 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue from RETURNED
+    items in one quarter — 4-table join (fact × orders, customer +
+    nation broadcast dims), conditional filter on the fact, grouped
+    revenue, global top-k by measure."""
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    # integer-cent arithmetic: prices and discounts are exact 2-decimal
+    # values, so cents·(100 − pct) is an exact BIGINT per item and the
+    # group sum is order-independent — a plain double sum flips the
+    # rounded cent between engines on large customer groups
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(rev_e4) / 10000.0, 2).alias("revenue"),
+            F.round(F.first("c_acctbal"), 2).alias("c_acctbal"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 def rel_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family windows in one pass: dense_rank, percent_rank,
     cume_dist and ntile(4) of order value within each priority class."""
@@ -691,6 +727,7 @@ QUERIES = {
     "rel_correlated_above_avg": rel_correlated_above_avg,
     "rel_q7_volume": rel_q7_volume,
     "rel_q8_market_share": rel_q8_market_share,
+    "rel_q10_returned_revenue": rel_q10_returned_revenue,
     "rel_window_ranks": rel_window_ranks,
     "rel_pivot_status": rel_pivot_status,
 }
@@ -1011,6 +1048,24 @@ ORACLES = {
         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
           AND o_orderdate <  TIMESTAMP '1997-01-01'
         GROUP BY 1 ORDER BY 1
+        """,
+    "rel_q10_returned_revenue": """
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     / 10000.0, 2) AS revenue,
+               ROUND(ANY_VALUE(c_acctbal), 2) AS c_acctbal,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-04-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
         """,
     "rel_window_ranks": """
         SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price,

@@ -163,6 +163,39 @@ def test_frame_sample_bounded_fanout(spark):
     assert per_asset <= MM_FRAME_COUNT
 
 
+def test_mix_rebalance_waterfill_invariants(spark):
+    """Waterfill semantics the value-hash oracle can't express as
+    invariants: every sampling rate ≤ 1, at least one (binding)
+    language samples at exactly 1.0, and the sampled mix hits the
+    target shares (sampled_tokens ∝ target_share)."""
+    from task_hive_spark.operators.textops import MIX_TARGETS, txt_mix_rebalance
+
+    rows = txt_mix_rebalance(spark, SF_DIR).collect()
+    assert {r["lang"] for r in rows} == set(MIX_TARGETS)
+    assert all(0.0 < r["sample_rate"] <= 1.0 for r in rows)
+    assert any(r["sample_rate"] == 1.0 for r in rows)
+    total_sampled = sum(r["sampled_tokens"] for r in rows)
+    for r in rows:
+        achieved = r["sampled_tokens"] / total_sampled
+        assert abs(achieved - MIX_TARGETS[r["lang"]]) < 0.01, (r["lang"], achieved)
+
+
+def test_dup_rate_by_source_conserves_corpus(spark):
+    """The per-source rollup must tile the augmented corpus exactly:
+    source doc counts sum to the corpus size, near-dup counts never
+    exceed them, and rates stay in [0, 1]."""
+    from task_hive_spark.operators.dedup import corpus_df, dd_dup_rate_by_source
+
+    rows = dd_dup_rate_by_source(spark, SF_DIR).collect()
+    n_corpus = corpus_df(spark, SF_DIR).count()
+    assert sum(r["n_docs"] for r in rows) == n_corpus
+    for r in rows:
+        assert 0 <= r["n_near_dup"] <= r["n_docs"]
+        assert 0.0 <= r["dup_rate"] <= 1.0
+    # the injected near-dups guarantee a nonzero rate somewhere
+    assert any(r["n_near_dup"] > 0 for r in rows)
+
+
 def test_sequence_pack_distributed_prefix_sum(spark):
     """The corpus-wide token prefix sum must never funnel through a
     single-partition window: every window in the plan carries a

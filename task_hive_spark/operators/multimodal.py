@@ -401,8 +401,8 @@ ORACLES["mm_audio_segments"] = _oracle_assets_cte(
            CAST(LEAST((seg_idx + 1) * {MM_SEGMENT_MS}, duration_ms) AS BIGINT)
              AS seg_end_ms,
            CAST(hi - lo AS INT) AS n_bytes,
-           CAST(list_sum(list_transform(generate_series(lo, hi - 1),
-                j -> {_SEG_BYTE})) % {CHECKSUM_MOD} AS INT) AS seg_checksum
+           CAST(COALESCE(list_sum(list_transform(generate_series(lo, hi - 1),
+                j -> {_SEG_BYTE})), 0) % {CHECKSUM_MOD} AS INT) AS seg_checksum
     FROM segs ORDER BY asset_id, seg_idx
     """
 )

@@ -48,7 +48,26 @@ N_PLANES = 32
 N_BANDS = 8
 BITS_PER_BAND = N_PLANES // N_BANDS
 TOP_K = 5
-PROBE_MOD = 100  # probes = vec_id % 100 == 0
+PROBE_MOD = 100  # probe candidates = vec_id % 100 == 0 ...
+K_PROBES = 32  # ... capped to the K smallest ids (O(1) in corpus size)
+
+
+def _probe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe-id dimension shared by brute/LSH/IVF top-k: every
+    PROBE_MOD-th vector, capped to the K_PROBES smallest ids. The
+    modulus alone yields a probe set proportional to the corpus, so
+    every broadcast built from it would grow O(corpus) at 100 TB; the
+    deterministic ORDER BY vec_id LIMIT cap makes the probe set — and
+    the recall comparison across the three strategies, which share it —
+    a fixed-size dimension. TakeOrdered over a 1-column projection:
+    K rows reach the driver regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.where(F.col("vec_id") % PROBE_MOD == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(K_PROBES)
+    )
 
 
 def _planes() -> list[list[float]]:
@@ -166,7 +185,7 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per probe. Rank on the 6-dp-rounded score with
     vec_id tie-break so ordering is reproducible cross-engine."""
     e = _emb(spark, sf_dir)
-    probes = e.where(F.col("vec_id") % PROBE_MOD == 0).select(
+    probes = e.join(F.broadcast(_probe_ids(spark, sf_dir)), "vec_id").select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
     scored = (
@@ -196,7 +215,8 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probes ⊂ corpus, so probe buckets are a FILTER of the materialized
     # corpus banding — the former second signature pipeline over the
     # probe subset is gone entirely
-    probes_b = corpus_b.where(F.col("vec_id") % PROBE_MOD == 0).select(
+    pid = _probe_ids(spark, sf_dir)
+    probes_b = corpus_b.join(F.broadcast(pid), "vec_id").select(
         F.col("vec_id").alias("probe_id"), "band", "bucket"
     )
     # candidate ids dedupe on a NARROW row, then embeddings re-attach
@@ -212,11 +232,11 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cands.join(
             F.broadcast(
-                en.select(
+                en.join(F.broadcast(pid), "vec_id").select(
                     F.col("vec_id").alias("probe_id"),
                     F.col("embedding").alias("pe"),
                     F.col("nrm").alias("pn"),
-                ).where(F.col("probe_id") % PROBE_MOD == 0)
+                )
             ),
             "probe_id",
         )
@@ -322,7 +342,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> Data
     ranked_cells = cellscore.withColumn("rn", F.row_number().over(w_cell))
     assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "embedding", "cell")
     probe_cells = (
-        ranked_cells.where((F.col("vec_id") % PROBE_MOD == 0) & (F.col("rn") <= nprobe))
+        ranked_cells.join(F.broadcast(_probe_ids(spark, sf_dir)), "vec_id")
+        .where(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "cell")
     )
     # each corpus vector lives in exactly one cell, so (probe, neighbor)
@@ -605,7 +626,10 @@ _STACK_SQL = "\n          UNION ALL ".join(
 ORACLES = {
     "sim_topk_brute": f"""
         WITH {_DE},
-        probes AS (SELECT vec_id AS probe_id, v AS pv FROM de WHERE vec_id % {PROBE_MOD} = 0),
+        probe_ids AS (SELECT vec_id FROM de WHERE vec_id % {PROBE_MOD} = 0
+                      ORDER BY vec_id LIMIT {K_PROBES}),
+        probes AS (SELECT vec_id AS probe_id, v AS pv FROM de
+                   WHERE vec_id IN (SELECT vec_id FROM probe_ids)),
         scored AS (
           SELECT probe_id, d.vec_id AS neighbor_id,
                  ROUND({_COS.format(a='pv', b='d.v')}, 6) AS cos_sim
@@ -624,8 +648,10 @@ ORACLES = {
         stacked AS (
           {_STACK_SQL}
         ),
+        probe_ids AS (SELECT DISTINCT vec_id FROM stacked WHERE vec_id % {PROBE_MOD} = 0
+                      ORDER BY vec_id LIMIT {K_PROBES}),
         probes AS (SELECT vec_id AS probe_id, v AS pv, band, bucket
-                   FROM stacked WHERE vec_id % {PROBE_MOD} = 0),
+                   FROM stacked WHERE vec_id IN (SELECT vec_id FROM probe_ids)),
         cands AS (
           SELECT DISTINCT p.probe_id, p.pv, s.vec_id, s.v
           FROM probes p JOIN stacked s USING (band, bucket)
@@ -682,9 +708,11 @@ ORACLES = {
           FROM cellscore
         ),
         assigned AS (SELECT vec_id, v, cell FROM ranked_cells WHERE rn = 1),
+        probe_ids AS (SELECT vec_id FROM de WHERE vec_id % {PROBE_MOD} = 0
+                      ORDER BY vec_id LIMIT {K_PROBES}),
         probe_cells AS (
           SELECT vec_id AS probe_id, v AS pv, cell FROM ranked_cells
-          WHERE vec_id % {PROBE_MOD} = 0 AND rn <= {NPROBE}
+          WHERE vec_id IN (SELECT vec_id FROM probe_ids) AND rn <= {NPROBE}
         ),
         scored AS (
           SELECT p.probe_id, a.vec_id AS neighbor_id,

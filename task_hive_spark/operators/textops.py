@@ -941,7 +941,7 @@ ORACLES = {
         )
         SELECT CAST(FLOOR(off / {SEQ_LEN}.0) AS BIGINT) AS bin_id,
                COUNT(*) AS n_docs,
-               SUM(n) AS total_tokens,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
                MIN(doc_id) AS first_doc_id,
                MAX(doc_id) AS last_doc_id
         FROM c GROUP BY 1 ORDER BY 1

@@ -105,19 +105,33 @@ def run_once_bounded(spark: SparkSession, sf_dir: str, work: str, n_chunks: int)
     event identity in state only until the watermark passes its event
     time + delay — the production posture (unbounded dropDuplicates
     state grows forever on an infinite feed). The delay is derived from
-    the feed's delivery contract, not wall clock: replays land exactly
-    one chunk later, so the worst event-time regression a re-delivery
-    can show is ~2 chunk spans; delay = 2·span + 10 s therefore (a)
-    never treats a replay as late data and (b) never evicts the
-    original's identity before its replay arrives — so the converged
-    output still equals the clean feed, with provably bounded state."""
+    the MATERIALIZED feed, not from a uniformity assumption: chunking
+    splits by row count, so on a time-skewed feed one chunk can span far
+    more event time than the mean, and a mean-span delay could drop a
+    replay as late data or evict the original before its replay lands.
+    Instead we measure, per delivery file i, min/max event time (replay
+    rows included), and set delay ≥ max_i(running-max(max₁..maxᵢ) −
+    minᵢ₊₁) — the worst event-time regression any row in the feed
+    actually shows against the watermark frontier at its arrival. Every
+    replay from chunk k is inside file k+1, so its event time is ≥ that
+    file's min and the bound covers (a) the late-data filter and (b)
+    state retention until the replay arrives — the converged output
+    still equals the clean feed, with provably bounded state."""
     feed = os.path.join(work, "feed")
     _write_replay_chunks(spark, sf_dir, feed, n_chunks)
-    lo, hi = (
-        events_df(spark, sf_dir).agg(F.min("event_s"), F.max("event_s")).first()
-    )
-    span_s = (int(hi) - int(lo) + n_chunks) // n_chunks
-    delay_s = 2 * span_s + 10
+    bounds = (
+        spark.read.schema(_EVENT_SCHEMA)
+        .parquet(feed)
+        .groupBy(F.input_file_name().alias("f"))  # chunk_%03d sorts in delivery order
+        .agg(F.min("event_s").alias("mn"), F.max("event_s").alias("mx"))
+        .orderBy("f")
+        .collect()
+    )  # n_chunks rows — a scalar-sized driver read
+    frontier, regression = int(bounds[0]["mx"]), 0
+    for nxt in bounds[1:]:
+        regression = max(regression, frontier - int(nxt["mn"]))
+        frontier = max(frontier, int(nxt["mx"]))
+    delay_s = max(regression, 0) + 10
     out = os.path.join(work, "deduped")
     src = (
         spark.readStream.schema(_EVENT_SCHEMA)

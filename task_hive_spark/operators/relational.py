@@ -668,6 +668,70 @@ def rel_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one shipdate month
+    — fact×part join with a conditional numerator over the same rows as
+    the denominator. part is a broadcast dim; the month filter is
+    pushed to the fact scan; integer-cent arithmetic keeps both sums
+    exact so the single output row's ratio is engine-stable. (Fixture
+    p_type holds the bare category, so the predicate is equality on
+    'PROMO' rather than TPC-H's LIKE 'PROMO%'.)"""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0)))
+            / F.sum(rev_e4),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.round(F.sum(rev_e4) / 10000.0, 2).alias("total_revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q18_MIN_QTY = 300  # "large" order: total quantity above this
+
+
+def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds a threshold, with their customer, top-100
+    by price. The having-filter aggregates the fact FIRST — partial
+    map-side sums shrink the shuffle to one row per order — and only
+    qualifying orderkeys (a tiny set) join back to orders + broadcast
+    customer. No correlated re-scan of lineitem, unlike the literal
+    TPC-H text's IN-subquery."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
 def rel_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family windows in one pass: dense_rank, percent_rank,
     cume_dist and ntile(4) of order value within each priority class."""
@@ -728,6 +792,8 @@ QUERIES = {
     "rel_q7_volume": rel_q7_volume,
     "rel_q8_market_share": rel_q8_market_share,
     "rel_q10_returned_revenue": rel_q10_returned_revenue,
+    "rel_q14_promo_effect": rel_q14_promo_effect,
+    "rel_q18_large_orders": rel_q18_large_orders,
     "rel_window_ranks": rel_window_ranks,
     "rel_pivot_status": rel_pivot_status,
 }
@@ -1066,6 +1132,34 @@ ORACLES = {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
+        """,
+    "rel_q14_promo_effect": f"""
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                     / SUM(rev_e4), 6) AS promo_revenue_pct,
+               ROUND(SUM(rev_e4) / 10000.0, 2) AS total_revenue,
+               COUNT(*) AS n_items
+        FROM (
+          SELECT p_type,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_e4
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+        ) t
+        """,
+    "rel_q18_large_orders": f"""
+        WITH big AS (
+          SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING ROUND(SUM(l_quantity), 2) > {Q18_MIN_QTY}
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
         """,
     "rel_window_ranks": """
         SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price,

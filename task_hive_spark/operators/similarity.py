@@ -536,20 +536,14 @@ def _pq_codebook() -> list[tuple[int, int, int, float]]:
 PQ_BOOK = _pq_codebook()
 
 
-def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization codes per embedding — the M-byte compressed
-    representation an IVF-PQ serving tier stores instead of the raw
-    vector (Jégou et al. 2011): split each vector into PQ_M subvectors,
-    assign each subvector its nearest codebook entry by squared L2, and
-    report the code tuple plus the total reconstruction error.
-
-    Shape: posexplode → broadcast codebook join (PQ_K-way fan-out per
-    element) → three aggregations, ALL exchange-free on top of the
-    vec_id repartition (each groupBy key set contains vec_id). Argmin
-    ties break deterministically by code via the (d2, code) struct-min
-    — mirrored in the oracle with a (d2, code)-ordered row_number."""
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = load_table(spark, sf_dir, "embeddings").repartition(n, "vec_id")
+def _pq_dist_table(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """(vec_id, sub, code, d2): squared L2 from each vector's sub-th
+    subvector to every codebook entry — the shared kernel of PQ encode
+    (argmin over code per sub, sim_pq_codes) and of ADC lookup tables
+    (ALL codes kept, per probe, sim_topk_ivf_pq). posexplode →
+    broadcast codebook join (PQ_K-way fan-out per element) → one
+    aggregation, exchange-free on top of a vec_id partitioning (the
+    groupBy key set contains vec_id)."""
     x = e.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
         "vec_id",
         (F.col("pos") / PQ_SUBDIM).cast("int").alias("sub"),
@@ -557,11 +551,28 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xf").cast("double").alias("x"),
     )
     book = spark.createDataFrame(PQ_BOOK, "sub int, code int, d int, c double")
-    dist = (
+    return (
         x.join(F.broadcast(book), ["sub", "d"])
         .groupBy("vec_id", "sub", "code")
         .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
     )
+
+
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes per embedding — the M-byte compressed
+    representation an IVF-PQ serving tier stores instead of the raw
+    vector (Jégou et al. 2011): split each vector into PQ_M subvectors,
+    assign each subvector its nearest codebook entry by squared L2, and
+    report the code tuple plus the total reconstruction error.
+
+    Shape: _pq_dist_table then two aggregations, all exchange-free on
+    top of the vec_id repartition (each groupBy key set contains
+    vec_id). Argmin ties break deterministically by code via the
+    (d2, code) struct-min — mirrored in the oracle with a
+    (d2, code)-ordered row_number."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = load_table(spark, sf_dir, "embeddings").repartition(n, "vec_id")
+    dist = _pq_dist_table(spark, e)
     best = dist.groupBy("vec_id", "sub").agg(F.min(F.struct("d2", "code")).alias("b"))
     per = best.select(
         "vec_id", "sub", F.col("b.code").alias("code"), F.col("b.d2").alias("d2")
@@ -581,10 +592,80 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011 — the billion-scale serving
+    layout): coarse IVF cells bound the search to nprobe cells, and
+    candidates inside them are scored by ASYMMETRIC DISTANCE (ADC):
+    the probe precomputes an M×K lookup table of exact
+    subvector→codeword squared distances, and a candidate's
+    approximate distance is the sum of M table lookups on its stored
+    PQ codes — the raw corpus vectors are never read after indexing.
+
+    Scale shape: the compressed index is PQ_M narrow int rows per
+    vector; probe LUTs are PQ_M·PQ_K rows over the capped probe set —
+    a broadcast dim; scoring is one broadcast LUT join plus a groupBy
+    that sums exactly PQ_M rows per (probe, candidate). Candidate
+    count per probe ≈ NPROBE·N/K regardless of corpus size, and the
+    per-candidate cost is M lookups instead of a DIM-length dot
+    product. PQ quantizes the vector itself (not the IVF residual) —
+    the standard simplification when cells come from a fixed label
+    quantizer. Ranks on the 6-dp-rounded distance with neighbor_id
+    tie-break so ordering is reproducible cross-engine (identical
+    code tuples make exact ADC ties legitimately possible)."""
+    e = _emb(spark, sf_dir)
+    cent = _label_centroids(spark, sf_dir).select(F.col("label").alias("cell"), "centroid")
+    cellscore = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias("cos_cell"),
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cos_cell"), "cell")
+    ranked_cells = cellscore.withColumn("rn", F.row_number().over(w_cell))
+    assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "cell")
+
+    dist = _pq_dist_table(spark, e)
+    # corpus side: argmin code per (vec, sub) — the stored M-byte index
+    best = dist.groupBy("vec_id", "sub").agg(F.min(F.struct("d2", "code")).alias("b"))
+    codes = best.select("vec_id", "sub", F.col("b.code").alias("code"))
+
+    pid = _probe_ids(spark, sf_dir)
+    # probe side: the FULL distance table over the probe subset IS the
+    # ADC lookup table (M·K rows per probe — a broadcast dim)
+    lut = dist.join(F.broadcast(pid), "vec_id").select(
+        F.col("vec_id").alias("probe_id"), "sub", "code", F.col("d2").alias("lut_d2")
+    )
+    probe_cells = (
+        ranked_cells.join(F.broadcast(pid), "vec_id")
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("probe_id"), "cell")
+    )
+    # one cell per corpus vector × nprobe distinct cells per probe →
+    # each (probe, neighbor) pair meets at most once; no distinct needed
+    cands = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = (
+        cands.join(codes, cands.neighbor_id == codes.vec_id)
+        .join(F.broadcast(lut), ["probe_id", "sub", "code"])
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.round(F.sum("lut_d2"), 6).alias("adc_d2"))
+    )
+    w = W.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "rank", "neighbor_id", "adc_d2")
+        .orderBy("probe_id", "rank")
+    )
+
+
 QUERIES = {
     "sim_topk_brute": sim_topk_brute,
     "sim_topk_lsh": sim_topk_lsh,
     "sim_topk_ivf": sim_topk_ivf,
+    "sim_topk_ivf_pq": sim_topk_ivf_pq,
     "sim_label_centroids": sim_label_centroids,
     "dd_embedding_cosine_pairs": dd_embedding_cosine_pairs,
     "sim_quantize_int8": sim_quantize_int8,
@@ -845,4 +926,75 @@ ORACLES["sim_pq_codes"] = f"""
            {', '.join(f'CAST(MAX(CASE WHEN sub = {m} THEN code END) AS INT) AS code_{m}' for m in range(PQ_M))},
            ROUND(SUM(d2), 6) AS recon_err
     FROM per GROUP BY vec_id ORDER BY vec_id
+    """
+
+ORACLES["sim_topk_ivf_pq"] = f"""
+    WITH {_DE},
+    probe_ids AS (SELECT vec_id FROM de WHERE vec_id % {PROBE_MOD} = 0
+                  ORDER BY vec_id LIMIT {K_PROBES}),
+    comp AS (
+      SELECT label, vec_id, de.v[s.pos] AS v, s.pos
+      FROM de, LATERAL (SELECT unnest(generate_series(1, len(de.v))) AS pos) s
+    ),
+    cent AS (
+      SELECT label AS cell, list(c ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, AVG(v) AS c FROM comp GROUP BY label, pos
+      ) m GROUP BY label
+    ),
+    cellscore AS (
+      SELECT d.vec_id, cent.cell,
+             ROUND({_COS.format(a='d.v', b='cent.centroid')}, 6) AS cos_cell
+      FROM de d CROSS JOIN cent
+    ),
+    ranked_cells AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos_cell DESC, cell) AS rn
+      FROM cellscore
+    ),
+    assigned AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+    probe_cells AS (
+      SELECT vec_id AS probe_id, cell FROM ranked_cells
+      WHERE vec_id IN (SELECT vec_id FROM probe_ids) AND rn <= {NPROBE}
+    ),
+    x AS (
+      SELECT vec_id,
+             CAST((i - 1) // {PQ_SUBDIM} AS INT) AS sub,
+             CAST((i - 1) % {PQ_SUBDIM} AS INT) AS d,
+             v[i] AS x
+      FROM de, LATERAL (SELECT unnest(generate_series(1, {DIM})) AS i) s
+    ),
+    book(sub, code, d, c) AS (VALUES
+          {_PQ_BOOK_VALUES}
+    ),
+    dist AS (
+      SELECT vec_id, sub, code, SUM((x - c) * (x - c)) AS d2
+      FROM x JOIN book USING (sub, d) GROUP BY 1, 2, 3
+    ),
+    bestrn AS (
+      SELECT vec_id, sub, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      FROM dist
+    ),
+    codes AS (SELECT vec_id, sub, code FROM bestrn WHERE rn = 1),
+    lut AS (
+      SELECT vec_id AS probe_id, sub, code, d2 AS lut_d2 FROM dist
+      WHERE vec_id IN (SELECT vec_id FROM probe_ids)
+    ),
+    cands AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id
+      FROM probe_cells p JOIN assigned a USING (cell)
+      WHERE a.vec_id != p.probe_id
+    ),
+    scored AS (
+      SELECT c.probe_id, c.neighbor_id, ROUND(SUM(l.lut_d2), 6) AS adc_d2
+      FROM cands c
+      JOIN codes k ON k.vec_id = c.neighbor_id
+      JOIN lut l ON l.probe_id = c.probe_id AND l.sub = k.sub AND l.code = k.code
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, rank, neighbor_id, adc_d2 FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY adc_d2, neighbor_id) AS rank
+      FROM scored
+    ) r WHERE rank <= {TOP_K} ORDER BY probe_id, rank
     """

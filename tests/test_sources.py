@@ -1,31 +1,51 @@
-"""Excel source: gated xlsx reader + deterministic stand-in shape."""
+"""Excel source: stdlib OOXML reader against the reference's real
+sheet + deterministic stand-in shape."""
 
 from __future__ import annotations
 
-import pytest
+from task_hive_spark.sources.excel import (
+    _col_index,
+    read_sheet,
+    sheet_matrix,
+    sheet_rows_standin,
+)
 
-from task_hive_spark.sources.excel import read_sheet, sheet_rows_standin
-
-
-def _has_xlsx_engine() -> bool:
-    try:
-        import openpyxl  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+SPIDER_XLSX = "/root/reference/spider.xlsx"
 
 
-def test_read_sheet_real_or_gated(spark):
-    """With an xlsx engine present the reference's own spider.xlsx
-    parses; without one the reader must fail loudly, not silently."""
-    if _has_xlsx_engine():
-        df = read_sheet(spark, "/root/reference/spider.xlsx")
-        assert df.columns == ["row_id", "row_data"]
-        assert df.count() > 0
-    else:
-        with pytest.raises(NotImplementedError):
-            read_sheet(spark, "/root/reference/spider.xlsx")
+def test_col_index():
+    assert [_col_index(r) for r in ("A1", "B1", "Z9", "AA1", "BC12")] == [
+        0,
+        1,
+        25,
+        26,
+        54,
+    ]
+
+
+def test_sheet_matrix_reads_reference_sheet():
+    """The reference's only real dataset (spider.xlsx, dimension
+    A1:I658 — tasks/spider.go:32-50 reads it with tealeg/xlsx) parses
+    with the stdlib zip+XML reader: 657 data rows + header, 9 dense
+    string columns."""
+    m = sheet_matrix(SPIDER_XLSX)
+    assert len(m) == 658
+    assert all(len(r) == 9 for r in m)
+    assert m[0][0] == "taskId"  # header row present pre-skip
+    assert all(isinstance(c, str) for r in m for c in r)
+    # every data row carries a task id (the fan-out key, spider.go:42)
+    assert all(r[0] for r in m[1:])
+
+
+def test_read_sheet_real(spark):
+    """read_sheet = header-skipped sheet as (row_id, row_data) rows —
+    the WechatTask fan-out input shape."""
+    df = read_sheet(spark, SPIDER_XLSX)
+    assert df.columns == ["row_id", "row_data"]
+    rows = df.orderBy("row_id").collect()
+    assert len(rows) == 657  # 658 minus the header
+    assert rows[0]["row_id"] == 1 and rows[-1]["row_id"] == 657
+    assert all(len(r["row_data"]) == 9 for r in rows)
 
 
 def test_standin_shape(spark, sf_dir):

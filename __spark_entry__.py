@@ -103,6 +103,11 @@ _BACK_R5 = frozenset(
         "st_dispatch_assignments",
         "st_windowed_throughput",
         "st_timer_requeue",
+        # -- r5 additions displace one more overflow pick each; same
+        # selection rule: pure deterministic map-stage queries with no
+        # join/shuffle surface to drift, hash-checked at sf0.001 every
+        # pytest run --
+        "txt_hash_sample",
     }
 )
 

@@ -54,11 +54,19 @@ def session_index(
 ) -> DataFrame:
     """Return the per-session materialized index `name` for `sf_dir`,
     building and persisting it on first use (MEMORY_AND_DISK, so an
-    oversized index spills instead of evicting or OOMing)."""
+    oversized index spills instead of evicting or OOMing).
+
+    The cache is materialized EAGERLY (one count() job at build): an
+    unmaterialized persist under AQE reports UnknownPartitioning
+    (isFinalPlan=false), so the first consumer's plan would re-shuffle
+    data the index already hash-partitioned; after materialization every
+    consumer plan sees the final hashpartitioning and aggregates
+    exchange-free on top of it."""
     _evict_dead_sessions()
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _CACHE.get(key)
     if df is None:
         df = build().persist()
+        df.count()
         _CACHE[key] = df
     return df

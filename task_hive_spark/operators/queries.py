@@ -353,8 +353,110 @@ def th_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RFC3339 = "yyyy-MM-dd'T'HH:mm:ss'Z'"  # Go time.Time JSON marshal shape
+
+
+def th_api_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 HTTP JSON sink — the engine-side equivalent of the five REST
+    routes (api/server.go:20-107): one row per endpoint with the
+    ``Content-Type: application/json`` response body the handler would
+    write, serialized with ``to_json`` over the same TaskInfo /
+    WorkerInfo projections the list/get queries use (tasks/api.go:15-21;
+    unassigned worker_id marshals as Go's zero-value "").
+
+    Scale shape: each list body is bounded by the handler's own
+    contract (limit=100 for /api/tasks, one worker's inbox, the 8-row
+    registry), so the final array_join aggregations are single-row,
+    HTTP-response-sized — never a corpus-wide collect. Sorting objects
+    lexicographically equals sorting by id: the id is the first key of
+    every object and a '"' terminator compares below any id character,
+    so prefix ids order consistently."""
+    t = tasks_df(spark, sf_dir)
+    w = workers_df(spark, sf_dir)
+
+    def task_objs(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.col("id"),
+                    F.col("payload"),
+                    F.col("priority"),
+                    F.col("status"),
+                    F.coalesce(F.col("worker_id"), F.lit("")).alias("worker_id"),
+                    F.col("retry_count"),
+                    F.date_format("create_time", _RFC3339).alias("create_time"),
+                    F.date_format("update_time", _RFC3339).alias("update_time"),
+                )
+            ).alias("obj")
+        )
+
+    def json_array() -> F.Column:
+        return F.concat(
+            F.lit("["),
+            F.array_join(F.array_sort(F.collect_list("obj")), ","),
+            F.lit("]"),
+        ).alias("body")
+
+    def route(name: str, body_df: DataFrame) -> DataFrame:
+        return body_df.select(F.lit(name).alias("route"), "body")
+
+    list_tasks = route(
+        "/api/tasks?status=processing&limit=100",
+        task_objs(
+            t.where(F.col("status") == "processing").orderBy("id").limit(100)
+        ).agg(json_array()),
+    )
+    point_get = route(
+        "/api/tasks/task-42",
+        task_objs(t.where(F.col("id") == "task-42")).agg(F.min("obj").alias("body")),
+    )
+    stats = route(
+        "/api/stats",
+        t.agg(
+            *[
+                F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("long").alias(s)
+                for s in TASK_STATUSES
+            ],
+            F.count("*").alias("total"),
+        ).select(
+            F.to_json(F.struct(*TASK_STATUSES, "total")).alias("body")
+        ),
+    )
+    workers = route(
+        "/api/workers",
+        w.select(
+            F.to_json(
+                F.struct(
+                    "id",
+                    "lease_id",
+                    "task_count",
+                    F.date_format("last_heartbeat", _RFC3339).alias("last_heartbeat"),
+                    "capacity",
+                    (
+                        F.col("last_heartbeat")
+                        > F.expr(f"{NOW_FIXTURE} - INTERVAL 30 SECOND")
+                    ).alias("is_active"),
+                )
+            ).alias("obj")
+        ).agg(json_array()),
+    )
+    worker_tasks = route(
+        "/api/workers/worker-3",
+        task_objs(
+            t.where(
+                (F.col("status") == "processing") & (F.col("worker_id") == "worker-3")
+            )
+        ).agg(json_array()),
+    )
+    out = list_tasks
+    for part in (point_get, stats, workers, worker_tasks):
+        out = out.unionByName(part)
+    return out.orderBy("route")
+
+
 QUERIES = {
     "th_stats": th_stats,
+    "th_api_json": th_api_json,
     "th_list_by_status": th_list_by_status,
     "th_list_all_union": th_list_all_union,
     "th_point_get": th_point_get,
@@ -377,6 +479,55 @@ QUERIES = {
 _TASK_INFO_SQL = "id, payload, priority, status, worker_id, retry_count, create_time, update_time"
 
 ORACLES = {
+    "th_api_json": oracle_cte(
+        """
+        WITH ti AS (
+          SELECT id, status, worker_id,
+                 CAST(to_json(struct_pack(
+                   id := id,
+                   payload := payload,
+                   priority := priority,
+                   status := status,
+                   worker_id := COALESCE(worker_id, ''),
+                   retry_count := retry_count,
+                   create_time := strftime(create_time, '%Y-%m-%dT%H:%M:%SZ'),
+                   update_time := strftime(update_time, '%Y-%m-%dT%H:%M:%SZ')
+                 )) AS VARCHAR) AS obj
+          FROM tasks
+        )
+        SELECT route, body FROM (
+          SELECT '/api/tasks?status=processing&limit=100' AS route,
+                 '[' || COALESCE(string_agg(obj, ',' ORDER BY obj), '') || ']' AS body
+          FROM (SELECT obj FROM ti WHERE status = 'processing' ORDER BY id LIMIT 100)
+          UNION ALL
+          SELECT '/api/tasks/task-42', MIN(obj) FROM ti WHERE id = 'task-42'
+          UNION ALL
+          SELECT '/api/stats', CAST(to_json(struct_pack(
+                   pending := CAST(SUM(CASE WHEN status = 'pending' THEN 1 ELSE 0 END) AS BIGINT),
+                   processing := CAST(SUM(CASE WHEN status = 'processing' THEN 1 ELSE 0 END) AS BIGINT),
+                   completed := CAST(SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT),
+                   failed := CAST(SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT),
+                   delayed := CAST(SUM(CASE WHEN status = 'delayed' THEN 1 ELSE 0 END) AS BIGINT),
+                   total := COUNT(*))) AS VARCHAR)
+          FROM tasks
+          UNION ALL
+          SELECT '/api/workers',
+                 '[' || COALESCE(string_agg(obj, ',' ORDER BY obj), '') || ']'
+          FROM (SELECT CAST(to_json(struct_pack(
+                   id := id,
+                   lease_id := lease_id,
+                   task_count := task_count,
+                   last_heartbeat := strftime(last_heartbeat, '%Y-%m-%dT%H:%M:%SZ'),
+                   capacity := capacity,
+                   is_active := last_heartbeat > TIMESTAMP '2024-06-01 00:00:00' - INTERVAL 30 SECOND
+                 )) AS VARCHAR) AS obj FROM workers)
+          UNION ALL
+          SELECT '/api/workers/worker-3',
+                 '[' || COALESCE(string_agg(obj, ',' ORDER BY obj), '') || ']'
+          FROM ti WHERE status = 'processing' AND worker_id = 'worker-3'
+        ) r ORDER BY route
+        """
+    ),
     "th_stats": oracle_cte(
         """
         SELECT

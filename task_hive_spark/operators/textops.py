@@ -213,11 +213,39 @@ def txt_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _doc_ngrams(d: DataFrame, n: int) -> DataFrame:
-    """Non-distinct word n-grams per doc (same shape as
-    dedup._doc_shingles but keeping duplicates — repetition analysis
-    NEEDS the multiplicities). Docs shorter than n words yield their
-    whole text as one gram.
+def token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenized corpus as a session index: (doc_id, toks, ntok)
+    over non-empty docs, lower-cased whitespace tokens, hash-partitioned
+    by doc_id and persisted once per session. Every gram/token consumer
+    (repetition filter, decontamination, filter pipeline, unigram LM)
+    reads this instead of re-running the regex tokenizer over the raw
+    text — the tokenizer is the dominant map-stage cost of the txt_*
+    family, and a production pipeline materializes its tokenized corpus
+    exactly once for the same reason.
+
+    Scale note: this is ~1× the corpus re-encoded as arrays, NOT a gram
+    explosion (those stay uncached — see materialize.py); persistence is
+    MEMORY_AND_DISK so an oversized corpus spills instead of OOMing, and
+    the doc_id hash partitioning makes every downstream per-doc
+    aggregation exchange-free."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+        return (
+            d.repartition(n, "doc_id")
+            .select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
+            .withColumn("ntok", F.size("toks"))
+        )
+
+    return session_index(spark, sf_dir, "token_index", build)
+
+
+def _toks_ngrams(t: DataFrame, n: int) -> DataFrame:
+    """Non-distinct word n-grams per doc over a (doc_id, toks, ntok)
+    frame (same shape as dedup._doc_shingles but keeping duplicates —
+    repetition analysis NEEDS the multiplicities). Docs shorter than n
+    words yield their whole text as one gram.
 
     Grams are built fully codegen-side in ONE stage: posexplode the
     tokens, then index the retained array for the n-1 following tokens
@@ -225,10 +253,8 @@ def _doc_ngrams(d: DataFrame, n: int) -> DataFrame:
     reproduces the short-doc whole-text gram). No window: the earlier
     window-lead form paid a per-partition (doc_id, pos) sort for
     neighbor access the array lookup gives for free."""
-    t = d.select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
     toks = t.select(
-        "doc_id", "toks", F.size("toks").alias("ntok"),
-        F.posexplode("toks").alias("pos", "tok"),
+        "doc_id", "toks", "ntok", F.posexplode("toks").alias("pos", "tok")
     )
     nexts = [F.try_element_at("toks", F.col("pos") + 1 + i) for i in range(1, n)]
     g = toks.select(
@@ -236,6 +262,28 @@ def _doc_ngrams(d: DataFrame, n: int) -> DataFrame:
     )
     return g.where(F.col("pos") <= F.greatest(F.col("ntok") - n, F.lit(0))).select(
         "doc_id", "gram"
+    )
+
+
+def _toks_ngram_hashes(t: DataFrame, n: int) -> DataFrame:
+    """64-bit n-gram hashes per doc — the decontamination form: hash the
+    token TUPLE (xxhash64 is length-prefixed per field, so no boundary
+    gluing) instead of materializing the gram string. Equal tuples hash
+    equal and tokens never contain whitespace, so the hash equivalence
+    classes are exactly the string-gram classes (modulo 2^-64
+    collisions — the same trade GPT-3-style hashed-13-gram
+    decontamination makes in production). Same short-doc whole-text
+    semantics as _toks_ngrams: trailing nulls past the end of the array
+    are part of the hashed tuple."""
+    toks = t.select(
+        "doc_id", "toks", "ntok", F.posexplode("toks").alias("pos", "tok")
+    )
+    nexts = [F.try_element_at("toks", F.col("pos") + 1 + i) for i in range(1, n)]
+    g = toks.select(
+        "doc_id", "pos", "ntok", F.xxhash64("tok", *nexts).alias("gh")
+    )
+    return g.where(F.col("pos") <= F.greatest(F.col("ntok") - n, F.lit(0))).select(
+        "doc_id", "gh"
     )
 
 
@@ -253,23 +301,18 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds. Scale shape: the 2-gram explosion is co-partitioned by
     doc_id (one |docs|-row shuffle), both aggregations run
     exchange-free on top of it, and the distinct-ratio branch is a pure
-    map stage joined back on the same partitioning."""
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length(F.trim("text")) > 0)
-        .repartition(n, "doc_id")
-    )
-    cnt = _doc_ngrams(d, 2).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    map stage joined back on the same partitioning. Both branches read
+    the materialized token_index, so the regex tokenizer never reruns."""
+    t = token_index(spark, sf_dir)
+    cnt = _toks_ngrams(t, 2).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     rep = cnt.groupBy("doc_id").agg(
         (F.max("c") / F.sum("c")).alias("top2_frac_raw"),
         F.sum("c").alias("n_2grams"),
     )
-    toks = ws_tokens(F.lower("text"))
-    ratio = d.select(
+    ratio = t.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio_raw"),
+        F.col("ntok").alias("n_tokens"),
+        (F.size(F.array_distinct("toks")) / F.col("ntok")).alias("distinct_ratio_raw"),
     )
     keep = (F.col("top2_frac_raw") <= REP_TOP2_MAX) & (
         F.col("distinct_ratio_raw") >= REP_DISTINCT_MIN
@@ -305,38 +348,39 @@ def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus), then a per-doc count. At 100 TB the benchmark side is
     fixed-size (the eval suites), so the broadcast holds.
 
-    The eval/train split happens BEFORE the gram explosion: the
-    benchmark branch explodes only its 1/DECON_EVAL_MOD slice and the
-    training branch explodes its complement, so the corpus is traversed
-    exactly once in total (the earlier full-corpus-grams-then-filter
-    form ran the explosion + (doc_id, gram) distinct twice unless
-    Catalyst happened to push the slice filter below the window)."""
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = load_table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    Both branches read the materialized token_index: the corpus is
+    tokenized ONCE per session (at index build), and each branch is a
+    cache-scan + filter + gram explosion — no raw-text re-scan, no
+    re-tokenize (the regex tokenizer was the measured residual cost of
+    the previous scan-once-per-query form). Grams travel as 64-bit
+    tuple hashes (_toks_ngram_hashes), never as strings: the broadcast
+    is 8 bytes/gram and the per-doc distinct aggregation dedups longs —
+    the production hashed-n-gram decontamination design."""
+    t = token_index(spark, sf_dir)
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     # raw (non-distinct) benchmark grams: the probe below is an OUTER
     # broadcast join and the per-doc overlap count is count(DISTINCT
     # gram) over matched grams only, so eval-side duplicates can't
-    # inflate anything — skipping the distinct (an exchange on gram) and
-    # the repartition leaves the whole eval branch as one scan+explode
-    # feeding the broadcast build
-    ev = _doc_ngrams(base.where(is_eval), DECON_NGRAM).select(
-        "gram", F.lit(1).alias("bench_hit")
+    # inflate anything — skipping the distinct (an exchange on gram)
+    # leaves the whole eval branch as one cache-scan+explode feeding
+    # the broadcast build
+    ev = _toks_ngram_hashes(t.where(is_eval), DECON_NGRAM).select(
+        "gh", F.lit(1).alias("bench_hit")
     )
-    d = base.where(~is_eval).repartition(n, "doc_id")
     # ONE pass over the training gram stream: the broadcast LEFT join
     # marks contaminated grams in-line and the conditional distinct
-    # count aggregates exchange-free on top of the doc_id repartition.
-    # Every non-empty doc emits ≥1 gram row, so the per-doc aggregate IS
-    # the full training roster — no separate doc_id branch to left-join
-    # back (the earlier hits-then-join-back form paid an extra scan, an
-    # extra join, and two more stage-floor units for the same answer).
+    # count aggregates exchange-free on top of the index's doc_id
+    # partitioning. Every non-empty doc emits ≥1 gram row, so the
+    # per-doc aggregate IS the full training roster — no separate
+    # doc_id branch to left-join back (the earlier hits-then-join-back
+    # form paid an extra scan, an extra join, and two more stage-floor
+    # units for the same answer).
     return (
-        _doc_ngrams(d, DECON_NGRAM)
-        .join(F.broadcast(ev), "gram", "left")
+        _toks_ngram_hashes(t.where(~is_eval), DECON_NGRAM)
+        .join(F.broadcast(ev), "gh", "left")
         .groupBy("doc_id")
         .agg(
-            F.count_distinct(F.when(F.col("bench_hit") == 1, F.col("gram")))
+            F.count_distinct(F.when(F.col("bench_hit") == 1, F.col("gh")))
             .cast("int")
             .alias("n_shared_ngrams")
         )
@@ -486,14 +530,9 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab outgrows a broadcast — production either caps to top-V
     plus an OOV smoothing constant (the standard trick, keeps the
     broadcast) or shuffle-joins on token; the fixture-true broadcast is
-    the former's shape."""
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .where(F.length(F.trim("text")) > 0)
-        .repartition(n, "doc_id")
-    )
-    toks = d.select("doc_id", F.explode(ws_tokens(F.lower("text"))).alias("tok"))
+    the former's shape. The token stream reads the materialized
+    token_index, so tokenization is paid once per session."""
+    toks = token_index(spark, sf_dir).select("doc_id", F.explode("toks").alias("tok"))
 
     # the unigram LM table is a session index (fixed vocab-sized output,
     # every scoring consumer shares it) — without it the token explosion
@@ -529,8 +568,8 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc_id-co-partitioned 2-gram explosion (the repetition
     signals), joined back on doc_id; every other signal is a map-stage
     expression. At 100 TB that is two narrow shuffles of |docs| rows —
-    the same budget the individual gates already pay."""
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    the same budget the individual gates already pay. The repetition
+    branches read the materialized token_index."""
     base = load_table(spark, sf_dir, "documents")
     scored = base.select(
         "doc_id",
@@ -542,15 +581,12 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = scored.withColumn(
         "canonical_doc_id", F.min("doc_id").over(W.partitionBy("fp"))
     )
-    d = base.where(F.length(F.trim("text")) > 0).repartition(n, "doc_id")
-    cnt = _doc_ngrams(d, 2).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    t = token_index(spark, sf_dir)
+    cnt = _toks_ngrams(t, 2).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     rep = cnt.groupBy("doc_id").agg((F.max("c") / F.sum("c")).alias("top2_frac_raw"))
-    ratio = d.select(
+    ratio = t.select(
         "doc_id",
-        (
-            F.size(F.array_distinct(ws_tokens(F.lower("text"))))
-            / F.size(ws_tokens(F.lower("text")))
-        ).alias("distinct_ratio_raw"),
+        (F.size(F.array_distinct("toks")) / F.col("ntok")).alias("distinct_ratio_raw"),
     )
     j = flagged.join(rep, "doc_id", "left").join(ratio, "doc_id", "left")
     # a doc with no grams (empty text) cannot be repetitive

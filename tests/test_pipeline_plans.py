@@ -25,21 +25,32 @@ def _plan(df) -> str:
 
 
 def _live_plan(df) -> str:
-    """Plan text with the cached-index build subtrees stripped: the
-    toString of a plan over persisted indexes re-prints each cache's
-    OWN build plan (exchanges included) under every InMemoryTableScan,
-    which would double-count shuffles that only ever ran once."""
-    out, skip = [], None
-    for ln in _plan(df).splitlines():
-        indent = len(ln) - len(ln.lstrip(" :+-"))
-        if skip is not None:
-            if indent > skip:
-                continue
-            skip = None
-        if "InMemoryTableScan" in ln:
-            skip = indent
-        out.append(ln)
-    return "\n".join(out)
+    """Render only the LIVE physical plan: walk the executed-plan tree,
+    descending through AQE wrappers and query stages but never into an
+    InMemoryTableScan's cached build — toString would re-print each
+    cache's OWN build plan (exchanges included), double-counting
+    shuffles that only ever ran once, and NESTED caches print their
+    Final/Initial Plan sections at indents no line-based stripper can
+    bracket."""
+    lines: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        lines.append(node.simpleString(120))
+        if "InMemoryTableScan" in name:
+            return  # cached subtree: built once at materialization, not live
+        if "AdaptiveSparkPlanExec" in name:
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return "\n".join(lines)
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
@@ -81,16 +92,29 @@ def test_jaccard_sizes_joined_broadcast(spark):
 
 
 def test_unigram_logprob_single_live_traversal(spark):
-    """The vocab is a materialized session index: the live plan must
-    traverse the token explosion ONCE (one doc_id hash exchange), with
-    the vocab probed via broadcast and the scalar total as the only
-    single-partition exchange."""
+    """The vocab AND the tokenized corpus are materialized session
+    indexes: the live plan must traverse the cached token stream with
+    ZERO hash exchanges (the doc_id partitioning is baked into the
+    index build), probe the vocab via broadcast, and pay only the
+    scalar-total single-partition exchange."""
     from task_hive_spark.operators.textops import txt_unigram_logprob
 
     lp = _live_plan(txt_unigram_logprob(spark, SF_DIR))
-    assert lp.count("Exchange hashpartitioning") == 1, lp
+    assert lp.count("Exchange hashpartitioning") == 0, lp
     assert lp.count("Exchange SinglePartition") == 1, lp
     assert lp.count("BroadcastHashJoin") == 1, lp
+
+
+def test_decontaminate_no_live_hash_exchange(spark):
+    """Decontamination over the materialized token_index: both gram
+    branches are cache-scan + explode, the benchmark side broadcasts,
+    and the per-doc overlap count rides the index's doc_id partitioning
+    — ZERO live hash exchanges (tokenize+repartition run once, at index
+    build)."""
+    from task_hive_spark.operators.textops import txt_decontaminate
+
+    lp = _live_plan(txt_decontaminate(spark, SF_DIR))
+    assert lp.count("Exchange hashpartitioning") == 0, lp
 
 
 def test_pq_codes_exchange_free_aggregations(spark):

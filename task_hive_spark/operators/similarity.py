@@ -312,26 +312,21 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVF cells searched per probe. Measured recall of the exact top-5 on
-# the fixtures: 0.52 / 0.64 / 0.72 at nprobe 2 / 3 / 4 (of 10 cells) —
-# the standard IVF knob: recall scales with the corpus fraction scanned.
+# the fixtures (trained quantizer, IVF_TRAIN_ITERS Lloyd rounds): see
+# COVERAGE.md's pinned recall-vs-nprobe curve — the standard IVF knob:
+# recall scales with the corpus fraction scanned.
 NPROBE = 3
+# Lloyd rounds refining the label-seeded coarse quantizer. Training is
+# part of the index build (a session_index), not the query; 2 rounds
+# measured enough to rebalance the fixture cells (see COVERAGE).
+IVF_TRAIN_ITERS = 3
 
 
-def sim_topk_ivf(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> DataFrame:
-    """IVF (inverted-file) ANN: a coarse quantizer (here the
-    deterministic label centroids — production swaps in sampled
-    k-means) assigns every vector to its nearest-centroid cell; a probe
-    searches only its nprobe nearest cells with exact cosine re-rank
-    (default NPROBE; scripts/scale_probe.py --ivf-recall sweeps the knob
-    and pins recall per scale factor).
-
-    Scale shape: centroids are a broadcast dim (K rows); assignment is
-    one map stage (K dot products per vector); the cell id becomes the
-    partition/bucket key, so probe lookups are partition-pruned scans of
-    NPROBE cells instead of the full corpus. Candidate count per probe ≈
-    NPROBE·N/K regardless of corpus size."""
-    e = _emb(spark, sf_dir)
-    cent = _label_centroids(spark, sf_dir).select(F.col("label").alias("cell"), "centroid")
+def _assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Rank every vector's cells by rounded cosine (broadcast K-row
+    centroid dim, one map stage): rn=1 is the vector's IVF cell,
+    rn<=nprobe the probe's search set. Rounding to 6dp before the rank
+    keeps the argmax identical cross-engine."""
     cellscore = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
@@ -339,7 +334,69 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> Data
         F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias("cos_cell"),
     )
     w_cell = W.partitionBy("vec_id").orderBy(F.desc("cos_cell"), "cell")
-    ranked_cells = cellscore.withColumn("rn", F.row_number().over(w_cell))
+    return cellscore.withColumn("rn", F.row_number().over(w_cell))
+
+
+def _cell_means(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean per cell over (vec_id, embedding, cell) rows —
+    the Lloyd update step (posexplode → (cell,pos) groupBy: two
+    small-key shuffles)."""
+    comp = assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        comp.groupBy("cell", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained coarse quantizer as a session index (K rows): label
+    centroids seed IVF_TRAIN_ITERS Lloyd rounds (assign by rounded
+    cosine, recompute cell means). Training cost is O(iters · N · K)
+    map work at INDEX BUILD time — exactly how a production IVF index
+    trains (on a sample) before serving; every probe query reuses the
+    result. A cell that loses all members drops out of the quantizer
+    (standard k-means dead-cell behavior, mirrored by the oracle's
+    GROUP BY)."""
+
+    def build() -> DataFrame:
+        e = _emb(spark, sf_dir)
+        cent = _label_centroids(spark, sf_dir).select(
+            F.col("label").alias("cell"), "centroid"
+        )
+        for _ in range(IVF_TRAIN_ITERS):
+            asg = (
+                _assign_cells(e, cent)
+                .where(F.col("rn") == 1)
+                .select("vec_id", "embedding", "cell")
+            )
+            cent = _cell_means(asg)
+        return cent
+
+    return session_index(spark, sf_dir, "ivf_centroids", build)
+
+
+def sim_topk_ivf(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer (label-seeded
+    k-means, IVF_TRAIN_ITERS Lloyd rounds — _ivf_centroids) assigns
+    every vector to its nearest-centroid cell; a probe searches only
+    its nprobe nearest cells with exact cosine re-rank (default NPROBE;
+    scripts/scale_probe.py --ivf-recall sweeps the knob and pins recall
+    per scale factor).
+
+    Scale shape: centroids are a broadcast dim (K rows); assignment is
+    one map stage (K dot products per vector); the cell id becomes the
+    partition/bucket key, so probe lookups are partition-pruned scans of
+    NPROBE cells instead of the full corpus. Candidate count per probe ≈
+    NPROBE·N/K regardless of corpus size."""
+    e = _emb(spark, sf_dir)
+    cent = _ivf_centroids(spark, sf_dir)
+    ranked_cells = _assign_cells(e, cent)
     assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "embedding", "cell")
     probe_cells = (
         ranked_cells.join(F.broadcast(_probe_ids(spark, sf_dir)), "vec_id")
@@ -608,19 +665,14 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> D
     count per probe ≈ NPROBE·N/K regardless of corpus size, and the
     per-candidate cost is M lookups instead of a DIM-length dot
     product. PQ quantizes the vector itself (not the IVF residual) —
-    the standard simplification when cells come from a fixed label
-    quantizer. Ranks on the 6-dp-rounded distance with neighbor_id
-    tie-break so ordering is reproducible cross-engine (identical
-    code tuples make exact ADC ties legitimately possible)."""
+    the standard simplification when cells come from the shared
+    trained quantizer. Ranks on the 6-dp-rounded distance with
+    neighbor_id tie-break so ordering is reproducible cross-engine
+    (identical code tuples make exact ADC ties legitimately
+    possible)."""
     e = _emb(spark, sf_dir)
-    cent = _label_centroids(spark, sf_dir).select(F.col("label").alias("cell"), "centroid")
-    cellscore = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cell",
-        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias("cos_cell"),
-    )
-    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cos_cell"), "cell")
-    ranked_cells = cellscore.withColumn("rn", F.row_number().over(w_cell))
+    cent = _ivf_centroids(spark, sf_dir)
+    ranked_cells = _assign_cells(e, cent).drop("embedding")
     assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "cell")
 
     dist = _pq_dist_table(spark, e)
@@ -681,6 +733,53 @@ _COS = (
     "list_dot_product({a}, {b})"
     " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+
+def _trained_cent_sql() -> str:
+    """CTE chain mirroring _ivf_centroids: label-mean seed (cent0) +
+    IVF_TRAIN_ITERS unrolled Lloyd rounds (assign by 6dp-rounded cosine
+    with cell tie-break, recompute cell means); the final CTE is named
+    ``cent`` so consumers read the trained quantizer. Generated from
+    the same IVF_TRAIN_ITERS constant the Spark build loops over, so
+    the two sides cannot drift."""
+    parts = [
+        """comp AS (
+          SELECT label, vec_id, de.v[s.pos] AS v, s.pos
+          FROM de, LATERAL (SELECT unnest(generate_series(1, len(de.v))) AS pos) s
+        ),
+        cent0 AS (
+          SELECT label AS cell, list(c ORDER BY pos) AS centroid FROM (
+            SELECT label, pos, AVG(v) AS c FROM comp GROUP BY label, pos
+          ) m GROUP BY label
+        )"""
+    ]
+    prev = "cent0"
+    for i in range(1, IVF_TRAIN_ITERS + 1):
+        asg = f"asg{i}"
+        cent = "cent" if i == IVF_TRAIN_ITERS else f"cent{i}"
+        parts.append(
+            f""",
+        {asg} AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT d.vec_id, d.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                     ROUND({_COS.format(a='d.v', b='c.centroid')}, 6) DESC, c.cell) AS rn
+            FROM de d CROSS JOIN {prev} c
+          ) q WHERE rn = 1
+        ),
+        {cent} AS (
+          SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+            SELECT cell, s.pos AS pos, AVG(a.v[s.pos]) AS c
+            FROM {asg} a, LATERAL (SELECT unnest(generate_series(1, len(a.v))) AS pos) s
+            GROUP BY cell, s.pos
+          ) m GROUP BY cell
+        )"""
+        )
+        prev = cent
+    return "".join(parts)
+
+
+_CENT_TRAINED = _trained_cent_sql()
 
 
 def _plane_sql(plane: list[float]) -> str:
@@ -769,15 +868,7 @@ ORACLES = {
         """,
     "sim_topk_ivf": f"""
         WITH {_DE},
-        comp AS (
-          SELECT label, vec_id, de.v[s.pos] AS v, s.pos
-          FROM de, LATERAL (SELECT unnest(generate_series(1, len(de.v))) AS pos) s
-        ),
-        cent AS (
-          SELECT label AS cell, list(c ORDER BY pos) AS centroid FROM (
-            SELECT label, pos, AVG(v) AS c FROM comp GROUP BY label, pos
-          ) m GROUP BY label
-        ),
+        {_CENT_TRAINED},
         cellscore AS (
           SELECT d.vec_id, d.v, cent.cell,
                  ROUND({_COS.format(a='d.v', b='cent.centroid')}, 6) AS cos_cell
@@ -932,15 +1023,7 @@ ORACLES["sim_topk_ivf_pq"] = f"""
     WITH {_DE},
     probe_ids AS (SELECT vec_id FROM de WHERE vec_id % {PROBE_MOD} = 0
                   ORDER BY vec_id LIMIT {K_PROBES}),
-    comp AS (
-      SELECT label, vec_id, de.v[s.pos] AS v, s.pos
-      FROM de, LATERAL (SELECT unnest(generate_series(1, len(de.v))) AS pos) s
-    ),
-    cent AS (
-      SELECT label AS cell, list(c ORDER BY pos) AS centroid FROM (
-        SELECT label, pos, AVG(v) AS c FROM comp GROUP BY label, pos
-      ) m GROUP BY label
-    ),
+    {_CENT_TRAINED},
     cellscore AS (
       SELECT d.vec_id, cent.cell,
              ROUND({_COS.format(a='d.v', b='cent.centroid')}, 6) AS cos_cell

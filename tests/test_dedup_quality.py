@@ -83,4 +83,7 @@ def test_sim_lsh_and_ivf_recall(spark, sf_dir):
     lsh_recall = len(exact & lsh) / len(exact)
     ivf_recall = len(exact & ivf) / len(exact)
     assert lsh_recall >= 0.5, f"LSH recall regressed: {lsh_recall:.2f}"
-    assert ivf_recall >= 0.4, f"IVF (nprobe=3) recall regressed: {ivf_recall:.2f}"
+    # trained quantizer (IVF_TRAIN_ITERS Lloyd rounds) measures 0.56 at
+    # sf0.001 / 0.80 at sf0.01 / 0.63 at sf0.1 — floor sits below the
+    # weakest pinned point with a small safety margin
+    assert ivf_recall >= 0.5, f"IVF (nprobe=3) recall regressed: {ivf_recall:.2f}"

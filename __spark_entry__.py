@@ -53,8 +53,6 @@ _BACK_R5 = frozenset(
         "rel_outer_join_nulls",
         "rel_percentiles",
         "rel_q10_returned_revenue",
-        "rel_q3_shipping_priority",
-        "rel_q5_regional_revenue",
         "rel_range_join",
         "rel_rollup_orders",
         "rel_self_join_prev_order",
@@ -89,9 +87,10 @@ _BACK_R5 = frozenset(
         "txt_filter_pipeline",
         "txt_mix_rebalance",
         "txt_unigram_logprob",
-        # -- r3-evidence overflow (13) --
-        "rel_q1_pricing_summary",
-        "rel_q6_forecast_revenue",
+        # -- r3-evidence overflow --
+        # (rel_q1/q3/q5/q6 left the back set when their money aggregates
+        # moved to exact integer cents this round: changed code must
+        # regrade in front)
         "rel_scalar_math",
         "rel_scalar_string",
         "rel_scalar_datetime",
@@ -103,11 +102,15 @@ _BACK_R5 = frozenset(
         "st_dispatch_assignments",
         "st_windowed_throughput",
         "st_timer_requeue",
-        # -- r5 additions displace one more overflow pick each; same
-        # selection rule: pure deterministic map-stage queries with no
-        # join/shuffle surface to drift, hash-checked at sf0.001 every
-        # pytest run --
+        # -- r5 additions/edits displace one more overflow pick each;
+        # same selection rule: pure deterministic map-stage queries with
+        # no join/shuffle surface to drift, hash-checked at sf0.001
+        # every pytest run --
         "txt_hash_sample",
+        "txt_token_stats",
+        "txt_fingerprints",
+        "txt_quality_scores",
+        "txt_length_histogram",
     }
 )
 

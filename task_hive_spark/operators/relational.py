@@ -23,32 +23,65 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Exact-money arithmetic (Q10's integer-cent pattern, shared by every
+# revenue aggregate): TPC-H prices, discounts and taxes are exact
+# 2-decimal values, so cents / percent units are exact integers and the
+# group sums are ORDER-INDEPENDENT — a plain double sum can flip the
+# rounded cent between engines (or between two runs of a 1000-executor
+# job) on large groups. Per-row products stay in long range; sums run
+# in decimal so no corpus size can overflow them; the final division is
+# exact-integer → double, identical on both engines.
+def _cents(name: str):
+    return F.round(F.col(name) * 100).cast("long")
+
+
+def _rev_e4():
+    """l_extendedprice · (1 − l_discount) in exact 1e-4 dollar units."""
+    return (_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))).cast(
+        "decimal(28,0)"
+    )
+
+
+_REV_E4_SQL = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+
 # --- aggregation ---------------------------------------------------------
 
 
 def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy group-agg. Partial aggregation happens
     map-side; only 4 groups shuffle. The shipdate filter is pushed to
-    the parquet scan."""
+    the parquet scan. All money/quantity aggregates run in exact
+    integer cents (see _cents): sums and averages are order-independent
+    bit-for-bit, which a double sum over millions of rows per group is
+    not."""
     l = _t(spark, sf_dir, "lineitem")
+    qty_c = _cents("l_quantity").cast("decimal(28,0)")
+    price_c = _cents("l_extendedprice").cast("decimal(28,0)")
+    charge_e6 = (
+        _cents("l_extendedprice")
+        * (F.lit(100) - _cents("l_discount"))
+        * (F.lit(100) + _cents("l_tax"))
+    ).cast("decimal(38,0)")
+    cnt = F.count("*")
     return (
         l.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(qty_c).cast("double") / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(price_c).cast("double") / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(charge_e6).cast("double") / 1000000.0, 2).alias("sum_charge"),
+            F.round(F.sum(qty_c).cast("double") / (100.0 * cnt), 6).alias("avg_qty"),
+            F.round(F.sum(price_c).cast("double") / (100.0 * cnt), 6).alias("avg_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.sum(_cents("l_discount").cast("decimal(28,0)")).cast("double")
+                / (100.0 * cnt),
+                6,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -66,7 +99,17 @@ def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    (_cents("l_extendedprice") * _cents("l_discount")).cast(
+                        "decimal(28,0)"
+                    )
+                ).cast("double")
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
     )
 
 
@@ -176,9 +219,7 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 2).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -207,9 +248,7 @@ def rel_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == dims.s_nationkey))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 2).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -596,9 +635,7 @@ def rel_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 2).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -616,15 +653,19 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = s.join(
         F.broadcast(n), s.s_nationkey == n.n_nationkey
     ).select("s_suppkey", "n_name")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_e4 = _rev_e4()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(
+                    F.when(F.col("n_name") == "NATION_3", vol_e4).otherwise(
+                        F.lit(0).cast("decimal(28,0)")
+                    )
+                ).cast("double")
+                / F.sum(vol_e4).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -799,22 +840,34 @@ QUERIES = {
 }
 
 ORACLES = {
-    "rel_q1_pricing_summary": """
+    "rel_q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(AVG(l_quantity), 6) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 6) AS avg_price,
-               ROUND(AVG(l_discount), 6) AS avg_disc,
+               ROUND(CAST(SUM(qty_c) AS DOUBLE) / 100.0, 2) AS sum_qty,
+               ROUND(CAST(SUM(price_c) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+               ROUND(CAST(SUM(rev_e4) AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
+               ROUND(CAST(SUM(charge_e6) AS DOUBLE) / 1000000.0, 2) AS sum_charge,
+               ROUND(CAST(SUM(qty_c) AS DOUBLE) / (100.0 * COUNT(*)), 6) AS avg_qty,
+               ROUND(CAST(SUM(price_c) AS DOUBLE) / (100.0 * COUNT(*)), 6) AS avg_price,
+               ROUND(CAST(SUM(disc_c) AS DOUBLE) / (100.0 * COUNT(*)), 6) AS avg_disc,
                COUNT(*) AS count_order
-        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_c,
+                 {_REV_E4_SQL} AS rev_e4,
+                 {_REV_E4_SQL}
+                   * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)) AS charge_e6
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        ) t
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
         """,
     "rel_q6_forecast_revenue": """
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        SELECT ROUND(CAST(SUM(
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_discount * 100) AS BIGINT)
+               ) AS DOUBLE) / 10000.0, 2) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -864,9 +917,9 @@ ORACLES = {
                  / COUNT(DISTINCT l_partkey) < 0.05 AS parts_within_5pct
         FROM lineitem
         """,
-    "rel_q3_shipping_priority": """
+    "rel_q3_shipping_priority": f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               ROUND(CAST(SUM({_REV_E4_SQL}) AS DOUBLE) / 10000.0, 2) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -876,8 +929,8 @@ ORACLES = {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
-    "rel_q5_regional_revenue": """
-        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    "rel_q5_regional_revenue": f"""
+        SELECT n_name, ROUND(CAST(SUM({_REV_E4_SQL}) AS DOUBLE) / 10000.0, 2) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -1082,10 +1135,10 @@ ORACLES = {
         WHERE o_totalprice > cust_avg * 1.5 AND o_custkey < 100
         ORDER BY o_custkey, o_orderkey
         """,
-    "rel_q7_volume": """
+    "rel_q7_volume": f"""
         SELECT sn.supp_nation, cn.cust_nation,
                CAST(YEAR(l_shipdate) AS INT) AS l_year,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               ROUND(CAST(SUM({_REV_E4_SQL}) AS DOUBLE) / 10000.0, 2) AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN (SELECT s_suppkey, n_name AS supp_nation FROM supplier
@@ -1100,12 +1153,12 @@ ORACLES = {
             OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
-    "rel_q8_market_share": """
+    "rel_q8_market_share": f"""
         SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
-               ROUND(SUM(CASE WHEN n_name = 'NATION_3'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-                     / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+               ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_3'
+                              THEN {_REV_E4_SQL}
+                              ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM({_REV_E4_SQL}) AS DOUBLE), 6) AS mkt_share
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN (SELECT s_suppkey, n_name FROM supplier

@@ -43,3 +43,31 @@ def test_scripted_leases(spark, sf_dir):
     assert ("lt-delayed", 204, 1) in fired
     # lt-stuck: armed at 9102, final watermark 9100 — lease unexpired
     assert not any(t == "lt-stuck" for (t, _, _) in fired)
+
+
+def test_timer_requeue_tws_parity_or_gate(spark, sf_dir):
+    """Successor-API parity contract (timers_tws.py): on Spark builds
+    with a working protobuf runtime, transformWithStateInPandas'
+    per-lease timers must fire exactly the applyInPandasWithState set;
+    in this container the state server's protobuf import is broken
+    (probed at module level), so the test documents the gate instead of
+    silently passing."""
+    import pytest
+
+    from task_hive_spark.streaming import timers_tws
+
+    if not timers_tws.has_tws_support():
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf (the state"
+            " server's wire format); the container ships a broken google"
+            " namespace without it — gate documented in timers_tws.py"
+        )
+    got = {
+        (r.task_id, r.ready_s, r.retry_n)
+        for r in timers_tws.st_timer_requeue_tws(spark, sf_dir).collect()
+    }
+    base = {
+        (r.task_id, r.ready_s, r.retry_n)
+        for r in timers.st_timer_requeue(spark, sf_dir).collect()
+    }
+    assert got == base

@@ -84,9 +84,10 @@ _BACK_R5 = frozenset(
         "th_top10_pending",
         "th_worker_inbox",
         "th_workers_liveness",
-        "txt_filter_pipeline",
         "txt_mix_rebalance",
-        "txt_unigram_logprob",
+        # (txt_filter_pipeline / txt_unigram_logprob left the back set
+        # when they moved onto the shared token_index this round:
+        # changed code must regrade in front)
         # -- r3-evidence overflow --
         # (rel_q1/q3/q5/q6 left the back set when their money aggregates
         # moved to exact integer cents this round: changed code must
@@ -111,6 +112,30 @@ _BACK_R5 = frozenset(
         "txt_fingerprints",
         "txt_quality_scores",
         "txt_length_histogram",
+        # -- displaced by the 7 new TPC-H queries + the 2 token_index
+        # rotations above. Selection: families with dedicated
+        # integration coverage beyond the oracle (th_stats is smoke-run
+        # by entry() every round and warms every bench;
+        # xp_dispatch_results anchors the bench scheduling sim; the
+        # mm_*/xp_* modules are untouched this round) --
+        "th_stats",
+        "th_list_by_status",
+        "th_list_all_union",
+        "th_point_get",
+        "xp_dispatch_results",
+        "xp_taskgen_summary",
+        "mm_catalog_stats",
+        "mm_decode_features",
+        "mm_frame_sample",
+        # -- displaced by the 6 partsupp-surrogate TPC-H queries
+        # (Q2/Q9/Q11/Q16/Q20/Q21); all untouched this round and
+        # hash-checked at sf0.001 every pytest run --
+        "th_unknown_type_failed",
+        "rel_case_null_logic",
+        "rel_correlated_above_avg",
+        "rel_window_ranks",
+        "rel_pivot_status",
+        "txt_language_id",
     }
 )
 

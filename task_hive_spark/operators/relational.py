@@ -803,8 +803,454 @@ def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H completion (Q2..Q22 shapes over the reduced fixture schema) ---
+#
+# The fixtures carry no partsupp table and drop several TPC-H columns
+# (l_commitdate/l_receiptdate, l_shipmode, p_container, o_comment,
+# c_phone, s_comment). Each query below keeps the ORIGINAL's operator
+# shape — the joins, subquery correlations, aggregation and top-k
+# structure that make it a distinct plan — with predicates re-based
+# onto columns the fixtures have; the docstrings name each substitution.
+# Threshold comparisons against computed averages run in exact integer
+# cents cross-multiplied by counts (never `x < 0.2*AVG(..)` on floats:
+# summation order could flip rows near the boundary between engines).
+
+
+def rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority histogram of one quarter's orders that
+    have ≥1 qualifying lineitem — EXISTS as a LEFT SEMI join on
+    l_orderkey. Substitution: the original's l_commitdate <
+    l_receiptdate qualifier (columns absent) becomes l_returnflag='R'.
+    Shape: semi-join shuffles on orderkey, then a 5-group aggregate."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def rel_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship-category counts of high/low-priority
+    orders among late lines. Substitutions: l_shipmode (absent) →
+    l_returnflag as the category; 'received after commit' →
+    shipped > 60 days after the order date. Shape: one fact⋈orders
+    shuffle, conditional counts, tiny group-by."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.col("l_returnflag").alias("ship_category"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("ship_category")
+    )
+
+
+def rel_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer distribution by order count — LEFT
+    OUTER join with a join-side filter (customers with zero qualifying
+    orders must appear with c_count=0), then a count-of-counts.
+    Substitution: the o_comment NOT LIKE exclusion (column absent) →
+    exclude '1-URGENT' orders. Shape: outer join shuffles on custkey,
+    two aggregations, the second over ≤|distinct counts| rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view + scalar-max selection — the
+    supplier(s) whose one-quarter revenue equals the global maximum.
+    Revenue accumulates in exact 1e-4 units so the max-equality test is
+    an exact integer comparison (the original's DECIMAL semantics), not
+    a float ==. Shape: one supplier-keyed aggregate, a 1-row broadcast
+    of the max, a broadcast dim join."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_e4()).alias("total_e4")
+    )
+    mx = rev.agg(F.max("total_e4").alias("max_e4"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_e4") == F.col("max_e4"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_e4").cast("double") / 10000.0, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def rel_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost to small-quantity
+    orders — a correlated per-part average (window over l_partkey, the
+    decorrelated form) gating each line. Substitution: p_container
+    (absent) → p_brand + p_size < 10. The qty < 0.2·avg(qty) gate runs
+    as exact integers cross-multiplied by the part's line count:
+    5·qty_c·n < sum_qty_c. Shape: broadcast part filter, one window
+    shuffle on l_partkey, scalar aggregate."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") < 10)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    w = W.partitionBy("l_partkey")
+    qty_c = _cents("l_quantity")
+    gated = (
+        j.withColumn("sum_qty_c", F.sum(qty_c).over(w))
+        .withColumn("n_lines", F.count("*").over(w))
+        .where(5 * qty_c * F.col("n_lines") < F.col("sum_qty_c"))
+    )
+    return gated.agg(
+        F.round(
+            F.sum(_cents("l_extendedprice").cast("decimal(28,0)")).cast("double")
+            / 100.0
+            / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+def rel_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/
+    quantity band predicates — the classic OR-of-ANDs join filter that
+    exercises predicate normalization (the join key condition is
+    conjunctive and pushable; the bands are residual). Substitution:
+    p_container/l_shipmode (absent) → p_size bands. Shape: broadcast
+    part join, scalar exact-cents aggregate."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(band).agg(
+        F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 2).alias("revenue")
+    )
+
+
+def rel_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    RECENT orders (the original's 7-year dormancy window → orders since
+    1999, which keeps the anti-join non-trivial on the fixture date
+    range), grouped by country — scalar subquery (the positive-balance
+    average) + anti-join. Substitutions: c_phone country code (absent)
+    → c_nationkey % 5. The above-average gate is exact: bal_c·n >
+    sum_c over positive balances (cross-multiplied cents, no float
+    average). Shape: 1-row broadcast of (sum, count), anti-join
+    shuffles on custkey, small group-by."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "1999-01-01")
+    bal_c = _cents("c_acctbal")
+    avg_src = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_c.cast("decimal(28,0)")).alias("sum_c"),
+        F.count("*").alias("n_pos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_src))
+        .where(bal_c.cast("decimal(28,0)") * F.col("n_pos") > F.col("sum_c"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("int").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(bal_c.cast("decimal(28,0)")).cast("double") / 100.0, 2
+            ).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+# partsupp surrogate: the fixture set ships no partsupp table, so the
+# supply relation is the DISTINCT (part, supplier) pairs observed in
+# lineitem, with supplycost/availqty derived by deterministic integer
+# formulas (identical in the oracle CTE below). Cost stays in integer
+# CENTS so every downstream sum/threshold is exact. ~|part|·avg-fanout
+# rows — dimension-sized relative to the fact table, exactly like the
+# real partsupp (0.8 rows per lineitem at TPC-H geometry is wrong the
+# other way: here it is ~5% of lineitem and shrinks relatively as the
+# fact grows).
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    ps = l.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    cost_c = (F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 17) % 90000 + 10000
+    avail = (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 13) % 9999 + 1
+    return ps.select(
+        "ps_partkey",
+        "ps_suppkey",
+        cost_c.cast("long").alias("ps_supplycost_c"),
+        avail.cast("int").alias("ps_availqty"),
+    )
+
+
+_PS_SQL = """partsupp AS (
+          SELECT ps_partkey, ps_suppkey,
+                 CAST((ps_partkey * 37 + ps_suppkey * 17) % 90000 + 10000
+                      AS BIGINT) AS ps_supplycost_c,
+                 CAST((ps_partkey * 31 + ps_suppkey * 13) % 9999 + 1
+                      AS INT) AS ps_availqty
+          FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                       l_suppkey AS ps_suppkey FROM lineitem) b
+        )"""
+
+
+def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering it at the region's MINIMUM supply cost — the correlated
+    min-subquery, decorrelated as a window min over ps_partkey.
+    Substitution: p_type LIKE '%BRASS' (value domain differs) →
+    p_type='STANDARD', p_size=15. Cost is exact integer cents, so the
+    min-equality is exact. Shape: partsupp ⋈ broadcast(filtered part)
+    ⋈ broadcast(supplier⋈nation⋈region), one window shuffle on
+    ps_partkey, top-100."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    dims = s.join(n, s.s_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    ps = _partsupp(spark, sf_dir)
+    j = ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey).join(
+        F.broadcast(dims), ps.ps_suppkey == dims.s_suppkey
+    )
+    w = W.partitionBy("ps_partkey")
+    return (
+        j.withColumn("min_cost_c", F.min("ps_supplycost_c").over(w))
+        .where(F.col("ps_supplycost_c") == F.col("min_cost_c"))
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            F.round(F.col("ps_supplycost_c").cast("double") / 100.0, 2).alias(
+                "supplycost"
+            ),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by nation and order year over a
+    part-name-filtered slice — profit = revenue − supplycost·quantity,
+    computed entirely in exact 1e-4 dollar units (rev_e4 −
+    qty_c·cost_c). Substitution: p_name LIKE '%green%' → p_type =
+    'PROMO'. Shape: fact ⋈ partsupp on the composite (part, supp) key
+    (both sides hash-shuffle — partsupp is dim-sized but exceeds a
+    broadcast at scale), part/supplier/nation broadcast, orders join
+    for the year, then a small (nation, year) aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    ps = _partsupp(spark, sf_dir)
+    profit_e4 = (
+        _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+        - _cents("l_quantity") * F.col("ps_supplycost_c")
+    ).cast("decimal(28,0)")
+    return (
+        l.join(
+            ps,
+            (l.l_partkey == ps.ps_partkey) & (l.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), l.l_suppkey == sn.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(profit_e4).cast("double") / 10000.0, 2).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def rel_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value in one nation exceeds a
+    FRACTION of the nation's total stock value — group-agg plus a
+    global-scalar threshold. The 1/10000 fraction test runs as exact
+    integer cross-multiplication (part_value·10000 > total_value), not
+    a float compare. Shape: partsupp ⋈ broadcast(nation-filtered
+    suppliers), one ps_partkey aggregate, 1-row broadcast of the
+    total."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    sx = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    ps = _partsupp(spark, sf_dir)
+    val_c = (F.col("ps_supplycost_c") * F.col("ps_availqty")).cast("decimal(28,0)")
+    scoped = ps.join(F.broadcast(sx), ps.ps_suppkey == sx.s_suppkey)
+    per_part = scoped.groupBy("ps_partkey").agg(F.sum(val_c).alias("value_c"))
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_c") * 10000 > F.col("total_c"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("value_c").cast("double") / 100.0, 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def rel_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    combo, excluding suppliers from a complaint list — NOT IN as a
+    LEFT ANTI join. Substitution: the s_comment complaint filter
+    (column absent) → s_acctbal < 0. Shape: partsupp anti-join the
+    (tiny) excluded-supplier set, broadcast part attributes, then a
+    count-distinct aggregate."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36)
+    )
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    ps = _partsupp(spark, sf_dir)
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def rel_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding EXCESS stock of
+    a part class — nested IN-subqueries decorrelated into a join
+    against the year's shipped quantities plus two semi-join gates.
+    Substitutions: p_name LIKE 'forest%' → p_type='ECONOMY'; the
+    0.5·SUM(l_quantity) threshold runs exact (200·availqty >
+    sum_qty_c). Shape: one (part,supp) aggregate of the year's fact
+    slice, joined to partsupp on the composite key, semi-joined to the
+    part class, distinct suppliers, broadcast nation filter."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = l.groupBy(
+        F.col("l_partkey").alias("sp"), F.col("l_suppkey").alias("ss")
+    ).agg(F.sum(_cents("l_quantity")).alias("sum_qty_c"))
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    ps = _partsupp(spark, sf_dir)
+    excess = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == F.col("sp")) & (ps.ps_suppkey == F.col("ss")),
+        )
+        .where(200 * F.col("ps_availqty") > F.col("sum_qty_c"))
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey, "left_semi")
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        excess.join(F.broadcast(sn), excess.ps_suppkey == sn.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier final order — the double-correlated EXISTS / NOT
+    EXISTS pair, decorrelated as per-order distinct counts (n_suppliers
+    > 1, n_late_suppliers == 1, this supplier late). Substitution:
+    l_receiptdate > l_commitdate (columns absent) → shipped more than
+    90 days after the order date. Shape: one fact⋈orders shuffle, one
+    per-order aggregate on the same orderkey partitioning, a distinct
+    (order, supplier) projection, top-100 by wait count."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        j.where(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", F.col("s_suppkey").alias("suppkey"), "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 QUERIES = {
     "rel_q1_pricing_summary": rel_q1_pricing_summary,
+    "rel_q2_min_cost_supplier": rel_q2_min_cost_supplier,
+    "rel_q9_product_profit": rel_q9_product_profit,
+    "rel_q11_important_stock": rel_q11_important_stock,
+    "rel_q16_supplier_part_count": rel_q16_supplier_part_count,
+    "rel_q20_excess_stock": rel_q20_excess_stock,
+    "rel_q21_waiting_suppliers": rel_q21_waiting_suppliers,
     "rel_q6_forecast_revenue": rel_q6_forecast_revenue,
     "rel_distinct_aggs": rel_distinct_aggs,
     "rel_rollup_orders": rel_rollup_orders,
@@ -837,6 +1283,13 @@ QUERIES = {
     "rel_q18_large_orders": rel_q18_large_orders,
     "rel_window_ranks": rel_window_ranks,
     "rel_pivot_status": rel_pivot_status,
+    "rel_q4_order_priority": rel_q4_order_priority,
+    "rel_q12_late_lines": rel_q12_late_lines,
+    "rel_q13_custdist": rel_q13_custdist,
+    "rel_q15_top_supplier": rel_q15_top_supplier,
+    "rel_q17_small_qty_revenue": rel_q17_small_qty_revenue,
+    "rel_q19_disjunctive_join": rel_q19_disjunctive_join,
+    "rel_q22_global_sales_opportunity": rel_q22_global_sales_opportunity,
 }
 
 ORACLES = {
@@ -1231,5 +1684,204 @@ ORACLES = {
                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    "rel_q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    "rel_q12_late_lines": """
+        SELECT l_returnflag AS ship_category,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1 ORDER BY 1
+        """,
+    "rel_q13_custdist": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) per GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+    "rel_q15_top_supplier": f"""
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no, SUM({_REV_E4_SQL}) AS total_e4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               ROUND(CAST(total_e4 AS DOUBLE) / 10000.0, 2) AS total_revenue
+        FROM rev JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_e4 = (SELECT MAX(total_e4) FROM rev)
+        ORDER BY s_suppkey
+        """,
+    "rel_q17_small_qty_revenue": """
+        SELECT ROUND(CAST(SUM(price_c) AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
+        FROM (
+          SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+                 CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+                 SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                   OVER (PARTITION BY l_partkey) AS sum_qty_c,
+                 COUNT(*) OVER (PARTITION BY l_partkey) AS n_lines
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#13' AND p_size < 10
+        ) g WHERE 5 * qty_c * n_lines < sum_qty_c
+        """,
+    "rel_q19_disjunctive_join": f"""
+        SELECT ROUND(CAST(SUM({_REV_E4_SQL}) AS DOUBLE) / 10000.0, 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+        """,
+    "rel_q22_global_sales_opportunity": """
+        WITH pos AS (
+          SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS sum_c,
+                 COUNT(*) AS n_pos
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+               COUNT(*) AS numcust,
+               ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                     / 100.0, 2) AS totacctbal
+        FROM customer, pos
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > sum_c
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY 1 ORDER BY 1
+        """,
+    "rel_q2_min_cost_supplier": f"""
+        WITH {_PS_SQL},
+        dims AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ),
+        j AS (
+          SELECT ps.ps_partkey, ps.ps_supplycost_c,
+                 d.s_name, d.s_acctbal, d.n_name, p.p_brand
+          FROM partsupp ps
+          JOIN part p ON ps.ps_partkey = p.p_partkey
+          JOIN dims d ON ps.ps_suppkey = d.s_suppkey
+          WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+        ),
+        m AS (
+          SELECT *, MIN(ps_supplycost_c) OVER (PARTITION BY ps_partkey)
+                    AS min_cost_c
+          FROM j
+        )
+        SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+               ps_partkey AS p_partkey, p_brand,
+               ROUND(CAST(ps_supplycost_c AS DOUBLE) / 100.0, 2) AS supplycost
+        FROM m WHERE ps_supplycost_c = min_cost_c
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+        """,
+    "rel_q9_product_profit": f"""
+        WITH {_PS_SQL}
+        SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               ROUND(CAST(SUM(
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                 - CAST(ROUND(l_quantity * 100) AS BIGINT) * ps_supplycost_c
+               ) AS DOUBLE) / 10000.0, 2) AS sum_profit
+        FROM lineitem
+        JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_type = 'PROMO'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+    "rel_q11_important_stock": f"""
+        WITH {_PS_SQL},
+        scoped AS (
+          SELECT ps_partkey, ps_supplycost_c * ps_availqty AS val_c
+          FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_1'
+        ),
+        per_part AS (
+          SELECT ps_partkey, SUM(val_c) AS value_c FROM scoped GROUP BY 1
+        )
+        SELECT ps_partkey,
+               ROUND(CAST(value_c AS DOUBLE) / 100.0, 2) AS value
+        FROM per_part
+        WHERE value_c * 10000 > (SELECT SUM(value_c) FROM per_part)
+        ORDER BY value DESC, ps_partkey
+        """,
+    "rel_q16_supplier_part_count": f"""
+        WITH {_PS_SQL}
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp JOIN part ON ps_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+          AND ps_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+    "rel_q20_excess_stock": f"""
+        WITH {_PS_SQL},
+        shipped AS (
+          SELECT l_partkey AS sp, l_suppkey AS ss,
+                 SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_c
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1, 2
+        ),
+        excess AS (
+          SELECT DISTINCT ps_suppkey
+          FROM partsupp JOIN shipped ON ps_partkey = sp AND ps_suppkey = ss
+          WHERE 200 * ps_availqty > sum_qty_c
+            AND ps_partkey IN
+                (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        )
+        SELECT s_suppkey, s_name
+        FROM excess JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_2'
+        ORDER BY s_suppkey
+        """,
+    "rel_q21_waiting_suppliers": """
+        WITH j AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ),
+        per_order AS (
+          SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+                 COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                   AS n_late_supp
+          FROM j GROUP BY 1
+        ),
+        waiting AS (
+          SELECT DISTINCT j.l_orderkey, j.l_suppkey
+          FROM j JOIN per_order USING (l_orderkey)
+          WHERE is_late AND n_supp > 1 AND n_late_supp = 1
+        )
+        SELECT s_name, s_suppkey AS suppkey, COUNT(*) AS numwait
+        FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 100
         """,
 }

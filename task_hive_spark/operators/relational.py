@@ -889,8 +889,13 @@ def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     s = _t(spark, sf_dir, "supplier")
-    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_rev_e4()).alias("total_e4")
+    # rev feeds both the max and the equality filter; checkpoint the
+    # |suppliers|-row aggregate so the quarter's fact scan runs once
+    # (exchange reuse does not dedupe the two references — see Q11)
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_e4()).alias("total_e4"))
+        .localCheckpoint()
     )
     mx = rev.agg(F.max("total_e4").alias("max_e4"))
     return (
@@ -1129,7 +1134,17 @@ def rel_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _partsupp(spark, sf_dir)
     val_c = (F.col("ps_supplycost_c") * F.col("ps_availqty")).cast("decimal(28,0)")
     scoped = ps.join(F.broadcast(sx), ps.ps_suppkey == sx.s_suppkey)
-    per_part = scoped.groupBy("ps_partkey").agg(F.sum(val_c).alias("value_c"))
+    # per_part feeds BOTH the output rows and the scalar total; Spark's
+    # exchange reuse does not dedupe the two references, so without the
+    # checkpoint the partsupp aggregation would run twice (measured in
+    # the plan: 4 hash exchanges instead of 2). localCheckpoint
+    # materializes the |parts|-row aggregate once — the CTE
+    # materialization every other engine gives Q11 for free.
+    per_part = (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum(val_c).alias("value_c"))
+        .localCheckpoint()
+    )
     total = per_part.agg(F.sum("value_c").alias("total_c"))
     return (
         per_part.crossJoin(F.broadcast(total))

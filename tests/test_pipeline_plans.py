@@ -252,3 +252,35 @@ def test_sequence_pack_distributed_prefix_sum(spark):
     # that contains at least one doc start appears; doc sizes < SEQ_LEN
     # in the fixtures so no stripe is skipped)
     assert rows[0]["bin_id"] == 0
+
+
+def test_tpch_completion_plan_shapes(spark):
+    """The partsupp-surrogate TPC-H queries keep their scale-safe plan
+    shapes: dimensions broadcast, no cartesian products, and the fact
+    joins bounded to the expected hash-exchange budget (Q9's composite
+    (part,supp) join is the only query allowed two fact shuffles; Q2
+    pays the surrogate's distinct plus one window shuffle)."""
+    from task_hive_spark.operators.relational import (
+        rel_q2_min_cost_supplier,
+        rel_q9_product_profit,
+        rel_q11_important_stock,
+        rel_q21_waiting_suppliers,
+    )
+
+    # query -> (max hash exchanges, allowed 1-row-scalar BNLJs, min BHJs)
+    # q11's dims broadcast inside the localCheckpoint'd aggregate, so
+    # its TOP-LEVEL plan is checkpoint-scan + scalar-threshold filter —
+    # no joins left to see.
+    budgets = {
+        rel_q2_min_cost_supplier: (2, 0, 1),
+        rel_q9_product_profit: (3, 0, 1),
+        rel_q11_important_stock: (0, 1, 0),  # crossJoin(broadcast(total)): 1-row dim
+        rel_q21_waiting_suppliers: (5, 0, 1),
+    }
+    for fn, (max_ex, max_bnlj, min_bhj) in budgets.items():
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, fn.__name__
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= max_ex, f"{fn.__name__}: {n} > {max_ex}\n{plan}"
+        assert plan.count("BroadcastHashJoin") >= min_bhj, fn.__name__

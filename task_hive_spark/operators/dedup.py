@@ -478,17 +478,31 @@ def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
     n_chunks = F.ceil(F.greatest(n - CHUNK_TOKENS, F.lit(0)) / F.lit(CHUNK_STRIDE)) + 1
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.concat_ws(
-                " ", F.slice(toks, (i * CHUNK_STRIDE + 1).cast("int"), CHUNK_TOKENS)
-            ).alias("chunk_text"),
-        ),
-    )
-    ch = d.select("doc_id", F.explode(chunks).alias("c")).select(
-        "doc_id", "c.chunk_idx", fingerprint(F.col("c.chunk_text")).alias("chunk_fp")
+    # explode the chunk INDEX, then build each chunk's text as a plain
+    # projection: slice/concat_ws/md5 stay in whole-stage codegen, where
+    # the earlier transform()-lambda form evaluated them interpreted
+    # per array element (~10% of the query at sf0.1)
+    ch = (
+        d.select("doc_id", toks.alias("toks"), n_chunks.cast("int").alias("nc"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            fingerprint(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "toks",
+                        (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"),
+                        CHUNK_TOKENS,
+                    ),
+                )
+            ).alias("chunk_fp"),
+        )
     )
     return (
         ch.groupBy("chunk_fp")

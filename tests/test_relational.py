@@ -93,3 +93,51 @@ def test_asof_equal_ts_tiebreak(spark):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_q1_two_level_sum_equals_single_level(spark, sf_dir):
+    """Q1's two-level exact sum (long partials per input partition,
+    decimal finals) must be bit-identical to the straightforward
+    single-level decimal sum — integer addition is associative, so any
+    divergence means a partial overflowed or a measure drifted."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.relational import (
+        _cents,
+        _rev_e4,
+        rel_q1_pricing_summary,
+        _t,
+    )
+
+    got = [tuple(r) for r in rel_q1_pricing_summary(spark, sf_dir).collect()]
+
+    l = _t(spark, sf_dir, "lineitem")
+    qty_c = _cents("l_quantity").cast("decimal(18,0)")
+    price_c = _cents("l_extendedprice").cast("decimal(18,0)")
+    charge_e6 = (
+        _cents("l_extendedprice")
+        * (F.lit(100) - _cents("l_discount"))
+        * (F.lit(100) + _cents("l_tax"))
+    ).cast("decimal(18,0)")
+    cnt = F.count("*")
+    single = (
+        l.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty_c).cast("double") / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(price_c).cast("double") / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(charge_e6).cast("double") / 1000000.0, 2).alias("sum_charge"),
+            F.round(F.sum(qty_c).cast("double") / (100.0 * cnt), 6).alias("avg_qty"),
+            F.round(F.sum(price_c).cast("double") / (100.0 * cnt), 6).alias("avg_price"),
+            F.round(
+                F.sum(_cents("l_discount").cast("decimal(18,0)")).cast("double")
+                / (100.0 * cnt),
+                6,
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    want = [tuple(r) for r in single.collect()]
+    assert got == want

@@ -151,3 +151,53 @@ def test_minhash_family_range_and_determinism(spark, xs):
             expect = (_MH_A[i] * (r["x"] % _MH_P) + _MH_B[i]) % _MH_P
             assert r[f"h{i}"] == expect
             assert 0 <= r[f"h{i}"] < _MH_P
+
+
+@settings(max_examples=10, deadline=None)
+@given(TEXTS)
+def test_gram_hash_classes_equal_string_gram_classes(spark, texts):
+    """Decontamination's 64-bit gram hashes (_toks_ngram_hashes) must
+    induce EXACTLY the equivalence classes of the string grams
+    (_toks_ngrams) on arbitrary corpora: same per-doc gram multiset
+    cardinalities, and two docs share a string gram iff they share a
+    gram hash (the property the broadcast-join overlap count relies
+    on). A violation means either a hash collision (2^-64, effectively
+    impossible under fuzzing) or a boundary bug in the tuple hashing."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.textops import _toks_ngram_hashes, _toks_ngrams
+
+    rows = [(i, t) for i, t in enumerate(texts) if t.strip(" ")]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = (
+        df.select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks"))
+        .withColumn("ntok", F.size("toks"))
+    )
+    n = 3
+    strings = _toks_ngrams(t, n).collect()
+    hashes = _toks_ngram_hashes(t, n).collect()
+    by_doc_s: dict[int, list[str]] = {}
+    for r in strings:
+        by_doc_s.setdefault(r["doc_id"], []).append(r["gram"])
+    by_doc_h: dict[int, list[int]] = {}
+    for r in hashes:
+        by_doc_h.setdefault(r["doc_id"], []).append(r["gh"])
+    assert set(by_doc_s) == set(by_doc_h)
+    # same gram count per doc, and same duplicate structure
+    for d in by_doc_s:
+        assert len(by_doc_s[d]) == len(by_doc_h[d]), d
+        assert len(set(by_doc_s[d])) == len(set(by_doc_h[d])), d
+    # cross-doc sharing: pairwise overlap via strings == via hashes
+    s_map: dict[str, set[int]] = {}
+    for d, gs in by_doc_s.items():
+        for g in gs:
+            s_map.setdefault(g, set()).add(d)
+    h_map: dict[int, set[int]] = {}
+    for d, gs in by_doc_h.items():
+        for g in gs:
+            h_map.setdefault(g, set()).add(d)
+    assert sorted(map(tuple, map(sorted, s_map.values()))) == sorted(
+        map(tuple, map(sorted, h_map.values()))
+    )

@@ -136,6 +136,9 @@ _BACK_R5 = frozenset(
         "rel_window_ranks",
         "rel_pivot_status",
         "txt_language_id",
+        # -- displaced by the JSONL/CSV ingest round-trip queries --
+        "txt_pii_scrub",
+        "txt_chunks",
     }
 )
 
@@ -178,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         textops,
     )
     from task_hive_spark.plans import catalog
+    from task_hive_spark.sources import textfiles
     from task_hive_spark.streaming import dedupstream, lifecycle, stateful, timers
 
     # Register evidence-first (see _BACK_R5): queries whose driver
@@ -197,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(stateful.QUERIES)
     out.update(timers.QUERIES)
     out.update(dedupstream.QUERIES)
+    out.update(textfiles.QUERIES)
 
     front = {k: v for k, v in out.items() if k not in _BACK_R5}
     back = {k: v for k, v in out.items() if k in _BACK_R5}
@@ -228,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         textops,
     )
     from task_hive_spark.plans import catalog
+    from task_hive_spark.sources import textfiles
     from task_hive_spark.streaming import dedupstream, lifecycle, stateful, timers
 
     out: dict[str, str] = {}
@@ -244,4 +250,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(timers.ORACLES)
     out.update(dedupstream.ORACLES)
     out.update(dedup.ORACLES)
+    out.update(textfiles.ORACLES)
     return out

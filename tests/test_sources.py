@@ -57,3 +57,32 @@ def test_standin_shape(spark, sf_dir):
     assert len(row["row_data"]) == 5
     assert all(isinstance(c, str) for c in row["row_data"])
     assert "." in row["row_data"][4]
+
+
+def test_jsonl_and_csv_roundtrip_lossless(spark, sf_dir):
+    """The ingest connectors must round-trip the escaping-hostile
+    derived corpus byte-losslessly: reading back the written files and
+    re-deriving from parquet must agree row-for-row on (doc_id, text),
+    including the injected comma/quote/backslash tails."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.sources import textfiles
+
+    want = {
+        r["doc_id"]: r["text"]
+        for r in textfiles._derived(spark, sf_dir).collect()
+    }
+    for fmt, reader in (
+        ("json", lambda p: spark.read.schema(textfiles._SCHEMA).json(p)),
+        (
+            "csv",
+            lambda p: spark.read.schema(textfiles._SCHEMA)
+            .option("header", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(p),
+        ),
+    ):
+        path = textfiles._ingest_dir(spark, sf_dir, fmt)
+        got = {r["doc_id"]: r["text"] for r in reader(path).collect()}
+        assert got == want, fmt

@@ -113,24 +113,32 @@ _BACK_R5 = frozenset(
         "txt_quality_scores",
         "txt_length_histogram",
         # -- displaced by the 7 new TPC-H queries + the 2 token_index
-        # rotations above. Selection: families with dedicated
-        # integration coverage beyond the oracle (th_stats is smoke-run
-        # by entry() every round and warms every bench;
-        # xp_dispatch_results anchors the bench scheduling sim; the
-        # mm_*/xp_* modules are untouched this round) --
-        "th_stats",
-        "th_list_by_status",
-        "th_list_all_union",
-        "th_point_get",
-        "xp_dispatch_results",
-        "xp_taskgen_summary",
-        "mm_catalog_stats",
-        "mm_decode_features",
+        # rotations above. The r4 verdict's window instruction puts the
+        # NINE r2-evidence holdovers (th_stats, th_list_by_status,
+        # th_list_all_union, th_point_get, th_unknown_type_failed,
+        # xp_dispatch_results, xp_taskgen_summary, mm_catalog_stats,
+        # mm_decode_features) at the FRONT of round 5, so the overflow
+        # rotates from the r3-evidence set instead: the nine queries
+        # below are bit-identical (or docstring-only drift) since their
+        # r3 grading — dedup's r4/r5 edits touched the minhash/ngram/
+        # chunk paths, not the exact-fingerprint or simhash paths, and
+        # similarity's r5 edits only ADD symbols near these — and every
+        # one is hash-checked against its DuckDB oracle at sf0.001 each
+        # pytest run plus re-verified at sf0.01 by
+        # scripts/verify_local.py before this rotation landed --
         "mm_frame_sample",
+        "txt_corpus_profile",
+        "txt_training_mix",
+        "dd_simhash",
+        "dd_simhash_near_pairs",
+        "dd_exact_groups",
+        "dd_exact_keep_list",
+        "dd_duplicate_clusters",
+        "dd_embedding_cosine_pairs",
+        "sim_label_centroids",
         # -- displaced by the 6 partsupp-surrogate TPC-H queries
         # (Q2/Q9/Q11/Q16/Q20/Q21); all untouched this round and
         # hash-checked at sf0.001 every pytest run --
-        "th_unknown_type_failed",
         "rel_case_null_logic",
         "rel_correlated_above_avg",
         "rel_window_ranks",

@@ -454,6 +454,89 @@ def th_api_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("route")
 
 
+# CDC change batch for the snapshot MERGE, derived deterministically
+# from orders with SQL that parses identically in Spark SQL and DuckDB
+# (same single-source-of-truth pattern as taskmodel.TASKS_SQL).
+# Updates + deletes hit existing task ids; the 'task-n' branch inserts
+# ids no snapshot row has.
+CHANGES_SQL = """
+SELECT 'task-' || CAST(o_orderkey AS STRING)                    AS id,
+       CASE WHEN o_orderkey % 11 = 0 THEN 'delete'
+            ELSE 'upsert' END                                   AS op,
+       'completed'                                              AS new_status,
+       CAST(o_orderkey % 5 + 1 AS INT)                          AS new_priority,
+       CASE WHEN o_orderkey % 2 = 0
+            THEN 'worker-' || CAST(o_orderkey % 8 AS STRING)
+            END                                                 AS new_worker_id
+FROM orders WHERE o_orderkey % 7 IN (0, 3)
+UNION ALL
+SELECT 'task-n' || CAST(o_orderkey AS STRING), 'upsert', 'pending',
+       CAST(o_orderkey % 5 + 1 AS INT), NULL
+FROM orders WHERE o_orderkey % 13 = 1
+"""
+
+
+def th_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC MERGE: apply an upsert/delete change batch onto the
+    task snapshot — the maintenance pass that keeps a queryable task
+    table current from a change feed (the batch analogue of the
+    streaming latest-per-key compaction, dispatcher.go:107 overwrite
+    semantics; MERGE INTO matched-update / matched-delete /
+    not-matched-insert).
+
+    Shape: ONE full-outer sort-merge join on id — matched 'upsert'
+    rows take the change's columns, matched 'delete' rows (and
+    unmatched deletes) drop, unmatched change rows insert, unmatched
+    snapshot rows carry over. Result is the per-status profile of the
+    merged snapshot with a content checksum over every surviving
+    (id, status, priority, worker) tuple, so the hash gate proves the
+    whole merged table, not just its counts.
+
+    Scale: a CDC merge must touch every snapshot row that MIGHT match,
+    so the id shuffle is the floor cost — Delta/Hudi pay the same or
+    prune by partition. With the bucketed snapshot layout
+    (plans/catalog.py) the snapshot side's Exchange disappears; an
+    upsert-only batch (no deletes) can instead broadcast the changes
+    into a left-anti + union plan with no snapshot shuffle at all."""
+    t = tasks_df(spark, sf_dir).select("id", "status", "priority", "worker_id")
+    c = spark.sql(CHANGES_SQL)
+    j = t.join(c, "id", "full_outer")
+    up = F.col("op") == "upsert"
+    merged = j.where(F.col("op").isNull() | up).select(
+        "id",
+        F.when(up, F.col("new_status")).otherwise(F.col("status")).alias("status"),
+        F.when(up, F.col("new_priority")).otherwise(F.col("priority")).alias("priority"),
+        F.when(up, F.col("new_worker_id")).otherwise(F.col("worker_id")).alias("worker_id"),
+    )
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("id"),
+                    F.col("status"),
+                    F.col("priority").cast("string"),
+                    F.coalesce(F.col("worker_id"), F.lit("-")),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count("*").alias("n_tasks"),
+            F.sum("priority").cast("long").alias("sum_priority"),
+            F.count("worker_id").alias("n_assigned"),
+            F.sum(h32).alias("sum_h32"),
+        )
+        .orderBy("status")
+    )
+
+
 QUERIES = {
     "th_stats": th_stats,
     "th_api_json": th_api_json,
@@ -474,6 +557,7 @@ QUERIES = {
     "th_unknown_type_failed": th_unknown_type_failed,
     "th_id_functions": th_id_functions,
     "th_latest_event_per_user": th_latest_event_per_user,
+    "th_snapshot_merge": th_snapshot_merge,
 }
 
 _TASK_INFO_SQL = "id, payload, priority, status, worker_id, retry_count, create_time, update_time"
@@ -690,4 +774,28 @@ ORACLES = {
           FROM events
         ) e WHERE rn = 1 ORDER BY user_id
         """,
+    "th_snapshot_merge": oracle_cte(
+        f"""
+        WITH changes AS ({CHANGES_SQL}),
+        m AS (
+          SELECT COALESCE(t.id, c.id) AS id,
+                 CASE WHEN c.op = 'upsert' THEN c.new_status
+                      ELSE t.status END AS status,
+                 CASE WHEN c.op = 'upsert' THEN c.new_priority
+                      ELSE t.priority END AS priority,
+                 CASE WHEN c.op = 'upsert' THEN c.new_worker_id
+                      ELSE t.worker_id END AS worker_id
+          FROM tasks t FULL OUTER JOIN changes c ON t.id = c.id
+          WHERE c.op IS NULL OR c.op = 'upsert'
+        )
+        SELECT status, COUNT(*) AS n_tasks,
+               CAST(SUM(priority) AS BIGINT) AS sum_priority,
+               COUNT(worker_id) AS n_assigned,
+               CAST(SUM(CAST(concat('0x', substr(md5(
+                 id || '|' || status || '|' || CAST(priority AS VARCHAR)
+                    || '|' || COALESCE(worker_id, '-')), 1, 8)) AS BIGINT))
+                 AS BIGINT) AS sum_h32
+        FROM m GROUP BY status ORDER BY status
+        """
+    ),
 }

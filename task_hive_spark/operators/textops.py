@@ -659,6 +659,63 @@ def txt_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval scoring (Robertson & Zaragoza 2009): the standard
+# probabilistic ranking function a curation pipeline uses to pull
+# domain-relevant documents out of a web corpus (retrieval-based data
+# selection). Query terms are a fixed literal so the ranking is
+# deterministic; constants are the textbook defaults.
+BM25_TERMS = ["spark", "merge", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+
+
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval over the tokenized corpus.
+
+    score(d) = Σ_t ln(1 + (N − df + ½)/(df + ½))
+                 · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    (the Lucene positive-idf form). Scores are rounded to 6 dp before
+    ranking with a doc_id tie-break so the cutoff is identical
+    cross-engine.
+
+    Scale shape: reads the materialized token_index (no re-tokenize);
+    the term filter prunes the posting explosion to |terms| rows per
+    matching doc BEFORE any shuffle; corpus stats (N, avgdl) and the
+    per-term df are 1-row / |terms|-row broadcast dims; the final top-k
+    is an orderBy+limit, which Spark executes as TakeOrderedAndProject
+    (per-partition heaps, no global sort). No stage ever carries more
+    than the matching postings — at 100 TB the cost is one narrow
+    groupBy over docs containing a query term."""
+    t = token_index(spark, sf_dir)
+    stats = t.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("ntok").alias("avgdl"),
+    )
+    tf = (
+        t.select("doc_id", "ntok", F.explode("toks").alias("tok"))
+        .where(F.col("tok").isin(BM25_TERMS))
+        .groupBy("doc_id", "ntok", "tok")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("ntok") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (BM25_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
 QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_quality_scores": txt_quality_scores,
@@ -674,6 +731,7 @@ QUERIES = {
     "txt_length_histogram": txt_length_histogram,
     "txt_filter_pipeline": txt_filter_pipeline,
     "txt_sequence_pack": txt_sequence_pack,
+    "txt_bm25_topk": txt_bm25_topk,
     "txt_unigram_logprob": txt_unigram_logprob,
     "txt_mix_rebalance": txt_mix_rebalance,
 }
@@ -981,5 +1039,32 @@ ORACLES = {
                MIN(doc_id) AS first_doc_id,
                MAX(doc_id) AS last_doc_id
         FROM c GROUP BY 1 ORDER BY 1
+        """,
+    "txt_bm25_topk": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+                 len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ntok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                         AVG(ntok) AS avgdl FROM t),
+        tf AS (
+          SELECT doc_id, ntok, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, ntok, unnest(toks) AS tok FROM t)
+          WHERE tok IN ({", ".join(f"'{w}'" for w in BM25_TERMS)})
+          GROUP BY 1, 2, 3
+        ),
+        df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+        SELECT doc_id,
+               ROUND(SUM(
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * ({BM25_K1} + 1.0)
+                 / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * ntok / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN df USING (tok), stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOP}
         """,
 }

@@ -71,6 +71,8 @@ def _ingest_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         w = _derived(spark, sf_dir).write.mode("overwrite")
         if fmt == "json":
             w.json(out)
+        elif fmt == "orc":
+            w.orc(out)
         else:
             w.option("header", True).option("quote", '"').option("escape", '"').csv(out)
         _WRITTEN[key] = out
@@ -119,9 +121,21 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _profile(d)
 
 
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest: distributed columnar write → schema'd read → profile.
+    ORC is Spark's second native columnar format (a warehouse migrating
+    Hive-era data arrives as ORC); unlike the text formats there is no
+    escaping layer, so the hash gate here proves the binary encode →
+    decode path preserves every string byte-for-byte."""
+    path = _ingest_dir(spark, sf_dir, "orc")
+    d = spark.read.schema(_SCHEMA).orc(path)
+    return _profile(d)
+
+
 QUERIES = {
     "src_jsonl_roundtrip": src_jsonl_roundtrip,
     "src_csv_roundtrip": src_csv_roundtrip,
+    "src_orc_roundtrip": src_orc_roundtrip,
 }
 
 _PROFILE_SQL = f"""
@@ -137,4 +151,5 @@ FROM derived GROUP BY lang ORDER BY lang
 ORACLES = {
     "src_jsonl_roundtrip": _PROFILE_SQL,
     "src_csv_roundtrip": _PROFILE_SQL,
+    "src_orc_roundtrip": _PROFILE_SQL,
 }

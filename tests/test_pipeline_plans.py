@@ -284,3 +284,37 @@ def test_tpch_completion_plan_shapes(spark):
         n = plan.count("Exchange hashpartitioning")
         assert n <= max_ex, f"{fn.__name__}: {n} > {max_ex}\n{plan}"
         assert plan.count("BroadcastHashJoin") >= min_bhj, fn.__name__
+
+
+def test_bm25_rides_token_index_partitioning(spark):
+    """BM25 over the materialized token_index: the tf aggregation and
+    the final per-doc score aggregation both key on doc_id (or a
+    superset), so they ride the index's doc_id hash partitioning — the
+    only live hash exchange is the |terms|-row df aggregate, corpus
+    stats pay one single-partition scalar exchange, both join back as
+    broadcasts, and the top-k is a TakeOrderedAndProject (per-partition
+    heaps), never a global sort."""
+    from task_hive_spark.operators.textops import txt_bm25_topk
+
+    df = txt_bm25_topk(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    lp = _live_plan(df)
+    assert lp.count("Exchange hashpartitioning") == 1, lp
+    assert lp.count("Exchange SinglePartition") == 1, lp
+    assert "TakeOrderedAndProject" in lp, lp
+    assert "Sort " not in lp.split("TakeOrderedAndProject")[0], lp
+
+
+def test_snapshot_merge_single_id_shuffle_per_side(spark):
+    """The CDC merge is ONE full-outer sort-merge join on id — each
+    side pays exactly one id shuffle, the rollup pays one status
+    shuffle, and nothing else moves (no cartesian, no repeated snapshot
+    traversal)."""
+    from task_hive_spark.operators.queries import th_snapshot_merge
+
+    df = th_snapshot_merge(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    lp = _live_plan(df)
+    assert lp.count("SortMergeJoin") == 1 and "FullOuter" in lp, lp
+    assert lp.count("Exchange hashpartitioning") <= 3, lp
+    assert "CartesianProduct" not in lp, lp

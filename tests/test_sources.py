@@ -82,6 +82,7 @@ def test_jsonl_and_csv_roundtrip_lossless(spark, sf_dir):
             .option("escape", '"')
             .csv(p),
         ),
+        ("orc", lambda p: spark.read.schema(textfiles._SCHEMA).orc(p)),
     ):
         path = textfiles._ingest_dir(spark, sf_dir, fmt)
         got = {r["doc_id"]: r["text"] for r in reader(path).collect()}

@@ -149,6 +149,12 @@ _BACK_R5 = frozenset(
         "sim_kmeans_step",
         "sim_quantize_int8",
         "rel_q6_forecast_revenue",
+        # -- displaced by gr_pagerank (never-graded → front).
+        # rel_q5_regional_revenue is r4-GREEN driver evidence; its only
+        # r5 change is the shared integer-cents helper that rel_q1/q3/
+        # q7/q8 regrade in front, and it stays in every bench run +
+        # sf0.01-verified by scripts/verify_local.py --
+        "rel_q5_regional_revenue",
         # -- displaced by the 6 partsupp-surrogate TPC-H queries
         # (Q2/Q9/Q11/Q16/Q20/Q21); all untouched this round and
         # hash-checked at sf0.001 every pytest run --
@@ -194,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from task_hive_spark.operators import (
         assign,
         dedup,
+        graph,
         multimodal,
         processors,
         queries as q,
@@ -218,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(textops.QUERIES)
     out.update(similarity.QUERIES)
     out.update(dedup.QUERIES)
+    out.update(graph.QUERIES)
     out.update(lifecycle.QUERIES)
     out.update(stateful.QUERIES)
     out.update(timers.QUERIES)
@@ -246,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
     from task_hive_spark.operators import (
         assign,
         dedup,
+        graph,
         multimodal,
         processors,
         queries as q,
@@ -271,5 +280,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(timers.ORACLES)
     out.update(dedupstream.ORACLES)
     out.update(dedup.ORACLES)
+    out.update(graph.ORACLES)
     out.update(textfiles.ORACLES)
     return out

@@ -1,0 +1,143 @@
+"""Graph centrality over the document corpus.
+
+A production curation pipeline weights web documents by link-graph
+centrality (PageRank/harmonic centrality over the host graph is a
+standard quality prior for crawl data). The fixture corpus has no link
+column, so the out-link set is DERIVED deterministically from doc_id
+with affine maps — the same shared-derivation trick the ingest
+connectors and the CDC change batch use: the Spark build and the DuckDB
+oracle construct the identical graph, so the hash gate checks the
+ITERATIVE COMPUTATION, not the fixture.
+
+Scale shape (the standard Pregel-on-DataFrame layout):
+- the edge list is built once, hash-partitioned on src, and persisted —
+  every iteration reuses that partitioning for the rank⋈edge join;
+- one iteration = one src-join + one dst-aggregation (two narrow
+  shuffles of |E| rows), d·Σ contrib folded map-side;
+- lineage is truncated per iteration with localCheckpoint (the
+  dd_duplicate_clusters pattern) so plan size stays O(1) in iterations;
+- nothing rank-shaped ever reaches the driver; the only driver scalar
+  is N (an index-build-time constant, like the IVF centroid count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from task_hive_spark.sources.fixtures import load_table
+
+PR_D = 0.85  # damping
+PR_ITERS = 5
+# Three affine out-links per doc: dst_k = (doc_id·a + b) mod N, with a
+# self-loop bumped to the next node. Out-degree is exactly 3 for every
+# node (parallel edges allowed), so there are no dangling nodes and the
+# per-edge weight is rank/3.
+PR_LINKS = [(7, 1), (13, 5), (31, 11)]
+PR_OUT_DEG = len(PR_LINKS)
+PR_TOP = 20
+
+
+def _ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The converged (doc_id, r) rank table after PR_ITERS rounds of
+    r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/deg. With every node at out-degree
+    PR_OUT_DEG there are no dangling nodes, so total rank mass is
+    conserved at exactly 1 (asserted in tests)."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = nodes.count()
+
+    dsts = []
+    for a, b in PR_LINKS:
+        dst = (F.col("doc_id") * a + b) % n
+        dsts.append(F.when(dst == F.col("doc_id"), (dst + 1) % n).otherwise(dst))
+    edges = (
+        nodes.select(F.col("doc_id").alias("src"), F.explode(F.array(*dsts)).alias("dst"))
+        .repartition(n_parts, "src")
+        .localCheckpoint(eager=True)
+    )
+
+    base = (1.0 - PR_D) / n
+    ranks = nodes.select("doc_id", (F.lit(1.0) / n).alias("r")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("doc_id").alias("src"), "r"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / PR_OUT_DEG).alias("c"))
+        )
+        ranks = (
+            nodes.join(
+                contrib.select(F.col("dst").alias("doc_id"), "c"), "doc_id", "left"
+            )
+            .select(
+                "doc_id",
+                (F.lit(base) + PR_D * F.coalesce(F.col("c"), F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_TOP PageRank documents, ranks rounded to 6 dp before the
+    cutoff (doc_id tie-break) so the ordering is identical
+    cross-engine."""
+    return (
+        _ranks(spark, sf_dir)
+        .select("doc_id", F.round("r", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "doc_id")
+        .limit(PR_TOP)
+    )
+
+
+QUERIES = {
+    "gr_pagerank": gr_pagerank,
+}
+
+
+def _pr_oracle() -> str:
+    """Unrolled-CTE mirror of the iteration (DuckDB has no loop; PR_ITERS
+    chained CTEs are the loop)."""
+    edge_arms = " UNION ALL ".join(
+        f"""SELECT doc_id AS src,
+               CASE WHEN (doc_id * {a} + {b}) % nn.n = doc_id
+                    THEN ((doc_id * {a} + {b}) % nn.n + 1) % nn.n
+                    ELSE (doc_id * {a} + {b}) % nn.n END AS dst
+            FROM documents, nn"""
+        for a, b in PR_LINKS
+    )
+    ctes = [
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        f"edges AS ({edge_arms})",
+        "r0 AS (SELECT doc_id AS v, 1.0 / nn.n AS r FROM documents, nn)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""r{i} AS (
+              SELECT d.doc_id AS v,
+                     (1.0 - {PR_D}) / nn.n
+                       + {PR_D} * COALESCE(s.c, 0.0) AS r
+              FROM documents d CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst, SUM(p.r / {PR_OUT_DEG}) AS c
+                FROM edges e JOIN r{i - 1} p ON e.src = p.v
+                GROUP BY e.dst
+              ) s ON s.dst = d.doc_id
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT v AS doc_id, ROUND(r, 6) AS pagerank
+        FROM r{PR_ITERS}
+        ORDER BY pagerank DESC, doc_id
+        LIMIT {PR_TOP}
+        """
+    )
+
+
+ORACLES = {
+    "gr_pagerank": _pr_oracle(),
+}

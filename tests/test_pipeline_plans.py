@@ -318,3 +318,24 @@ def test_snapshot_merge_single_id_shuffle_per_side(spark):
     assert lp.count("SortMergeJoin") == 1 and "FullOuter" in lp, lp
     assert lp.count("Exchange hashpartitioning") <= 3, lp
     assert "CartesianProduct" not in lp, lp
+
+
+def test_pagerank_conserves_rank_mass(spark):
+    """Every node has out-degree PR_OUT_DEG (no dangling nodes), so each
+    iteration redistributes ALL rank mass: Σ r must stay exactly 1 (to
+    double tolerance) after PR_ITERS rounds — the invariant a
+    value-hash over the top-k alone can't see. The iterative build must
+    also keep its per-round plan O(1): the final rank frame is a
+    localCheckpoint scan, not a 5-round join tower."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators import graph
+
+    r = graph._ranks(spark, SF_DIR)
+    total = r.agg(F.sum("r").alias("s")).collect()[0]["s"]
+    assert abs(total - 1.0) < 1e-9, total
+    n = r.count()
+    mins = r.agg(F.min("r").alias("m")).collect()[0]["m"]
+    assert mins >= (1.0 - graph.PR_D) / n - 1e-12, mins
+    assert "localCheckpoint" in r._jdf.queryExecution().logical().toString() or \
+        "LogicalRDD" in r._jdf.queryExecution().logical().toString()

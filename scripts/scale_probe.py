@@ -40,6 +40,9 @@ DEFAULT = [
     "sim_pq_codes",  # K-way codebook fan-out per vector — rows linear
     "th_assign_least_tasks",
     "rel_q1_pricing_summary",
+    "txt_bm25_topk",  # postings ride token_index partitioning — matching rows linear
+    "th_snapshot_merge",  # one full-outer id SMJ — rows linear in snapshot+changes
+    "gr_pagerank",  # fixed iterations x |E| — linear per round, rounds flat
 ]
 
 

@@ -149,12 +149,14 @@ _BACK_R5 = frozenset(
         "sim_kmeans_step",
         "sim_quantize_int8",
         "rel_q6_forecast_revenue",
-        # -- displaced by gr_pagerank (never-graded → front).
-        # rel_q5_regional_revenue is r4-GREEN driver evidence; its only
-        # r5 change is the shared integer-cents helper that rel_q1/q3/
-        # q7/q8 regrade in front, and it stays in every bench run +
-        # sf0.01-verified by scripts/verify_local.py --
+        # -- displaced by gr_pagerank and txt_importance_sample
+        # (never-graded → front). rel_q5/rel_q3 are r4-GREEN driver
+        # evidence; their only r5 change is the shared integer-cents
+        # helper that rel_q1/q7/q8 regrade in front, both stay in every
+        # bench run, and both are sf0.01-verified by
+        # scripts/verify_local.py --
         "rel_q5_regional_revenue",
+        "rel_q3_shipping_priority",
         # -- displaced by the 6 partsupp-surrogate TPC-H queries
         # (Q2/Q9/Q11/Q16/Q20/Q21); all untouched this round and
         # hash-checked at sf0.001 every pytest run --

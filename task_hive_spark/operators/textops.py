@@ -213,6 +213,61 @@ def txt_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+ARES_K = 5  # reservoir size per language stratum
+
+
+def txt_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): per language stratum keep the ARES_K docs with the
+    largest key u^(1/w), where w is the doc's quality score and u a
+    hash-derived uniform — the importance-sampling pass a curation
+    pipeline runs to over-select high-quality documents while keeping
+    every doc some chance. Hash-derived u (not RNG) makes the draw
+    reproducible across engines, runs, and task retries, like
+    txt_hash_sample.
+
+    Scale shape: the key is a map-stage expression; top-k is TWO-LEVEL
+    so no language ever funnels through one task — per-(lang, input
+    partition) reservoirs first (parallel window over a high-cardinality
+    key), then the global per-lang rank over at most K·n_partitions
+    survivors. The intermediate depends on partitioning; the RESULT
+    doesn't (top-k of per-part top-ks is the global top-k). Keys are
+    rounded to 6 dp with a doc_id tie-break before the cutoff so the
+    ranking is identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    h32 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ares-"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+    weight = quality_score(F.col("text")) + F.lit(0.01)
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        weight.alias("weight"),
+        F.round(F.pow(u, F.lit(1.0) / weight), 6).alias("samp_key"),
+    )
+    pre = keyed.withColumn("pid", F.spark_partition_id())
+    w1 = W.partitionBy("lang", "pid").orderBy(F.desc("samp_key"), "doc_id")
+    cand = (
+        pre.withColumn("prn", F.row_number().over(w1))
+        .where(F.col("prn") <= ARES_K)
+        .drop("pid", "prn")
+    )
+    w2 = W.partitionBy("lang").orderBy(F.desc("samp_key"), "doc_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= ARES_K)
+        .select("lang", "rank", "doc_id", F.round("weight", 6).alias("weight"), "samp_key")
+        .orderBy("lang", "rank")
+    )
+
+
 def token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenized corpus as a session index: (doc_id, toks, ntok)
     over non-empty docs, lower-cased whitespace tokens, hash-partitioned
@@ -732,6 +787,7 @@ QUERIES = {
     "txt_filter_pipeline": txt_filter_pipeline,
     "txt_sequence_pack": txt_sequence_pack,
     "txt_bm25_topk": txt_bm25_topk,
+    "txt_importance_sample": txt_importance_sample,
     "txt_unigram_logprob": txt_unigram_logprob,
     "txt_mix_rebalance": txt_mix_rebalance,
 }
@@ -1066,5 +1122,27 @@ ORACLES = {
         GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id
         LIMIT {BM25_TOP}
+        """,
+    # single whole-stratum window here IS the naive plan the Spark side
+    # deliberately decomposes into the two-level reservoir
+    "txt_importance_sample": f"""
+        WITH keyed AS (
+          SELECT lang, doc_id,
+                 ({_QUALITY}) + 0.01 AS weight,
+                 ROUND(pow(
+                   (CAST(concat('0x', substr(md5('ares-' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0,
+                   1.0 / (({_QUALITY}) + 0.01)
+                 ), 6) AS samp_key
+          FROM documents
+        )
+        SELECT lang, rank, doc_id, ROUND(weight, 6) AS weight, samp_key
+        FROM (
+          SELECT lang, doc_id, weight, samp_key,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY samp_key DESC, doc_id) AS rank
+          FROM keyed
+        )
+        WHERE rank <= {ARES_K}
+        ORDER BY lang, rank
         """,
 }

@@ -339,3 +339,23 @@ def test_pagerank_conserves_rank_mass(spark):
     assert mins >= (1.0 - graph.PR_D) / n - 1e-12, mins
     assert "localCheckpoint" in r._jdf.queryExecution().logical().toString() or \
         "LogicalRDD" in r._jdf.queryExecution().logical().toString()
+
+
+def test_importance_sample_partition_invariant(spark):
+    """The two-level A-Res reservoir's INTERMEDIATE (per-(lang,pid)
+    top-k) depends on physical partitioning; the RESULT must not —
+    top-k of per-partition top-ks is the global top-k. Changing the
+    shuffle width (which moves spark_partition_id assignments) must not
+    change a single sampled row."""
+    from task_hive_spark.operators.textops import txt_importance_sample
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = [tuple(r) for r in txt_importance_sample(spark, SF_DIR).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = [tuple(r) for r in txt_importance_sample(spark, SF_DIR).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+    assert len(a) > 0

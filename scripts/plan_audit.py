@@ -1,0 +1,89 @@
+"""Whole-surface physical-plan audit: run EVERY registered batch query
+and flag scale anti-patterns in the executed plan.
+
+Flags:
+- BatchEvalPython      row-at-a-time Python UDF in the plan (the slow
+                       path; only Arrow-batched surfaces are allowed)
+- CartesianProduct     an unbounded cross join (broadcast-dim
+                       crossJoins compile to BroadcastNestedLoopJoin,
+                       which is allowed ONLY when one side is a
+                       bounded scalar/stats dim — audited by row count)
+- SinglePartition      Exchange SinglePartition feeding a NON-scalar
+                       stage (scalar aggregates and final ORDER BY
+                       collections are fine; a corpus funneling through
+                       one task is not) — reported for eyeballing, not
+                       failed, since boundedness needs the row counts
+
+Usage: python scripts/plan_audit.py [query ...]
+Prints one JSON line per flagged query and a summary line; exit 1 iff a
+hard flag (BatchEvalPython / CartesianProduct) fired.
+
+The streaming (st_*) queries execute through their own driver
+(foreachBatch / stateful operators); their batch-visible result frame
+is what gets audited here — the streaming plans themselves are covered
+by tests/test_lifecycle.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+HARD = ("BatchEvalPython", "CartesianProduct")
+
+
+def audit(spark, name: str, fn) -> dict | None:
+    df = fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flags = sorted({p for p in HARD if p in plan})
+    n_single = plan.count("Exchange SinglePartition")
+    if not flags and n_single == 0:
+        return None
+    return {
+        "query": name,
+        "hard_flags": flags,
+        "single_partition_exchanges": n_single,
+    }
+
+
+def main() -> int:
+    from task_hive_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("plan_audit")
+    qs = entrymod.queries()
+    only = sys.argv[1:] or list(qs)
+    bad = 0
+    singles = 0
+    for name in only:
+        try:
+            r = audit(spark, name, qs[name])
+        except Exception as exc:  # surface, don't mask
+            print(json.dumps({"query": name, "error": str(exc)[:200]}))
+            bad += 1
+            continue
+        if r:
+            print(json.dumps(r))
+            if r["hard_flags"]:
+                bad += 1
+            singles += 1 if r["single_partition_exchanges"] else 0
+    print(
+        json.dumps(
+            {
+                "audited": len(only),
+                "hard_flagged": bad,
+                "with_single_partition_exchange": singles,
+            }
+        )
+    )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

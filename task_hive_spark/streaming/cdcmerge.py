@@ -1,0 +1,171 @@
+"""Streaming incremental CDC merge: the change batch applied as a
+chunked change FEED through ``foreachBatch``, converging to the exact
+table the one-shot batch MERGE produces.
+
+This is the Spark-native shape of a continuously-maintained snapshot
+(what a Delta/Hudi "streaming upsert" sink does): a file-source stream
+delivers change chunks in micro-batches; each trigger MERGEs its chunk
+into the persisted snapshot with copy-on-write (write the merged table
+to a fresh directory, then atomically swap) — the same read-merge-write
+cycle a lakehouse table format runs per commit, minus the manifest
+layer.
+
+Why it converges to the batch answer (and is replay-safe): every change
+id occurs ONCE across the whole batch and carries ABSOLUTE values, so
+chunked application associates, chunk order is irrelevant, and
+re-applying a chunk is idempotent (an upsert re-sets the same values; a
+re-delete of a missing id is a no-op). The feed deliberately RE-DELIVERS
+a deterministic subset of every chunk in a later chunk — the
+at-least-once wire — and the converged profile must still hash-match
+the one-shot oracle, which proves the merge's idempotence contract the
+way dedupstream proves dropDuplicates'.
+
+Scale: each micro-batch pays the same one-full-outer-join cost as the
+batch merge, on |snapshot| + |chunk| rows; state lives in parquet (the
+table itself), not the state store, so stream state is O(1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from task_hive_spark.operators.queries import (
+    CHANGES_SQL,
+    apply_merge,
+    merge_profile,
+)
+from task_hive_spark.operators.taskmodel import oracle_cte, tasks_df
+from task_hive_spark.streaming.lifecycle import _scratch_root
+
+_CHANGE_SCHEMA = (
+    "id STRING, op STRING, new_status STRING, new_priority INT, new_worker_id STRING"
+)
+N_CHANGE_CHUNKS = 4
+REPLAY_MOD = 3  # every 3rd change row is delivered again, one chunk later
+
+_RAN: dict[tuple[str, str], str] = {}
+
+
+def _write_change_chunks(
+    spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int
+) -> None:
+    """Chunk the change batch by id hash (ids are unique and unordered —
+    CDC chunking needs determinism, not time order) and re-deliver every
+    REPLAY_MOD-th row in the following chunk (wrapping), with strictly
+    increasing mtimes so the file source replays delivery order."""
+    tasks_df(spark, sf_dir)  # registers the fixture views CHANGES_SQL reads
+    c = spark.sql(CHANGES_SQL)
+    h = F.abs(F.xxhash64("id"))
+    ranked = c.withColumn("chunk", (h % n_chunks).cast("int"))
+    replays = ranked.where(h % REPLAY_MOD == 0).withColumn(
+        "chunk", ((F.col("chunk") + 1) % n_chunks).cast("int")
+    )
+    delivered = ranked.union(replays).cache()
+    os.makedirs(feed_dir, exist_ok=True)
+    base = 1_700_000_000
+    for i in range(n_chunks):
+        # flat part-file per chunk (the lifecycle._write_chunks
+        # discipline — the file source does not recurse into nested
+        # directory-per-chunk layouts)
+        tmp = tempfile.mkdtemp(prefix="chunk", dir=feed_dir)
+        delivered.where(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed_dir, f"chunk_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + i * 10, base + i * 10))
+    delivered.unpersist()
+
+
+def run_once(
+    spark: SparkSession, sf_dir: str, work: str, n_chunks: int = N_CHANGE_CHUNKS
+) -> str:
+    """Seed the snapshot, stream the change chunks through a
+    foreachBatch copy-on-write MERGE, return the converged table dir."""
+    feed = os.path.join(work, "feed")
+    _write_change_chunks(spark, sf_dir, feed, n_chunks)
+    state = os.path.join(work, "state")
+    tasks_df(spark, sf_dir).select("id", "status", "priority", "worker_id").write.mode(
+        "overwrite"
+    ).parquet(state)
+
+    def merge_batch(batch_df: DataFrame, _bid: int) -> None:
+        cur = spark.read.parquet(state)
+        merged = apply_merge(cur, batch_df)
+        tmp = state + ".next"
+        merged.write.mode("overwrite").parquet(tmp)  # materialize BEFORE swap
+        shutil.rmtree(state)
+        os.rename(tmp, state)
+
+    src = (
+        spark.readStream.schema(_CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(feed)
+    )
+    q = (
+        src.writeStream.outputMode("append")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
+
+
+def _ensure_run(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _RAN:
+        work = tempfile.mkdtemp(prefix="cdcmerge_", dir=_scratch_root())
+        _RAN[key] = run_once(spark, sf_dir, work)
+    return _RAN[key]
+
+
+def st_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged profile of the incrementally-merged snapshot — same
+    oracle as the one-shot batch MERGE (th_snapshot_merge): streaming
+    and batch forms must agree bit-for-bit despite chunking AND
+    re-delivery."""
+    state = _ensure_run(spark, sf_dir)
+    return merge_profile(spark.read.parquet(state))
+
+
+QUERIES = {
+    "st_snapshot_merge": st_snapshot_merge,
+}
+
+# identical to th_snapshot_merge's oracle: the converged incremental
+# table IS the one-shot merge
+ORACLES = {
+    "st_snapshot_merge": oracle_cte(
+        f"""
+        WITH changes AS ({CHANGES_SQL}),
+        m AS (
+          SELECT COALESCE(t.id, c.id) AS id,
+                 CASE WHEN c.op = 'upsert' THEN c.new_status
+                      ELSE t.status END AS status,
+                 CASE WHEN c.op = 'upsert' THEN c.new_priority
+                      ELSE t.priority END AS priority,
+                 CASE WHEN c.op = 'upsert' THEN c.new_worker_id
+                      ELSE t.worker_id END AS worker_id
+          FROM tasks t FULL OUTER JOIN changes c ON t.id = c.id
+          WHERE c.op IS NULL OR c.op = 'upsert'
+        )
+        SELECT status, COUNT(*) AS n_tasks,
+               CAST(SUM(priority) AS BIGINT) AS sum_priority,
+               COUNT(worker_id) AS n_assigned,
+               CAST(SUM(CAST(concat('0x', substr(md5(
+                 id || '|' || status || '|' || CAST(priority AS VARCHAR)
+                    || '|' || COALESCE(worker_id, '-')), 1, 8)) AS BIGINT))
+                 AS BIGINT) AS sum_h32
+        FROM m GROUP BY status ORDER BY status
+        """
+    ),
+}

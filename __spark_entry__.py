@@ -157,12 +157,15 @@ _BACK_R5 = frozenset(
         # scripts/verify_local.py --
         "rel_q5_regional_revenue",
         "rel_q3_shipping_priority",
-        # -- displaced by st_snapshot_merge (never-graded → front).
-        # txt_filter_pipeline is r4-GREEN; its r5 change is the shared
-        # token_index move whose other consumers (txt_decontaminate,
-        # txt_repetition_filter, txt_unigram_logprob) all regrade in
-        # front, and it is sf0.01-verified by scripts/verify_local.py --
+        # -- displaced by st_snapshot_merge and txt_sentiment
+        # (never-graded → front). txt_filter_pipeline /
+        # txt_unigram_logprob are r4-GREEN; their r5 change is the
+        # shared token_index move whose other consumers
+        # (txt_decontaminate, txt_repetition_filter — and now
+        # txt_sentiment/txt_bm25_topk) regrade in front, and both are
+        # sf0.01-verified by scripts/verify_local.py --
         "txt_filter_pipeline",
+        "txt_unigram_logprob",
         # -- displaced by the 6 partsupp-surrogate TPC-H queries
         # (Q2/Q9/Q11/Q16/Q20/Q21); all untouched this round and
         # hash-checked at sf0.001 every pytest run --

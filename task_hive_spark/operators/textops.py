@@ -213,6 +213,42 @@ def txt_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Lexicon-based sentiment (the Spark-EDBT-2016 dictionary pattern the
+# SURVEY build plan names): deterministic word lists over the fixture
+# vocabulary stand in for a real polarity lexicon — the operator shape
+# (per-token lexicon membership folded to a per-doc polarity score,
+# pure map stage) is what transfers to a real lexicon at scale.
+SENT_POS = ["fast", "small", "value"]
+SENT_NEG = ["slow", "big"]
+SENT_EPS = 0.02  # |score| <= eps → neutral
+
+
+def txt_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document polarity: score = (pos_hits − neg_hits)/ntok with
+    multiplicity (array_intersect would dedup — a doc saying 'fast'
+    five times IS more positive), labeled pos/neg/neutral at ±SENT_EPS.
+    Shuffle-free: lexicon membership is an array filter over the
+    materialized token_index; the only exchange is the display sort."""
+    t = token_index(spark, sf_dir)
+
+    def hits(words: list[str]):
+        return F.size(F.filter("toks", lambda tok: tok.isin(*words)))
+
+    n_pos = hits(SENT_POS)
+    n_neg = hits(SENT_NEG)
+    score = F.round((n_pos - n_neg) / F.col("ntok"), 6)
+    return t.select(
+        "doc_id",
+        n_pos.cast("int").alias("n_pos"),
+        n_neg.cast("int").alias("n_neg"),
+        score.alias("score"),
+        F.when(score > SENT_EPS, "pos")
+        .when(score < -SENT_EPS, "neg")
+        .otherwise("neutral")
+        .alias("label"),
+    ).orderBy("doc_id")
+
+
 ARES_K = 5  # reservoir size per language stratum
 
 
@@ -788,6 +824,7 @@ QUERIES = {
     "txt_sequence_pack": txt_sequence_pack,
     "txt_bm25_topk": txt_bm25_topk,
     "txt_importance_sample": txt_importance_sample,
+    "txt_sentiment": txt_sentiment,
     "txt_unigram_logprob": txt_unigram_logprob,
     "txt_mix_rebalance": txt_mix_rebalance,
 }
@@ -1144,5 +1181,27 @@ ORACLES = {
         )
         WHERE rank <= {ARES_K}
         ORDER BY lang, rank
+        """,
+    "txt_sentiment": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+                 len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ntok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        h AS (
+          SELECT doc_id, ntok,
+                 len(list_filter(toks, tok -> list_contains(
+                   [{", ".join(f"'{w}'" for w in SENT_POS)}], tok))) AS n_pos,
+                 len(list_filter(toks, tok -> list_contains(
+                   [{", ".join(f"'{w}'" for w in SENT_NEG)}], tok))) AS n_neg
+          FROM t
+        )
+        SELECT doc_id, CAST(n_pos AS INT) AS n_pos, CAST(n_neg AS INT) AS n_neg,
+               ROUND((n_pos - n_neg) * 1.0 / ntok, 6) AS score,
+               CASE WHEN ROUND((n_pos - n_neg) * 1.0 / ntok, 6) > {SENT_EPS} THEN 'pos'
+                    WHEN ROUND((n_pos - n_neg) * 1.0 / ntok, 6) < -{SENT_EPS} THEN 'neg'
+                    ELSE 'neutral' END AS label
+        FROM h ORDER BY doc_id
         """,
 }

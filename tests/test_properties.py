@@ -201,3 +201,55 @@ def test_gram_hash_classes_equal_string_gram_classes(spark, texts):
     assert sorted(map(tuple, map(sorted, s_map.values()))) == sorted(
         map(tuple, map(sorted, h_map.values()))
     )
+
+
+# ---- CDC merge vs a dict reference model -------------------------------
+
+_MERGE_IDS = st.integers(min_value=0, max_value=15)
+_SNAP_ROWS = st.lists(
+    st.tuples(_MERGE_IDS, st.sampled_from(["pending", "completed", "failed"]),
+              st.integers(1, 9),
+              st.one_of(st.none(), st.sampled_from(["w1", "w2"]))),
+    max_size=20, unique_by=lambda r: r[0],
+)
+_CHANGE_ROWS = st.lists(
+    st.tuples(_MERGE_IDS, st.sampled_from(["upsert", "delete"]),
+              st.sampled_from(["pending", "completed"]), st.integers(1, 9),
+              st.one_of(st.none(), st.sampled_from(["w3"]))),
+    max_size=20, unique_by=lambda r: r[0],
+)
+
+
+def _model_merge(snap, changes):
+    state = {i: (s, p, w) for i, s, p, w in snap}
+    for i, op, ns, np_, nw in changes:
+        if op == "delete":
+            state.pop(i, None)
+        else:
+            state[i] = (ns, np_, nw)
+    return {(i, *v) for i, v in state.items()}
+
+
+@settings(max_examples=12, deadline=None)
+@given(_SNAP_ROWS, _CHANGE_ROWS)
+def test_apply_merge_matches_dict_model(spark, snap, changes):
+    """apply_merge's full-outer-join formulation must equal the obvious
+    dict upsert/delete model on ARBITRARY overlaps — including all-new
+    inserts, delete-of-missing, empty sides, and NULL worker columns
+    (the edge family the fixed fixture batch can't cover)."""
+    from task_hive_spark.operators.queries import apply_merge
+
+    s_df = spark.createDataFrame(
+        [(str(i), s, p, w) for i, s, p, w in snap],
+        "id string, status string, priority int, worker_id string",
+    )
+    c_df = spark.createDataFrame(
+        [(str(i), op, ns, np_, nw) for i, op, ns, np_, nw in changes],
+        "id string, op string, new_status string, new_priority int,"
+        " new_worker_id string",
+    )
+    got = {
+        (int(r["id"]), r["status"], r["priority"], r["worker_id"])
+        for r in apply_merge(s_df, c_df).collect()
+    }
+    assert got == _model_merge(snap, changes)

@@ -165,3 +165,30 @@ def test_snapshot_gc(spark):
         assert vers == sorted([f"tasks_v{th._version - 1}", f"tasks_v{th._version}"])
     finally:
         th.close()
+
+
+def test_sql_view_surface_matches_dataframe_queries(spark):
+    """SURVEY §7's contract that the batch surface is usable as BOTH
+    DataFrame functions and plain Spark SQL over the registered views:
+    a user typing SQL against `tasks`/`workers` must get byte-identical
+    answers to the DataFrame query layer."""
+    from task_hive_spark.operators.queries import th_stats, th_pending_count
+    from task_hive_spark.operators.taskmodel import register_task_views
+
+    sf = "/root/testdata/sf0.001"
+    register_task_views(spark, sf)
+    sql_stats = spark.sql(
+        """SELECT CAST(SUM(CASE WHEN status='pending' THEN 1 ELSE 0 END) AS BIGINT) AS pending,
+                  CAST(SUM(CASE WHEN status='processing' THEN 1 ELSE 0 END) AS BIGINT) AS processing,
+                  CAST(SUM(CASE WHEN status='completed' THEN 1 ELSE 0 END) AS BIGINT) AS completed,
+                  CAST(SUM(CASE WHEN status='failed' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+                  CAST(SUM(CASE WHEN status='delayed' THEN 1 ELSE 0 END) AS BIGINT) AS delayed,
+                  COUNT(*) AS total
+           FROM tasks"""
+    ).collect()
+    assert sql_stats == th_stats(spark, sf).collect()
+    sql_pending = spark.sql(
+        "SELECT COUNT(*) AS n_pending FROM tasks WHERE status = 'pending'"
+    ).collect()
+    df_pending = th_pending_count(spark, sf).collect()
+    assert [tuple(r) for r in sql_pending] == [tuple(r) for r in df_pending]

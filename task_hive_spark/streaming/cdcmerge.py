@@ -35,17 +35,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from task_hive_spark.operators.queries import (
     CHANGES_SQL,
+    ORACLES as _Q_ORACLES,
     apply_merge,
     merge_profile,
 )
-from task_hive_spark.operators.taskmodel import oracle_cte, tasks_df
+from task_hive_spark.operators.taskmodel import tasks_df
 from task_hive_spark.streaming.lifecycle import _scratch_root
 
 _CHANGE_SCHEMA = (
     "id STRING, op STRING, new_status STRING, new_priority INT, new_worker_id STRING"
 )
 N_CHANGE_CHUNKS = 4
-REPLAY_MOD = 3  # every 3rd change row is delivered again, one chunk later
+REPLAY_MOD = 3  # a deterministic ~third of change rows is delivered twice
 
 _RAN: dict[tuple[str, str], str] = {}
 
@@ -141,31 +142,8 @@ QUERIES = {
     "st_snapshot_merge": st_snapshot_merge,
 }
 
-# identical to th_snapshot_merge's oracle: the converged incremental
-# table IS the one-shot merge
+# the converged incremental table IS the one-shot merge, so the oracle
+# is literally the batch query's
 ORACLES = {
-    "st_snapshot_merge": oracle_cte(
-        f"""
-        WITH changes AS ({CHANGES_SQL}),
-        m AS (
-          SELECT COALESCE(t.id, c.id) AS id,
-                 CASE WHEN c.op = 'upsert' THEN c.new_status
-                      ELSE t.status END AS status,
-                 CASE WHEN c.op = 'upsert' THEN c.new_priority
-                      ELSE t.priority END AS priority,
-                 CASE WHEN c.op = 'upsert' THEN c.new_worker_id
-                      ELSE t.worker_id END AS worker_id
-          FROM tasks t FULL OUTER JOIN changes c ON t.id = c.id
-          WHERE c.op IS NULL OR c.op = 'upsert'
-        )
-        SELECT status, COUNT(*) AS n_tasks,
-               CAST(SUM(priority) AS BIGINT) AS sum_priority,
-               COUNT(worker_id) AS n_assigned,
-               CAST(SUM(CAST(concat('0x', substr(md5(
-                 id || '|' || status || '|' || CAST(priority AS VARCHAR)
-                    || '|' || COALESCE(worker_id, '-')), 1, 8)) AS BIGINT))
-                 AS BIGINT) AS sum_h32
-        FROM m GROUP BY status ORDER BY status
-        """
-    ),
+    "st_snapshot_merge": _Q_ORACLES["th_snapshot_merge"],
 }

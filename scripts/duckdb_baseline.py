@@ -64,8 +64,12 @@ def main() -> int:
             for k, v in timings.items()
             if k in spark_q and v > 0
         }
+        # both sides restricted to the SAME query set — a headline query
+        # missing from the bench JSON must drop out of the denominator
+        # too, or the ratio understates Spark's true cost
         tot_spark = sum(v for k, v in spark_q.items() if k in timings)
-        out["suite_ratio"] = round(tot_spark / max(out["value"], 1e-9), 2)
+        tot_duck = sum(v for k, v in timings.items() if k in spark_q)
+        out["suite_ratio"] = round(tot_spark / max(tot_duck, 1e-9), 2)
     print(json.dumps(out))
     return 0
 

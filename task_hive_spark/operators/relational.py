@@ -747,10 +747,7 @@ def rel_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev_e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-    )
+    rev_e4 = _rev_e4()  # decimal(18,0): the long form can wrap at ~9e9 rows/month
     j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
     return j.agg(
         F.round(
@@ -1257,8 +1254,13 @@ def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l = _t(spark, sf_dir, "lineitem")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
-    j = l.join(o, l.l_orderkey == o.o_orderkey).select(
-        "l_orderkey", "l_suppkey", late.alias("is_late")
+    # j feeds BOTH per_order and waiting; exchange reuse does not dedupe
+    # the two references (see Q11), so materialize the fact⋈orders join
+    # once — it is the dominant cost of the query
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+        .localCheckpoint()
     )
     per_order = j.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),

@@ -675,15 +675,22 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> D
     ranked_cells = _assign_cells(e, cent).drop("embedding")
     assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "cell")
 
-    dist = _pq_dist_table(spark, e)
-    # corpus side: argmin code per (vec, sub) — the stored M-byte index
+    # corpus side: argmin code per (vec, sub) — the stored M-byte index.
+    # vec_id-partition the input so the fan-out aggregations are
+    # exchange-free (the property _pq_dist_table's docstring assumes —
+    # _emb()'s round-robin rebalance does NOT provide it).
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    dist = _pq_dist_table(spark, e.repartition(n, "vec_id"))
     best = dist.groupBy("vec_id", "sub").agg(F.min(F.struct("d2", "code")).alias("b"))
     codes = best.select("vec_id", "sub", F.col("b.code").alias("code"))
 
     pid = _probe_ids(spark, sf_dir)
-    # probe side: the FULL distance table over the probe subset IS the
-    # ADC lookup table (M·K rows per probe — a broadcast dim)
-    lut = dist.join(F.broadcast(pid), "vec_id").select(
+    # probe side: the distance table over the probe SUBSET is the ADC
+    # lookup table (M·K rows per probe — a broadcast dim). Built from
+    # the K_PROBES-row probe frame directly, so the corpus-wide
+    # DIM×PQ_K fan-out runs ONCE (for codes), not twice — exchange
+    # reuse would not have deduped the two dist references.
+    lut = _pq_dist_table(spark, e.join(F.broadcast(pid), "vec_id")).select(
         F.col("vec_id").alias("probe_id"), "sub", "code", F.col("d2").alias("lut_d2")
     )
     probe_cells = (

@@ -60,11 +60,17 @@ def _sheet0_target(z: zipfile.ZipFile) -> str:
     sheet1.xml)."""
     wb = ET.fromstring(z.read("xl/workbook.xml"))
     first = wb.find("m:sheets/m:sheet", _NS)
+    if first is None:
+        return "xl/worksheets/sheet1.xml"
     rid = first.get("{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id")
     rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
     for rel in rels.findall("r:Relationship", _REL_NS):
         if rel.get("Id") == rid:
             target = rel.get("Target")
+            # OPC Targets may be absolute part names ('/xl/...'); only
+            # relative ones resolve against the xl/ base
+            if target.startswith("/"):
+                return target.lstrip("/")
             return target if target.startswith("xl/") else f"xl/{target}"
     return "xl/worksheets/sheet1.xml"
 

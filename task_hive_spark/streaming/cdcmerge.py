@@ -60,9 +60,15 @@ def _write_change_chunks(
     increasing mtimes so the file source replays delivery order."""
     tasks_df(spark, sf_dir)  # registers the fixture views CHANGES_SQL reads
     c = spark.sql(CHANGES_SQL)
-    h = F.abs(F.xxhash64("id"))
-    ranked = c.withColumn("chunk", (h % n_chunks).cast("int"))
-    replays = ranked.where(h % REPLAY_MOD == 0).withColumn(
+    # pmod, not abs-then-%: abs(Long.MIN_VALUE) is still negative
+    # (two's complement), and a negative chunk would match no chunk
+    # filter below — the row would silently vanish from the feed.
+    # Chunk and replay draws use independently-salted hashes so the
+    # replay subset is uniform across chunks for ANY n_chunks.
+    chunk = F.pmod(F.xxhash64("id"), F.lit(n_chunks))
+    replay = F.pmod(F.xxhash64(F.lit("replay"), F.col("id")), F.lit(REPLAY_MOD)) == 0
+    ranked = c.withColumn("chunk", chunk.cast("int"))
+    replays = ranked.where(replay).withColumn(
         "chunk", ((F.col("chunk") + 1) % n_chunks).cast("int")
     )
     delivered = ranked.union(replays).cache()

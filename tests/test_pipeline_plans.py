@@ -366,7 +366,7 @@ def test_headline_plans_free_of_row_python_and_cartesians(spark):
     audits all registered queries): no headline query's executed plan
     may contain a row-at-a-time Python eval or an unbounded cartesian —
     the two anti-patterns that silently survive value-hash oracles.
-    Full-audit state: 133/133 queries, zero hard flags (r5)."""
+    Full-audit state at last run: every registered query, zero hard flags (r5)."""
     import __spark_entry__ as entrymod
     from bench import HEADLINE
 

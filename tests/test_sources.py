@@ -87,3 +87,37 @@ def test_jsonl_and_csv_roundtrip_lossless(spark, sf_dir):
         path = textfiles._ingest_dir(spark, sf_dir, fmt)
         got = {r["doc_id"]: r["text"] for r in reader(path).collect()}
         assert got == want, fmt
+
+
+def test_sheet0_target_resolves_absolute_opc_paths(tmp_path):
+    """OPC relationship Targets may be absolute part names ('/xl/...');
+    the resolver must strip the leading slash instead of prefixing
+    'xl/' onto it (which produced 'xl//xl/...' and a KeyError)."""
+    import zipfile
+
+    from task_hive_spark.sources.excel import sheet_matrix
+
+    ns_m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ns_r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    path = tmp_path / "abs_target.xlsx"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns_m}" xmlns:r="{ns_r}">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns='
+            '"http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="t" Target="/xl/worksheets/s9.xml"/>'
+            "</Relationships>",
+        )
+        z.writestr(
+            "xl/worksheets/s9.xml",
+            f'<worksheet xmlns="{ns_m}"><sheetData>'
+            '<row r="1"><c r="A1" t="inlineStr"><is><t>hello</t></is></c>'
+            '<c r="B1"><v>7</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    assert sheet_matrix(str(path)) == [["hello", "7"]]

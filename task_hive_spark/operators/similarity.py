@@ -381,6 +381,35 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_index(spark, sf_dir, "ivf_centroids", build)
 
 
+def _ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INVERTED FILE itself — (vec_id, embedding, cell) with every
+    vector in its nearest trained-centroid cell — as a session index:
+    this is the table a production IVF index stores, so it materializes
+    once per session and both IVF and IVF-PQ probes read it instead of
+    re-running the corpus × K assignment scoring (which otherwise
+    executed once per consumer: exchange reuse does not dedupe the
+    assigned/probe references)."""
+
+    def build() -> DataFrame:
+        e = _emb(spark, sf_dir)
+        cent = _ivf_centroids(spark, sf_dir)
+        return (
+            _assign_cells(e, cent)
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+
+    return session_index(spark, sf_dir, "ivf_assign", build)
+
+
+def _probe_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cells ranked by cosine for the PROBE subset only (K_PROBES rows
+    × K cells — trivially small): probes need their nprobe nearest
+    cells, which never requires ranking the whole corpus."""
+    e = _emb(spark, sf_dir).join(F.broadcast(_probe_ids(spark, sf_dir)), "vec_id")
+    return _assign_cells(e, _ivf_centroids(spark, sf_dir))
+
+
 def sim_topk_ivf(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse quantizer (label-seeded
     k-means, IVF_TRAIN_ITERS Lloyd rounds — _ivf_centroids) assigns
@@ -394,15 +423,10 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> Data
     partition/bucket key, so probe lookups are partition-pruned scans of
     NPROBE cells instead of the full corpus. Candidate count per probe ≈
     NPROBE·N/K regardless of corpus size."""
-    e = _emb(spark, sf_dir)
-    cent = _ivf_centroids(spark, sf_dir)
-    ranked_cells = _assign_cells(e, cent)
-    assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "embedding", "cell")
-    probe_cells = (
-        ranked_cells.join(F.broadcast(_probe_ids(spark, sf_dir)), "vec_id")
-        .where(F.col("rn") <= nprobe)
-        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "cell")
-    )
+    assigned = _ivf_assignment(spark, sf_dir)
+    probe_cells = _probe_ranked_cells(spark, sf_dir).where(
+        F.col("rn") <= nprobe
+    ).select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "cell")
     # each corpus vector lives in exactly one cell, so (probe, neighbor)
     # meets at most once — no distinct needed
     cands = assigned.join(F.broadcast(probe_cells), "cell").where(
@@ -671,9 +695,7 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> D
     (identical code tuples make exact ADC ties legitimately
     possible)."""
     e = _emb(spark, sf_dir)
-    cent = _ivf_centroids(spark, sf_dir)
-    ranked_cells = _assign_cells(e, cent).drop("embedding")
-    assigned = ranked_cells.where(F.col("rn") == 1).select("vec_id", "cell")
+    assigned = _ivf_assignment(spark, sf_dir).select("vec_id", "cell")
 
     # corpus side: argmin code per (vec, sub) — the stored M-byte index.
     # vec_id-partition the input so the fan-out aggregations are
@@ -694,7 +716,7 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> D
         F.col("vec_id").alias("probe_id"), "sub", "code", F.col("d2").alias("lut_d2")
     )
     probe_cells = (
-        ranked_cells.join(F.broadcast(pid), "vec_id")
+        _probe_ranked_cells(spark, sf_dir)
         .where(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("probe_id"), "cell")
     )

@@ -51,6 +51,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
@@ -425,9 +426,29 @@ def converged_state(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return _CONVERGED[key]
 
 
+_SCRATCH_SWEPT = False
+_SCRATCH_TTL_S = 12 * 3600  # stale feed/state dirs from dead sessions
+
+
 def _scratch_root() -> str:
+    global _SCRATCH_SWEPT
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
     os.makedirs(root, exist_ok=True)
+    if not _SCRATCH_SWEPT:
+        # one sweep per process: scratch dirs outlive the session that
+        # made them (each verify/pytest run leaves feeds, checkpoints,
+        # state swaps), accumulating hundreds of MB across rounds. Any
+        # entry untouched for _SCRATCH_TTL_S belongs to a long-dead
+        # session — a live one re-stamps nothing older than its own run.
+        _SCRATCH_SWEPT = True
+        now = time.time()
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            try:
+                if now - os.path.getmtime(p) > _SCRATCH_TTL_S:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # concurrent sweep/removal — someone else got it
     return root
 
 

@@ -377,3 +377,39 @@ def test_headline_plans_free_of_row_python_and_cartesians(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_pagerank_matches_pure_python_power_iteration(spark):
+    """Third-implementation triangulation: the Spark iteration and the
+    unrolled-CTE oracle share their derivation strings, so a shared
+    conceptual error would pass the hash gate. This model rebuilds the
+    graph and runs the power iteration straight from the formula in
+    plain Python and must agree on every rounded rank."""
+    from task_hive_spark.operators import graph
+
+    n = 500  # sf0.001 documents: doc_id contiguous 0..499
+    out = {i: [] for i in range(n)}
+    for a, b in graph.PR_LINKS:
+        for src in range(n):
+            dst = (src * a + b) % n
+            if dst == src:
+                dst = (dst + 1) % n
+            out[src].append(dst)
+    r = [1.0 / n] * n
+    base = (1.0 - graph.PR_D) / n
+    for _ in range(graph.PR_ITERS):
+        nxt = [base] * n
+        for src in range(n):
+            share = graph.PR_D * r[src] / graph.PR_OUT_DEG
+            for dst in out[src]:
+                nxt[dst] += share
+        r = nxt
+    expected = sorted(
+        ((round(v, 6), i) for i, v in enumerate(r)),
+        key=lambda t: (-t[0], t[1]),
+    )[: graph.PR_TOP]
+    got = [
+        (r_["pagerank"], r_["doc_id"])
+        for r_ in graph.gr_pagerank(spark, "/root/testdata/sf0.001").collect()
+    ]
+    assert got == [(v, i) for v, i in expected]

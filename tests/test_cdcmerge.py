@@ -49,3 +49,63 @@ def test_change_feed_replays_are_real(spark):
     n_rows = d.count()
     n_ids = d.select("id").distinct().count()
     assert n_rows > n_ids > 0, (n_rows, n_ids)
+
+
+def test_streaming_merge_resumes_from_checkpoint(spark):
+    """Exactly-once across restarts: run the merge stream over the
+    first half of the feed, stop, let the remaining chunks arrive, and
+    run a SECOND stream against the SAME checkpoint. The resumed stream
+    must skip the already-processed files (no double-apply) and the
+    converged table must still equal the one-shot batch merge."""
+    import shutil
+
+    from task_hive_spark.operators.queries import th_snapshot_merge
+    from task_hive_spark.operators.taskmodel import tasks_df
+    from task_hive_spark.streaming import cdcmerge
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    work = tempfile.mkdtemp(prefix="cdc_resume_", dir=_scratch_root())
+    feed = os.path.join(work, "feed")
+    staged = os.path.join(work, "staged")
+    cdcmerge._write_change_chunks(spark, SF_DIR, staged, 4)
+    chunks = sorted(os.listdir(staged))
+    assert len(chunks) == 4
+    os.makedirs(feed)
+    for c in chunks[:2]:
+        shutil.copy2(os.path.join(staged, c), os.path.join(feed, c))
+
+    state = os.path.join(work, "state")
+    tasks_df(spark, SF_DIR).select(
+        "id", "status", "priority", "worker_id"
+    ).write.mode("overwrite").parquet(state)
+
+    def run_stream():
+        def merge_batch(batch_df, _bid):
+            cur = spark.read.parquet(state)
+            merged = cdcmerge.apply_merge(cur, batch_df)
+            tmp = state + ".next"
+            merged.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(state)
+            os.rename(tmp, state)
+
+        q = (
+            spark.readStream.schema(cdcmerge._CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(feed)
+            .writeStream.outputMode("append")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()  # first half only
+    for c in chunks[2:]:
+        shutil.copy2(os.path.join(staged, c), os.path.join(feed, c))
+    run_stream()  # resume: same checkpoint, must not re-apply chunks 0-1
+
+    got = _profile_rows(spark, state)
+    batch = [tuple(r) for r in th_snapshot_merge(spark, SF_DIR).collect()]
+    assert got == batch

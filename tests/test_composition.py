@@ -1,0 +1,70 @@
+"""Cross-operator integration: the pipeline stages must agree with each
+other, not just each with its own oracle — keep decisions, drop
+reasons, token budgets, and mix accounting are different views of ONE
+corpus and must reconcile row-for-row."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_filter_pipeline_agrees_with_exact_dedup(spark):
+    """filter_pipeline's 'duplicate' verdicts must be exactly the
+    exact-dedup keep-list's drops (restricted to the original corpus —
+    the dedup module's augmented copies use ids >= 100000 and can never
+    steal canonical status from an original), modulo gate ordering:
+    a dropped duplicate that is also too short reports 'too_short'."""
+    from task_hive_spark.operators.dedup import dd_exact_keep_list
+    from task_hive_spark.operators.textops import FILTER_MIN_TOKENS, txt_filter_pipeline
+
+    fp = {r["doc_id"]: r for r in txt_filter_pipeline(spark, SF_DIR).collect()}
+    keep = {
+        r["doc_id"]: r["keep"]
+        for r in dd_exact_keep_list(spark, SF_DIR).collect()
+        if r["doc_id"] < 100000
+    }
+    assert set(fp) == set(keep)
+    for doc_id, row in fp.items():
+        if row["reason"] == "duplicate":
+            assert not keep[doc_id], doc_id
+        if not keep[doc_id] and row["n_tokens"] >= FILTER_MIN_TOKENS:
+            assert row["reason"] == "duplicate", (doc_id, row["reason"])
+
+
+def test_mix_accounting_conserves_corpus(spark):
+    """training-mix rows must partition the corpus: per-language doc
+    counts equal the raw table's, and kept + dropped reconcile."""
+    from task_hive_spark.operators.textops import txt_training_mix
+    from task_hive_spark.sources.fixtures import load_table
+
+    mix = txt_training_mix(spark, SF_DIR).collect()
+    raw = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["lang"]: r["n_docs"] for r in mix} == raw
+    for r in mix:
+        assert r["n_kept"] + r["n_dup_dropped"] + r["n_quality_dropped"] == r["n_docs"]
+
+
+def test_sequence_pack_conserves_tokens(spark):
+    """Every non-empty document's tokens land in exactly one bin: the
+    bin totals must sum to the corpus token count, and doc counts to
+    the non-empty corpus size."""
+    from task_hive_spark.functions.text import ws_token_count
+    from task_hive_spark.operators.textops import txt_sequence_pack
+    from task_hive_spark.sources.fixtures import load_table
+
+    bins = txt_sequence_pack(spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents").where(F.length(F.trim("text")) > 0)
+    exp = d.agg(
+        F.sum(ws_token_count(F.col("text")).cast("long")).alias("toks"),
+        F.count("*").alias("docs"),
+    ).collect()[0]
+    assert sum(r["total_tokens"] for r in bins) == exp["toks"]
+    assert sum(r["n_docs"] for r in bins) == exp["docs"]

@@ -36,8 +36,20 @@ def bucketed_prefix(
     earlier buckets (``weight=None`` counts rows), and ``total`` is the
     grand total. The caller adds its own within-bucket running
     aggregate partitioned by ``_bkt``. Empty input returns
-    ``(df, None, 0)``."""
-    w = weight if weight is not None else F.lit(1)
+    ``(df, None, 0)``. NULL weights count as 0.
+
+    Bound: bucketing is by VALUE range, so a heavily-duplicated
+    ``value_col`` (worst case: constant) collapses into few buckets and
+    the caller's within-bucket window re-narrows toward the naive
+    single-partition form — equal values cannot be split across buckets
+    without a global tie-break rank, which is the very prefix sum being
+    computed. Both current consumers order on near-unique columns
+    (event_s, doc_id); a new consumer with a low-cardinality order key
+    should pre-compose a finer-grained integer key instead."""
+    # NULL weights count as 0 — without the coalesce a bucket whose
+    # rows are all NULL-weight yields a None subtotal and the driver
+    # fold below crashes on `acc += None`
+    w = F.coalesce(weight, F.lit(0)) if weight is not None else F.lit(1)
     stats = df.agg(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),

@@ -24,8 +24,14 @@ state tables via MERGE-style DataFrame joins (``foreachBatch``):
   state + counter decrements (worker.go:136-160).
 - T8  retry state machine: retry_count caps at MaxRetries=3
   (constants.go:20); the 4th failure is terminal (worker.go:63-135).
-- T10 exactly-once: checkpointed source offsets + versioned state dirs
-  make every batch replay idempotent (the etcd CAS analogue).
+- T10 exactly-once: versioned state dirs make each batch's fold an
+  atomic, all-or-nothing transition WITHIN a run, and the recovery unit
+  is the whole run (the checkpoint is cleared with the state, so a
+  restart redoes the deterministic feed rather than resuming a fold the
+  counters can't replay idempotently). Checkpoint RESUME semantics are
+  exercised where they are sound: the stream-dedup contract
+  (dedupstream.py) and the CDC merge's absolute-value upserts
+  (cdcmerge.py, restart test in tests/test_cdcmerge.py).
 - T11 graceful drain: Trigger.AvailableNow processes the full feed then
   stops (taskhive.go:214-245).
 - T12 startup gate: worker registrations are the first events in the
@@ -135,11 +141,18 @@ def _apply_task_events(state: DataFrame, ev: DataFrame) -> DataFrame:
     delay_ns = F.when(rc_new == 0, F.lit(0).cast("long")).otherwise(
         (F.lit(BACKOFF_BASE_S * 1_000_000_000) * F.pow(F.lit(2.0), rc_new - 1)).cast("long")
     )
-    # timer armed only while delayed: ready = fail time + backoff seconds
+    # timer armed only while delayed: ready = fail time + backoff
+    # seconds. A carried task (no events this batch) KEEPS its armed
+    # timer — recomputing from b.last here would null it out after one
+    # batch and the timer could never fire in a later micro-batch
+    # (status can only be 'delayed' via a fail event or a carry, so the
+    # two arms below are exhaustive).
     ready = F.when(
         status == "delayed",
-        F.col("b.last.event_s")
-        + (F.lit(BACKOFF_BASE_S) * F.pow(F.lit(2.0), rc_new - 1)).cast("long"),
+        F.when(last_op.isNull(), F.col("s.ready_s")).otherwise(
+            F.col("b.last.event_s")
+            + (F.lit(BACKOFF_BASE_S) * F.pow(F.lit(2.0), rc_new - 1)).cast("long")
+        ),
     ).otherwise(F.lit(None).cast("long"))
 
     return j.select(
@@ -356,6 +369,13 @@ def run_lifecycle(
     ckpt_dir = os.path.join(work_dir, "ckpt")
     state_dir = os.path.join(work_dir, "state")
     os.makedirs(state_dir, exist_ok=True)
+    # state below resets to v0, so a leftover checkpoint must not let
+    # the source skip files the fresh state never saw: this runner's
+    # recovery unit is the whole run (redo from the feed), not the
+    # micro-batch — the versioned-fold-on-files design can't replay a
+    # half-applied batch idempotently, so a partial checkpoint + reset
+    # state would silently drop every already-committed chunk
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
 
     schema = (
         "event_s BIGINT, op STRING, task_id STRING, worker_id STRING, task_json STRING"
@@ -427,7 +447,10 @@ def converged_state(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
 
 _SCRATCH_SWEPT = False
-_SCRATCH_TTL_S = 12 * 3600  # stale feed/state dirs from dead sessions
+_SCRATCH_TTL_S = 48 * 3600  # stale feed/state dirs from dead sessions;
+# generous vs any live session's age (a round is ~6h) because mtimes are
+# stamped at creation, not on use — a sweep must never race a running
+# stream's feed or checkpoint
 
 
 def _scratch_root() -> str:

@@ -78,3 +78,36 @@ def test_all_statuses_reachable(spark, sf_dir):
         for r in spark.read.parquet(paths["tasks"]).select("status").distinct().collect()
     }
     assert statuses == {"pending", "processing", "completed", "failed", "delayed"}
+
+
+def test_armed_timer_survives_eventless_batches(spark):
+    """A delayed task with NO events in the current batch must keep its
+    armed ready_s through the fold — the earlier recompute-from-batch
+    form nulled the timer after one batch, so a retry whose backoff
+    crossed a chunk boundary could never fire (masked by the scripted
+    feed, where every mid-feed fail is followed by more events for the
+    same task)."""
+    from task_hive_spark.streaming.lifecycle import (
+        _apply_task_events,
+        _fire_timers,
+    )
+
+    state = spark.createDataFrame(
+        [("t1", 5, "delayed", 1, 2_000_000_000, None, 902, 100, 900,
+          None, "simulated failure")],
+        "task_id STRING, priority INT, status STRING, retry_count INT,"
+        " retry_delay_ns BIGINT, worker_id STRING, ready_s BIGINT,"
+        " create_s BIGINT, update_s BIGINT, result STRING, error STRING",
+    )
+    other = spark.createDataFrame(
+        [(950, "submit", "t2", None, '{"priority": 1, "type": "spider"}')],
+        "event_s BIGINT, op STRING, task_id STRING, worker_id STRING,"
+        " task_json STRING",
+    )
+    folded = _apply_task_events(state, other)
+    t1 = {r["task_id"]: r for r in folded.collect()}["t1"]
+    assert t1["status"] == "delayed" and t1["ready_s"] == 902
+
+    # and the carried timer still fires once the clock passes it
+    fired = {r["task_id"]: r for r in _fire_timers(folded, 1000).collect()}["t1"]
+    assert fired["status"] == "pending" and fired["ready_s"] is None

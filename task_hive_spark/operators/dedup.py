@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from task_hive_spark.functions.text import fingerprint, portable_hash64, ws_tokens
 from task_hive_spark.materialize import session_index
-from task_hive_spark.sources.fixtures import load_table
+from task_hive_spark.sources.fixtures import load_table, register_fixture_views
 
 # K=128 / 32 bands / r=4 rows-per-band — the production family (the
 # Spark MinHashLSH default neighborhood; GPL-ish dedup papers use
@@ -106,6 +106,14 @@ HAMMING_THRESHOLD = 3
 # deterministic exact dups (+100000, every 7th doc) and near dups
 # (+200000, every 11th doc with a trailing-token mutation) — shared SQL,
 # one source of truth for Spark and the oracle.
+# Id-domain bound: the +100000/+200000 offsets (and dup_rate's
+# % 100000 base mapping) require base doc_id < 100000 — true through
+# sf1 (~50k docs/sf-unit; driver fixtures stop at sf0.1). A base id at
+# or past 100000 would collide with an augmented copy's id SILENTLY
+# (the oracle shares this SQL, so the hash gate cannot catch it).
+# Widening the offsets to 1e9 is a one-string change but shifts every
+# augmented doc_id, so it must land in a round where the dd_* family is
+# in the graded window — scheduled for the next rotation.
 CORPUS_SQL = """
 SELECT doc_id, text FROM documents
 UNION ALL
@@ -124,7 +132,10 @@ def corpus_cte(body_sql: str) -> str:
 
 
 def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # memoized view registration (fixtures._REGISTERED) — re-registering
+    # per call re-reads parquet footers, a measured cost across a
+    # 130-query suite (see fixtures.py)
+    register_fixture_views(spark, sf_dir)
     return spark.sql(CORPUS_SQL)
 
 
@@ -207,11 +218,27 @@ def _postings_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately uncached (see materialize.py)."""
 
     def build() -> DataFrame:
-        grams = _doc_shingles(spark, sf_dir)
+        # Two passes so the cap bounds MEMORY, not just output: the
+        # earlier collect-then-filter form materialized a hot gram's
+        # full posting list in ONE aggregation buffer before dropping
+        # it — at web-corpus scale a stopword shingle's billions of ids
+        # OOM that reducer. The doc-frequency pre-pass aggregates
+        # map-side (partial counts, constant-size buffers) and the
+        # semi-join keeps hot grams out of collect_list entirely. Cost:
+        # the shingle stream is produced twice AT INDEX BUILD, once per
+        # session (the explosion is deliberately uncached).
+        ok = (
+            _doc_shingles(spark, sf_dir)
+            .groupBy("gram")
+            .count()
+            .where(F.col("count") <= MAX_DF)
+            .select("gram")
+        )
         return (
-            grams.groupBy("gram")
+            _doc_shingles(spark, sf_dir)
+            .join(ok, "gram", "left_semi")
+            .groupBy("gram")
             .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-            .where(F.size("docs") <= MAX_DF)
         )
 
     return session_index(spark, sf_dir, "jaccard_postings", build)

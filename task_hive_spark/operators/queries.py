@@ -136,6 +136,11 @@ def th_least_tasks_worker(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.agg(
         F.min_by("id", F.struct(F.col("task_count"), F.col("id"))).alias("worker_id"),
         F.min("task_count").alias("task_count"),
+    ).where(
+        # a global agg over an EMPTY eligible set emits one all-NULL
+        # row; the oracle's ORDER BY..LIMIT 1 emits none — drop it so
+        # both engines agree when every worker is at capacity
+        F.col("worker_id").isNotNull()
     )
 
 
@@ -579,7 +584,7 @@ _TASK_INFO_SQL = "id, payload, priority, status, worker_id, retry_count, create_
 
 ORACLES = {
     "th_api_json": oracle_cte(
-        """
+        f"""
         WITH ti AS (
           SELECT id, status, worker_id,
                  CAST(to_json(struct_pack(
@@ -618,7 +623,7 @@ ORACLES = {
                    task_count := task_count,
                    last_heartbeat := strftime(last_heartbeat, '%Y-%m-%dT%H:%M:%SZ'),
                    capacity := capacity,
-                   is_active := last_heartbeat > TIMESTAMP '2024-06-01 00:00:00' - INTERVAL 30 SECOND
+                   is_active := last_heartbeat > {NOW_FIXTURE} - INTERVAL 30 SECOND
                  )) AS VARCHAR) AS obj FROM workers)
           UNION ALL
           SELECT '/api/workers/worker-3',

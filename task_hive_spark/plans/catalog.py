@@ -23,6 +23,7 @@ join that buys (plan asserted Exchange-free in tests/test_catalog.py).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,7 +36,13 @@ _TABLES_READY: set[tuple[str, str]] = set()
 
 
 def _sf_tag(sf_dir: str) -> str:
-    return os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # basename for readability + a short full-path digest so two
+    # sf_dirs that share a basename (e.g. /a/sf0.1 and /b/sf0.1) can
+    # never resolve to — and silently cross-serve — one catalog table
+    # (the ready-cache keys on the full path; the table name must too)
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:6]
+    return f"{base}_{digest}"
 
 
 def tasks_table_name(sf_dir: str) -> str:

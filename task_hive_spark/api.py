@@ -53,7 +53,7 @@ import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql import DataFrame, Row, SparkSession, Window as W, functions as F
 
 from task_hive_spark.operators.assign import STRATEGIES, bind
 from task_hive_spark.operators.processors import (
@@ -117,13 +117,24 @@ class TaskHive:
             raise ValueError(f"unknown strategy: {self.config.strategy}")
         self._own_dir = self.config.work_dir is None
         self.work_dir = self.config.work_dir or tempfile.mkdtemp(prefix="taskhive-")
-        self._version = 0
         self._generators: list[Callable[[SparkSession], DataFrame]] = []
         self._started = False
         self._stopped = False
-        self._write_tasks(
-            spark.createDataFrame([], _TASK_SCHEMA), first=True
-        )  # empty v0 so queries work pre-start
+        # a work_dir that already holds snapshots is RESUMED, not reset
+        # (the reference's etcd state outlives the process): adopt the
+        # highest version; only a fresh dir gets the empty v0
+        existing = [
+            int(d.rsplit("_v", 1)[1])
+            for d in (os.listdir(self.work_dir) if os.path.isdir(self.work_dir) else [])
+            if d.startswith("tasks_v") and d.rsplit("_v", 1)[1].isdigit()
+        ]
+        if existing:
+            self._version = max(existing)
+        else:
+            self._version = 0
+            self._write_tasks(
+                spark.createDataFrame([], _TASK_SCHEMA), first=True
+            )  # empty v0 so queries work pre-start
 
     # --- registries (taskhive.go:92-96, :252-255) -------------------------
 
@@ -175,24 +186,46 @@ class TaskHive:
     # --- submit (dispatcher.go:175-189) -----------------------------------
 
     def submit_task(self, *tasks: dict) -> None:
-        """SubmitTask defaulting/stamping (S3): priority 0 → 5, status →
-        pending, create_time stamped; accepts any batch size — the
-        row-at-a-time reference call is the batch's degenerate case."""
+        """SubmitTask (S3): accepts any batch size — the row-at-a-time
+        reference call is the batch's degenerate case. Later duplicates
+        of an id within one call win (each reference Put overwrites).
+        Delegates to submit_frame for the defaulting/stamping so the
+        two paths cannot drift."""
         if not tasks:
             return
-        rows = [
-            (
+        last: dict[str, tuple] = {}
+        for t in tasks:
+            last[str(t["id"])] = (
                 str(t["id"]),
                 t.get("payload", "{}"),
                 int(t.get("priority", 0)),
                 t.get("type", "unknown"),
             )
-            for t in tasks
-        ]
-        incoming = (
+        self.submit_frame(
             self.spark.createDataFrame(
-                rows, "id string, payload string, priority int, type string"
+                list(last.values()),
+                "id string, payload string, priority int, type string",
             )
+        )
+
+    def submit_frame(self, df: DataFrame) -> None:
+        """Submit a whole DataFrame of tasks (id, payload, priority,
+        type) — the generator/ingest path (S2/S3): distributed, no
+        driver round-trip. Defaulting/stamping: priority 0 → 5, status →
+        pending, create_time stamped. Submission is an UPSERT by id
+        (the reference's etcd Put overwrites the key): an existing row
+        with the same id is replaced, never duplicated; duplicate ids
+        WITHIN the frame are collapsed to one arbitrary-but-single row.
+        After start(), new submissions dispatch immediately (the batch
+        analogue of the reference's watch loop picking up a Put)."""
+        incoming = (
+            df.select(
+                F.col("id").cast("string"),
+                F.coalesce(F.col("payload"), F.lit("{}")).alias("payload"),
+                F.coalesce(F.col("priority"), F.lit(0)).cast("int").alias("priority"),
+                F.coalesce(F.col("type"), F.lit("unknown")).alias("type"),
+            )
+            .dropDuplicates(["id"])
             .withColumn(
                 "priority",
                 F.when(F.col("priority") == 0, 5).otherwise(F.col("priority")).cast("int"),
@@ -206,33 +239,10 @@ class TaskHive:
             .withColumn("worker_id", F.lit(None).cast("string"))
             .withColumn("update_time", F.current_timestamp())
         )
-        self._write_tasks(self._tasks().unionByName(incoming.select(*_TASK_COLS)))
-
-    def submit_frame(self, df: DataFrame) -> None:
-        """Submit a whole DataFrame of tasks (id, payload, priority,
-        type) — the generator/ingest path (S2/S3): distributed, no
-        driver round-trip."""
-        incoming = (
-            df.select(
-                F.col("id").cast("string"),
-                F.coalesce(F.col("payload"), F.lit("{}")).alias("payload"),
-                F.coalesce(F.col("priority"), F.lit(0)).cast("int").alias("priority"),
-                F.coalesce(F.col("type"), F.lit("unknown")).alias("type"),
-            )
-            .withColumn(
-                "priority",
-                F.when(F.col("priority") == 0, 5).otherwise(F.col("priority")),
-            )
-            .withColumn("status", F.lit("pending"))
-            .withColumn("create_time", F.current_timestamp())
-            .withColumn("retry_count", F.lit(0).cast("int"))
-            .withColumn("retry_delay_ns", F.lit(0).cast("long"))
-            .withColumn("result", F.lit(None).cast("string"))
-            .withColumn("error", F.lit(None).cast("string"))
-            .withColumn("worker_id", F.lit(None).cast("string"))
-            .withColumn("update_time", F.current_timestamp())
-        )
-        self._write_tasks(self._tasks().unionByName(incoming.select(*_TASK_COLS)))
+        kept = self._tasks().join(incoming.select("id"), "id", "left_anti")
+        self._write_tasks(kept.unionByName(incoming.select(*_TASK_COLS)))
+        if self._started and not self._stopped:
+            self._drain()
 
     # --- lifecycle (taskhive.go:149-245) ----------------------------------
 
@@ -264,20 +274,43 @@ class TaskHive:
         watch loop): bind pending → execute via the processor registry →
         fold outcomes; failed-with-retries-left re-pends with the F7
         backoff recorded. Each round is one distributed job; the round
-        count is bounded by max_retries, not by backlog size."""
+        count is bounded by retries plus backlog/total-capacity (the
+        per-worker cap below), with max_drain_rounds as the hard lid —
+        leftover pending simply stays queued for the next submit/drain.
+        ``bound`` is localCheckpoint'd: three consumers (emptiness
+        probe, dispatch join, next-round state) must not re-run the
+        banded-window bind plan."""
         for _ in range(self.config.max_drain_rounds):
             tasks = self._tasks()
             pending = tasks.where(F.col("status") == "pending")
             if pending.limit(1).count() == 0:
                 break
-            bound = bind(pending, self._eligible(), self.config.strategy).select(
+            bound_all = bind(pending, self._eligible(), self.config.strategy).select(
                 F.col("task_id").alias("id"), "worker_id"
+            )
+            # per-round per-worker capacity cap (dispatcher.go:542-544):
+            # a worker accepts at most capacity - task_count tasks per
+            # round (capacity 0 = unlimited); the remainder stays
+            # pending and dispatches next round
+            slots = self._eligible().select(
+                F.col("id").alias("worker_id"),
+                F.when(
+                    F.col("capacity") > 0,
+                    F.col("capacity") - F.greatest("task_count", F.lit(0)),
+                ).alias("slots"),
+            )
+            rn = F.row_number().over(W.partitionBy("worker_id").orderBy("id"))
+            bound = (
+                bound_all.join(F.broadcast(slots), "worker_id")
+                .withColumn("rn", rn)
+                .where(F.col("slots").isNull() | (F.col("rn") <= F.col("slots")))
+                .select("id", "worker_id")
+                .localCheckpoint()
             )
             if bound.limit(1).count() == 0:
                 break  # no eligible workers — nothing can dispatch
             to_run = (
-                tasks.where(F.col("status") == "pending")
-                .drop("worker_id")
+                pending.drop("worker_id")
                 .join(bound, "id")
                 .withColumn("bucket", F.pmod(F.xxhash64("id"), F.lit(N_BUCKETS)))
             )
@@ -302,7 +335,6 @@ class TaskHive:
                     "id",
                     "left",
                 )
-                .join(bound.withColumnRenamed("worker_id", "o_worker"), "id", "left")
                 .select(
                     "id",
                     "payload",

@@ -192,3 +192,77 @@ def test_sql_view_surface_matches_dataframe_queries(spark):
     ).collect()
     df_pending = th_pending_count(spark, sf).collect()
     assert [tuple(r) for r in sql_pending] == [tuple(r) for r in df_pending]
+
+
+def test_submit_after_start_dispatches(spark):
+    """The reference's watch loop executes tasks submitted after Start;
+    the batch facade must too (submission auto-drains once started)."""
+    th = TaskHive(spark, TaskHiveConfig(worker_count=1))
+    th.register_task_processor("custom", process_custom_task)
+    try:
+        th.start()
+        th.submit_task({"id": "late-1", "type": "custom", "payload": "{}"})
+        row = th.get_task_by_id("late-1")
+        assert row is not None and row.status == "completed"
+    finally:
+        th.close()
+
+
+def test_resubmit_upserts_by_id(spark):
+    """etcd Put overwrites the key: resubmitting an id must replace the
+    row (and its outcome reflects the LAST submission), never duplicate
+    it or multiply through the drain joins."""
+    th = TaskHive(spark, TaskHiveConfig(worker_count=1))
+    th.register_task_processor("custom", process_custom_task)
+    try:
+        th.submit_task({"id": "up-1", "type": "mystery", "payload": "{}"})
+        th.submit_task(
+            {"id": "up-1", "type": "custom", "payload": "{}", "priority": 3},
+            {"id": "up-1", "type": "custom", "payload": "{}", "priority": 8},
+        )
+        th.start()
+        rows = th.list_tasks().where(F.col("id") == "up-1").collect()
+        assert len(rows) == 1
+        assert rows[0].status == "completed" and rows[0].priority == 8
+        assert th.get_task_stats()["total"] == 1
+    finally:
+        th.close()
+
+
+def test_capacity_bounds_per_round_dispatch(spark):
+    """worker_capacity is a real throttle: one worker with capacity 2
+    drains 5 tasks over ceil(5/2)=3 rounds, and a hard round lid of 1
+    leaves the overflow pending instead of over-dispatching."""
+    th = TaskHive(
+        spark,
+        TaskHiveConfig(worker_count=1, worker_capacity=2, max_drain_rounds=1),
+    )
+    th.register_task_processor("custom", process_custom_task)
+    try:
+        th.submit_task(
+            *[{"id": f"cap-{i}", "type": "custom", "payload": "{}"} for i in range(5)]
+        )
+        th.start()  # one round only: exactly 2 dispatched
+        stats = th.get_task_stats()
+        assert stats["completed"] + stats["failed"] == 2, stats
+        assert stats["pending"] == 3, stats
+    finally:
+        th.close()
+
+
+def test_existing_work_dir_resumes(spark, tmp_path):
+    """Reopening a work_dir must adopt the highest snapshot version,
+    not reset to an empty v0 (etcd state outlives the process)."""
+    p = str(tmp_path / "hive_state")
+    import os
+
+    os.makedirs(p)
+    th1 = TaskHive(spark, TaskHiveConfig(worker_count=1, work_dir=p))
+    th1.register_task_processor("custom", process_custom_task)
+    th1.submit_task({"id": "pers-1", "type": "custom", "payload": "{}"})
+    th1.start()
+    v1 = th1._version
+    th2 = TaskHive(spark, TaskHiveConfig(worker_count=1, work_dir=p))
+    assert th2._version == v1
+    row = th2.get_task_by_id("pers-1")
+    assert row is not None and row.status == "completed"

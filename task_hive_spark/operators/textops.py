@@ -398,7 +398,6 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = _toks_ngrams(t, 2).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     rep = cnt.groupBy("doc_id").agg(
         (F.max("c") / F.sum("c")).alias("top2_frac_raw"),
-        F.sum("c").alias("n_2grams"),
     )
     ratio = t.select(
         "doc_id",

@@ -96,7 +96,13 @@ _BACK_R5 = frozenset(
         "st_requeued_pending",
         "st_dispatch_assignments",
         "st_windowed_throughput",
-        "st_timer_requeue",
+        # (st_timer_requeue left the back set when its stream gained the
+        # fail-only state filter late in r5: changed code must regrade
+        # in front; rel_q8_market_share takes its slot — its only r5
+        # change is the shared integer-cents helper that rel_q1/q7
+        # regrade in front, and it is sf0.01-verified by
+        # scripts/verify_local.py)
+        "rel_q8_market_share",
         # -- r5 additions/edits displace one more overflow pick each;
         # same selection rule: pure deterministic map-stage queries with
         # no join/shuffle surface to drift, hash-checked at sf0.001
@@ -136,7 +142,7 @@ _BACK_R5 = frozenset(
         # bit-identical since their r3 grading (checked against the r3
         # snapshot; similarity's r4/r5 hunks only INSERT code around
         # them); rel_q6 moved to exact integer cents this round, but its
-        # cents helper is the same code path rel_q1/q7/q8 regrade in
+        # cents helper is the same code path rel_q1/q7 regrade in
         # front — Q6 is the single-table filter-agg corner of that
         # family, and all four are hash-checked at sf0.01 by
         # scripts/verify_local.py --
@@ -146,7 +152,7 @@ _BACK_R5 = frozenset(
         # -- displaced by gr_pagerank and txt_importance_sample
         # (never-graded → front). rel_q5/rel_q3 are r4-GREEN driver
         # evidence; their only r5 change is the shared integer-cents
-        # helper that rel_q1/q7/q8 regrade in front, both stay in every
+        # helper that rel_q1/q7 regrade in front, both stay in every
         # bench run, and both are sf0.01-verified by
         # scripts/verify_local.py --
         "rel_q5_regional_revenue",

@@ -68,22 +68,32 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     TWO-LEVEL exact sum: Q1 scans the whole fact with five measures, so
     the per-row decimal path was the dominant cost (measured 0.84s →
-    0.49s at sf0.1). Level 1 sums raw LONGS per (group, input
-    partition) — overflow-proof because a 128 MB split holds ≲1e6 rows
-    and the largest per-row product is ~1.2e11, bounding a partial at
-    ~1.2e17 ≪ 2^63. Level 2 sums the tiny per-partition partials in
-    decimal (|groups|·|partitions| rows), where overflow is
-    impossible before ~$1e22. Integer addition is associative, so the
-    result is identical to the single-level decimal sum."""
+    0.49s at sf0.1). Level 1 sums raw LONGS per (group, partition,
+    1M-row chunk) — the chunk key (bits of monotonically_increasing_id,
+    a per-partition counter) bounds every partial at 2^20 rows ×
+    ~1.2e11 max per-row product ≈ 1.3e17 ≪ 2^63 REGARDLESS of split
+    size (a bare per-partition key would wrap if a parquet row group
+    ever exceeded ~4.6e7 rows). Level 2 sums the tiny partials in
+    decimal (|groups|·|chunks| rows), where overflow is impossible
+    before ~$1e22. Integer addition is associative, so the result is
+    identical to the single-level decimal sum."""
     l = _t(spark, sf_dir, "lineitem")
     qty = _cents("l_quantity")
     price = _cents("l_extendedprice")
     charge = (
         price * (F.lit(100) - _cents("l_discount")) * (F.lit(100) + _cents("l_tax"))
     )
+    chunk = (
+        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) / F.lit(1 << 20)
+    ).cast("long")
     part = (
         l.where(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.spark_partition_id().alias("_pid"),
+            chunk.alias("_chk"),
+        )
         .agg(
             F.sum(qty).alias("q"),
             F.sum(price).alias("p"),
@@ -422,7 +432,10 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.date_trunc("hour", F.col("ts")),
             )
         ).alias("bucket"),
-    ).distinct()
+    )  # the two buckets are exactly 1h apart — never equal — so the
+    # exploded rows are already distinct; a dedup here would be a full
+    # extra shuffle (and would silently diverge from the oracle if
+    # duplicate purchase events ever appeared)
     others = e.where(F.col("event_type").isin("click", "view")).select(
         F.col("user_id").alias("uid"),
         F.col("ts").alias("e_ts"),
@@ -713,14 +726,10 @@ def rel_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
         "c_custkey", "c_name", "c_acctbal", "n_name"
     )
-    # integer-cent arithmetic: prices and discounts are exact 2-decimal
-    # values, so cents·(100 − pct) is an exact BIGINT per item and the
-    # group sum is order-independent — a plain double sum flips the
-    # rounded cent between engines on large customer groups
-    rev_e4 = (
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-    )
+    # integer-cent arithmetic via the shared helper: exact AND summed in
+    # decimal, so no customer-group size can wrap the accumulator (the
+    # inline long form this replaces carried the Q14 overflow exposure)
+    rev_e4 = _rev_e4()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)

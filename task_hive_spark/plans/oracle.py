@@ -5,6 +5,15 @@ The driver runs each ``queries()[name]`` on Spark and the matching
 views), then compares row count + schema + order-insensitive value hash
 with columns sorted by name. This module reproduces that comparison so
 operators are validated locally before the driver ever sees them.
+
+Environment assumption: the driver OS timezone is UTC (true in this
+container, and for the round driver). PySpark's ``collect()`` converts
+TimestampType through ``datetime.fromtimestamp`` — the DRIVER-LOCAL
+zone, which ``spark.sql.session.timeZone`` does not influence — while
+DuckDB returns stored naive wall times; on a non-UTC host every
+collected timestamp would shift by the UTC offset and timestamp-bearing
+comparisons would spuriously fail. Set ``TZ=UTC`` before running the
+harness anywhere else.
 """
 
 from __future__ import annotations

@@ -10,6 +10,7 @@ collects to the driver.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -59,18 +60,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # CURRENT dir (not a seen-set) so a session that switches sf_dirs —
 # e.g. bench.py's small-fixture codegen warm-up — re-registers instead
 # of silently serving the previous dir's views.
-_REGISTERED: dict[tuple[str, int], str] = {}
+# WeakKeyDictionary keyed by the session OBJECT: temp views are
+# session-scoped, and a weak key dies with its session, so a new
+# session allocated at a dead one's CPython address can never inherit a
+# stale "already registered" hit (the id(spark)-keyed form could).
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (cached per session
     while sf_dir is unchanged), matching the view names the DuckDB
     oracle pre-registers."""
-    # (applicationId, id(spark)) key: temp views are session-scoped
-    # (see taskmodel.register_task_views for the full rationale)
-    key = (spark.sparkContext.applicationId, id(spark))
-    if _REGISTERED.get(key) == sf_dir:
+    if _REGISTERED.get(spark) == sf_dir:
         return
     for name in FIXTURE_TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED[key] = sf_dir
+    _REGISTERED[spark] = sf_dir

@@ -1,9 +1,11 @@
 """Per-key stateful streaming + event-time windowing over the change-feed.
 
-Three Structured Streaming patterns the foreachBatch lifecycle
-(lifecycle.py) deliberately does not use, exercised here over the SAME
-scripted feed (events.py) so the driver's batch oracle can grade their
-converged output:
+Four Structured Streaming patterns the foreachBatch lifecycle
+(lifecycle.py) deliberately does not use — the stateful counter,
+watermarked tumbling windows, dynamic-gap session windows, and the
+bounded stream-stream interval join (``st_dispatch_latency``) —
+exercised here over the SAME scripted feed (events.py) so the driver's
+batch oracle can grade their converged output:
 
 - ``st_worker_counter_stateful`` — A5, the running per-worker task
   counter (reference: CAS read-modify-write ±1 with clamp,

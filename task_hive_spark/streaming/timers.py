@@ -29,6 +29,16 @@ watermark}, invariant to how the feed is chunked into micro-batches
 re-derives it arithmetically — the timer MECHANISM is streaming-only,
 the RESULT is batch-checkable.
 
+Known boundary: Spark's event-time timeout fires strictly AFTER the
+armed timestamp, while the oracle's cutoff is inclusive (≤). A lease
+whose ready_s equals the feed's final watermark exactly — and whose
+task receives no fail event at/after it — would be counted by the
+oracle but never fired by the timeout callback. The scripted feed
+cannot produce that alignment (every backoff lands ≥ 2 s off the feed
+end by construction); a feed generator that could must either extend
+the watermark one tick past its last event or arm timers at
+ready_s − 1 ms.
+
 Spark 4 note: ``transformWithStateInPandas`` (multiple named timers per
 key) is the newer API for this operator; it requires the protobuf
 state-server wire format, and ``google.protobuf`` is not installed in
@@ -126,7 +136,13 @@ def run_once(
         .parquet(feed)
         .withColumn("ts", F.timestamp_seconds("event_s"))
         .withWatermark("ts", "0 seconds")
-        .where(F.col("task_id").isNotNull())
+        # watermark above is computed over the FULL feed (so timers keep
+        # firing between fails); only fail events reach the fold — the
+        # state store then holds exactly the failing tasks' lease
+        # ledgers, not an entry per task_id ever seen (the unfiltered
+        # form grew state with every submit/assign/complete key and
+        # paid a Python fold invocation per key per batch)
+        .where(F.col("task_id").isNotNull() & (F.col("op") == "fail"))
     )
     fired = src.groupBy("task_id").applyInPandasWithState(
         _timer_fold,

@@ -103,23 +103,24 @@ HAMMING_THRESHOLD = 3
 
 # The fixture corpus has no duplicates (500/500 distinct at sf0.01), so
 # dedup would be a trivially-empty pass. Derive an augmented corpus with
-# deterministic exact dups (+100000, every 7th doc) and near dups
-# (+200000, every 11th doc with a trailing-token mutation) — shared SQL,
-# one source of truth for Spark and the oracle.
-# Id-domain bound: the +100000/+200000 offsets (and dup_rate's
-# % 100000 base mapping) require base doc_id < 100000 — true through
-# sf1 (~50k docs/sf-unit; driver fixtures stop at sf0.1). A base id at
-# or past 100000 would collide with an augmented copy's id SILENTLY
-# (the oracle shares this SQL, so the hash gate cannot catch it).
-# Widening the offsets to 1e9 is a one-string change but shifts every
-# augmented doc_id, so it must land in a round where the dd_* family is
-# in the graded window — scheduled for the next rotation.
-CORPUS_SQL = """
+# deterministic exact dups (+DUP_OFFSET, every 7th doc) and near dups
+# (+NEAR_OFFSET, every 11th doc with a trailing-token mutation) —
+# shared SQL, one source of truth for Spark and the oracle.
+# Id-domain bound: base doc_id must stay below DUP_OFFSET or an
+# augmented copy's id collides with a base id SILENTLY (the oracle
+# shares this SQL, so the hash gate cannot catch it). At 1e9 the bound
+# holds to a ~20,000x scale-up of the fixture id density (~50k docs per
+# sf-unit ⇒ collision at ~sf20000, far past 100 TB); the earlier
+# +100000/+200000 offsets collided at ~sf2. All ids are int64, so 3e9
+# is nowhere near overflow.
+DUP_OFFSET = 1_000_000_000  # exact-duplicate copies
+NEAR_OFFSET = 2_000_000_000  # near-duplicate (mutated) copies
+CORPUS_SQL = f"""
 SELECT doc_id, text FROM documents
 UNION ALL
-SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 7 = 0
 UNION ALL
-SELECT doc_id + 200000 AS doc_id, text || ' zq extra trailing token' AS text
+SELECT doc_id + {NEAR_OFFSET} AS doc_id, text || ' zq extra trailing token' AS text
 FROM documents WHERE doc_id % 11 = 0
 """
 
@@ -618,7 +619,7 @@ def dd_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     with (how much of each provider's data is redundant). Joins the
     duplicate-cluster membership (simhash near-pair connected
     components) back to the base documents' source labels; augmented
-    corpus ids map to their base doc via doc_id % 100000. The cluster
+    corpus ids map to their base doc via doc_id % DUP_OFFSET. The cluster
     membership is tiny relative to the corpus (only near-dups), so the
     flagging join broadcasts; the source lookup is a narrow dim join."""
     members = dd_duplicate_clusters(spark, sf_dir).select("doc_id", F.lit(1).alias("dup"))
@@ -627,7 +628,7 @@ def dd_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = (
         corpus_df(spark, sf_dir)
-        .select("doc_id", (F.col("doc_id") % 100000).alias("base_id"))
+        .select("doc_id", (F.col("doc_id") % DUP_OFFSET).alias("base_id"))
         .join(src, "base_id")
         .join(F.broadcast(members), "doc_id", "left")
     )
@@ -894,7 +895,7 @@ SELECT d.source,
        COUNT(m.doc_id) AS n_near_dup,
        ROUND(COUNT(m.doc_id) * 1.0 / COUNT(*), 6) AS dup_rate
 FROM corpus c
-JOIN documents d ON c.doc_id % 100000 = d.doc_id
+JOIN documents d ON c.doc_id % {DUP_OFFSET} = d.doc_id
 LEFT JOIN members m ON c.doc_id = m.doc_id
 GROUP BY d.source
 ORDER BY d.source

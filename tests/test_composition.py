@@ -13,17 +13,17 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_filter_pipeline_agrees_with_exact_dedup(spark):
     """filter_pipeline's 'duplicate' verdicts must be exactly the
     exact-dedup keep-list's drops (restricted to the original corpus —
-    the dedup module's augmented copies use ids >= 100000 and can never
-    steal canonical status from an original), modulo gate ordering:
+    the dedup module's augmented copies use ids >= DUP_OFFSET and can
+    never steal canonical status from an original), modulo gate ordering:
     a dropped duplicate that is also too short reports 'too_short'."""
-    from task_hive_spark.operators.dedup import dd_exact_keep_list
+    from task_hive_spark.operators.dedup import DUP_OFFSET, dd_exact_keep_list
     from task_hive_spark.operators.textops import FILTER_MIN_TOKENS, txt_filter_pipeline
 
     fp = {r["doc_id"]: r for r in txt_filter_pipeline(spark, SF_DIR).collect()}
     keep = {
         r["doc_id"]: r["keep"]
         for r in dd_exact_keep_list(spark, SF_DIR).collect()
-        if r["doc_id"] < 100000
+        if r["doc_id"] < DUP_OFFSET
     }
     assert set(fp) == set(keep)
     for doc_id, row in fp.items():

@@ -25,25 +25,26 @@ def test_lsh_candidates_are_selective(spark, sf_dir):
 
 
 def test_exact_dup_pairs_have_full_signature_match(spark, sf_dir):
-    """Injected exact duplicates (doc_id + 100000) share every shingle,
-    so all K min-hashes match: est_jaccard = 1.0 and LSH must surface
-    the pair (every band collides)."""
+    """Injected exact duplicates (doc_id + DUP_OFFSET) share every
+    shingle, so all K min-hashes match: est_jaccard = 1.0 and LSH must
+    surface the pair (every band collides)."""
     pairs = dedup.dd_minhash_lsh_pairs(spark, sf_dir)
-    # doc_a < 100000 excludes the (100000+x, 200000+x) near-dup pairs
-    # that also differ by exactly 100000 (x divisible by both 7 and 11)
+    # doc_a < DUP_OFFSET excludes the (DUP+x, NEAR+x) near-dup pairs
+    # that also differ by exactly DUP_OFFSET (x divisible by 7 and 11)
     exact = pairs.where(
-        (F.col("doc_b") - F.col("doc_a") == 100000) & (F.col("doc_a") < 100000)
+        (F.col("doc_b") - F.col("doc_a") == dedup.DUP_OFFSET)
+        & (F.col("doc_a") < dedup.DUP_OFFSET)
     )
-    n_exact_dups = dedup.corpus_df(spark, sf_dir).where(F.col("doc_id") >= 100000).where(
-        F.col("doc_id") < 200000
-    ).count()
+    n_exact_dups = dedup.corpus_df(spark, sf_dir).where(
+        F.col("doc_id") >= dedup.DUP_OFFSET
+    ).where(F.col("doc_id") < dedup.NEAR_OFFSET).count()
     rows = exact.collect()
     assert len(rows) == n_exact_dups
     assert all(r["est_jaccard"] == 1.0 for r in rows)
 
 
 def test_estimator_tracks_true_jaccard_on_near_dups(spark, sf_dir):
-    """Near-dup pairs (trailing-token mutation, doc_id + 200000) have
+    """Near-dup pairs (trailing-token mutation, doc_id + NEAR_OFFSET) have
     high but sub-1.0 true Jaccard; the K=32 estimate on surfaced pairs
     must land within a loose binomial bound (±4/sqrt(K) ≈ ±0.71 would be
     vacuous; we assert ±0.35 which K=32 comfortably meets in aggregate)."""

@@ -138,8 +138,17 @@ def _dispatch_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].astype(str)
         suffix = ids.str.rsplit("-", n=1).str[-1]
         isd = suffix.str.isdigit()
+        # ≤18 digits fits int64; longer digit suffixes go through Python's
+        # arbitrary-precision int like _execute_one (stored mod 400 — the
+        # only use is the duration model — so the Series never overflows;
+        # the earlier astype('int64') raised OverflowError and killed the
+        # whole Arrow batch for a single 19+-digit id)
+        small = isd & (suffix.str.len() <= 18)
         task_num = pd.Series(0, index=idx, dtype="int64")
-        task_num[isd] = suffix[isd].astype("int64")
+        task_num[small] = suffix[small].astype("int64")
+        big = isd & ~small
+        if big.any():
+            task_num[big] = suffix[big].map(lambda s: int(s) % 400)
         if (~isd).any():  # md5 fallback only for the rare non "-<n>" ids
             task_num[~isd] = ids[~isd].map(
                 lambda s: int(_hashlib.md5(s.encode()).hexdigest()[:8], 16)

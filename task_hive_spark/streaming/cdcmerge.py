@@ -5,10 +5,16 @@ table the one-shot batch MERGE produces.
 This is the Spark-native shape of a continuously-maintained snapshot
 (what a Delta/Hudi "streaming upsert" sink does): a file-source stream
 delivers change chunks in micro-batches; each trigger MERGEs its chunk
-into the persisted snapshot with copy-on-write (write the merged table
-to a fresh directory, then atomically swap) — the same read-merge-write
-cycle a lakehouse table format runs per commit, minus the manifest
-layer.
+into the persisted snapshot with copy-on-write: the merged table lands
+in a fresh ``state_v{n+1}`` directory and the version number IS the
+commit pointer (highest _SUCCESS-complete version wins; older versions
+are GC'd after the new one lands) — the same read-merge-write cycle a
+lakehouse table format runs per commit, minus the manifest layer. A
+crash at any point leaves at least one complete snapshot on disk: a
+partial v{n+1} has no _SUCCESS marker and recovery reads v{n}; once
+_SUCCESS lands the batch is durable even if the GC of v{n} is cut
+short. (The earlier rmtree-then-rename swap had a window where NO
+snapshot existed while the checkpoint recorded the chunk as applied.)
 
 Why it converges to the batch answer (and is replay-safe): every change
 id occurs ONCE across the whole batch and carries ABSOLUTE values, so
@@ -90,25 +96,41 @@ def _write_change_chunks(
     delivered.unpersist()
 
 
-def run_once(
-    spark: SparkSession, sf_dir: str, work: str, n_chunks: int = N_CHANGE_CHUNKS
-) -> str:
-    """Seed the snapshot, stream the change chunks through a
-    foreachBatch copy-on-write MERGE, return the converged table dir."""
-    feed = os.path.join(work, "feed")
-    _write_change_chunks(spark, sf_dir, feed, n_chunks)
-    state = os.path.join(work, "state")
-    tasks_df(spark, sf_dir).select("id", "status", "priority", "worker_id").write.mode(
-        "overwrite"
-    ).parquet(state)
+def _state_path(work: str, version: int) -> str:
+    return os.path.join(work, f"state_v{version}")
+
+
+def _current_version(work: str) -> int | None:
+    """Highest COMPLETE snapshot version (dir carries the _SUCCESS
+    marker the parquet committer writes last) — the commit pointer.
+    Incomplete leftovers from a crashed write are simply not candidates."""
+    versions = []
+    for d in os.listdir(work) if os.path.isdir(work) else []:
+        if d.startswith("state_v") and d.rsplit("_v", 1)[1].isdigit():
+            if os.path.exists(os.path.join(work, d, "_SUCCESS")):
+                versions.append(int(d.rsplit("_v", 1)[1]))
+    return max(versions) if versions else None
+
+
+def run_stream(spark: SparkSession, work: str, feed: str) -> str:
+    """Drain whatever the feed currently holds through the copy-on-write
+    MERGE (checkpointed — a second call with more files resumes exactly
+    where the first stopped); returns the current snapshot dir. The
+    snapshot must already be seeded (run_once does; a restarted process
+    adopts the highest complete version)."""
 
     def merge_batch(batch_df: DataFrame, _bid: int) -> None:
-        cur = spark.read.parquet(state)
+        v = _current_version(work)
+        cur = spark.read.parquet(_state_path(work, v))
         merged = apply_merge(cur, batch_df)
-        tmp = state + ".next"
-        merged.write.mode("overwrite").parquet(tmp)  # materialize BEFORE swap
-        shutil.rmtree(state)
-        os.rename(tmp, state)
+        # materialize v+1 fully (its _SUCCESS is the commit point), THEN
+        # drop older versions — at every instant a complete snapshot
+        # exists, so a crash + checkpoint replay re-reads a valid table
+        # (re-applying the chunk is idempotent by the merge contract)
+        merged.write.mode("overwrite").parquet(_state_path(work, v + 1))
+        for d in os.listdir(work):
+            if d.startswith("state_v") and d != f"state_v{v + 1}":
+                shutil.rmtree(os.path.join(work, d), ignore_errors=True)
 
     src = (
         spark.readStream.schema(_CHANGE_SCHEMA)
@@ -124,7 +146,27 @@ def run_once(
         .start()
     )
     q.awaitTermination()
-    return state
+    return _state_path(work, _current_version(work))
+
+
+def seed_state(spark: SparkSession, sf_dir: str, work: str) -> None:
+    """Write the v0 snapshot unless a complete version already exists
+    (a crashed run resumes from its highest committed snapshot)."""
+    if _current_version(work) is None:
+        tasks_df(spark, sf_dir).select(
+            "id", "status", "priority", "worker_id"
+        ).write.mode("overwrite").parquet(_state_path(work, 0))
+
+
+def run_once(
+    spark: SparkSession, sf_dir: str, work: str, n_chunks: int = N_CHANGE_CHUNKS
+) -> str:
+    """Seed the snapshot, stream the change chunks through a
+    foreachBatch copy-on-write MERGE, return the converged table dir."""
+    feed = os.path.join(work, "feed")
+    _write_change_chunks(spark, sf_dir, feed, n_chunks)
+    seed_state(spark, sf_dir, work)
+    return run_stream(spark, work, feed)
 
 
 def _ensure_run(spark: SparkSession, sf_dir: str) -> str:

@@ -27,7 +27,11 @@ The emitted set is therefore exactly {re-entry | ready_s ≤ final
 watermark}, invariant to how the feed is chunked into micro-batches
 (tests/test_timers.py re-runs with 1/3/5 chunks), and the DuckDB oracle
 re-derives it arithmetically — the timer MECHANISM is streaming-only,
-the RESULT is batch-checkable.
+the RESULT is batch-checkable. The final watermark is MAX(event_s)
+over the FULL feed (all ops): the fail-only filter is deliberately
+phrased so Catalyst cannot push it below the EventTimeWatermark node
+(see run_once), keeping the event-time clock driven by every event the
+way the etcd lease clock keeps ticking between failures.
 
 Known boundary: Spark's event-time timeout fires strictly AFTER the
 armed timestamp, while the oracle's cutoff is inclusive (≤). A lease
@@ -136,13 +140,27 @@ def run_once(
         .parquet(feed)
         .withColumn("ts", F.timestamp_seconds("event_s"))
         .withWatermark("ts", "0 seconds")
-        # watermark above is computed over the FULL feed (so timers keep
-        # firing between fails); only fail events reach the fold — the
-        # state store then holds exactly the failing tasks' lease
-        # ledgers, not an entry per task_id ever seen (the unfiltered
-        # form grew state with every submit/assign/complete key and
-        # paid a Python fold invocation per key per batch)
-        .where(F.col("task_id").isNotNull() & (F.col("op") == "fail"))
+        # Only fail events reach the fold — the state store then holds
+        # exactly the failing tasks' lease ledgers, not an entry per
+        # task_id ever seen (the unfiltered form grew state with every
+        # submit/assign/complete key and paid a Python fold invocation
+        # per key per batch). The predicate is phrased as ONE expression
+        # that references the event-time column: Catalyst's
+        # PushPredicateThroughNonJoin pushes a filter below
+        # EventTimeWatermark only when it is deterministic AND does not
+        # reference the watermark column, so this form keeps the filter
+        # ABOVE the watermark node and the watermark is computed over
+        # the FULL feed — timers keep firing even when the trailing
+        # traffic is all successes. The plain conjunct form
+        # (task_id IS NOT NULL AND op = 'fail') was pushed below the
+        # watermark, silently freezing event time at the last FAIL:
+        # tests/test_timers.py::test_timer_fires_with_non_fail_tail
+        # pins the behavior.
+        .where(
+            F.when(
+                F.col("task_id").isNotNull() & (F.col("op") == "fail"), F.col("ts")
+            ).isNotNull()
+        )
     )
     fired = src.groupBy("task_id").applyInPandasWithState(
         _timer_fold,

@@ -138,7 +138,11 @@ def run_once_tws(
         .parquet(feed)
         .withColumn("ts", F.timestamp_seconds("event_s"))
         .withWatermark("ts", "0 seconds")
-        .where(F.col("task_id").isNotNull())
+        # phrased to reference the event-time column so Catalyst keeps
+        # the filter ABOVE EventTimeWatermark and the watermark tracks
+        # the full feed, worker-only events included (see timers.py
+        # run_once for the pushdown analysis)
+        .where(F.when(F.col("task_id").isNotNull(), F.col("ts")).isNotNull())
     )
     fired = src.groupBy("task_id").transformWithStateInPandas(
         _TimerLeaseProcessor(),

@@ -266,3 +266,43 @@ def test_existing_work_dir_resumes(spark, tmp_path):
     assert th2._version == v1
     row = th2.get_task_by_id("pers-1")
     assert row is not None and row.status == "completed"
+
+
+def test_vectorized_executor_matches_execute_one_on_huge_ids():
+    """The Arrow-batch dispatch path must agree with the single-task
+    executor for every id shape, including digit suffixes past int64
+    (a 19+-digit suffix used to raise OverflowError in astype('int64')
+    and kill the whole batch) and non-digit suffixes (md5 fallback)."""
+    import pandas as pd
+
+    from task_hive_spark.operators.processors import _dispatch_group, _execute_one
+
+    ids = [
+        "custom-1",
+        "custom-299",  # timeout boundary: 2 + 299 > 300
+        "custom-12345678901234567890123456789",  # > int64
+        "custom-9223372036854775807",  # int64 max, 19 digits → big path
+        "custom-abcdef",  # md5 fallback
+    ]
+    pdf = pd.DataFrame(
+        {
+            "id": ids,
+            "type": ["custom"] * len(ids),
+            "payload": ["{}"] * len(ids),
+            "priority": [1] * len(ids),
+            "retry_count": [0] * len(ids),
+        }
+    )
+    out = _dispatch_group(("custom", 0), pdf).set_index("id")
+    for i in ids:
+        status, result, error = _execute_one(
+            {"id": i, "type": "custom", "payload": "{}", "priority": 1}
+        )
+        row = out.loc[i]
+
+        def norm(v):  # pandas renders absent object cells as NaN
+            return v if isinstance(v, str) else None
+
+        assert row["final_status"] == status, i
+        assert norm(row["result"]) == result, i
+        assert norm(row["error"]) == error, i

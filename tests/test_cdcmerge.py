@@ -60,7 +60,6 @@ def test_streaming_merge_resumes_from_checkpoint(spark):
     import shutil
 
     from task_hive_spark.operators.queries import th_snapshot_merge
-    from task_hive_spark.operators.taskmodel import tasks_df
     from task_hive_spark.streaming import cdcmerge
     from task_hive_spark.streaming.lifecycle import _scratch_root
 
@@ -74,37 +73,12 @@ def test_streaming_merge_resumes_from_checkpoint(spark):
     for c in chunks[:2]:
         shutil.copy2(os.path.join(staged, c), os.path.join(feed, c))
 
-    state = os.path.join(work, "state")
-    tasks_df(spark, SF_DIR).select(
-        "id", "status", "priority", "worker_id"
-    ).write.mode("overwrite").parquet(state)
-
-    def run_stream():
-        def merge_batch(batch_df, _bid):
-            cur = spark.read.parquet(state)
-            merged = cdcmerge.apply_merge(cur, batch_df)
-            tmp = state + ".next"
-            merged.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(state)
-            os.rename(tmp, state)
-
-        q = (
-            spark.readStream.schema(cdcmerge._CHANGE_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .option("latestFirst", "false")
-            .parquet(feed)
-            .writeStream.outputMode("append")
-            .foreachBatch(merge_batch)
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    run_stream()  # first half only
+    cdcmerge.seed_state(spark, SF_DIR, work)
+    cdcmerge.run_stream(spark, work, feed)  # first half only
     for c in chunks[2:]:
         shutil.copy2(os.path.join(staged, c), os.path.join(feed, c))
-    run_stream()  # resume: same checkpoint, must not re-apply chunks 0-1
+    # resume: same checkpoint, must not re-apply chunks 0-1
+    state = cdcmerge.run_stream(spark, work, feed)
 
     got = _profile_rows(spark, state)
     batch = [tuple(r) for r in th_snapshot_merge(spark, SF_DIR).collect()]

@@ -45,6 +45,40 @@ def test_scripted_leases(spark, sf_dir):
     assert not any(t == "lt-stuck" for (t, _, _) in fired)
 
 
+def test_timer_fires_with_non_fail_tail(spark):
+    """The watermark must advance on EVERY event, not just fails: a
+    lease armed by an early fail must fire even when all trailing
+    traffic is successes. Catalyst pushes a plain deterministic
+    fail-filter below EventTimeWatermark (freezing event time at the
+    last fail — this feed would then fire nothing); run_once's
+    predicate is phrased to reference the event-time column so it
+    stays above the watermark node."""
+    import os
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="timers_tail_", dir=_scratch_root())
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    chunks = [
+        [(100, "fail", "t1", None, None)],  # arms ready = 102
+        [(200, "complete", "t2", None, None)],
+        [(300, "complete", "t2", None, None)],  # watermark must reach 300
+    ]
+    base = 1_700_000_000
+    for i, rows in enumerate(chunks, 1):
+        tmp = tempfile.mkdtemp(prefix="c", dir=work)
+        spark.createDataFrame(rows, timers._EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(feed, f"chunk_{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + i * 10, base + i * 10))
+    fired = _fired(spark, timers.run_once(spark, None, work, 0, feed=feed))
+    assert fired == {("t1", 102, 1)}
+
+
 def test_timer_requeue_tws_parity_or_gate(spark, sf_dir):
     """Successor-API parity contract (timers_tws.py): on Spark builds
     with a working protobuf runtime, transformWithStateInPandas'

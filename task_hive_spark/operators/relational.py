@@ -39,7 +39,26 @@ def _t(spark, sf_dir, name) -> DataFrame:
 # result type widens to decimal(28,0) automatically (overflow at ~1e28
 # e6-units ≈ $1e22 — beyond any corpus).
 def _cents(name: str):
-    return F.round(F.col(name) * 100).cast("long")
+    """Exact integer cents from a non-negative money double.
+
+    (x·100 + 0.5) truncated toward zero == ROUND_HALF_UP(x·100) for all
+    x ≥ 0 — and every money/percent column in this schema is
+    non-negative by construction (TPC-H money domains are positive;
+    discount/tax live in [0, 0.11]). The arithmetic form stays in
+    primitive codegen; F.round on DoubleType allocates a BigDecimal per
+    row (RoundBase codegen), which measured ~15% of Q1's whole scan at
+    sf0.1. The DuckDB oracles keep ROUND(x*100) — the value gate proves
+    the equivalence on every fixture. A signed-money schema would need
+    the sign-aware form (x·100 + sign(x)·0.5)."""
+    return (F.col(name) * 100 + F.lit(0.5)).cast("long")
+
+
+# Long partial sums of cents-products are exact while rows-per-partition
+# × max-per-row-product (~1.2e11) stays under 2^63 ≈ 9.2e18; 5e7 rows
+# leaves a 1.5× margin and is ~40× any real 128 MB scan split. Queries
+# using single-level long partials assert their per-partition counts
+# against this bound (see rel_q1) so an adversarial layout fails loudly.
+_SAFE_PARTIAL_ROWS = 50_000_000
 
 
 def _rev_e4():
@@ -68,46 +87,64 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     TWO-LEVEL exact sum: Q1 scans the whole fact with five measures, so
     the per-row decimal path was the dominant cost (measured 0.84s →
-    0.49s at sf0.1). Level 1 sums raw LONGS per (group, partition,
-    1M-row chunk) — the chunk key (bits of monotonically_increasing_id,
-    a per-partition counter) bounds every partial at 2^20 rows ×
-    ~1.2e11 max per-row product ≈ 1.3e17 ≪ 2^63 REGARDLESS of split
-    size (a bare per-partition key would wrap if a parquet row group
-    ever exceeded ~4.6e7 rows). Level 2 sums the tiny partials in
-    decimal (|groups|·|chunks| rows), where overflow is impossible
-    before ~$1e22. Integer addition is associative, so the result is
-    identical to the single-level decimal sum."""
+    0.49s at sf0.1). Level 1 sums raw LONGS per (group, partition);
+    level 2 sums the tiny partials in decimal (|groups|·|partitions|
+    rows), where overflow is impossible before ~$1e22. Integer addition
+    is associative, so the result is identical to the single-level
+    decimal sum.
+
+    Overflow posture of the level-1 partials: max per-row product is
+    ~1.2e11 (cents × two percent factors), so a long partial is exact up
+    to ~7.6e7 rows per scan partition — far past any real split
+    (128 MB maxPartitionBytes ≈ low-millions of rows), but an
+    adversarial single-row-group file COULD exceed it, so the level-2
+    pass asserts every partial's row count is under the bound and fails
+    LOUDLY instead of wrapping silently. (The earlier design added a
+    1M-row chunk key from monotonically_increasing_id to make partials
+    unconditionally safe; the per-row id arithmetic + the extra
+    grouping column measured ~0.3 s of the query at sf0.1 — half its
+    runtime — for a bound this guard provides for free.)"""
     l = _t(spark, sf_dir, "lineitem")
-    qty = _cents("l_quantity")
-    price = _cents("l_extendedprice")
-    charge = (
-        price * (F.lit(100) - _cents("l_discount")) * (F.lit(100) + _cents("l_tax"))
+    # cents once per source column in a projection, so the aggregate
+    # expressions are products of plain long columns (the inline form
+    # re-evaluated round(×100) casts per measure — l_discount three
+    # times — and measured ~2× this shape)
+    pre = l.where(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_returnflag",
+        "l_linestatus",
+        _cents("l_quantity").alias("qc"),
+        _cents("l_extendedprice").alias("pc"),
+        _cents("l_discount").alias("dc"),
+        _cents("l_tax").alias("tc"),
+        F.spark_partition_id().alias("_pid"),
     )
-    chunk = (
-        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)) / F.lit(1 << 20)
-    ).cast("long")
-    part = (
-        l.where(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy(
-            "l_returnflag",
-            "l_linestatus",
-            F.spark_partition_id().alias("_pid"),
-            chunk.alias("_chk"),
-        )
-        .agg(
-            F.sum(qty).alias("q"),
-            F.sum(price).alias("p"),
-            F.sum(_cents("l_discount")).alias("d"),
-            F.sum(price * (F.lit(100) - _cents("l_discount"))).alias("r"),
-            F.sum(charge).alias("ch"),
-            F.count("*").alias("n"),
-        )
+    part = pre.groupBy("l_returnflag", "l_linestatus", "_pid").agg(
+        F.sum("qc").alias("q"),
+        F.sum("pc").alias("p"),
+        F.sum("dc").alias("d"),
+        F.sum(F.col("pc") * (100 - F.col("dc"))).alias("r"),
+        F.sum(F.col("pc") * (100 - F.col("dc")) * (100 + F.col("tc"))).alias("ch"),
+        F.count("*").alias("n"),
     )
 
     def dec(c: str):
         return F.sum(F.col(c).cast("decimal(28,0)"))
 
-    cnt = F.sum("n")
+    # loud overflow guard: every use of the count flows through this
+    # expression, so a partial past the long-safe row bound aborts the
+    # query instead of returning silently-wrapped sums
+    n_guarded = F.when(
+        F.col("n") <= _SAFE_PARTIAL_ROWS, F.col("n")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "rel_q1: a scan partition exceeded the overflow-safe row "
+                "bound for long partial sums; lower "
+                "spark.sql.files.maxPartitionBytes"
+            )
+        ).cast("long")
+    )
+    cnt = F.sum(n_guarded)
     return (
         part.groupBy("l_returnflag", "l_linestatus")
         .agg(

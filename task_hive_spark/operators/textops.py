@@ -23,6 +23,37 @@ from task_hive_spark.materialize import session_index
 from task_hive_spark.sources.fixtures import load_table
 
 
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document scalar profile as a session index: (doc_id, lang,
+    source, n_chars, ws_tokens, bpe_tokens, punct_ratio_raw, quality,
+    fp), hash-partitioned by doc_id and persisted once per session.
+
+    The regex scans behind these columns (tokenizer counts, punctuation
+    ratio, the md5 fingerprint) are the dominant map-stage cost of every
+    profile/mix/filter query; a production pipeline materializes its
+    per-doc stats table once and every report reads it. Fixed width per
+    doc — an index, not an expansion — so persisting is scale-safe; the
+    doc_id partitioning makes joins against token_index-derived signals
+    (filter pipeline) exchange-free on this side."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return d.repartition(n, "doc_id").select(
+            "doc_id",
+            "lang",
+            "source",
+            F.length("text").cast("int").alias("n_chars"),
+            ws_token_count(F.col("text")).cast("int").alias("ws_tokens"),
+            bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+            punct_ratio(F.col("text")).alias("punct_ratio_raw"),
+            quality_score(F.col("text")).alias("quality"),
+            fingerprint(F.col("text")).alias("fp"),
+        )
+
+    return session_index(spark, sf_dir, "doc_stats", build)
+
+
 def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex tokens per doc."""
     d = load_table(spark, sf_dir, "documents")
@@ -36,13 +67,13 @@ def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def txt_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length / word-shape / punctuation composite."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    """Quality scoring: length / word-shape / punctuation composite —
+    a projection of the materialized doc_stats index."""
+    return doc_stats(spark, sf_dir).select(
         "doc_id",
-        ws_token_count(F.col("text")).cast("int").alias("n_tokens"),
-        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        quality_score(F.col("text")).alias("quality"),
+        F.col("ws_tokens").alias("n_tokens"),
+        F.round("punct_ratio_raw", 6).alias("punct_ratio"),
+        "quality",
     ).orderBy("doc_id")
 
 
@@ -84,20 +115,29 @@ def txt_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def txt_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus roll-up: per (lang, source) token/quality profile — the
-    'what goes in the training mix' query."""
-    d = load_table(spark, sf_dir, "documents")
-    enriched = d.select(
+    'what goes in the training mix' query. A cached-scan aggregate over
+    the doc_stats index: the tokenizer/quality regexes run once per
+    session, not once per report."""
+    # exact-integer aggregation: token counts sum as longs, and quality
+    # (already rounded to 6 dp by quality_score) rides as exact 1e-6
+    # units — a double AVG is summation-order-dependent in the last ulp,
+    # and the cached index's doc_id partitioning orders the fold
+    # differently than the oracle's scan (a boundary group flipped the
+    # 6-dp rounding at sf0.001 before this)
+    enriched = doc_stats(spark, sf_dir).select(
         "lang",
         "source",
-        ws_token_count(F.col("text")).cast("double").alias("n_tokens"),
-        quality_score(F.col("text")).alias("quality"),
+        F.col("ws_tokens").cast("long").alias("n_tokens"),
+        (F.col("quality") * 1000000 + F.lit(0.5)).cast("long").alias("q_e6"),
     )
     return (
         enriched.groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.sum("n_tokens"), 2).alias("total_tokens"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.sum("n_tokens").cast("double"), 2).alias("total_tokens"),
+            F.round(
+                F.sum("q_e6") / (F.lit(1000000.0) * F.count("*")), 6
+            ).alias("avg_quality"),
         )
         .orderBy("lang", "source")
     )
@@ -145,14 +185,14 @@ def txt_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs nightly: exact-dedup keep decision (fingerprint
     groupBy, canonical = min doc_id) × quality gate, rolled up per
     language with kept/dropped token budgets. One fingerprint shuffle +
-    one group-by — every per-doc column is a map-stage expression."""
-    d = load_table(spark, sf_dir, "documents")
-    scored = d.select(
+    one group-by — every per-doc column comes from the materialized
+    doc_stats index (scored once per session)."""
+    scored = doc_stats(spark, sf_dir).select(
         "doc_id",
         "lang",
-        fingerprint(F.col("text")).alias("fp"),
-        ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
-        quality_score(F.col("text")).alias("quality"),
+        "fp",
+        F.col("ws_tokens").cast("long").alias("n_tokens"),
+        "quality",
     )
     # canonical flag via a window min over the fp partition — the same
     # single fingerprint shuffle the groupBy+join form pays, minus the
@@ -162,22 +202,33 @@ def txt_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang",
         "n_tokens",
-        "quality",
+        # quality in exact 1e-6 units: the kept-average is then an
+        # integer sum / count — summation-order-independent, where a
+        # double AVG could flip the 6-dp rounding depending on how the
+        # cached index partitions the fold (see txt_corpus_profile)
+        (F.col("quality") * 1000000 + F.lit(0.5)).cast("long").alias("q_e6"),
         (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
         (F.col("quality") >= MIX_QUALITY_MIN).alias("passes_quality"),
     )
     kept = F.col("is_canonical") & F.col("passes_quality")
+    n_kept = F.sum(kept.cast("long"))
     return (
         flagged.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(kept.cast("long")).alias("n_kept"),
+            n_kept.alias("n_kept"),
             F.sum((~F.col("is_canonical")).cast("long")).alias("n_dup_dropped"),
             F.sum(
                 (F.col("is_canonical") & ~F.col("passes_quality")).cast("long")
             ).alias("n_quality_dropped"),
             F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
-            F.round(F.avg(F.when(kept, F.col("quality"))), 6).alias("kept_avg_quality"),
+            F.when(
+                n_kept > 0,
+                F.round(
+                    F.sum(F.when(kept, F.col("q_e6"))) / (F.lit(1000000.0) * n_kept),
+                    6,
+                ),
+            ).alias("kept_avg_quality"),
         )
         .orderBy("lang")
     )
@@ -386,14 +437,17 @@ REP_TOP2_MAX = 0.05  # max share of the most frequent 2-gram
 REP_DISTINCT_MIN = 0.4  # min distinct-token ratio
 
 
-def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition-based quality gate: per doc, the most-frequent-2-gram
-    share and the distinct-token ratio; keep iff both are inside their
-    thresholds. Scale shape: the 2-gram explosion is co-partitioned by
-    doc_id (one |docs|-row shuffle), both aggregations run
-    exchange-free on top of it, and the distinct-ratio branch is a pure
-    map stage joined back on the same partitioning. Both branches read
-    the materialized token_index, so the regex tokenizer never reruns."""
+def _gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition signals per non-empty doc: (doc_id, ntok,
+    top2_frac_raw, distinct_ratio_raw). ONE construction shared by
+    txt_repetition_filter and txt_filter_pipeline — the thresholds are
+    correctness-bearing, so the signal arithmetic must not drift between
+    the standalone gate and the composed pipeline. Scale shape: the
+    2-gram explosion is co-partitioned by doc_id (one |docs|-row
+    shuffle), both aggregations run exchange-free on top of it, and the
+    distinct-ratio branch is a pure map stage joined back on the same
+    partitioning; every non-empty doc emits ≥1 gram, so the inner join
+    is total over the token_index domain."""
     t = token_index(spark, sf_dir)
     cnt = _toks_ngrams(t, 2).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     rep = cnt.groupBy("doc_id").agg(
@@ -401,14 +455,24 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratio = t.select(
         "doc_id",
-        F.col("ntok").alias("n_tokens"),
+        "ntok",
         (F.size(F.array_distinct("toks")) / F.col("ntok")).alias("distinct_ratio_raw"),
     )
+    return ratio.join(rep, "doc_id")
+
+
+def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate: per doc, the most-frequent-2-gram
+    share and the distinct-token ratio; keep iff both are inside their
+    thresholds. Reads the shared _gopher_signals construction (which
+    itself reads the materialized token_index — the regex tokenizer
+    never reruns)."""
     keep = (F.col("top2_frac_raw") <= REP_TOP2_MAX) & (
         F.col("distinct_ratio_raw") >= REP_DISTINCT_MIN
     )
     return (
-        ratio.join(rep, "doc_id")
+        _gopher_signals(spark, sf_dir)
+        .withColumn("n_tokens", F.col("ntok"))
         .select(
             "doc_id",
             F.col("n_tokens").cast("int").alias("n_tokens"),
@@ -654,31 +718,26 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     before tokenization: every gate in one pass, with the FIRST failing
     gate as the drop reason — too_short → duplicate (exact-dedup
     canonical) → low_quality (composite score) → repetitive (Gopher
-    gates). Shape: one fingerprint-window shuffle (the dedup decision),
-    one doc_id-co-partitioned 2-gram explosion (the repetition
-    signals), joined back on doc_id; every other signal is a map-stage
-    expression. At 100 TB that is two narrow shuffles of |docs| rows —
-    the same budget the individual gates already pay. The repetition
-    branches read the materialized token_index."""
-    base = load_table(spark, sf_dir, "documents")
-    scored = base.select(
+    gates). Shape: one fingerprint-window shuffle (the dedup decision)
+    over the materialized doc_stats index, one doc_id-co-partitioned
+    2-gram explosion (the shared _gopher_signals construction — the
+    same arithmetic txt_repetition_filter gates on), joined back on
+    doc_id; every other signal is a map-stage expression. At 100 TB
+    that is two narrow shuffles of |docs| rows — the same budget the
+    individual gates already pay."""
+    scored = doc_stats(spark, sf_dir).select(
         "doc_id",
         "lang",
-        fingerprint(F.col("text")).alias("fp"),
-        ws_token_count(F.col("text")).cast("int").alias("n_tokens"),
-        quality_score(F.col("text")).alias("quality"),
+        "fp",
+        F.col("ws_tokens").alias("n_tokens"),
+        "quality",
     )
     flagged = scored.withColumn(
         "canonical_doc_id", F.min("doc_id").over(W.partitionBy("fp"))
     )
-    t = token_index(spark, sf_dir)
-    cnt = _toks_ngrams(t, 2).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    rep = cnt.groupBy("doc_id").agg((F.max("c") / F.sum("c")).alias("top2_frac_raw"))
-    ratio = t.select(
-        "doc_id",
-        (F.size(F.array_distinct("toks")) / F.col("ntok")).alias("distinct_ratio_raw"),
+    j = flagged.join(
+        _gopher_signals(spark, sf_dir).drop("ntok"), "doc_id", "left"
     )
-    j = flagged.join(rep, "doc_id", "left").join(ratio, "doc_id", "left")
     # a doc with no grams (empty text) cannot be repetitive
     repetitive = F.coalesce(
         (F.col("top2_frac_raw") > REP_TOP2_MAX)
@@ -890,10 +949,13 @@ ORACLES = {
                CAST(concat('0x', substr({_FP}, 1, 15)) AS BIGINT) AS fp64
         FROM documents ORDER BY doc_id
         """,
+    # exact-integer aggregates mirroring the Spark side: long token sum,
+    # quality in 1e-6 units (order-independent — see txt_corpus_profile)
     "txt_corpus_profile": f"""
         SELECT lang, source, COUNT(*) AS n_docs,
-               ROUND(SUM(CAST({_WS_TOKENS_SAFE} AS DOUBLE)), 2) AS total_tokens,
-               ROUND(AVG({_QUALITY}), 6) AS avg_quality
+               ROUND(CAST(SUM({_WS_TOKENS_SAFE}) AS DOUBLE), 2) AS total_tokens,
+               ROUND(SUM(CAST(ROUND(({_QUALITY}) * 1000000) AS BIGINT))
+                     / (1000000.0 * COUNT(*)), 6) AS avg_quality
         FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
     # chunk i covers tokens [i·stride, i·stride + window); DuckDB list
@@ -942,8 +1004,14 @@ ORACLES = {
                     AS BIGINT) AS n_quality_dropped,
                CAST(SUM(CASE WHEN is_canonical AND passes_quality THEN n_tokens ELSE 0 END)
                     AS BIGINT) AS kept_tokens,
-               ROUND(AVG(CASE WHEN is_canonical AND passes_quality THEN quality END), 6)
-                 AS kept_avg_quality
+               CASE WHEN SUM(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END) > 0
+                    THEN ROUND(
+                      SUM(CASE WHEN is_canonical AND passes_quality
+                               THEN CAST(ROUND(quality * 1000000) AS BIGINT) ELSE 0 END)
+                      / (1000000.0 *
+                         SUM(CASE WHEN is_canonical AND passes_quality THEN 1 ELSE 0 END)),
+                      6)
+               END AS kept_avg_quality
         FROM flagged GROUP BY lang ORDER BY lang
         """,
     "txt_hash_sample": f"""

@@ -40,17 +40,33 @@ _NANOS_TS_COLS = {
 }
 
 
+# session object → {(sf_dir, name): scan DataFrame}. A fresh
+# spark.read.parquet per query re-lists the directory and re-analyzes
+# the scan relation on the driver — measured ~0.1-0.25 s of pure
+# planning per multi-table query at sf0.1 (the execution was identical).
+# Returning the memoized Dataset reuses its analyzed plan, the way a
+# metastore-backed catalog serves cached table metadata. DataFrames are
+# immutable, so sharing one scan node across queries is safe; the weak
+# session key dies with its session (same rationale as _REGISTERED).
+_TABLES: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table. Filters/projections applied by callers are
-    pushed down into this scan by Catalyst; the ns→timestamp conversion
-    below is a cheap projection that doesn't block pushdown on other
-    columns."""
+    """Load one fixture table (memoized per session). Filters/projections
+    applied by callers are pushed down into this scan by Catalyst; the
+    ns→timestamp conversion below is a cheap projection that doesn't
+    block pushdown on other columns."""
+    per = _TABLES.setdefault(spark, {})
+    df = per.get((sf_dir, name))
+    if df is not None:
+        return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
             # integer div keeps full precision (ns since epoch overflows
             # a double's 53-bit mantissa)
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    per[(sf_dir, name)] = df
     return df
 
 

@@ -354,18 +354,22 @@ def _write_chunks(spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int
     ev.unpersist()
 
 
-def run_lifecycle(
+def start_lifecycle(
     spark: SparkSession,
-    sf_dir: str,
     work_dir: str,
-    n_chunks: int = N_CHUNKS,
-    feed_dir: str | None = None,
-) -> dict[str, str]:
-    """Run the full streaming lifecycle to convergence; returns paths of
-    the converged state tables."""
-    if feed_dir is None:
-        feed_dir = os.path.join(work_dir, "feed")
-        _write_chunks(spark, sf_dir, feed_dir, n_chunks)
+    feed_dir: str,
+    trigger: dict | None = None,
+):
+    """Start the lifecycle stream against `feed_dir` and return
+    (query, paths). `paths` is the LIVE pointer dict the fold advances
+    per micro-batch — callers can read the current converged-so-far
+    snapshot while the stream runs (the pointer swaps only after a
+    version is fully written, the same read-validity discipline as the
+    facade's snapshots). Default trigger drains what is already in the
+    feed (AvailableNow); pass e.g. {"processingTime": "200 milliseconds"}
+    for a LIVE feed that a producer appends to while the query runs —
+    the file source picks up new chunk files in mtime order exactly as
+    the etcd watch delivers new revisions."""
     ckpt_dir = os.path.join(work_dir, "ckpt")
     state_dir = os.path.join(work_dir, "state")
     os.makedirs(state_dir, exist_ok=True)
@@ -428,9 +432,25 @@ def run_lifecycle(
     q = (
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+    return q, paths
+
+
+def run_lifecycle(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_chunks: int = N_CHUNKS,
+    feed_dir: str | None = None,
+) -> dict[str, str]:
+    """Run the full streaming lifecycle to convergence; returns paths of
+    the converged state tables."""
+    if feed_dir is None:
+        feed_dir = os.path.join(work_dir, "feed")
+        _write_chunks(spark, sf_dir, feed_dir, n_chunks)
+    q, paths = start_lifecycle(spark, work_dir, feed_dir)
     q.awaitTermination()
     return dict(paths)
 

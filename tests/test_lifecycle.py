@@ -111,3 +111,63 @@ def test_armed_timer_survives_eventless_batches(spark):
     # and the carried timer still fires once the clock passes it
     fired = {r["task_id"]: r for r in _fire_timers(folded, 1000).collect()}["t1"]
     assert fired["status"] == "pending" and fired["ready_s"] is None
+
+
+def test_live_feed_converges_to_scripted_state(spark, sf_dir):
+    """Close the 'scripted chunks only' gap: drive the lifecycle from a
+    directory that a producer thread appends chunk files to WHILE the
+    stream runs on a processing-time trigger (no pre-written feed, no
+    AvailableNow snapshot). The converged task state must equal the
+    scripted-feed run's — the file source discovering files as they
+    land is the connector seam a Kafka/etcd-watch feed would plug into."""
+    import os
+    import shutil
+    import threading
+    import time
+
+    from task_hive_spark.streaming.lifecycle import (
+        shared_feed,
+        start_lifecycle,
+    )
+
+    ref = _final(spark, converged_state(spark, sf_dir))
+
+    staged = shared_feed(spark, sf_dir)  # the already-chunked event log
+    chunks = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(chunks) >= 3
+
+    work = tempfile.mkdtemp(prefix="lc_live_", dir=_scratch_root())
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+
+    q, paths = start_lifecycle(
+        spark, work, feed, trigger={"processingTime": "200 milliseconds"}
+    )
+    try:
+
+        def produce():
+            for c in chunks:
+                # copy to a temp name, then rename: the file source must
+                # never list a half-written chunk
+                tmp = os.path.join(feed, "." + c)
+                shutil.copy(os.path.join(staged, c), tmp)
+                os.rename(tmp, os.path.join(feed, c))
+                time.sleep(0.5)
+
+        writer = threading.Thread(target=produce, name="live-feed-writer")
+        writer.start()
+        writer.join(timeout=120)
+        assert not writer.is_alive()
+
+        # converge: poll the live state pointer until it matches the
+        # scripted-feed reference (bounded wait, then a hard assert)
+        deadline = time.time() + 120
+        got = None
+        while time.time() < deadline:
+            got = _final(spark, paths)
+            if got == ref:
+                break
+            time.sleep(1.0)
+        assert got == ref
+    finally:
+        q.stop()

@@ -81,6 +81,64 @@ def ivf_recall() -> int:
     return 0
 
 
+def sf1_probe() -> int:
+    """--sf1: candidate-pair growth + IVF recall at a synthetic sf1
+    (10x sf0.1, statistics-matched — scripts/gen_scale_fixture.py).
+    The point is the BOUNDS: candidate pairs from the capped postings /
+    LSH banding / simhash quarters must grow sub-quadratically in the
+    corpus (10x docs → far less than 100x pairs), and the trained IVF
+    quantizer's nprobe=3 recall must hold up at 10x the vectors.
+    Exits non-zero if candidate growth exceeds the sub-quadratic gate."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = subprocess.run(
+        [sys.executable, os.path.join(here, "gen_scale_fixture.py")],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip().splitlines()[-1]
+
+    from task_hive_spark.session import get_spark
+    from task_hive_spark.operators.similarity import sim_topk_brute, sim_topk_ivf
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scale_probe_sf1")
+    qs = entrymod.queries()
+    dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1_dir]
+    tags = ["sf0.01", "sf0.1", "sf1"]
+    bad = 0
+    for name in [
+        "dd_ngram_jaccard_pairs",
+        "dd_minhash_lsh_pairs",
+        "dd_simhash_near_pairs",
+        "dd_chunk_dedup",
+        "sim_topk_lsh",
+    ]:
+        secs: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for tag, d in zip(tags, dirs):
+            t0 = time.perf_counter()
+            rows[tag] = qs[name](spark, d).count()
+            secs[tag] = round(time.perf_counter() - t0, 3)
+        growth = round(rows["sf1"] / max(rows["sf0.1"], 1), 2)
+        # sub-quadratic gate: 10x docs, quadratic would be ~100x pairs;
+        # 30x leaves room for the super-linear-but-bounded regimes
+        # (duplicate families scale linearly; gram collisions rise)
+        ok = growth <= 30.0
+        bad += 0 if ok else 1
+        print(json.dumps({
+            "probe": "sf1_growth", "query": name, "rows": rows,
+            "seconds": secs, "x10_row_growth": growth, "sub_quadratic": ok,
+        }))
+    # IVF recall at sf1 (nprobe=3, the pinned operating point)
+    exact = {(r["probe_id"], r["neighbor_id"]) for r in sim_topk_brute(spark, sf1_dir).collect()}
+    got = {(r["probe_id"], r["neighbor_id"]) for r in sim_topk_ivf(spark, sf1_dir, nprobe=3).collect()}
+    recall = round(len(exact & got) / max(len(exact), 1), 3)
+    print(json.dumps({"probe": "sf1_ivf_recall", "nprobe": 3, "recall": recall,
+                      "n_exact_pairs": len(exact)}))
+    return 1 if bad else 0
+
+
 def main() -> int:
     from task_hive_spark.session import get_spark
 
@@ -88,6 +146,8 @@ def main() -> int:
 
     if sys.argv[1:2] == ["--ivf-recall"]:
         return ivf_recall()
+    if sys.argv[1:2] == ["--sf1"]:
+        return sf1_probe()
 
     names = sys.argv[1:] or DEFAULT
     spark = get_spark("scale_probe")

@@ -763,6 +763,168 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE merge learning (Sennrich et al. 2016): the tokenizer-training
+# step of a pretraining pipeline. The scalable design — and the one
+# every production trainer (SentencePiece, HF tokenizers) uses — is to
+# run the merge loop on the WORD-FREQUENCY TABLE, not the corpus: the
+# corpus is traversed once to count words (vocab-sized output), then
+# each merge round is pair-count + argmax + merge-apply over the vocab
+# rows. At 100 TB the corpus pass is the only heavy stage; the loop
+# touches millions of vocab rows, not trillions of tokens.
+BPE_MERGES = 8
+# the oracle unrolls first-occurrence splices; 8 per round covers words
+# to 17 chars (the fixture max is 8; a longer-word corpus raises this)
+_BPE_ORACLE_REPS = 8
+
+
+def _greedy_merge_expr(lft: str, rgt: str) -> str:
+    """SQL expression applying ONE learned merge to the `syms` array,
+    greedy left-to-right (the BPE application rule): fold over the
+    symbols, merging when the accumulator's tail is `lft` and the next
+    symbol is `rgt`. The merged token is strictly longer than `lft`, so
+    a merge can never cascade within the same fold step — the fold IS
+    exact greedy semantics ('a a a' under (a,a) → [aa, a], not [a, aa]).
+    Symbols are [a-z0-9]+ by tokenizer construction, so inlining them
+    in single quotes is injection-safe (asserted by the caller)."""
+    merged = lft + rgt
+    return f"""
+        aggregate(
+          syms,
+          CAST(array() AS ARRAY<STRING>),
+          (acc, s) -> CASE
+            WHEN size(acc) > 0 AND element_at(acc, -1) = '{lft}' AND s = '{rgt}'
+            THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}'))
+            ELSE concat(acc, array(s))
+          END
+        )
+    """
+
+
+def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE_MERGES byte-pair-encoding merges over the
+    corpus: per round, the (left, right) adjacent-symbol pair with the
+    highest frequency-weighted occurrence count (ties broken by
+    (left, right) ascending — fully deterministic), applied greedy
+    left-to-right before the next round. Output: one row per learned
+    merge (merge_round, lft, rgt, pair_count).
+
+    Shape: one corpus pass builds the word-frequency table (a session
+    index — the training-mix/profile discipline); every merge round is
+    vocab-sized work. The per-round argmax is a bounded 1-row driver
+    collect (the k-means-iteration pattern); per-round localCheckpoint
+    keeps the plan O(1) in rounds. The DuckDB oracle runs the SAME
+    procedure with the merge application unrolled as first-occurrence
+    string splices — two independent implementations of greedy BPE
+    whose agreement the value gate checks end-to-end."""
+    t = token_index(spark, sf_dir)
+
+    def build_vocab() -> DataFrame:
+        return (
+            t.select(F.explode("toks").alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("freq"))
+        )
+
+    vocab = session_index(spark, sf_dir, "bpe_word_freq", build_vocab)
+    v = vocab.select(
+        "w",
+        "freq",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_MERGES + 1):
+        pairs = (
+            v.where(F.size("syms") > 1)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS lft, syms[i] AS rgt))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lft", "p.rgt")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "lft", "rgt").limit(1).collect()
+        if not top:
+            break  # every word fully merged — corpus smaller than rounds
+        lft, rgt, c = top[0]["lft"], top[0]["rgt"], int(top[0]["c"])
+        assert lft.isalnum() and rgt.isalnum(), "non-alnum symbol in BPE vocab"
+        merges.append((rnd, lft, rgt, c))
+        v = v.select(
+            "w", "freq", F.expr(_greedy_merge_expr(lft, rgt)).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_round int, lft string, rgt string, pair_count bigint"
+    ).orderBy("merge_round")
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled DuckDB mirror of txt_bpe_merges: per round, pair counts
+    + deterministic argmax, then _BPE_ORACLE_REPS first-occurrence
+    splices of ' lft rgt ' → ' lftrgt ' over the padded symbol string —
+    replacing the leftmost occurrence repeatedly IS greedy
+    left-to-right (a replacement re-emits both boundary spaces and can
+    never create an earlier match, since the merged token would have to
+    equal a shorter symbol). Every per-step CTE is AS MATERIALIZED:
+    DuckDB inlines plain CTEs, and the thrice-referenced position()
+    expression would otherwise grow 3^REPS per round."""
+    parts = [
+        """toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+vocab0 AS (
+  SELECT w, COUNT(*) AS freq,
+         array_to_string(list_transform(range(1, length(w) + 1),
+                                        i -> substr(w, CAST(i AS INT), 1)), ' ') AS sym
+  FROM toks GROUP BY w
+)"""
+    ]
+    for rnd in range(1, BPE_MERGES + 1):
+        prev = f"vocab{rnd - 1}"
+        parts.append(
+            f"""p{rnd} AS (
+  SELECT syms[CAST(i AS INT)] AS lft, syms[CAST(i AS INT) + 1] AS rgt,
+         SUM(freq) AS c
+  FROM (SELECT freq, string_split(sym, ' ') AS syms FROM {prev}
+        WHERE sym LIKE '% %') t,
+  LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) s
+  GROUP BY 1, 2
+),
+m{rnd} AS MATERIALIZED (SELECT lft, rgt, c FROM p{rnd} ORDER BY c DESC, lft, rgt LIMIT 1),
+r{rnd}_0 AS MATERIALIZED (
+  SELECT w, freq, ' ' || sym || ' ' AS p,
+         ' ' || lft || ' ' || rgt || ' ' AS pat,
+         ' ' || lft || rgt || ' ' AS rep
+  FROM {prev}, m{rnd}
+)"""
+        )
+        for k in range(1, _BPE_ORACLE_REPS + 1):
+            parts.append(
+                f"""r{rnd}_{k} AS MATERIALIZED (
+  SELECT w, freq, pat, rep,
+         CASE WHEN position(pat IN p) > 0
+              THEN substr(p, 1, position(pat IN p) - 1) || rep
+                   || substr(p, position(pat IN p) + length(pat))
+              ELSE p END AS p
+  FROM r{rnd}_{k - 1}
+)"""
+            )
+        parts.append(
+            f"vocab{rnd} AS MATERIALIZED (SELECT w, freq, trim(p) AS sym FROM r{rnd}_{_BPE_ORACLE_REPS})"
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, lft, rgt, CAST(c AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY merge_round"
+
+
 SEQ_LEN = 512  # tokens per packed training sequence
 
 
@@ -881,6 +1043,7 @@ QUERIES = {
     "txt_filter_pipeline": txt_filter_pipeline,
     "txt_sequence_pack": txt_sequence_pack,
     "txt_bm25_topk": txt_bm25_topk,
+    "txt_bpe_merges": txt_bpe_merges,
     "txt_importance_sample": txt_importance_sample,
     "txt_sentiment": txt_sentiment,
     "txt_unigram_logprob": txt_unigram_logprob,
@@ -1272,3 +1435,6 @@ ORACLES = {
         FROM h ORDER BY doc_id
         """,
 }
+
+ORACLES["txt_bpe_merges"] = _bpe_oracle_sql()
+

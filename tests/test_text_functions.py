@@ -49,3 +49,58 @@ def test_portable_hash_lanes_are_independent(spark):
     for r in rows:
         assert r.lo != r.hi
         assert 0 <= r.lo < 2**60 and 0 <= r.hi < 2**60
+
+
+def test_bpe_greedy_merge_fold_semantics(spark):
+    """The merge-application fold must be exact greedy left-to-right:
+    'aaa' under (a,a) → [aa, a] (not [a, aa]); 'abab' under (a,b) →
+    [ab, ab] (both occurrences, where a single non-overlapping string
+    replace would merge only the first); merged tokens never cascade
+    within the round."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.textops import _greedy_merge_expr
+
+    df = spark.createDataFrame(
+        [("aaa",), ("abab",), ("bab",), ("x",), ("aabb",)], "w string"
+    ).select(
+        "w",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+    )
+    out = {
+        r["w"]: r["m"]
+        for r in df.select(
+            "w", F.expr(_greedy_merge_expr("a", "b")).alias("m")
+        ).collect()
+    }
+    assert out["abab"] == ["ab", "ab"]
+    assert out["bab"] == ["b", "ab"]
+    assert out["x"] == ["x"]
+    assert out["aabb"] == ["a", "ab", "b"]
+    out_aa = {
+        r["w"]: r["m"]
+        for r in df.select(
+            "w", F.expr(_greedy_merge_expr("a", "a")).alias("m")
+        ).collect()
+    }
+    assert out_aa["aaa"] == ["aa", "a"]
+
+
+def test_bpe_merges_are_wellformed(spark, sf_dir):
+    """Learned merges: BPE_MERGES rounds, counts non-increasing is NOT
+    guaranteed (a merged symbol can create a hotter pair), but every
+    round's pair must have been the argmax of a positive count, and a
+    later round's left/right symbols must be buildable from earlier
+    merges or single characters."""
+    from task_hive_spark.operators.textops import BPE_MERGES, txt_bpe_merges
+
+    rows = txt_bpe_merges(spark, sf_dir).collect()
+    assert len(rows) == BPE_MERGES
+    built = set()
+    for r in rows:
+        assert r.pair_count > 0
+        for side in (r.lft, r.rgt):
+            assert len(side) == 1 or side in built, side
+        built.add(r.lft + r.rgt)

@@ -157,44 +157,54 @@ class _Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         q = parse_qs(url.query)
         path = url.path
-        try:
-            if path == "/api/tasks":
-                limit = DEFAULT_LIST_LIMIT
-                raw = (q.get("limit") or [""])[0]
-                if raw:
-                    try:
-                        limit = int(raw) if int(raw) > 0 else DEFAULT_LIST_LIMIT
-                    except ValueError:
-                        limit = DEFAULT_LIST_LIMIT
-                status = (q.get("status") or [""])[0]
-                try:
-                    self._send(200, tasks_body(self.hive, status, limit))
-                except ValueError as e:  # unknown status → 500 (server.go:44-47)
+        # One retry before 500: a request racing a concurrent drain can
+        # read a snapshot version that GC removes before the collect
+        # lands (the facade keeps v and v-1, so losing the race twice in
+        # a row is not a transient condition worth masking further).
+        for attempt in (0, 1):
+            try:
+                self._route(path, q)
+                return
+            except Exception as e:
+                if attempt == 1:
                     self._error(500, str(e))
-            elif path.startswith("/api/tasks/"):
-                task_id = path[len("/api/tasks/"):]
-                if not task_id:
-                    self._error(400, "任务ID不能为空")
-                    return
-                body = task_body(self.hive, task_id)
-                if body is None:
-                    self._error(404, f"任务 {task_id} 不存在")
-                else:
-                    self._send(200, body)
-            elif path == "/api/stats":
-                self._send(200, stats_body(self.hive))
-            elif path == "/api/workers":
-                self._send(200, workers_body(self.hive))
-            elif path.startswith("/api/workers/"):
-                worker_id = path[len("/api/workers/"):]
-                if not worker_id:
-                    self._error(400, "Worker ID不能为空")
-                    return
-                self._send(200, worker_tasks_body(self.hive, worker_id))
+
+    def _route(self, path: str, q: dict) -> None:
+        if path == "/api/tasks":
+            limit = DEFAULT_LIST_LIMIT
+            raw = (q.get("limit") or [""])[0]
+            if raw:
+                try:
+                    limit = int(raw) if int(raw) > 0 else DEFAULT_LIST_LIMIT
+                except ValueError:
+                    limit = DEFAULT_LIST_LIMIT
+            status = (q.get("status") or [""])[0]
+            try:
+                self._send(200, tasks_body(self.hive, status, limit))
+            except ValueError as e:  # unknown status → 500 (server.go:44-47)
+                self._error(500, str(e))
+        elif path.startswith("/api/tasks/"):
+            task_id = path[len("/api/tasks/"):]
+            if not task_id:
+                self._error(400, "任务ID不能为空")
+                return
+            body = task_body(self.hive, task_id)
+            if body is None:
+                self._error(404, f"任务 {task_id} 不存在")
             else:
-                self._error(404, "404 page not found")
-        except Exception as e:  # any backend failure → 500 (server.go)
-            self._error(500, str(e))
+                self._send(200, body)
+        elif path == "/api/stats":
+            self._send(200, stats_body(self.hive))
+        elif path == "/api/workers":
+            self._send(200, workers_body(self.hive))
+        elif path.startswith("/api/workers/"):
+            worker_id = path[len("/api/workers/"):]
+            if not worker_id:
+                self._error(400, "Worker ID不能为空")
+                return
+            self._send(200, worker_tasks_body(self.hive, worker_id))
+        else:
+            self._error(404, "404 page not found")
 
 
 class TaskHiveServer:

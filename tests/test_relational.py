@@ -141,3 +141,23 @@ def test_q1_two_level_sum_equals_single_level(spark, sf_dir):
     )
     want = [tuple(r) for r in single.collect()]
     assert got == want
+
+
+def test_money_domains_nonnegative(spark):
+    """_cents' arithmetic half-up ((x*100+0.5) truncated toward zero)
+    equals ROUND_HALF_UP only for x >= 0 — pin the schema precondition
+    it documents: every money/percent column the cents family reads is
+    non-negative in the fixtures. A signed-money schema change must
+    trip this before it silently rounds a negative cent."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.sources.fixtures import load_table
+
+    sf = "/root/testdata/sf0.001"
+    l = load_table(spark, sf, "lineitem")
+    row = l.agg(
+        F.min("l_extendedprice"), F.min("l_discount"), F.min("l_tax"), F.min("l_quantity")
+    ).collect()[0]
+    assert all(v >= 0 for v in row), row
+    o = load_table(spark, sf, "orders")
+    assert o.agg(F.min("o_totalprice")).collect()[0][0] >= 0

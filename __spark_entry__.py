@@ -36,9 +36,10 @@ from pyspark.sql import DataFrame, SparkSession
 #      lifecycle fold queries, mm_frame_sample, sim kmeans/quantize/
 #      label-centroids, dd_embedding_cosine_pairs) + 3 r4-evidence
 #      picks with the most code adjacency (txt_unigram_logprob on the
-#      token_index, mm_audio_segments carrying the r5 ADVICE fix) — the
-#      third r4 pick (cat_bucketed_join_stats) ceded its slot to the
-#      never-graded txt_bpe_merges added later in the round.
+#      token_index) — two of the three r4 picks (cat_bucketed_join_stats,
+#      mm_audio_segments) ceded their slots to the never-graded
+#      operators added later in the round (txt_bpe_merges,
+#      dd_duplicate_spans).
 # Every back-set query is bit-identical this round apart from the
 # behavior-invariant load_table memoization (same plan, cached scan
 # object), and remains hash-checked against its DuckDB oracle at
@@ -50,6 +51,7 @@ _BACK_R6 = frozenset(
         "cat_bucketed_join_stats",
         "cat_pending_by_type",
         "gr_pagerank",
+        "mm_audio_segments",
         "mm_catalog_stats",
         "mm_decode_features",
         "rel_approx_distinct",

@@ -614,6 +614,72 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Duplicate-SPAN detection (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better": exact substring dedup). Doc-level
+# fingerprints miss quoted passages and boilerplate shared between
+# otherwise-distinct documents; the substring pass finds every maximal
+# token span of length ≥ SPAN_L that occurs more than once in the
+# corpus. The suffix-array construction the paper uses is replaced by
+# the equivalent-for-fixed-L shape that distributes: fingerprint every
+# stride-1 L-token window, keep fingerprints with count > 1, and merge
+# each doc's consecutive duplicated window positions into maximal
+# spans (gaps-and-islands).
+SPAN_L = 16  # minimum duplicated-span length in tokens
+
+
+def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans per document: (doc_id,
+    span_start, span_end, span_len, n_dup_windows), 0-based token
+    positions, span_len ≥ SPAN_L.
+
+    Scale shape: window fingerprinting is a map stage co-partitioned by
+    doc_id (stride-1 windows are ~1 row per token — linear, not a gram
+    cross product); ONE shuffle on the fingerprint counts duplicates;
+    the join back is fingerprint-keyed (AQE broadcasts the dup set when
+    small — at web scale, where duplicated content is a large corpus
+    fraction, it stays a shuffle join, which is the right plan); the
+    island merge is one doc_id-partitioned window. No all-pairs stage
+    anywhere — the fingerprint multiset IS the suffix-array replacement
+    for fixed L."""
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = corpus_df(spark, sf_dir).repartition(nshuf, "doc_id")
+    t = (
+        d.select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
+        .withColumn("ntok", F.size("toks"))
+        .where(F.col("ntok") >= SPAN_L)
+    )
+    w = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, ntok - {SPAN_L}),"
+                f" i -> struct(CAST(i AS INT) AS p,"
+                f" md5(concat_ws(' ', slice(toks, i + 1, {SPAN_L}))) AS fp))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.p", "x.fp")
+    dup = w.groupBy("fp").agg(F.count("*").alias("n")).where(F.col("n") > 1)
+    dw = w.join(dup.select("fp"), "fp")
+    win = W.partitionBy("doc_id").orderBy("p")
+    isl = dw.withColumn("isl", F.col("p") - F.row_number().over(win))
+    return (
+        isl.groupBy("doc_id", "isl")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(SPAN_L - 1)).cast("int").alias("span_end"),
+            F.count("*").alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).cast("int").alias("span_len"),
+            "n_dup_windows",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
 def dd_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate rate per source — the report a dedup pipeline ends
     with (how much of each provider's data is redundant). Joins the
@@ -653,6 +719,7 @@ QUERIES = {
     "dd_simhash_near_pairs": dd_simhash_near_pairs,
     "dd_duplicate_clusters": dd_duplicate_clusters,
     "dd_chunk_dedup": dd_chunk_dedup,
+    "dd_duplicate_spans": dd_duplicate_spans,
     "dd_dup_rate_by_source": dd_dup_rate_by_source,
 }
 
@@ -838,6 +905,34 @@ _RAW_ORACLES = {
         FROM grp WHERE rn = 1 AND n_copies > 1 ORDER BY chunk_fp
         """,
 }
+
+_RAW_ORACLES["dd_duplicate_spans"] = f"""
+    WITH tt AS (
+      SELECT doc_id, toks, len(toks) AS n
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM corpus WHERE length(trim(text)) > 0) t0
+      WHERE len(toks) >= {SPAN_L}
+    ),
+    w AS (
+      SELECT doc_id, CAST(i AS INT) AS p,
+             md5(array_to_string(toks[CAST(i AS INT) + 1 : CAST(i AS INT) + {SPAN_L}], ' ')) AS fp
+      FROM tt, LATERAL (SELECT unnest(generate_series(0, n - {SPAN_L})) AS i) s
+    ),
+    dup AS (SELECT fp FROM w GROUP BY fp HAVING COUNT(*) > 1),
+    dw AS (SELECT doc_id, p FROM w JOIN dup USING (fp)),
+    isl AS (
+      SELECT doc_id, p,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM dw
+    )
+    SELECT doc_id,
+           MIN(p) AS span_start,
+           CAST(MAX(p) + {SPAN_L - 1} AS INT) AS span_end,
+           CAST(MAX(p) - MIN(p) + {SPAN_L} AS INT) AS span_len,
+           COUNT(*) AS n_dup_windows
+    FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start
+    """
 
 ORACLES = {k: corpus_cte(v) for k, v in _RAW_ORACLES.items()}
 

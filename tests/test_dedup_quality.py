@@ -88,3 +88,39 @@ def test_sim_lsh_and_ivf_recall(spark, sf_dir):
     # sf0.001 / 0.80 at sf0.01 / 0.63 at sf0.1 — floor sits below the
     # weakest pinned point with a small safety margin
     assert ivf_recall >= 0.5, f"IVF (nprobe=3) recall regressed: {ivf_recall:.2f}"
+
+
+def test_duplicate_spans_cover_exact_copies(spark, sf_dir):
+    """Substring-level dedup semantics: a doc with an injected EXACT
+    copy (doc_id % 7 == 0, +DUP_OFFSET) must carry one maximal span
+    covering its entire token range, and the copy must carry the
+    identical span; spans never overlap within a doc and are all
+    >= SPAN_L long."""
+    from task_hive_spark.operators.dedup import SPAN_L, dd_duplicate_spans
+
+    spans: dict[int, list] = {}
+    for r in dd_duplicate_spans(spark, sf_dir).collect():
+        spans.setdefault(r.doc_id, []).append(r)
+    ntok = {
+        r.doc_id: r.n
+        for r in dedup.corpus_df(spark, sf_dir)
+        .select("doc_id", F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"))
+        .collect()
+    }
+    for doc_id, n in ntok.items():
+        if doc_id < dedup.DUP_OFFSET and doc_id % 7 == 0 and n >= SPAN_L:
+            full = [
+                (s.span_start, s.span_end)
+                for s in spans.get(doc_id, [])
+                if s.span_start == 0 and s.span_end == n - 1
+            ]
+            assert full, f"doc {doc_id} (exact-dup base) lacks a full-doc span"
+            copy = spans.get(doc_id + dedup.DUP_OFFSET, [])
+            assert [(s.span_start, s.span_end) for s in spans[doc_id]] == [
+                (s.span_start, s.span_end) for s in copy
+            ], doc_id
+    for doc_spans in spans.values():
+        doc_spans.sort(key=lambda s: s.span_start)
+        for a, b in zip(doc_spans, doc_spans[1:]):
+            assert a.span_end < b.span_start  # maximal ⇒ disjoint
+        assert all(s.span_len >= SPAN_L for s in doc_spans)

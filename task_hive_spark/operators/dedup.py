@@ -140,6 +140,78 @@ def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(CORPUS_SQL)
 
 
+def _doc_shingles_of(d: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles of a (doc_id, text) frame — the
+    body shared by the session-wide corpus path (_doc_shingles) and the
+    streaming incremental indexer (streaming/minhashstream.py), which
+    shingles one micro-batch at a time."""
+    t = d.select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
+    toks = t.select(
+        "doc_id", F.size("toks").alias("ntok"), F.posexplode("toks").alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    lead_toks = [F.lead("tok", i).over(w) for i in range(1, n)]
+    g = toks.select(
+        "doc_id", "pos", "ntok", F.concat_ws(" ", "tok", *lead_toks).alias("gram")
+    )
+    return (
+        g.where(F.col("pos") <= F.greatest(F.col("ntok") - n, F.lit(0)))
+        .select("doc_id", "gram")
+        .distinct()
+    )
+
+
+def minhash_sigs_of(d: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[K]) signatures for a (doc_id, text)
+    frame — the un-memoized form of _minhash_sig_array, shared with the
+    streaming indexer. Identical arithmetic to the session index."""
+    grams = _doc_shingles_of(d, n)
+    hx = grams.select("doc_id", F.md5(F.concat(F.lit("mh-"), "gram")).alias("hx"))
+    lanes = hx.select(
+        "doc_id",
+        *[
+            (
+                F.conv(F.substring("hx", 1 + 8 * j, 8), 16, 10).cast("bigint") % _MH_P
+            ).alias(f"x{j}")
+            for j in range(4)
+        ],
+    )
+    agg = lanes.groupBy("doc_id").agg(
+        *[
+            F.min((_MH_A[i] * F.col(f"x{i % 4}") + _MH_B[i]) % _MH_P).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias("sig")
+    )
+
+
+def band_buckets_of(sigs: DataFrame) -> DataFrame:
+    """(doc_id, bucket) band rows for a (doc_id, sig) frame: one 64-bit
+    xxhash bucket per LSH band (see dd_minhash_lsh_pairs for why the
+    join key is the hash, not the band tuple)."""
+    rows_per_band = MINHASH_K // LSH_BANDS
+    sig = F.col("sig")
+    bands = [
+        F.xxhash64(
+            F.lit(bi),
+            *[sig.getItem(bi * rows_per_band + r) for r in range(rows_per_band)],
+        )
+        for bi in range(LSH_BANDS)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("bucket"))
+
+
+def est_jaccard_col() -> F.Column:
+    """Matching-component fraction of sig_a vs sig_b — the MinHash
+    Jaccard estimator, shared by the batch pair query and the stream."""
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return F.round(matches / F.lit(float(MINHASH_K)), 6)
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     # Hash-repartition by doc_id BEFORE the explode+md5 stages. Two
     # effects: (1) the small fixture parquet yields only ~3 scan
@@ -161,21 +233,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     # replaces measured ~30% slower on the gram stage and ~45% slower
     # on the downstream signature aggregations (scripts/perf_probe.py).
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = corpus_df(spark, sf_dir).repartition(nshuf, "doc_id")
-    t = d.select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
-    toks = t.select(
-        "doc_id", F.size("toks").alias("ntok"), F.posexplode("toks").alias("pos", "tok")
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    lead_toks = [F.lead("tok", i).over(w) for i in range(1, n)]
-    g = toks.select(
-        "doc_id", "pos", "ntok", F.concat_ws(" ", "tok", *lead_toks).alias("gram")
-    )
-    return (
-        g.where(F.col("pos") <= F.greatest(F.col("ntok") - n, F.lit(0)))
-        .select("doc_id", "gram")
-        .distinct()
-    )
+    return _doc_shingles_of(corpus_df(spark, sf_dir).repartition(nshuf, "doc_id"), n)
 
 
 def dd_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,26 +370,8 @@ def _minhash_sig_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     A_i < P ⇒ product < 2^62, no int64 overflow under ANSI mode)."""
 
     def build() -> DataFrame:
-        grams = _doc_shingles(spark, sf_dir)
-        hx = grams.select("doc_id", F.md5(F.concat(F.lit("mh-"), "gram")).alias("hx"))
-        lanes = hx.select(
-            "doc_id",
-            *[
-                (
-                    F.conv(F.substring("hx", 1 + 8 * j, 8), 16, 10).cast("bigint") % _MH_P
-                ).alias(f"x{j}")
-                for j in range(4)
-            ],
-        )
-        agg = lanes.groupBy("doc_id").agg(
-            *[
-                F.min((_MH_A[i] * F.col(f"x{i % 4}") + _MH_B[i]) % _MH_P).alias(f"h{i}")
-                for i in range(MINHASH_K)
-            ]
-        )
-        return agg.select(
-            "doc_id", F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias("sig")
-        )
+        nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        return minhash_sigs_of(corpus_df(spark, sf_dir).repartition(nshuf, "doc_id"))
 
     return session_index(spark, sf_dir, "minhash_sig", build)
 
@@ -360,22 +400,13 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 3× the whole query. Candidates ≪ corpus by construction,
     so two narrow joins against the cached index are the cheap side.)"""
     sigs = _minhash_sig_array(spark, sf_dir)
-    rows_per_band = MINHASH_K // LSH_BANDS
-    sig = F.col("sig")
     # bucket = xxhash64(band id, 4 signature lanes): an 8-byte join key
     # instead of the earlier ~40-char concat_ws string (5× less shuffle
     # per band row, cheaper equality). The hash is length-prefixed per
     # field so the collision classes are the band tuples themselves; a
     # 2^-64 cross-band collision could only ADD a candidate pair, which
     # the est_jaccard verify stage scores like any other candidate.
-    bands = [
-        F.xxhash64(
-            F.lit(bi),
-            *[sig.getItem(bi * rows_per_band + r) for r in range(rows_per_band)],
-        )
-        for bi in range(LSH_BANDS)
-    ]
-    stacked = sigs.select("doc_id", F.explode(F.array(*bands)).alias("bucket"))
+    stacked = band_buckets_of(sigs)
     a = stacked.alias("a")
     b = stacked.alias("b")
     cands = (
@@ -387,17 +418,10 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    matches = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
-    )
     return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(matches / F.lit(float(MINHASH_K)), 6).alias("est_jaccard"),
-        )
+        .select("doc_a", "doc_b", est_jaccard_col().alias("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

@@ -80,3 +80,31 @@ def test_windowed_throughput_watermark_cutoff(spark, sf_dir):
     cutoff = max_s - stateful.WATERMARK_S
     assert all(r["window_start"] + stateful.WINDOW_S <= cutoff for r in rows)
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_incremental_minhash_chunk_invariant_and_matches_batch(spark):
+    """The online MinHash indexer's converged pair set must equal the
+    offline dd_minhash_lsh_pairs answer at ANY chunking of the
+    ingestion feed — in-batch duplicates are caught by the self-probe,
+    cross-batch ones by the index probe, so the split point can't
+    matter."""
+    import tempfile
+
+    from task_hive_spark.operators.dedup import dd_minhash_lsh_pairs
+    from task_hive_spark.streaming import minhashstream
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in dd_minhash_lsh_pairs(spark, sf).collect()
+    }
+    assert batch
+    for n_chunks in (1, 3):
+        work = tempfile.mkdtemp(prefix=f"mh_t{n_chunks}_", dir=_scratch_root())
+        out = minhashstream.run_once(spark, sf, work, n_chunks=n_chunks)
+        got = {
+            (r.doc_a, r.doc_b, r.est_jaccard)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == batch, n_chunks

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 #   4. st_timer_requeue (watermark no longer frozen at the last fail —
 #      ADVICE medium), st_snapshot_merge (versioned atomic snapshot
 #      swap), xp_dispatch_results (int64-safe vectorized executor);
-#   5. 15 r3-evidence holdovers (the scalar-function trio, the seven
+#   5. r3-evidence holdovers (the scalar-function queries, the seven
 #      lifecycle fold queries, mm_frame_sample, sim kmeans/quantize/
 #      label-centroids, dd_embedding_cosine_pairs) + 3 r4-evidence
 #      picks with the most code adjacency (txt_unigram_logprob on the
@@ -40,7 +40,9 @@ from pyspark.sql import DataFrame, SparkSession
 #      mm_audio_segments, txt_unigram_logprob) ultimately ceded
 #      their slots to the never-graded operators added later in
 #      the round (txt_bpe_merges, dd_duplicate_spans,
-#      st_minhash_incremental).
+#      st_minhash_incremental, txt_bpe_tokenize — the last also
+#      displacing rel_scalar_datetime, a pure deterministic
+#      map-stage query hash-checked at sf0.001 every pytest run).
 # Every back-set query is bit-identical this round apart from the
 # behavior-invariant load_table memoization (same plan, cached scan
 # object), and remains hash-checked against its DuckDB oracle at
@@ -76,6 +78,7 @@ _BACK_R6 = frozenset(
         "rel_q4_order_priority",
         "rel_range_join",
         "rel_rollup_orders",
+        "rel_scalar_datetime",
         "rel_self_join_prev_order",
         "rel_semi_anti_join",
         "rel_sessionize",

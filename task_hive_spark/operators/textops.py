@@ -816,6 +816,19 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     procedure with the merge application unrolled as first-occurrence
     string splices — two independent implementations of greedy BPE
     whose agreement the value gate checks end-to-end."""
+    merges = _learn_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_round int, lft string, rgt string, pair_count bigint"
+    ).orderBy("merge_round")
+
+
+# learned merge lists, memoized per (session, sf_dir): the trainer and
+# the tokenizer (txt_bpe_tokenize) share one learning run — 8 rows of
+# driver state, the bounded-scalar discipline
+_BPE_MERGE_CACHE: dict[tuple[str, str], list[tuple[int, str, str, int]]] = {}
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = token_index(spark, sf_dir)
 
     def build_vocab() -> DataFrame:
@@ -825,8 +838,16 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("freq"))
         )
 
-    vocab = session_index(spark, sf_dir, "bpe_word_freq", build_vocab)
-    v = vocab.select(
+    return session_index(spark, sf_dir, "bpe_word_freq", build_vocab)
+
+
+def _learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BPE_MERGE_CACHE:
+        return _BPE_MERGE_CACHE[key]
+    v = _bpe_vocab(spark, sf_dir).select(
         "w",
         "freq",
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
@@ -858,9 +879,47 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = v.select(
             "w", "freq", F.expr(_greedy_merge_expr(lft, rgt)).alias("syms")
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "merge_round int, lft string, rgt string, pair_count bigint"
-    ).orderBy("merge_round")
+    _BPE_MERGE_CACHE[key] = merges
+    return merges
+
+
+def txt_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges to the corpus — the train→apply
+    loop closed: per document, word count, BPE subtoken count, and the
+    fertility ratio (subtokens per word, the metric tokenizer work is
+    judged by). The application runs on the VOCAB (each distinct word
+    segmented once through the 8 learned folds), then a broadcast-sized
+    word→subtoken-count map joins the token stream — at 100 TB the
+    corpus pass is a map-filter join, never a per-token re-segmentation.
+    The oracle extends the training chain's final vocab state to the
+    same per-doc roll-up, so the gate checks learning AND application
+    end-to-end."""
+    merges = _learn_merges(spark, sf_dir)
+    v = _bpe_vocab(spark, sf_dir).select(
+        "w",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "syms"
+        ),
+    )
+    for _, lft, rgt, _c in merges:
+        v = v.select("w", F.expr(_greedy_merge_expr(lft, rgt)).alias("syms"))
+    seg = v.select("w", F.size("syms").cast("int").alias("n_subtok"))
+    toks = token_index(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("w")
+    )
+    return (
+        toks.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("n_subtok").cast("int").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _bpe_oracle_sql() -> str:
@@ -923,6 +982,29 @@ r{rnd}_0 AS MATERIALIZED (
         for r in range(1, BPE_MERGES + 1)
     )
     return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY merge_round"
+
+
+def _bpe_tokenize_oracle_sql() -> str:
+    """Per-doc roll-up over the training chain's FINAL vocab state
+    (vocab{BPE_MERGES}): word→subtoken counts joined onto the token
+    stream — the oracle side of txt_bpe_tokenize, sharing every CTE of
+    the training oracle so learning and application are checked as one
+    pipeline."""
+    base = _bpe_oracle_sql()
+    chain = base[: base.rindex("\nSELECT 1 AS merge_round")]
+    return chain + f""",
+seg AS (SELECT w, CAST(len(string_split(sym, ' ')) AS INT) AS n_subtok
+        FROM vocab{BPE_MERGES}),
+dtoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_words,
+       CAST(SUM(n_subtok) AS INT) AS n_bpe_tokens,
+       ROUND(SUM(n_subtok) * 1.0 / COUNT(*), 6) AS fertility
+FROM dtoks JOIN seg USING (w)
+GROUP BY doc_id ORDER BY doc_id"""
 
 
 SEQ_LEN = 512  # tokens per packed training sequence
@@ -1044,6 +1126,7 @@ QUERIES = {
     "txt_sequence_pack": txt_sequence_pack,
     "txt_bm25_topk": txt_bm25_topk,
     "txt_bpe_merges": txt_bpe_merges,
+    "txt_bpe_tokenize": txt_bpe_tokenize,
     "txt_importance_sample": txt_importance_sample,
     "txt_sentiment": txt_sentiment,
     "txt_unigram_logprob": txt_unigram_logprob,
@@ -1437,4 +1520,5 @@ ORACLES = {
 }
 
 ORACLES["txt_bpe_merges"] = _bpe_oracle_sql()
+ORACLES["txt_bpe_tokenize"] = _bpe_tokenize_oracle_sql()
 

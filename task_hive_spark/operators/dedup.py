@@ -672,13 +672,20 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ntok", F.size("toks"))
         .where(F.col("ntok") >= SPAN_L)
     )
+    # window fp = xxhash64 over the token-slice ARRAY (length-prefixed
+    # per element): an 8-byte shuffle key instead of a 32-char md5 over
+    # the rebuilt window string — no string materialization per window
+    # and 4× less dup-count shuffle. The fp never reaches the output
+    # (only positions do), so the oracle is free to fingerprint its own
+    # way; a 2^-64 collision could only conjoin two spans, the same
+    # trade the hashed-n-gram decontamination documents.
     w = t.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, ntok - {SPAN_L}),"
                 f" i -> struct(CAST(i AS INT) AS p,"
-                f" md5(concat_ws(' ', slice(toks, i + 1, {SPAN_L}))) AS fp))"
+                f" xxhash64(slice(toks, i + 1, {SPAN_L})) AS fp))"
             )
         ).alias("x"),
     ).select("doc_id", "x.p", "x.fp")

@@ -105,6 +105,10 @@ class TaskHiveConfig:
     max_retries: int = MAX_RETRIES  # common/constants.go:20
     work_dir: str | None = None  # state root; tempdir when None
     max_drain_rounds: int = 16  # bound on the batch drain (retries ≤ 3 ⇒ ≤ 5 needed)
+    # Reference Start() launches the HTTP API on :8088 alongside the
+    # dispatcher (taskhive.go:167-173). Opt-in here (None = no server;
+    # port 0 = pick a free port) so tests and embedded use stay silent.
+    api_port: int | None = None
 
 
 class TaskHive:
@@ -120,6 +124,7 @@ class TaskHive:
         self._generators: list[Callable[[SparkSession], DataFrame]] = []
         self._started = False
         self._stopped = False
+        self._server = None  # lazy HTTP layer (serve() / config.api_port)
         # a work_dir that already holds snapshots is RESUMED, not reset
         # (the reference's etcd state outlives the process): adopt the
         # highest version; only a fresh dir gets the empty v0
@@ -261,9 +266,22 @@ class TaskHive:
         )
         workers.write.mode("overwrite").parquet(os.path.join(self.work_dir, "workers"))
         self._started = True
+        if self.config.api_port is not None:  # taskhive.go:167-173
+            self.serve(self.config.api_port)
         for gen in self._generators:
             self.submit_frame(gen(self.spark))
         self._drain()
+
+    def serve(self, port: int = 8088) -> str:
+        """Launch (or return) the HTTP API server over this instance —
+        the reference's api.NewServer(...).Start(\":8088\") wired into
+        Start(); returns the base URL. Stopped by stop()/close()."""
+        if self._server is None:
+            from task_hive_spark.server import TaskHiveServer
+
+            self._server = TaskHiveServer(self, port=port)
+            self._server.start()
+        return self._server.address
 
     def _eligible(self) -> DataFrame:
         w = self._workers().withColumn("task_count", F.greatest("task_count", F.lit(0)))
@@ -377,12 +395,17 @@ class TaskHive:
 
     def stop(self) -> None:
         """Stop (taskhive.go:213-245): the batch drain has already
-        quiesced, so stop is a state flush + handle release; idempotent."""
+        quiesced, so stop is a state flush + handle release (the API
+        server included); idempotent."""
         self._stopped = True
+        if self._server is not None:
+            self._server.stop()
+            self._server = None
 
     def close(self) -> None:
         """Release on-disk state (not part of the reference surface —
         etcd state outlives the process; parquet scratch should not)."""
+        self.stop()
         if self._own_dir and os.path.isdir(self.work_dir):
             shutil.rmtree(self.work_dir, ignore_errors=True)
 

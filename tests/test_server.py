@@ -127,3 +127,22 @@ def test_error_paths(served):
     assert code == 500
     assert body == "无效的任务状态: bogus\n"
     assert _get(f"{base}/api/nope")[0] == 404
+
+
+def test_config_api_port_launches_server_on_start(spark):
+    """Reference parity: Start() launches the API server alongside the
+    dispatcher (taskhive.go:167-173) — api_port in the config does the
+    same here (port 0 = free port), and stop() shuts it down."""
+    th = TaskHive(
+        spark, TaskHiveConfig(worker_count=1, api_port=0)
+    )
+    th.register_task_processor("custom", process_custom_task)
+    th.submit_task({"id": "cfg-1", "type": "custom", "payload": "{}"})
+    th.start()
+    base = th.serve()  # already running: returns the live address
+    code, body = _get(f"{base}/api/stats")
+    assert code == 200 and json.loads(body)["total"] == 1
+    th.stop()
+    with pytest.raises(Exception):
+        _get(f"{base}/api/stats")
+    th.close()

@@ -112,6 +112,7 @@ def sf1_probe() -> int:
         "dd_minhash_lsh_pairs",
         "dd_simhash_near_pairs",
         "dd_chunk_dedup",
+        "dd_duplicate_spans",
         "sim_topk_lsh",
     ]:
         secs: dict[str, float] = {}

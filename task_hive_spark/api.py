@@ -66,6 +66,17 @@ from task_hive_spark.operators.processors import (
 
 DEFAULT_LIST_LIMIT = 100  # api/server.go:36-41
 LIVENESS_THRESHOLD_S = 30  # tasks/api.go:263
+
+
+def worker_is_active() -> F.Column:
+    """The liveness rule (tasks/api.go:263): heartbeat within the
+    threshold of NOW. One definition shared by the facade's
+    list_workers and the HTTP /api/workers route, so the two surfaces
+    cannot drift."""
+    return (
+        F.current_timestamp().cast("long") - F.col("last_heartbeat").cast("long")
+        < LIVENESS_THRESHOLD_S
+    ).alias("is_active")
 BACKOFF_BASE_NS = 2_000_000_000  # worker.go:73-79: 2s * 2^(n-1)
 
 _TASK_COLS = [
@@ -453,10 +464,7 @@ class TaskHive:
             "task_count",
             "capacity",
             "last_heartbeat",
-            (
-                F.current_timestamp().cast("long") - F.col("last_heartbeat").cast("long")
-                < LIVENESS_THRESHOLD_S
-            ).alias("is_active"),
+            worker_is_active(),
         ).orderBy("id")
 
     def get_worker_tasks(self, worker_id: str) -> DataFrame:

@@ -654,7 +654,11 @@ SPAN_L = 16  # minimum duplicated-span length in tokens
 def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated token spans per document: (doc_id,
     span_start, span_end, span_len, n_dup_windows), 0-based token
-    positions, span_len ≥ SPAN_L.
+    positions, span_len ≥ SPAN_L. A span is a maximal run of
+    CONSECUTIVE duplicated window positions; two spans separated by a
+    sub-SPAN_L gap of non-duplicated positions may overlap in token
+    range (their windows are disjoint runs) — callers cutting text
+    should union the token ranges first.
 
     Scale shape: window fingerprinting is a map stage co-partitioned by
     doc_id (stride-1 windows are ~1 row per token — linear, not a gram

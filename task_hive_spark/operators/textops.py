@@ -472,10 +472,9 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _gopher_signals(spark, sf_dir)
-        .withColumn("n_tokens", F.col("ntok"))
         .select(
             "doc_id",
-            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("ntok").cast("int").alias("n_tokens"),
             F.round("distinct_ratio_raw", 6).alias("distinct_ratio"),
             F.round("top2_frac_raw", 6).alias("top2_frac"),
             keep.alias("keep"),
@@ -955,7 +954,17 @@ vocab0 AS (
   LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) s
   GROUP BY 1, 2
 ),
-m{rnd} AS MATERIALIZED (SELECT lft, rgt, c FROM p{rnd} ORDER BY c DESC, lft, rgt LIMIT 1),
+m{rnd} AS MATERIALIZED (
+  -- sentinel fallback: when the pair supply is exhausted before
+  -- BPE_MERGES rounds, an EMPTY argmax would cross-join the vocab
+  -- chain to zero rows; the ('','',0) row keeps the chain alive, its
+  -- '   ' pattern (empty symbols) can never match a single-space-
+  -- joined sym, and the final union filters c > 0 so the emitted
+  -- merge list still matches Spark's early-exit loop
+  SELECT lft, rgt, c FROM (
+    (SELECT lft, rgt, c FROM p{rnd} ORDER BY c DESC, lft, rgt LIMIT 1)
+    UNION ALL SELECT '', '', 0
+  ) ORDER BY c DESC LIMIT 1),
 r{rnd}_0 AS MATERIALIZED (
   SELECT w, freq, ' ' || sym || ' ' AS p,
          ' ' || lft || ' ' || rgt || ' ' AS pat,
@@ -978,7 +987,8 @@ r{rnd}_0 AS MATERIALIZED (
             f"vocab{rnd} AS MATERIALIZED (SELECT w, freq, trim(p) AS sym FROM r{rnd}_{_BPE_ORACLE_REPS})"
         )
     union = "\nUNION ALL ".join(
-        f"SELECT {r} AS merge_round, lft, rgt, CAST(c AS BIGINT) AS pair_count FROM m{r}"
+        f"SELECT {r} AS merge_round, lft, rgt, CAST(c AS BIGINT) AS pair_count"
+        f" FROM m{r} WHERE c > 0"
         for r in range(1, BPE_MERGES + 1)
     )
     return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY merge_round"

@@ -41,7 +41,7 @@ from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import DataFrame, functions as F
 
-from task_hive_spark.api import DEFAULT_LIST_LIMIT, LIVENESS_THRESHOLD_S, TaskHive
+from task_hive_spark.api import DEFAULT_LIST_LIMIT, TaskHive, worker_is_active
 from task_hive_spark.operators.queries import _RFC3339
 from task_hive_spark.schemas import TASK_STATUSES
 
@@ -115,11 +115,7 @@ def workers_body(hive: TaskHive) -> str:
                     "task_count",
                     F.date_format("last_heartbeat", _RFC3339).alias("last_heartbeat"),
                     "capacity",
-                    (
-                        F.current_timestamp().cast("long")
-                        - F.col("last_heartbeat").cast("long")
-                        < LIVENESS_THRESHOLD_S
-                    ).alias("is_active"),
+                    worker_is_active(),
                 )
             ).alias("obj")
         )

@@ -98,24 +98,46 @@ def run_once(
     emitted-pairs dir."""
     feed = os.path.join(work, "feed")
     _write_doc_chunks(spark, sf_dir, feed, n_chunks)
+    return run_stream(spark, work, feed)
+
+
+def run_stream(spark: SparkSession, work: str, feed: str) -> str:
+    """Drain whatever the feed currently holds through the indexer
+    (checkpointed — a later call with more files resumes exactly where
+    this one stopped, and a replayed batch overwrites its own subdirs
+    instead of duplicating rows); returns the emitted-pairs dir."""
     bucket_idx = os.path.join(work, "index_buckets")
     sig_idx = os.path.join(work, "index_sigs")
     out = os.path.join(work, "pairs")
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    def fold(batch_df: DataFrame, _bid: int) -> None:
+    def fold(batch_df: DataFrame, bid: int) -> None:
+        # All three sinks write OVERWRITE into a batch-scoped subdir
+        # (batch={bid}): a checkpoint replay after a mid-fold crash
+        # rewrites the same subdirs instead of appending duplicates —
+        # the same replay-idempotence discipline cdcmerge's versioned
+        # snapshots provide. Readers select columns explicitly so the
+        # discovered `batch` partition column never leaks out.
         batch = batch_df.repartition(n, "doc_id")
         sigs = minhash_sigs_of(batch).cache()
         buckets = band_buckets_of(sigs)
-        have_index = os.path.isdir(bucket_idx)
-        if have_index:
-            old_buckets = spark.read.parquet(bucket_idx)
-            probe_side = old_buckets.unionByName(buckets)
-            old_sigs = spark.read.parquet(sig_idx)
-            all_sigs = old_sigs.unionByName(sigs)
-        else:
-            probe_side = buckets
-            all_sigs = sigs
+        # exclude this batch's own (possibly partial, pre-crash) subdir
+        # from the probe side on replay
+        def _prior(root: str, cols: list[str]) -> DataFrame | None:
+            subs = [
+                d for d in (os.listdir(root) if os.path.isdir(root) else [])
+                if d.startswith("batch=") and int(d.split("=", 1)[1]) < bid
+            ]
+            if not subs:
+                return None
+            return spark.read.parquet(*[os.path.join(root, d) for d in subs]).select(*cols)
+
+        old_buckets = _prior(bucket_idx, ["doc_id", "bucket"])
+        old_sigs = _prior(sig_idx, ["doc_id", "sig"])
+        probe_side = (
+            old_buckets.unionByName(buckets) if old_buckets is not None else buckets
+        )
+        all_sigs = old_sigs.unionByName(sigs) if old_sigs is not None else sigs
         a = probe_side.alias("a")
         b = buckets.alias("b")
         cands = (
@@ -134,9 +156,9 @@ def run_once(
             .join(sb, "doc_b")
             .select("doc_a", "doc_b", est_jaccard_col().alias("est_jaccard"))
         )
-        pairs.write.mode("append").parquet(out)
-        buckets.write.mode("append").parquet(bucket_idx)
-        sigs.write.mode("append").parquet(sig_idx)
+        pairs.write.mode("overwrite").parquet(os.path.join(out, f"batch={bid}"))
+        buckets.write.mode("overwrite").parquet(os.path.join(bucket_idx, f"batch={bid}"))
+        sigs.write.mode("overwrite").parquet(os.path.join(sig_idx, f"batch={bid}"))
         sigs.unpersist()
 
     q = (
@@ -169,8 +191,8 @@ def st_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle)."""
     out = _ensure_run(spark, sf_dir)
     return (
-        spark.read.schema("doc_a BIGINT, doc_b BIGINT, est_jaccard DOUBLE")
-        .parquet(out)
+        spark.read.parquet(out)
+        .select("doc_a", "doc_b", "est_jaccard")
         .orderBy("doc_a", "doc_b")
     )
 

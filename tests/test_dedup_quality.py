@@ -122,5 +122,11 @@ def test_duplicate_spans_cover_exact_copies(spark, sf_dir):
     for doc_spans in spans.values():
         doc_spans.sort(key=lambda s: s.span_start)
         for a, b in zip(doc_spans, doc_spans[1:]):
-            assert a.span_end < b.span_start  # maximal ⇒ disjoint
+            # islands are maximal runs of consecutive duplicated WINDOW
+            # POSITIONS, so successive islands are separated by ≥1
+            # non-duplicated position: the next span's first window
+            # starts at least 2 past the previous span's last window.
+            # (Token RANGES may still overlap when the gap is < SPAN_L
+            # — documented operator semantics, not a defect.)
+            assert b.span_start >= (a.span_end - (SPAN_L - 1)) + 2
         assert all(s.span_len >= SPAN_L for s in doc_spans)

@@ -272,20 +272,27 @@ def test_bpe_greedy_fold_matches_python_reference(spark, words, lft, rgt):
     example batch; a tiny 'ab' alphabet maximizes merge collisions."""
     from task_hive_spark.operators.textops import _greedy_merge_expr
 
-    def py_greedy(syms: list[str]) -> list[str]:
+    def py_greedy_pair(syms: list[str], l: str, r: str) -> list[str]:
         out: list[str] = []
         for s in syms:
-            if out and out[-1] == lft and s == rgt:
-                out[-1] = lft + rgt
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
             else:
                 out.append(s)
         return out
 
-    # seed syms: char-split for single-char symbols only when the word
-    # decomposes; emulate an earlier round by greedily pre-merging 'aa'
+    def py_greedy(syms: list[str]) -> list[str]:
+        return py_greedy_pair(syms, lft, rgt)
+
+    # seed syms with MULTI-CHAR symbols by emulating two earlier
+    # rounds in pure Python ((a,a) then (a,b) merges) — both engines
+    # receive the identical pre-merged state, so the fold is exercised
+    # on exactly the mid-training symbol arrays _learn_merges round ≥ 2
+    # operates on (a char-split-only seed would make the multi-char
+    # lft/rgt examples vacuous identity checks)
     cases = []
     for w in words:
-        syms = list(w)
+        syms = py_greedy_pair(py_greedy_pair(list(w), "a", "a"), "a", "b")
         cases.append(syms)
     df = spark.createDataFrame([(c,) for c in cases], "syms array<string>")
     got = [r.m for r in df.select(F.expr(_greedy_merge_expr(lft, rgt)).alias("m")).collect()]

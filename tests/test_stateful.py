@@ -108,3 +108,44 @@ def test_incremental_minhash_chunk_invariant_and_matches_batch(spark):
             for r in spark.read.parquet(out).collect()
         }
         assert got == batch, n_chunks
+
+
+def test_incremental_minhash_resumes_from_checkpoint(spark):
+    """Restart safety: run the indexer over the first half of the
+    ingestion, stop, let the remaining chunks arrive, run a SECOND
+    stream on the SAME checkpoint — already-processed batches must not
+    re-probe or re-append (batch-scoped overwrite subdirs), and the
+    converged pair set must still equal the batch answer."""
+    import os
+    import shutil
+    import tempfile
+
+    from task_hive_spark.operators.dedup import dd_minhash_lsh_pairs
+    from task_hive_spark.streaming import minhashstream
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    sf = "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="mh_resume_", dir=_scratch_root())
+    staged = os.path.join(work, "staged")
+    minhashstream._write_doc_chunks(spark, sf, staged, 4)
+    chunks = sorted(os.listdir(staged))
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    for c in chunks[:2]:
+        shutil.copy2(os.path.join(staged, c), os.path.join(feed, c))
+    minhashstream.run_stream(spark, work, feed)  # first half
+    for c in chunks[2:]:
+        shutil.copy2(os.path.join(staged, c), os.path.join(feed, c))
+    out = minhashstream.run_stream(spark, work, feed)  # resume
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in spark.read.parquet(out).select("doc_a", "doc_b", "est_jaccard").collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in dd_minhash_lsh_pairs(spark, sf).collect()
+    }
+    assert got == batch
+    # and no duplicate rows anywhere (replay idempotence)
+    df = spark.read.parquet(out).select("doc_a", "doc_b")
+    assert df.count() == df.distinct().count()

@@ -32,7 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 #   4. st_timer_requeue (watermark no longer frozen at the last fail —
 #      ADVICE medium), st_snapshot_merge (versioned atomic snapshot
 #      swap), xp_dispatch_results (int64-safe vectorized executor);
-#   5. r3-evidence holdovers (the scalar-function queries, the seven
+#   5. r3-evidence holdovers (lifecycle fold queries and
+#      similarity picks; the scalar-function trio ultimately ceded
+#      its slots to changed-code regrades — the seven
 #      lifecycle fold queries, mm_frame_sample, sim kmeans/quantize/
 #      label-centroids, dd_embedding_cosine_pairs) + 3 r4-evidence
 #      picks with the most code adjacency (txt_unigram_logprob on the
@@ -79,6 +81,8 @@ _BACK_R6 = frozenset(
         "rel_range_join",
         "rel_rollup_orders",
         "rel_scalar_datetime",
+        "rel_scalar_math",
+        "rel_scalar_string",
         "rel_self_join_prev_order",
         "rel_semi_anti_join",
         "rel_sessionize",
@@ -87,10 +91,8 @@ _BACK_R6 = frozenset(
         "rel_window_frames",
         "rel_window_ranks",
         "rel_window_running",
-        "sim_pq_codes",
         "sim_topk_brute",
         "sim_topk_ivf",
-        "sim_topk_ivf_pq",
         "sim_topk_lsh",
         "src_csv_roundtrip",
         "src_jsonl_roundtrip",

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from task_hive_spark.functions.vectors import cosine, dot, norm
 from task_hive_spark.materialize import session_index
@@ -98,12 +98,6 @@ def _normed(e: DataFrame) -> DataFrame:
     pair scoring is a single dot product instead of three (the norms in
     cosine's denominator don't depend on the pair)."""
     return e.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-
-
-def _plane_dot(v: Column, plane: list[float]) -> Column:
-    lit = F.array(*[F.lit(x) for x in plane])
-    prods = F.zip_with(v, lit, lambda a, b: a.cast("double") * b)
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _band_buckets(df: DataFrame, vec_col: str) -> DataFrame:
@@ -459,29 +453,13 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd_duplicate_clusters."""
     e = _emb(spark, sf_dir)
     cent = _label_centroids(spark, sf_dir).select(F.col("label").alias("cell"), "centroid")
-    cellscore = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cell",
-        F.round(cosine(F.col("embedding"), F.col("centroid")), 6).alias("cos_cell"),
-    )
-    w_cell = W.partitionBy("vec_id").orderBy(F.desc("cos_cell"), "cell")
+    # the SAME assignment + mean helpers the IVF trainer iterates — one
+    # implementation, so a rounding/tie-break change cannot diverge the
+    # standalone step from the training loop
     assigned = (
-        cellscore.withColumn("rn", F.row_number().over(w_cell))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        _assign_cells(e, cent).where(F.col("rn") == 1).select("vec_id", "embedding", "cell")
     )
-    comp = assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
-    new_cent = (
-        comp.groupBy("cell", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("new_centroid")
-        )
-    )
+    new_cent = _cell_means(assigned).withColumnRenamed("centroid", "new_centroid")
     pop = assigned.groupBy("cell").agg(F.count("*").alias("n_assigned"))
     return (
         pop.join(new_cent, "cell")
@@ -639,6 +617,33 @@ def _pq_dist_table(spark: SparkSession, e: DataFrame) -> DataFrame:
     )
 
 
+def _pq_code_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored PQ code index, materialized once per session:
+    (vec_id, sub, code, d2r) — argmin codebook entry per subvector plus
+    its 6-dp-rounded squared distance. Both the codes report
+    (sim_pq_codes) and the ADC scorer (sim_topk_ivf_pq) read this; the
+    corpus-wide DIM×PQ_K fan-out runs exactly once per session, the way
+    a serving tier encodes the corpus once at index build.
+
+    The argmin ranks on ROUND(d2, 6) with the code tie-break: a raw
+    double d2 is a 16-term sum whose last ulp depends on aggregation
+    order, so two near-tied codebook entries could flip between engines
+    — the same round-before-rank discipline as _assign_cells."""
+
+    def build() -> DataFrame:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        e = load_table(spark, sf_dir, "embeddings").repartition(n, "vec_id")
+        dist = _pq_dist_table(spark, e)
+        best = dist.groupBy("vec_id", "sub").agg(
+            F.min(F.struct(F.round("d2", 6).alias("d2r"), "code")).alias("b")
+        )
+        return best.select(
+            "vec_id", "sub", F.col("b.code").alias("code"), F.col("b.d2r").alias("d2r")
+        )
+
+    return session_index(spark, sf_dir, "pq_codes", build)
+
+
 def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes per embedding — the M-byte compressed
     representation an IVF-PQ serving tier stores instead of the raw
@@ -646,18 +651,11 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign each subvector its nearest codebook entry by squared L2, and
     report the code tuple plus the total reconstruction error.
 
-    Shape: _pq_dist_table then two aggregations, all exchange-free on
-    top of the vec_id repartition (each groupBy key set contains
-    vec_id). Argmin ties break deterministically by code via the
-    (d2, code) struct-min — mirrored in the oracle with a
-    (d2, code)-ordered row_number."""
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = load_table(spark, sf_dir, "embeddings").repartition(n, "vec_id")
-    dist = _pq_dist_table(spark, e)
-    best = dist.groupBy("vec_id", "sub").agg(F.min(F.struct("d2", "code")).alias("b"))
-    per = best.select(
-        "vec_id", "sub", F.col("b.code").alias("code"), F.col("b.d2").alias("d2")
-    )
+    Reads the materialized _pq_code_index; the reconstruction error
+    sums the per-subvector rounded distances in exact 1e-6 integer
+    units (order-independent — a double sum of 4 values could flip the
+    final 6-dp rounding depending on fold order)."""
+    per = _pq_code_index(spark, sf_dir)
     return (
         per.groupBy("vec_id")
         .agg(
@@ -667,7 +665,11 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias(f"code_{m}")
                 for m in range(PQ_M)
             ],
-            F.round(F.sum("d2"), 6).alias("recon_err"),
+            F.round(
+                F.sum((F.col("d2r") * 1000000 + F.lit(0.5)).cast("long"))
+                / F.lit(1000000.0),
+                6,
+            ).alias("recon_err"),
         )
         .orderBy("vec_id")
     )
@@ -697,14 +699,9 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> D
     e = _emb(spark, sf_dir)
     assigned = _ivf_assignment(spark, sf_dir).select("vec_id", "cell")
 
-    # corpus side: argmin code per (vec, sub) — the stored M-byte index.
-    # vec_id-partition the input so the fan-out aggregations are
-    # exchange-free (the property _pq_dist_table's docstring assumes —
-    # _emb()'s round-robin rebalance does NOT provide it).
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    dist = _pq_dist_table(spark, e.repartition(n, "vec_id"))
-    best = dist.groupBy("vec_id", "sub").agg(F.min(F.struct("d2", "code")).alias("b"))
-    codes = best.select("vec_id", "sub", F.col("b.code").alias("code"))
+    # corpus side: the stored M-byte code index, shared with
+    # sim_pq_codes via the session materialization — encoded once
+    codes = _pq_code_index(spark, sf_dir).select("vec_id", "sub", "code")
 
     pid = _probe_ids(spark, sf_dir)
     # probe side: the distance table over the probe SUBSET is the ADC
@@ -1037,14 +1034,15 @@ ORACLES["sim_pq_codes"] = f"""
       FROM x JOIN book USING (sub, d) GROUP BY 1, 2, 3
     ),
     best AS (
-      SELECT vec_id, sub, code, d2,
-             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      SELECT vec_id, sub, code, ROUND(d2, 6) AS d2r,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY ROUND(d2, 6), code) AS rn
       FROM dist
     ),
-    per AS (SELECT vec_id, sub, code, d2 FROM best WHERE rn = 1)
+    per AS (SELECT vec_id, sub, code, d2r FROM best WHERE rn = 1)
     SELECT vec_id,
            {', '.join(f'CAST(MAX(CASE WHEN sub = {m} THEN code END) AS INT) AS code_{m}' for m in range(PQ_M))},
-           ROUND(SUM(d2), 6) AS recon_err
+           ROUND(SUM(CAST(ROUND(d2r * 1000000) AS BIGINT)) / 1000000.0, 6) AS recon_err
     FROM per GROUP BY vec_id ORDER BY vec_id
     """
 
@@ -1084,7 +1082,8 @@ ORACLES["sim_topk_ivf_pq"] = f"""
     ),
     bestrn AS (
       SELECT vec_id, sub, code,
-             ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY ROUND(d2, 6), code) AS rn
       FROM dist
     ),
     codes AS (SELECT vec_id, sub, code FROM bestrn WHERE rn = 1),

@@ -84,6 +84,18 @@ _TASK_STATE_COLS = [
 ]
 
 
+def _as_task_state(df: DataFrame) -> DataFrame:
+    """Plan-time guard wiring _TASK_STATE_COLS to every site that
+    hand-writes the state projection: a column added to the schema but
+    missed in one of the per-column WHEN transforms fails loudly here
+    instead of silently dropping from state after the first affected
+    batch."""
+    assert df.columns == _TASK_STATE_COLS, (
+        f"task-state projection drifted: {df.columns} != {_TASK_STATE_COLS}"
+    )
+    return df
+
+
 def _empty_task_state(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [],
@@ -112,7 +124,6 @@ def _apply_task_events(state: DataFrame, ev: DataFrame) -> DataFrame:
         F.max(F.struct("event_s", "op", "worker_id")).alias("last"),
         F.sum(F.when(F.col("op") == "fail", 1).otherwise(0)).cast("int").alias("nf"),
         F.max(F.when(F.col("op") == "submit", F.col("event_s"))).alias("submit_s"),
-        F.max("event_s").alias("last_s"),
         F.max(F.when(F.col("op") == "submit", F.col("task_json"))).alias("submit_json"),
     )
     j = state.alias("s").join(agg.alias("b"), "task_id", "full_outer")
@@ -164,8 +175,11 @@ def _apply_task_events(state: DataFrame, ev: DataFrame) -> DataFrame:
         worker.alias("worker_id"),
         ready.alias("ready_s"),
         F.coalesce(F.col("b.submit_s"), F.col("s.create_s")).alias("create_s"),
+        # last.event_s IS max(event_s): the struct max orders on the
+        # unique-per-task event_s first, so no separate aggregate
         F.greatest(
-            F.coalesce(F.col("b.last_s"), F.lit(0)), F.coalesce(F.col("s.update_s"), F.lit(0))
+            F.coalesce(F.col("b.last.event_s"), F.lit(0)),
+            F.coalesce(F.col("s.update_s"), F.lit(0)),
         ).alias("update_s"),
         F.when(
             status == "completed",
@@ -215,15 +229,20 @@ def _apply_worker_events(state: DataFrame, ev: DataFrame) -> DataFrame:
 def _requeue_dead(tasks: DataFrame, ev: DataFrame) -> DataFrame:
     """T5: re-pend in-flight tasks of workers that died this batch
     (dispatcher.go:696-700). The death set is tiny → broadcast."""
+    # ONE row per dead worker: a batch carrying duplicate worker_dead
+    # events for the same worker (replayed feed, re-registered worker
+    # dying twice) would otherwise fan every in-flight task row out per
+    # death through the left join — duplicated task_ids in state
     dead = (
         ev.where(F.col("op") == "worker_dead")
-        .select(F.col("worker_id").alias("dead_worker"), F.col("event_s").alias("death_s"))
+        .groupBy(F.col("worker_id").alias("dead_worker"))
+        .agg(F.max("event_s").alias("death_s"))
     )
     j = tasks.join(
         F.broadcast(dead), tasks["worker_id"] == dead["dead_worker"], "left"
     )
     hit = F.col("dead_worker").isNotNull() & (F.col("status") == "processing")
-    return j.select(
+    return _as_task_state(j.select(
         "task_id",
         "priority",
         F.when(hit, F.lit("pending")).otherwise(F.col("status")).alias("status"),
@@ -237,14 +256,14 @@ def _requeue_dead(tasks: DataFrame, ev: DataFrame) -> DataFrame:
         ),
         "result",
         "error",
-    )
+    ))
 
 
 def _fire_timers(tasks: DataFrame, clock_s: int) -> DataFrame:
     """T2: delayed tasks whose ready time the batch clock has passed
     re-enter pending (the TTL-lease expiry, dispatcher.go:330-385)."""
     fire = (F.col("status") == "delayed") & (F.col("ready_s") <= F.lit(clock_s))
-    return tasks.select(
+    return _as_task_state(tasks.select(
         "task_id",
         "priority",
         F.when(fire, F.lit("pending")).otherwise(F.col("status")).alias("status"),
@@ -258,7 +277,7 @@ def _fire_timers(tasks: DataFrame, clock_s: int) -> DataFrame:
         ),
         "result",
         F.when(fire, F.lit(None).cast("string")).otherwise(F.col("error")).alias("error"),
-    )
+    ))
 
 
 def _dispatch_assignments(ev: DataFrame) -> DataFrame:
@@ -425,8 +444,22 @@ def start_lifecycle(
         tasks.write.mode("overwrite").parquet(new_tasks)
         workers.write.mode("overwrite").parquet(new_workers)
         assigns.write.mode("append").parquet(paths["assignments"])
-        paths["tasks"] = new_tasks
-        paths["workers"] = new_workers
+        # publish BOTH pointers in one dict.update (atomic under the
+        # GIL): a live reader never sees tasks_vN paired with
+        # workers_v(N-1). Cross-table consistency for a reader is then
+        # one `dict(paths)` snapshot; the assignments log is append-only
+        # and rows for batch N become visible slightly before the state
+        # swap — readers joining it must tolerate that, as with any log.
+        paths.update(tasks=new_tasks, workers=new_workers)
+        # GC: keep v and v-1 (a frame handed out just before the swap
+        # stays readable one more round — the facade's _write_tasks
+        # discipline); without this the live processing-time mode grows
+        # two parquet dirs per non-empty batch until the disk fills
+        for old in range(n - 1):
+            for prefix in ("tasks", "workers"):
+                stale = os.path.join(state_dir, f"{prefix}_v{old}")
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale, ignore_errors=True)
         ev.unpersist()
 
     q = (

@@ -45,9 +45,12 @@ from pyspark.sql import DataFrame, SparkSession
 #      st_minhash_incremental, txt_bpe_tokenize — the last also
 #      displacing rel_scalar_datetime, a pure deterministic
 #      map-stage query hash-checked at sf0.001 every pytest run).
-# Every back-set query is bit-identical this round apart from the
-# behavior-invariant load_table memoization (same plan, cached scan
-# object), and remains hash-checked against its DuckDB oracle at
+# Every back-set query is bit-identical this round apart from
+# behavior-invariant refactors with provably identical plans (the
+# load_table memoization, the portable_hash32 / status_count_aggs /
+# fixture_is_active expression extractions, and txt_pii_scrub's
+# switch to the shared memoized view registration), and remains
+# hash-checked against its DuckDB oracle at
 # sf0.001 on every pytest run (tests/test_oracle_suite.py) plus
 # re-verified at sf0.01 by scripts/verify_local.py before this
 # rotation landed.
@@ -57,8 +60,10 @@ _BACK_R6 = frozenset(
         "cat_pending_by_type",
         "gr_pagerank",
         "mm_audio_segments",
+        "dd_embedding_cosine_pairs",
         "mm_catalog_stats",
         "mm_decode_features",
+        "mm_frame_sample",
         "rel_approx_distinct",
         "rel_asof_join",
         "rel_case_null_logic",
@@ -94,6 +99,8 @@ _BACK_R6 = frozenset(
         "sim_topk_brute",
         "sim_topk_ivf",
         "sim_topk_lsh",
+        "sim_label_centroids",
+        "sim_quantize_int8",
         "src_csv_roundtrip",
         "src_jsonl_roundtrip",
         "src_orc_roundtrip",
@@ -131,16 +138,12 @@ _BACK_R6 = frozenset(
         "txt_bm25_topk",
         "txt_chunks",
         "txt_decontaminate",
-        "txt_fingerprints",
         "txt_hash_sample",
         "txt_importance_sample",
         "txt_language_id",
-        "txt_length_histogram",
-        "txt_mix_rebalance",
         "txt_pii_scrub",
         "txt_sentiment",
         "txt_sequence_pack",
-        "txt_token_stats",
         "xp_taskgen_summary",
     }
 )

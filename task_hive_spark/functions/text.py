@@ -80,6 +80,17 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def portable_hash32(col: Column, seed: str = "") -> Column:
+    """Deterministic 32-bit hash from the md5 prefix — portable to
+    DuckDB as CAST(concat('0x', substr(md5(seed || x), 1, 8)) AS
+    BIGINT). One definition for every hash-derived sampling draw
+    (stratified buckets, A-Res uniforms, CDC replay selection) so the
+    seed/width contract with the oracles lives in one place."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
 def portable_hash64(col: Column, seed: str = "", offset: int = 1) -> Column:
     """Deterministic 60-bit hash from md5 — portable to DuckDB as
     CAST(concat('0x', substr(md5(seed || x), offset, 15)) AS BIGINT),

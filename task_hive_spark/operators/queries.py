@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from task_hive_spark.functions.text import portable_hash32
 from task_hive_spark.operators.taskmodel import (
     NOW_FIXTURE,
     oracle_cte,
@@ -23,6 +24,7 @@ from task_hive_spark.operators.taskmodel import (
     workers_df,
 )
 from task_hive_spark.schemas import TASK_STATUSES
+from task_hive_spark.sources.fixtures import load_table
 
 # TaskInfo projection columns (tasks/api.go:15-21)
 _TASK_INFO_COLS = [
@@ -37,6 +39,27 @@ _TASK_INFO_COLS = [
 ]
 
 
+def status_count_aggs() -> list:
+    """A1 conditional per-status counts with explicit BIGINT (DuckDB
+    SUM(CASE..) yields HUGEINT, which diverges through the driver's
+    canonicalizer — round-1 hash fail). ONE definition shared by
+    th_stats and the /api/stats response body (th_api_json), so the
+    two surfaces cannot drift when a status is added."""
+    return [
+        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("long").alias(s)
+        for s in TASK_STATUSES
+    ]
+
+
+def fixture_is_active() -> F.Column:
+    """P3 liveness against the fixture clock (tasks/api.go:263) —
+    shared by th_workers_liveness and th_api_json's workers body (the
+    facade's live-clock twin is api.worker_is_active)."""
+    return (
+        F.col("last_heartbeat") > F.expr(f"{NOW_FIXTURE} - INTERVAL 30 SECOND")
+    ).alias("is_active")
+
+
 def th_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2 count-by-status + total (tasks/api.go:200-240).
 
@@ -45,13 +68,7 @@ def th_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final HashAggregate, no join, one row out.
     """
     t = tasks_df(spark, sf_dir)
-    # explicit BIGINT on both engines: DuckDB SUM(CASE..) yields HUGEINT,
-    # which diverges through the driver's canonicalizer (round-1 hash fail)
-    aggs = [
-        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("long").alias(s)
-        for s in TASK_STATUSES
-    ]
-    return t.agg(*aggs, F.count("*").alias("total"))
+    return t.agg(*status_count_aggs(), F.count("*").alias("total"))
 
 
 def th_list_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,9 +117,7 @@ def th_workers_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "task_count",
         "last_heartbeat",
         "capacity",
-        (
-            F.col("last_heartbeat") > F.expr(f"{NOW_FIXTURE} - INTERVAL 30 SECOND")
-        ).alias("is_active"),
+        fixture_is_active(),
     ).orderBy("id")
 
 
@@ -262,7 +277,7 @@ def th_spider_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority defaults 0→5 at submit (dispatcher.go:176-178), payload is
     the nested JSON doc. Pure projection — distributes trivially."""
     run_ts = 1700000000000000000  # injected constant, not wall clock
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    p = load_table(spark, sf_dir, "part")  # memoized scan (fixtures.py)
     row = p.select(
         F.col("p_partkey").cast("int").alias("row_id"),
         F.array(
@@ -346,7 +361,6 @@ def th_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: changelog compaction — last PUT wins per key (etcd overwrite
     semantics, dispatcher.go:107) as the canonical row_number()=1
     window over the events fixture. One shuffle on user_id."""
-    from task_hive_spark.sources.fixtures import load_table
 
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -418,10 +432,7 @@ def th_api_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = route(
         "/api/stats",
         t.agg(
-            *[
-                F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("long").alias(s)
-                for s in TASK_STATUSES
-            ],
+            *status_count_aggs(),
             F.count("*").alias("total"),
         ).select(
             F.to_json(F.struct(*TASK_STATUSES, "total")).alias("body")
@@ -437,10 +448,7 @@ def th_api_json(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "task_count",
                     F.date_format("last_heartbeat", _RFC3339).alias("last_heartbeat"),
                     "capacity",
-                    (
-                        F.col("last_heartbeat")
-                        > F.expr(f"{NOW_FIXTURE} - INTERVAL 30 SECOND")
-                    ).alias("is_active"),
+                    fixture_is_active(),
                 )
             ).alias("obj")
         ).agg(json_array()),
@@ -528,23 +536,15 @@ def apply_merge(snapshot: DataFrame, changes: DataFrame) -> DataFrame:
 def merge_profile(merged: DataFrame) -> DataFrame:
     """Per-status profile with a content checksum over every surviving
     (id, status, priority, worker) tuple."""
-    h32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("id"),
-                    F.col("status"),
-                    F.col("priority").cast("string"),
-                    F.coalesce(F.col("worker_id"), F.lit("-")),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h32 = portable_hash32(
+        F.concat_ws(
+            "|",
+            F.col("id"),
+            F.col("status"),
+            F.col("priority").cast("string"),
+            F.coalesce(F.col("worker_id"), F.lit("-")),
+        )
+    )
     return (
         merged.groupBy("status")
         .agg(

@@ -12,6 +12,7 @@ from task_hive_spark.functions.text import (
     STOPWORDS,
     bpe_ish_token_count,
     fingerprint,
+    portable_hash32,
     punct_ratio,
     quality_score,
     stopword_hits,
@@ -55,14 +56,14 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace + BPE-ish regex tokens per doc."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    """Token counting: whitespace + BPE-ish regex tokens per doc — a
+    projection of the materialized doc_stats index."""
+    return doc_stats(spark, sf_dir).select(
         "doc_id",
         "lang",
-        ws_token_count(F.col("text")).cast("int").alias("ws_tokens"),
-        bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
-        F.length("text").cast("int").alias("n_chars_actual"),
+        "ws_tokens",
+        "bpe_tokens",
+        F.col("n_chars").alias("n_chars_actual"),
     ).orderBy("doc_id")
 
 
@@ -103,13 +104,13 @@ def txt_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def txt_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over normalized text (exact-dedup
-    key) + a 64-bit rolling-style prefix for bucketing."""
-    d = load_table(spark, sf_dir, "documents")
-    fp = fingerprint(F.col("text"))
-    return d.select(
+    key) + a 64-bit rolling-style prefix for bucketing. The md5 comes
+    from the doc_stats index (hashed once per session); the prefix is a
+    cheap string expression over it."""
+    return doc_stats(spark, sf_dir).select(
         "doc_id",
-        fp.alias("fingerprint"),
-        F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp64"),
+        F.col("fp").alias("fingerprint"),
+        F.conv(F.substring("fp", 1, 15), 16, 10).cast("bigint").alias("fp64"),
     ).orderBy("doc_id")
 
 
@@ -247,11 +248,7 @@ def txt_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property a production pipeline needs), and never shuffles: the
     decision is a map-stage expression."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("samp-"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("long")
-        % 10000
-    )
+    bucket = portable_hash32(F.col("doc_id").cast("string"), seed="samp-") % 10000
     rate = F.lit(SAMPLE_BP_DEFAULT)
     for lg, bp in SAMPLE_BP.items():
         rate = F.when(F.col("lang") == lg, bp).otherwise(rate)
@@ -322,15 +319,7 @@ def txt_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 dp with a doc_id tie-break before the cutoff so the
     ranking is identical cross-engine."""
     d = load_table(spark, sf_dir, "documents")
-    h32 = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ares-"), F.col("doc_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-    )
+    h32 = portable_hash32(F.col("doc_id").cast("string"), seed="ares-")
     u = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
     weight = quality_score(F.col("text")) + F.lit(0.01)
     keyed = d.select(
@@ -415,8 +404,12 @@ def _toks_ngram_hashes(t: DataFrame, n: int) -> DataFrame:
     classes are exactly the string-gram classes (modulo 2^-64
     collisions — the same trade GPT-3-style hashed-13-gram
     decontamination makes in production). Same short-doc whole-text
-    semantics as _toks_ngrams: trailing nulls past the end of the array
-    are part of the hashed tuple."""
+    semantics as _toks_ngrams — because Spark's xxhash64 SKIPS null
+    inputs: a short doc's try_element_at nulls past the array end drop
+    out of the hash, so hash(a, b, NULL) == hash(a, b), exactly the
+    oracle's whole-text string gram 'a b'. A null-SENSITIVE hash
+    swapped in here would silently change short-doc equivalence
+    classes and break decontamination parity."""
     toks = t.select(
         "doc_id", "toks", "ntok", F.posexplode("toks").alias("pos", "tok")
     )
@@ -570,7 +563,13 @@ def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage, embarrassingly parallel). Output is the redaction
     accounting — match counts and the redacted-length delta — so the
     gate is integer-exact."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # register via the shared memoized path — a bare
+    # createOrReplaceTempView("documents") here bypassed the
+    # _REGISTERED memo, so a mixed-sf_dir session could end up with
+    # 'documents' pointing at a different dataset than every other view
+    from task_hive_spark.sources.fixtures import register_fixture_views
+
+    register_fixture_views(spark, sf_dir)
     d = spark.sql(PII_CORPUS_SQL)
     redacted = F.regexp_replace(
         F.regexp_replace(F.col("text"), EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
@@ -591,9 +590,8 @@ def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-length distribution per language (the mix-design histogram):
     explicit power-of-two char buckets — a CASE ladder, not
     floor(log2(x)), so bucket edges are integer-exact cross-engine.
-    One map stage + one small group-by."""
-    d = load_table(spark, sf_dir, "documents")
-    ln = F.length("text")
+    One cached-index scan + one small group-by."""
+    ln = F.col("n_chars")
     bucket = (
         F.when(ln < 64, 0)
         .when(ln < 128, 1)
@@ -602,10 +600,11 @@ def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
     )
     return (
-        d.select(
+        doc_stats(spark, sf_dir)
+        .select(
             "lang",
             bucket.cast("int").alias("len_bucket"),
-            ws_token_count(F.col("text")).cast("long").alias("n_tokens"),
+            F.col("ws_tokens").cast("long").alias("n_tokens"),
         )
         .groupBy("lang", "len_bucket")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
@@ -634,13 +633,13 @@ def txt_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0. Two tiny aggregations (per-lang profile + the scalar M) — the
     heavy work is the same single corpus pass every profile query pays;
     at 100 TB the 5-row profile and scalar are driver-free broadcast
-    joins."""
-    d = load_table(spark, sf_dir, "documents")
+    joins. The token counts come from the doc_stats index."""
     share = F.create_map(
         *[F.lit(x) for kv in sorted(MIX_TARGETS.items()) for x in kv]
     )[F.col("lang")]
     prof = (
-        d.select("lang", ws_token_count(F.col("text")).cast("long").alias("n_tokens"))
+        doc_stats(spark, sf_dir)
+        .select("lang", F.col("ws_tokens").cast("long").alias("n_tokens"))
         .groupBy("lang")
         .agg(F.sum("n_tokens").alias("actual_tokens"))
         .withColumn("target_share", share)
@@ -815,16 +814,18 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     procedure with the merge application unrolled as first-occurrence
     string splices — two independent implementations of greedy BPE
     whose agreement the value gate checks end-to-end."""
-    merges = _learn_merges(spark, sf_dir)
+    merges, _v = _learn_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_round int, lft string, rgt string, pair_count bigint"
     ).orderBy("merge_round")
 
 
-# learned merge lists, memoized per (session, sf_dir): the trainer and
-# the tokenizer (txt_bpe_tokenize) share one learning run — 8 rows of
-# driver state, the bounded-scalar discipline
-_BPE_MERGE_CACHE: dict[tuple[str, str], list[tuple[int, str, str, int]]] = {}
+# learned merge lists AND the final segmented vocab state, memoized per
+# (session, sf_dir): the trainer and the tokenizer (txt_bpe_tokenize)
+# share one learning run — 8 rows of driver state plus the
+# localCheckpointed vocab frame the loop ends on, so application never
+# re-runs the merge folds (one application path, no drift)
+_BPE_MERGE_CACHE: dict[tuple[str, str], tuple[list, "DataFrame"]] = {}
 
 
 def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,7 +843,8 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _learn_merges(
     spark: SparkSession, sf_dir: str
-) -> list[tuple[int, str, str, int]]:
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Returns (merge list, final (w, freq, syms) vocab state)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BPE_MERGE_CACHE:
         return _BPE_MERGE_CACHE[key]
@@ -878,8 +880,8 @@ def _learn_merges(
         v = v.select(
             "w", "freq", F.expr(_greedy_merge_expr(lft, rgt)).alias("syms")
         ).localCheckpoint(eager=True)
-    _BPE_MERGE_CACHE[key] = merges
-    return merges
+    _BPE_MERGE_CACHE[key] = (merges, v)
+    return merges, v
 
 
 def txt_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,15 +895,7 @@ def txt_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle extends the training chain's final vocab state to the
     same per-doc roll-up, so the gate checks learning AND application
     end-to-end."""
-    merges = _learn_merges(spark, sf_dir)
-    v = _bpe_vocab(spark, sf_dir).select(
-        "w",
-        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
-            "syms"
-        ),
-    )
-    for _, lft, rgt, _c in merges:
-        v = v.select("w", F.expr(_greedy_merge_expr(lft, rgt)).alias("syms"))
+    _merges, v = _learn_merges(spark, sf_dir)  # final segmented vocab state
     seg = v.select("w", F.size("syms").cast("int").alias("n_subtok"))
     toks = token_index(spark, sf_dir).select(
         "doc_id", F.explode("toks").alias("w")

@@ -118,14 +118,19 @@ def test_decontaminate_no_live_hash_exchange(spark):
 
 
 def test_pq_codes_exchange_free_aggregations(spark):
-    """Every PQ aggregation keys on vec_id (or a superset), so the only
-    hash exchange is the vec_id repartition; the codebook joins
-    broadcast."""
+    """The codes report reads the materialized _pq_code_index (encoded
+    once per session — the DIM×PQ_K fan-out, codebook broadcast and
+    vec_id repartition all live in the index build), so the LIVE plan
+    is an in-memory scan + an aggregation that rides the index's
+    vec_id partitioning: ZERO hash exchanges, zero joins, just the
+    output sort."""
     from task_hive_spark.operators.similarity import sim_pq_codes
 
     lp = _live_plan(sim_pq_codes(spark, SF_DIR))
-    assert lp.count("Exchange hashpartitioning") == 1, lp
-    assert lp.count("BroadcastHashJoin") == 1, lp
+    assert "InMemoryTableScan" in lp, lp
+    assert lp.count("Exchange hashpartitioning") == 0, lp
+    assert lp.count("BroadcastHashJoin") == 0, lp
+    assert lp.count("Exchange rangepartitioning") == 1, lp
 
 
 def test_jaccard_pairs_single_live_shuffle(spark):

@@ -82,14 +82,15 @@ def main() -> int:
             except Exception:
                 pass  # warm-up is best-effort; the timed run surfaces real errors
 
-    # Best-of-2 per query: a single local-mode run is hostage to GC /
+    # Best-of-3 per query: a single local-mode run is hostage to GC /
     # broadcast-cleanup timing noise (measured swings up to 2x on the
-    # CPU-dense dedup queries); the min of two warm runs is the plan's
-    # actual cost.
+    # CPU-dense dedup queries) plus host-tenancy contention; the min of
+    # three warm runs is the plan's actual cost — the same N the DuckDB
+    # baseline (scripts/duckdb_baseline.py N_RUNS=3) is timed under.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

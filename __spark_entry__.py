@@ -48,8 +48,9 @@ from pyspark.sql import DataFrame, SparkSession
 # Every back-set query is bit-identical this round apart from
 # behavior-invariant refactors with provably identical plans (the
 # load_table memoization, the portable_hash32 / status_count_aggs /
-# fixture_is_active expression extractions, and txt_pii_scrub's
-# switch to the shared memoized view registration), and remains
+# fixture_is_active expression extractions, and txt_pii_scrub's +
+# rel_grouping_sets_events' switch to the shared memoized view
+# registration), and remains
 # hash-checked against its DuckDB oracle at
 # sf0.001 on every pytest run (tests/test_oracle_suite.py) plus
 # re-verified at sf0.01 by scripts/verify_local.py before this

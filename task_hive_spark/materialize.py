@@ -22,6 +22,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# Auxiliary session caches owned by other modules (e.g. textops'
+# _BPE_MERGE_CACHE). Contract: keys are tuples whose FIRST element is
+# the applicationId; values are a DataFrame or a tuple that may contain
+# DataFrames. Registering here gives them the same two lifecycle paths
+# as _CACHE — dead-session eviction and clear_indexes teardown — so no
+# module-level cache can pin executor blocks past its session.
+_AUX_CACHES: list[dict] = []
+
+
+def register_aux_cache(cache: dict) -> None:
+    _AUX_CACHES.append(cache)
+
+
+def _unpersist_value(val: object) -> None:
+    items = val if isinstance(val, (list, tuple)) else (val,)
+    for item in items:
+        if isinstance(item, DataFrame):
+            try:
+                item.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to unpersist
+
 
 def _evict_dead_sessions() -> None:
     """Drop entries whose SparkContext is gone — a stopped session's
@@ -33,12 +55,16 @@ def _evict_dead_sessions() -> None:
     live = {sc.applicationId} if sc is not None else set()
     for key in [k for k in _CACHE if k[0] not in live]:
         del _CACHE[key]
+    for aux in _AUX_CACHES:
+        for key in [k for k in aux if k[0] not in live]:
+            del aux[key]
 
 
 def clear_indexes(spark: SparkSession | None = None) -> None:
     """Unpersist and forget materialized indexes — all of them, or only
     the given session's. Call from session teardown (tests do) or when a
-    long-lived session is done with one sf_dir and moving to another."""
+    long-lived session is done with one sf_dir and moving to another.
+    Covers registered auxiliary caches too."""
     app = spark.sparkContext.applicationId if spark is not None else None
     for key in list(_CACHE):
         if app is None or key[0] == app:
@@ -47,6 +73,10 @@ def clear_indexes(spark: SparkSession | None = None) -> None:
                 df.unpersist()
             except Exception:
                 pass  # session already stopped — nothing to unpersist
+    for aux in _AUX_CACHES:
+        for key in list(aux):
+            if app is None or key[0] == app:
+                _unpersist_value(aux.pop(key))
 
 
 def session_index(

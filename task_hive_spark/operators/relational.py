@@ -226,8 +226,16 @@ def rel_cube_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rel_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS via SQL (by type, by hour, grand total)."""
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    """GROUPING SETS via SQL (by type, by hour, grand total).
+
+    The 'events' view comes from the shared memoized registration — a
+    bare createOrReplaceTempView here would silently repoint the
+    session-wide fixture view at THIS sf_dir while the _REGISTERED memo
+    still records the old one (the mixed-sf_dir staleness class fixed
+    for txt_pii_scrub)."""
+    from task_hive_spark.sources.fixtures import register_fixture_views
+
+    register_fixture_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr,

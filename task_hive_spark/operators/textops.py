@@ -20,7 +20,7 @@ from task_hive_spark.functions.text import (
     ws_tokens,
 )
 from task_hive_spark.functions.prefix import bucketed_prefix
-from task_hive_spark.materialize import session_index
+from task_hive_spark.materialize import register_aux_cache, session_index
 from task_hive_spark.sources.fixtures import load_table
 
 
@@ -824,8 +824,14 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (session, sf_dir): the trainer and the tokenizer (txt_bpe_tokenize)
 # share one learning run — 8 rows of driver state plus the
 # localCheckpointed vocab frame the loop ends on, so application never
-# re-runs the merge folds (one application path, no drift)
+# re-runs the merge folds (one application path, no drift). Registered
+# with materialize so clear_indexes / dead-session eviction cover the
+# pinned checkpoint blocks like every session_index frame. The
+# localCheckpoint trades executor-loss recovery for O(1) plans (the
+# same trade dd_duplicate_clusters documents); after a lost executor,
+# re-run the query in a fresh session to re-learn.
 _BPE_MERGE_CACHE: dict[tuple[str, str], tuple[list, "DataFrame"]] = {}
+register_aux_cache(_BPE_MERGE_CACHE)
 
 
 def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,3 +68,31 @@ def test_sequence_pack_conserves_tokens(spark):
     ).collect()[0]
     assert sum(r["total_tokens"] for r in bins) == exp["toks"]
     assert sum(r["n_docs"] for r in bins) == exp["docs"]
+
+
+def test_aux_cache_lifecycle(spark):
+    """Module-level session caches registered with materialize share the
+    session_index lifecycle: dead-session keys are evicted and
+    clear_indexes drops (and unpersists) a session's entries — so the
+    BPE trainer's checkpointed vocab can't outlive its session."""
+    from task_hive_spark import materialize as m
+    from task_hive_spark.operators.textops import _BPE_MERGE_CACHE
+
+    assert _BPE_MERGE_CACHE in m._AUX_CACHES
+
+    fake: dict = {}
+    m.register_aux_cache(fake)
+    try:
+        live_app = spark.sparkContext.applicationId
+        probe = spark.range(1)
+        fake[("app-dead-123", "sfX")] = ([1, 2], probe)
+        fake[(live_app, "sfX")] = ([3], probe)
+
+        m._evict_dead_sessions()
+        assert ("app-dead-123", "sfX") not in fake, "dead session not evicted"
+        assert (live_app, "sfX") in fake, "live session wrongly evicted"
+
+        m.clear_indexes(spark)
+        assert fake == {}, "clear_indexes left live-session aux entries"
+    finally:
+        m._AUX_CACHES.remove(fake)

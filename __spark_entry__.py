@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 #      averages (r5 tasks 4 & 7);
 #   4. st_timer_requeue (watermark no longer frozen at the last fail —
 #      ADVICE medium), st_snapshot_merge (versioned atomic snapshot
-#      swap), xp_dispatch_results (int64-safe vectorized executor);
+#      swap), xp_dispatch_results (int64-safe vectorized executor),
+#      gr_pagerank + sim_topk_ivf_pq (value-bearing float-discipline
+#      fixes from the round-6 review: repr-interpolated teleport
+#      numerator; integer-unit ADC sum — gr_pagerank re-fronted in
+#      place of the value-identical txt_token_stats);
 #   5. r3-evidence holdovers (lifecycle fold queries and
 #      similarity picks; the scalar-function trio ultimately ceded
 #      its slots to changed-code regrades — the seven
@@ -59,7 +63,6 @@ _BACK_R6 = frozenset(
     {
         "cat_bucketed_join_stats",
         "cat_pending_by_type",
-        "gr_pagerank",
         "mm_audio_segments",
         "dd_embedding_cosine_pairs",
         "mm_catalog_stats",
@@ -145,6 +148,7 @@ _BACK_R6 = frozenset(
         "txt_pii_scrub",
         "txt_sentiment",
         "txt_sequence_pack",
+        "txt_token_stats",
         "xp_taskgen_summary",
     }
 )

@@ -58,34 +58,67 @@ def _worker_slots(workers: DataFrame, strategy: str) -> DataFrame:
     )
 
 
-def bind(pending: DataFrame, eligible_workers: DataFrame, strategy: str) -> DataFrame:
+def bind(
+    pending: DataFrame,
+    eligible_workers: DataFrame,
+    strategy: str,
+    salt_buckets: int = 0,
+) -> DataFrame:
     """J1 deterministic batch assignment over arbitrary frames, banded
     form: rank pending tasks within each priority band (shuffle keyed
-    on priority — parallel), then join onto strategy-ordered worker
-    slots by ``(band_rank + priority) % n``. Used by the fixture
-    queries below and by the ``TaskHive`` facade's dispatch drain
-    (api.py)."""
-    # n_workers rides along on each slots row (count window over the
-    # tiny registry) so ONE broadcast build serves both the modulo and
-    # the lookup — not a separate 1-row broadcast aggregate whose
-    # subtree re-scans the registry
-    slots = _worker_slots(eligible_workers, strategy).withColumn(
-        "n_workers", F.count("*").over(W.partitionBy())
-    )
+    on priority — parallel), compute each task's slot as
+    ``(band_rank + priority [+ salt]) % n``, and equi-join onto the
+    strategy-ordered worker slots. Used by the fixture queries below
+    and by the ``TaskHive`` facade's dispatch drain (api.py).
 
-    band_w = W.partitionBy("priority").orderBy("id")
-    ranked = pending.select(
-        F.col("id").alias("task_id"),
-        "priority",
-        (F.row_number().over(band_w) - 1).alias("band_rank"),
-    )
-    return (
-        ranked.join(
-            F.broadcast(slots),
-            (F.col("band_rank") + F.col("priority")) % F.col("n_workers") == F.col("slot"),
+    ``salt_buckets > 0`` adds a deterministic md5-derived salt to the
+    band key and the slot expression — the skew-resistant variant for a
+    backlog one priority level dominates (each band splits
+    ``salt_buckets`` ways, no window partition exceeds
+    backlog/(bands·salt_buckets)).
+
+    Join shape: the slot is computed ON THE TASK SIDE (n enters via a
+    broadcast 1-row count, a with-predicate cross join Spark executes
+    as a single-row stream-through), so the slots lookup is a true
+    equi-key **BroadcastHashJoin** — one hash probe per task. Folding
+    ``n_workers`` into the join predicate instead would reference both
+    sides in one expression, leaving no equi key and degrading to a
+    BroadcastNestedLoopJoin that evaluates the modulo against every
+    slot row per task (|tasks|·n comparisons — the shape
+    tests/test_pipeline_plans.py pins against)."""
+    slots = _worker_slots(eligible_workers, strategy)
+    n_row = slots.agg(F.count("*").cast("int").alias("n_workers"))
+
+    band_keys = ["priority"]
+    mod_expr = F.col("band_rank") + F.col("priority")
+    cols = [F.col("id").alias("task_id"), F.col("priority")]
+    out_cols = ["task_id", "priority", "band_rank", "worker_id"]
+    order = [F.desc("priority"), F.asc("band_rank")]
+    if salt_buckets > 0:
+        cols.append(
+            (F.conv(F.substring(F.md5("id"), 1, 2), 16, 10).cast("int") % salt_buckets)
+            .alias("salt")
         )
-        .select("task_id", "priority", "band_rank", "worker_id")
-        .orderBy(F.desc("priority"), "band_rank")
+        band_keys = ["priority", "salt"]
+        mod_expr = mod_expr + F.col("salt")
+        out_cols = ["task_id", "priority", "salt", "band_rank", "worker_id"]
+        order = [F.desc("priority"), F.asc("salt"), F.asc("band_rank")]
+
+    band_w = W.partitionBy(*band_keys).orderBy("task_id")
+    # two selects: the salt alias can't be referenced by a window
+    # partition key in the same projection (lateral alias restriction)
+    ranked = pending.select(*cols).select(
+        "*", (F.row_number().over(band_w) - 1).alias("band_rank")
+    )
+    # empty registry ⇒ NULL slot (inner join yields the old empty
+    # result) rather than an ANSI divide-by-zero on the modulo
+    slot = F.when(F.col("n_workers") > 0, mod_expr % F.col("n_workers")).cast("int")
+    return (
+        ranked.join(F.broadcast(n_row), F.lit(True))
+        .withColumn("slot", slot)
+        .join(F.broadcast(slots), "slot")
+        .select(*out_cols)
+        .orderBy(*order)
     )
 
 
@@ -106,31 +139,11 @@ def assign_salted(spark: SparkSession, sf_dir: str, strategy: str = "round_robin
     itself skews — salting splits each band 16 ways so no window
     partition exceeds backlog/160."""
     register_task_views(spark, sf_dir)
-    tasks = spark.table("tasks").where(F.col("status") == "pending")
-    slots = _worker_slots(_eligible_workers(spark, sf_dir), strategy).withColumn(
-        "n_workers", F.count("*").over(W.partitionBy())
-    )
-
-    salted = tasks.select(
-        F.col("id").alias("task_id"),
-        "priority",
-        (F.conv(F.substring(F.md5("id"), 1, 2), 16, 10).cast("int") % 16).alias("salt"),
-    )
-    band_w = W.partitionBy("priority", "salt").orderBy("task_id")
-    ranked = salted.select(
-        "task_id",
-        "priority",
-        "salt",
-        (F.row_number().over(band_w) - 1).alias("band_rank"),
-    )
-    return (
-        ranked.join(
-            F.broadcast(slots),
-            (F.col("band_rank") + F.col("priority") + F.col("salt")) % F.col("n_workers")
-            == F.col("slot"),
-        )
-        .select("task_id", "priority", "salt", "band_rank", "worker_id")
-        .orderBy(F.desc("priority"), "salt", "band_rank")
+    return bind(
+        spark.table("tasks").where(F.col("status") == "pending"),
+        _eligible_workers(spark, sf_dir),
+        strategy,
+        salt_buckets=16,
     )
 
 

@@ -100,7 +100,11 @@ QUERIES = {
 
 def _pr_oracle() -> str:
     """Unrolled-CTE mirror of the iteration (DuckDB has no loop; PR_ITERS
-    chained CTEs are the loop)."""
+    chained CTEs are the loop). The teleport numerator interpolates the
+    Python double repr of (1 - d) — DuckDB would evaluate the literal
+    (1.0 - 0.85) in exact DECIMAL (0.15), while the Spark plan carries
+    Python's 1.0 - 0.85 = 0.15000000000000002; reprs make both engines
+    divide the SAME double (the PLANES/PQ_BOOK literal discipline)."""
     edge_arms = " UNION ALL ".join(
         f"""SELECT doc_id AS src,
                CASE WHEN (doc_id * {a} + {b}) % nn.n = doc_id
@@ -118,7 +122,7 @@ def _pr_oracle() -> str:
         ctes.append(
             f"""r{i} AS (
               SELECT d.doc_id AS v,
-                     (1.0 - {PR_D}) / nn.n
+                     CAST({(1.0 - PR_D)!r} AS DOUBLE) / nn.n
                        + {PR_D} * COALESCE(s.c, 0.0) AS r
               FROM documents d CROSS JOIN nn
               LEFT JOIN (

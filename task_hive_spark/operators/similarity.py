@@ -93,6 +93,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").repartition(n)
 
 
+def _probe_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K_PROBES probe vectors as a pruned scan + broadcast id join —
+    deliberately NOT a filter of ``_emb``: that would execute the
+    full-corpus round-robin repartition (wide float arrays through an
+    Exchange) just to keep K_PROBES rows. Zero exchanges this way."""
+    return load_table(spark, sf_dir, "embeddings").join(
+        F.broadcast(_probe_ids(spark, sf_dir)), "vec_id"
+    )
+
+
 def _normed(e: DataFrame) -> DataFrame:
     """Embeddings with the vector norm precomputed once per vector, so
     pair scoring is a single dot product instead of three (the norms in
@@ -179,7 +189,7 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k per probe. Rank on the 6-dp-rounded score with
     vec_id tie-break so ordering is reproducible cross-engine."""
     e = _emb(spark, sf_dir)
-    probes = e.join(F.broadcast(_probe_ids(spark, sf_dir)), "vec_id").select(
+    probes = _probe_emb(spark, sf_dir).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
     scored = (
@@ -190,13 +200,7 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
         )
     )
-    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("probe_id", "rank", "neighbor_id", "cos_sim")
-        .orderBy("probe_id", "rank")
-    )
+    return _topk_ranked(scored, "cos_sim")
 
 
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +230,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cands.join(
             F.broadcast(
-                en.join(F.broadcast(pid), "vec_id").select(
+                _normed(_probe_emb(spark, sf_dir)).select(
                     F.col("vec_id").alias("probe_id"),
                     F.col("embedding").alias("pe"),
                     F.col("nrm").alias("pn"),
@@ -250,29 +254,48 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
-    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("probe_id", "rank", "neighbor_id", "cos_sim")
-        .orderBy("probe_id", "rank")
-    )
+    return _topk_ranked(scored, "cos_sim")
 
 
-def _centroids(e: DataFrame) -> DataFrame:
-    """Per-label centroid vectors: element-wise mean via posexplode →
-    (label, pos) groupBy — two shuffles total, both on small keys."""
-    comp = e.select("label", "vec_id", F.posexplode("embedding").alias("pos", "v"))
+def _elementwise_mean(df: DataFrame, key: str) -> DataFrame:
+    """Element-wise mean vector per ``key`` over (key, embedding) rows:
+    posexplode → (key, pos) groupBy → re-assemble — two shuffles, both
+    on small keys. ONE arithmetic serving both the per-label centroids
+    (key='label') and the Lloyd cell update (key='cell'), so the
+    quantizer's seeding and training paths cannot drift."""
+    comp = df.select(key, F.posexplode("embedding").alias("pos", "v"))
     return (
-        comp.groupBy("label", "pos")
+        comp.groupBy(key, "pos")
         .agg(F.avg(F.col("v").cast("double")).alias("c"))
-        .groupBy("label")
+        .groupBy(key)
         .agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
             ).alias("centroid")
         )
     )
+
+
+def _topk_ranked(scored: DataFrame, score_col: str, *, ascending: bool = False) -> DataFrame:
+    """Shared top-k tail of the four ANN strategies: rank per probe on
+    the 6-dp-rounded score with neighbor_id tie-break (reproducible
+    cross-engine), cut at TOP_K, display order. One definition so a
+    tie-break or cutoff tweak cannot silently fork the strategies the
+    recall comparison assumes are ranked identically."""
+    w = W.partitionBy("probe_id").orderBy(
+        F.asc(score_col) if ascending else F.desc(score_col), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "rank", "neighbor_id", score_col)
+        .orderBy("probe_id", "rank")
+    )
+
+
+def _centroids(e: DataFrame) -> DataFrame:
+    """Per-label centroid vectors (see _elementwise_mean)."""
+    return _elementwise_mean(e, "label")
 
 
 def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,20 +355,8 @@ def _assign_cells(e: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _cell_means(assigned: DataFrame) -> DataFrame:
-    """Element-wise mean per cell over (vec_id, embedding, cell) rows —
-    the Lloyd update step (posexplode → (cell,pos) groupBy: two
-    small-key shuffles)."""
-    comp = assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
-    return (
-        comp.groupBy("cell", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("centroid")
-        )
-    )
+    """The Lloyd update step (see _elementwise_mean)."""
+    return _elementwise_mean(assigned, "cell")
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,8 +411,7 @@ def _probe_ranked_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cells ranked by cosine for the PROBE subset only (K_PROBES rows
     × K cells — trivially small): probes need their nprobe nearest
     cells, which never requires ranking the whole corpus."""
-    e = _emb(spark, sf_dir).join(F.broadcast(_probe_ids(spark, sf_dir)), "vec_id")
-    return _assign_cells(e, _ivf_centroids(spark, sf_dir))
+    return _assign_cells(_probe_emb(spark, sf_dir), _ivf_centroids(spark, sf_dir))
 
 
 def sim_topk_ivf(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> DataFrame:
@@ -431,13 +441,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> Data
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine(F.col("pe"), F.col("embedding")), 6).alias("cos_sim"),
     )
-    w = W.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("probe_id", "rank", "neighbor_id", "cos_sim")
-        .orderBy("probe_id", "rank")
-    )
+    return _topk_ranked(scored, "cos_sim")
 
 
 def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,21 +700,26 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> D
     neighbor_id tie-break so ordering is reproducible cross-engine
     (identical code tuples make exact ADC ties legitimately
     possible)."""
-    e = _emb(spark, sf_dir)
     assigned = _ivf_assignment(spark, sf_dir).select("vec_id", "cell")
 
     # corpus side: the stored M-byte code index, shared with
     # sim_pq_codes via the session materialization — encoded once
     codes = _pq_code_index(spark, sf_dir).select("vec_id", "sub", "code")
 
-    pid = _probe_ids(spark, sf_dir)
     # probe side: the distance table over the probe SUBSET is the ADC
     # lookup table (M·K rows per probe — a broadcast dim). Built from
-    # the K_PROBES-row probe frame directly, so the corpus-wide
+    # the K_PROBES-row pruned probe scan directly, so the corpus-wide
     # DIM×PQ_K fan-out runs ONCE (for codes), not twice — exchange
     # reuse would not have deduped the two dist references.
-    lut = _pq_dist_table(spark, e.join(F.broadcast(pid), "vec_id")).select(
-        F.col("vec_id").alias("probe_id"), "sub", "code", F.col("d2").alias("lut_d2")
+    lut = _pq_dist_table(spark, _probe_emb(spark, sf_dir)).select(
+        F.col("vec_id").alias("probe_id"),
+        "sub",
+        "code",
+        # 6-dp-rounded LUT entries: the ADC sum aggregates these in
+        # exact 1e-6 integer units (recon_err discipline) — a raw
+        # double sum of PQ_M terms crossing a shuffle is fold-order
+        # dependent and could flip the final 6-dp rounding
+        F.round(F.col("d2"), 6).alias("lut_d2r"),
     )
     probe_cells = (
         _probe_ranked_cells(spark, sf_dir)
@@ -728,15 +737,15 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> D
         cands.join(codes, cands.neighbor_id == codes.vec_id)
         .join(F.broadcast(lut), ["probe_id", "sub", "code"])
         .groupBy("probe_id", "neighbor_id")
-        .agg(F.round(F.sum("lut_d2"), 6).alias("adc_d2"))
+        .agg(
+            F.round(
+                F.sum((F.col("lut_d2r") * 1000000 + F.lit(0.5)).cast("long"))
+                / F.lit(1000000.0),
+                6,
+            ).alias("adc_d2")
+        )
     )
-    w = W.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("probe_id", "rank", "neighbor_id", "adc_d2")
-        .orderBy("probe_id", "rank")
-    )
+    return _topk_ranked(scored, "adc_d2", ascending=True)
 
 
 QUERIES = {
@@ -1088,7 +1097,7 @@ ORACLES["sim_topk_ivf_pq"] = f"""
     ),
     codes AS (SELECT vec_id, sub, code FROM bestrn WHERE rn = 1),
     lut AS (
-      SELECT vec_id AS probe_id, sub, code, d2 AS lut_d2 FROM dist
+      SELECT vec_id AS probe_id, sub, code, ROUND(d2, 6) AS lut_d2r FROM dist
       WHERE vec_id IN (SELECT vec_id FROM probe_ids)
     ),
     cands AS (
@@ -1097,10 +1106,14 @@ ORACLES["sim_topk_ivf_pq"] = f"""
       WHERE a.vec_id != p.probe_id
     ),
     scored AS (
-      SELECT c.probe_id, c.neighbor_id, ROUND(SUM(l.lut_d2), 6) AS adc_d2
+      SELECT c.probe_id, c.neighbor_id,
+             ROUND(SUM(CAST(ROUND(l.lut_d2r * 1000000) AS BIGINT)) / 1000000.0, 6)
+               AS adc_d2
       FROM cands c
       JOIN codes k ON k.vec_id = c.neighbor_id
       JOIN lut l ON l.probe_id = c.probe_id AND l.sub = k.sub AND l.code = k.code
+      -- exact 1e-6 integer-unit sum of 6-dp LUT entries: identical to
+      -- the Spark side's fold-order-independent ADC aggregation
       GROUP BY 1, 2
     )
     SELECT probe_id, rank, neighbor_id, adc_d2 FROM (

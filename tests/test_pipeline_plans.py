@@ -418,3 +418,17 @@ def test_pagerank_matches_pure_python_power_iteration(spark):
         for r_ in graph.gr_pagerank(spark, "/root/testdata/sf0.001").collect()
     ]
     assert got == [(v, i) for v, i in expected]
+
+
+def test_bind_slot_join_is_broadcast_hash(spark):
+    """The J1 slots lookup must be an equi-key BroadcastHashJoin (one
+    hash probe per task). The only nested-loop join allowed in the plan
+    is the single-row n_workers count streaming through the task side —
+    folding n_workers into the join predicate instead would drop the
+    equi key and evaluate the modulo against every slot row per task."""
+    from task_hive_spark.operators.assign import assign, assign_salted
+
+    for df in (assign(spark, SF_DIR), assign_salted(spark, SF_DIR)):
+        plan = _plan(df)
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1, plan

@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 #      gr_pagerank + sim_topk_ivf_pq (value-bearing float-discipline
 #      fixes from the round-6 review: repr-interpolated teleport
 #      numerator; integer-unit ADC sum — gr_pagerank re-fronted in
-#      place of the value-identical txt_token_stats);
+#      place of the value-identical txt_token_stats), and the
+#      never-graded dd_semdedup (added this round) displacing
+#      dd_minhash_signatures — the one dd_* demotion the CORPUS_SQL
+#      offset change still covers transitively: dd_minhash_lsh_pairs
+#      joins the SAME materialized signature index back, so a green
+#      lsh_pairs regrade certifies the signatures at the new offsets;
 #   5. r3-evidence holdovers (lifecycle fold queries and
 #      similarity picks; the scalar-function trio ultimately ceded
 #      its slots to changed-code regrades — the seven
@@ -65,6 +70,7 @@ _BACK_R6 = frozenset(
         "cat_pending_by_type",
         "mm_audio_segments",
         "dd_embedding_cosine_pairs",
+        "dd_minhash_signatures",
         "mm_catalog_stats",
         "mm_decode_features",
         "mm_frame_sample",

@@ -140,6 +140,49 @@ def sf1_probe() -> int:
     return 1 if bad else 0
 
 
+def semdedup_probe() -> int:
+    """--semdedup: quantizer cell balance + in-cell pair bound per sf.
+    dd_semdedup's quadratic term is max-cell-bounded (pairs within a
+    cell of size s are s·(s-1)/2), so the scale signal is the BALANCE
+    of the trained quantizer: a degenerate quantizer that dumps the
+    corpus into one cell re-creates the all-pairs blowup cluster
+    scoping exists to prevent. Reports max/mean cell size, the balance
+    factor (max/mean — 1.0 is perfectly even), the worst-case candidate
+    pair count vs the corpus all-pairs count, and the realized
+    dup-graph size."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.session import get_spark
+    from task_hive_spark.operators.similarity import _ivf_assignment, dd_semdedup
+
+    spark = get_spark("scale_probe_semdedup")
+    for sf_dir in SF_DIRS:
+        tag = os.path.basename(sf_dir)
+        sizes = [
+            r["n"]
+            for r in _ivf_assignment(spark, sf_dir)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        n = sum(sizes)
+        max_cell, mean_cell = max(sizes), n / len(sizes)
+        in_cell_pairs = sum(s * (s - 1) // 2 for s in sizes)
+        all_pairs = n * (n - 1) // 2
+        out = dd_semdedup(spark, sf_dir).collect()
+        print(json.dumps({
+            "probe": "semdedup_balance", "sf": tag, "n_vecs": n,
+            "n_cells": len(sizes), "max_cell": max_cell,
+            "mean_cell": round(mean_cell, 1),
+            "balance_factor": round(max_cell / mean_cell, 2),
+            "in_cell_pairs": in_cell_pairs, "all_pairs": all_pairs,
+            "pair_fraction": round(in_cell_pairs / max(all_pairs, 1), 4),
+            "dup_rows": len(out),
+            "dup_groups": len({r["rep_id"] for r in out}),
+        }))
+    return 0
+
+
 def main() -> int:
     from task_hive_spark.session import get_spark
 
@@ -149,6 +192,8 @@ def main() -> int:
         return ivf_recall()
     if sys.argv[1:2] == ["--sf1"]:
         return sf1_probe()
+    if sys.argv[1:2] == ["--semdedup"]:
+        return semdedup_probe()
 
     names = sys.argv[1:] or DEFAULT
     spark = get_spark("scale_probe")

@@ -1,0 +1,97 @@
+"""Connected components over a pair graph by min-label propagation
+with pointer jumping — the dedup endgame's shared primitive (a
+pipeline keeps one document per connected component, not per near-dup
+pair).
+
+Every node starts labeled with itself; each round (1) a node takes the
+min label among itself and its neighbors (one edge join + one
+aggregation), then (2) jumps through its label's own label (one
+label-to-label self-join — path compression). Step 1 alone advances
+one hop per round (rounds = diameter: a chain of k near-identical docs
+takes k rounds — dd_semdedup hit exactly that on a 500-vector fixture);
+step 2 doubles the compressed distance each round, so convergence is
+O(log diameter) — max_rounds=16 covers diameter ~2^16 — the standard
+Pregel-style CC acceleration (cf. Kiveris et al. 2014's two-phase
+star contractions, public literature). Converged when no label
+changes; the driver only checks a 1-row convergence count per round,
+and lineage is truncated per round with localCheckpoint so plans stay
+O(1) in the round count.
+
+Used by dd_duplicate_clusters (simhash near-pair graph, dedup.py) and
+dd_semdedup (within-cell cosine graph, similarity.py) — one fixpoint
+definition so the two families cannot drift in tie-breaking or
+convergence semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def min_label_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Components of the undirected graph given as one-directional
+    ``pairs`` (first column = one endpoint, second = the other; any
+    names). Returns (node, component) for every node with ≥1 edge,
+    where component = the min node id in its connected component.
+
+    Raises if the propagation has not converged in ``max_rounds``:
+    partially-converged labels diverge from an oracle's full transitive
+    closure, so failing loudly beats returning them (chained near-dup
+    paths can exceed any fixed round bound)."""
+    a, b = pairs.columns[0], pairs.columns[1]
+    p = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    # undirected edges, both directions
+    edges = p.union(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    changed = -1
+    for _ in range(max_rounds):  # log-diameter bound; convergence checked each round
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(edges.src)
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+        )
+        # pointer jump: a label is itself a node, so follow it one more
+        # hop through the label table (lbl := lbl's lbl) — the min is
+        # monotone, so jumping never overshoots the component min
+        lbl_of = stepped.select(
+            F.col("node").alias("lnode"), F.col("lbl").alias("llbl")
+        )
+        new_labels = (
+            stepped.join(lbl_of, stepped.lbl == lbl_of.lnode, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("llbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); component diameter exceeds "
+            f"the bound — raise max_rounds for this graph"
+        )
+    return labels.select("node", F.col("lbl").alias("component"))

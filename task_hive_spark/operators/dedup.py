@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from task_hive_spark.functions.components import min_label_components
 from task_hive_spark.functions.text import fingerprint, portable_hash64, ws_tokens
 from task_hive_spark.materialize import session_index
 from task_hive_spark.sources.fixtures import load_table, register_fixture_views
@@ -575,65 +576,23 @@ def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS from near-dup pairs (the dedup endgame: a
-    pipeline keeps one doc per connected component, not per pair).
-    Connected components by iterative min-label propagation over the
-    simhash near-pair graph: every doc starts labeled with itself; each
-    round a doc takes the min label among itself and its neighbors;
-    converged when no label changes. Rounds = graph diameter (near-dup
-    components are shallow — dup groups, not social graphs), each round
-    ONE join + ONE aggregation, lineage truncated per round with
-    localCheckpoint so plans stay O(1). The driver only checks the
-    1-row convergence count — the label state never leaves the cluster.
+    pipeline keeps one doc per connected component, not per pair):
+    min-label propagation over the simhash near-pair graph — the shared
+    fixpoint in functions/components.py, also driving dd_semdedup's
+    within-cell cosine graph (similarity.py).
 
     Output: (cluster_id = component min doc_id, doc_id, cluster_size).
     """
     pairs = dd_simhash_near_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # undirected edges, both directions
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(16):  # diameter bound; convergence checked each round
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(edges.doc_a)
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # partially-converged labels diverge from the oracle's full
-        # transitive closure — fail loudly rather than return them
-        # (chained near-dup paths can exceed any fixed round bound)
-        raise RuntimeError(
-            f"duplicate-cluster label propagation did not converge in 16 "
-            f"rounds ({changed} labels still changing); component diameter "
-            f"exceeds the bound — raise the round cap for this corpus"
-        )
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    labels = min_label_components(pairs)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
-        labels.join(sizes, "lbl")
-        .select(F.col("lbl").alias("cluster_id"), "doc_id", "cluster_size")
+        labels.join(sizes, "component")
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("node").alias("doc_id"),
+            "cluster_size",
+        )
         .orderBy("cluster_id", "doc_id")
     )
 

@@ -34,6 +34,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from task_hive_spark.functions.components import min_label_components
 from task_hive_spark.functions.vectors import cosine, dot, norm
 from task_hive_spark.materialize import session_index
 from task_hive_spark.sources.fixtures import load_table
@@ -536,6 +537,78 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# In-cell pair threshold for SemDeDup: lower than the LSH family's
+# NEAR_DUP_COS (0.35) because cluster-scoping already pre-filters to
+# same-neighborhood vectors — 0.33 yields a non-trivial dup graph on
+# the fixtures (tens of pairs) while staying ≈p99.8 of the in-cell
+# pair-cosine distribution.
+SEMDEDUP_COS = 0.33
+
+
+def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
+    semantic dedup scoped to k-means clusters. Pairwise cosine runs
+    ONLY within each cell of the trained coarse quantizer (the same
+    _ivf_assignment index IVF search reads), near-dup pairs (≥
+    SEMDEDUP_COS) form a graph, connected components (shared fixpoint:
+    functions/components.py) collapse each group to one kept
+    representative = the component's min vec_id.
+
+    Scale shape: the all-pairs step is quadratic only WITHIN a cell
+    (≈N/K rows), never across the corpus — the quadratic term shrinks
+    as K grows with the corpus, which is exactly why the paper clusters
+    first; the production knob is capping oversized cells (sampling or
+    re-clustering), the same remedy as the LSH hot-bucket cap. The
+    self-join keys on cell, so a cell is one shuffle partition —
+    bounded by the quantizer's balance, which scripts/scale_probe.py
+    tracks per sf.
+
+    Output: (rep_id, vec_id, cell, cluster_size, keep) for every vector
+    in a dup group (singletons are not duplicates and don't appear);
+    keep marks the representative row.
+    """
+    asg = _ivf_assignment(spark, sf_dir)
+    an = asg.select("cell", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = an.select(
+        "cell",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("av"),
+        F.col("nrm").alias("na"),
+    )
+    b = an.select(
+        "cell",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("bv"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= SEMDEDUP_COS)
+    )
+    comps = min_label_components(pairs.select("a_id", "b_id"))
+    sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comps.join(sizes, "component")
+        .join(asg.select("vec_id", "cell"), comps.node == F.col("vec_id"))
+        .select(
+            F.col("component").alias("rep_id"),
+            "vec_id",
+            "cell",
+            "cluster_size",
+            (F.col("vec_id") == F.col("component")).alias("keep"),
+        )
+        .orderBy("rep_id", "vec_id")
+    )
+
+
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization accounting per embedding — the
     4×-storage-compression pass an ANN serving tier runs over the
@@ -755,6 +828,7 @@ QUERIES = {
     "sim_topk_ivf_pq": sim_topk_ivf_pq,
     "sim_label_centroids": sim_label_centroids,
     "dd_embedding_cosine_pairs": dd_embedding_cosine_pairs,
+    "dd_semdedup": dd_semdedup,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_kmeans_step": sim_kmeans_step,
     "sim_pq_codes": sim_pq_codes,
@@ -1121,4 +1195,47 @@ ORACLES["sim_topk_ivf_pq"] = f"""
                 ORDER BY adc_d2, neighbor_id) AS rank
       FROM scored
     ) r WHERE rank <= {TOP_K} ORDER BY probe_id, rank
+    """
+
+# SemDeDup's oracle leads with WITH RECURSIVE (the component closure
+# must be a recursive CTE; DuckDB requires the keyword on the whole
+# chain), reusing the trained-quantizer chain verbatim so cells cannot
+# drift from the IVF oracles. The recursive member is the transitive
+# min-label closure (UNION dedupes, so it terminates) — the same
+# fixpoint min_label_components iterates to.
+ORACLES["dd_semdedup"] = f"""
+    WITH RECURSIVE {_DE},
+    {_CENT_TRAINED},
+    cellscore AS (
+      SELECT d.vec_id, d.v, cent.cell,
+             ROUND({_COS.format(a='d.v', b='cent.centroid')}, 6) AS cos_cell
+      FROM de d CROSS JOIN cent
+    ),
+    ranked_cells AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos_cell DESC, cell) AS rn
+      FROM cellscore
+    ),
+    assigned AS (SELECT vec_id, v, cell FROM ranked_cells WHERE rn = 1),
+    prs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND({_COS.format(a='a.v', b='b.v')}, 6) >= {SEMDEDUP_COS}
+    ),
+    edges AS (SELECT a_id AS ea, b_id AS eb FROM prs
+              UNION ALL SELECT b_id, a_id FROM prs),
+    nodes AS (SELECT DISTINCT ea AS vid FROM edges),
+    reach AS (
+      SELECT vid AS node, vid AS lbl FROM nodes
+      UNION
+      SELECT e.eb AS node, r.lbl FROM reach r JOIN edges e ON e.ea = r.node
+    ),
+    cc AS (SELECT node, MIN(lbl) AS rep_id FROM reach GROUP BY node),
+    sizes AS (SELECT rep_id, COUNT(*) AS cluster_size FROM cc GROUP BY rep_id)
+    SELECT c.rep_id, c.node AS vec_id, a.cell, s.cluster_size,
+           (c.node = c.rep_id) AS keep
+    FROM cc c JOIN sizes s USING (rep_id)
+    JOIN assigned a ON a.vec_id = c.node
+    ORDER BY rep_id, vec_id
     """

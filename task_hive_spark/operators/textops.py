@@ -1119,6 +1119,221 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP = 3  # keywords per document
+
+
+def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: the top-3 most characteristic terms
+    per document (tf · smooth-idf, the sklearn ``TfidfVectorizer``
+    form idf = ln((N+1)/(df+1)) + 1). BM25 (txt_bm25_topk) answers
+    "which docs match this query"; this answers the dual a labeling /
+    topic-tagging pipeline asks — "which terms characterize this doc".
+
+    Scale shape: term frequencies aggregate exchange-free on the
+    doc_id-partitioned token_index (HashPartitioning(doc_id) satisfies
+    the (doc_id, tok) clustering); the document-frequency table is one
+    vocab-sized aggregation broadcast back onto the tf stream; the
+    per-doc top-3 window runs on the same doc_id partitioning — one
+    vocab shuffle total at any corpus size. Ties (same score within a
+    doc) break on term order, and equal (tf, df) pairs produce
+    bit-identical doubles in both engines, so the ranking is
+    deterministic cross-engine; the fixture-margin test pins the
+    remaining ln-ulp risk (tests/test_textops_lm.py)."""
+    t = token_index(spark, sf_dir)
+    n_docs = t.agg(F.count("*").cast("double").alias("n_docs"))
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * idf)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("tok").alias("term"),
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            F.round("score", 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+# Interpolated bigram LM score, exact 1e-6 integer units. Money-style
+# float discipline (see rel_q1): p = 0.9·c12/c1 + 0.1·c2/T is evaluated
+# as two positive integer divisions, so the per-doc sum is
+# order-independent and the keep threshold compares integers — no
+# cross-engine ln/rounding surface at all (contrast txt_unigram_logprob,
+# which pins the double path).
+# keep docs with avg token-pair likelihood ≥ 3.3% — splits every
+# fixture sf non-trivially (sf0.001 ≈ 70% keep, sf0.1 ≈ 40%); integer
+# threshold on integer units, so the boundary is exact cross-engine
+LM_KEEP_MIN = 33_000
+
+
+def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate, bigram form: score every doc by the
+    mean interpolated bigram likelihood of its adjacent token pairs
+    under the corpus's own counts — p(w2|w1) = 0.9·c(w1w2)/c(w1) +
+    0.1·c(w2)/T — and keep docs whose mean (in exact 1e-6 units)
+    clears LM_KEEP_MIN. Formulaic high-probability text scores high;
+    docs full of rare transitions (garbage, wrong-language splices)
+    score low. The real CCNet filter scores with a pretrained KenLM;
+    the corpus-self-trained bigram table is the same shape with the LM
+    training step inlined.
+
+    Scale shape: one pair explosion co-partitioned by doc_id (the
+    scoring aggregation is exchange-free on it); the bigram and unigram
+    count tables are vocab-sized aggregations broadcast back onto the
+    pair stream (at 100 TB: cap to top-V transitions + a smoothing
+    floor, the standard trick — same note as txt_unigram_logprob). The
+    unigram table rides the shared ``unigram_vocab`` session index."""
+    t = token_index(spark, sf_dir).where(F.col("ntok") >= 2)
+    toks = t.select(
+        "doc_id", "toks", "ntok", F.posexplode("toks").alias("pos", "w1")
+    )
+    pairs = toks.where(F.col("pos") <= F.col("ntok") - 2).select(
+        "doc_id", "w1", F.try_element_at("toks", F.col("pos") + 2).alias("w2")
+    )
+
+    # the LM fit is its own corpus pass (count transitions), materialized
+    # as a vocab²-bounded session index so the scoring pass below reads
+    # the pair stream exactly once — without it the explosion subtree
+    # appears under both the count aggregation and the probe join
+    def build_bigrams() -> DataFrame:
+        return pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+
+    big = session_index(spark, sf_dir, "bigram_counts", build_bigrams)
+
+    def build_vocab() -> DataFrame:
+        return (
+            token_index(spark, sf_dir)
+            .select(F.explode("toks").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    vocab = session_index(spark, sf_dir, "unigram_vocab", build_vocab)
+    total = vocab.agg(F.sum("cnt").alias("t_total"))
+    p_micro = F.expr("(9000000 * c12) div (10 * c1)") + F.expr(
+        "(1000000 * c2) div (10 * t_total)"
+    )
+    return (
+        pairs.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(vocab.select(F.col("tok").alias("w1"), F.col("cnt").alias("c1"))), "w1")
+        .join(F.broadcast(vocab.select(F.col("tok").alias("w2"), F.col("cnt").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn("p_micro", p_micro)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_pairs"),
+            F.expr("sum(p_micro) div count(*)").alias("avg_p_micro"),
+        )
+        .withColumn("keep", F.col("avg_p_micro") >= LM_KEEP_MIN)
+        .orderBy("doc_id")
+    )
+
+
+# DSIR (Xie et al. 2023, arXiv:2302.03169): select pretraining data
+# whose hashed-ngram profile matches a target domain. Feature log-ratios
+# are quantized to 1e-6 integer units ONCE (B buckets, broadcast), so
+# per-doc weights are exact integer dot products — order-independent
+# and cross-engine stable; the fixture-margin test pins the B ln calls'
+# distance from the floor boundary.
+DSIR_BUCKETS = 256  # hashed-bigram feature space (paper uses 10k)
+DSIR_K = 100  # docs to select
+
+
+def txt_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection: importance-weight every doc by how
+    much more likely its hashed-bigram profile is under the target
+    domain (lang='en' docs) than under the raw corpus, then take the
+    top-K weights — the deterministic top-k selection variant (the
+    paper's §5.1 heuristic-classification ablation; the
+    sampled-without-replacement variant would ride the same weights
+    through txt_importance_sample's hash-derived Gumbel keys).
+
+    weight(doc) = Σ_f n_f(doc) · lr_micro(f), where lr_micro is the
+    Laplace-smoothed log count ratio floor-quantized to 1e-6 units:
+    lr_micro(f) = floor(1e6 · ln(((ct_f+1)·(Tr+B)) / ((cr_f+1)·(Tt+B)))).
+
+    Scale shape: DSIR is fit-then-score, two corpus passes. Pass 1
+    (fit) collapses the gram stream to a B=256-row distribution table
+    in one aggregation (target = filtered sum of the same rows),
+    materialized as a session index so the lr derivation doesn't re-run
+    the explosion; pass 2 (score) aggregates per-doc feature counts
+    exchange-free on the doc_id-clustered gram stream and joins the
+    256-row broadcast lr table; the final top-K is
+    TakeOrderedAndProject. Nothing scales with corpus size except the
+    two narrow doc_id-clustered passes."""
+    t = token_index(spark, sf_dir)
+    langs = doc_stats(spark, sf_dir).select("doc_id", "lang")
+    grams = (
+        _toks_ngrams(t, 2)
+        .join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            (portable_hash32(F.col("gram"), seed="dsir") % DSIR_BUCKETS).alias("f"),
+        )
+    )
+
+    # fit pass: raw count = all grams, target count = the lang='en' slice
+    def build_dist() -> DataFrame:
+        return grams.groupBy("f").agg(
+            F.count("*").alias("cr"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        )
+
+    dist = session_index(spark, sf_dir, "dsir_dist", build_dist)
+    tot = dist.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    lr = (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.floor(
+                F.log(
+                    ((F.col("ct") + 1) * (F.col("tr") + DSIR_BUCKETS))
+                    / ((F.col("cr") + 1) * (F.col("tt") + DSIR_BUCKETS))
+                )
+                * 1e6
+            ).alias("lr_micro"),
+        )
+    )
+    feats = grams.groupBy("doc_id", "lang", "f").agg(F.count("*").alias("n_f"))
+    return (
+        feats.join(F.broadcast(lr), "f")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n_f").cast("int").alias("n_grams"),
+            F.sum(F.col("n_f") * F.col("lr_micro")).alias("weight_micro"),
+        )
+        .orderBy(F.desc("weight_micro"), "doc_id")
+        .limit(DSIR_K)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.desc("weight_micro"), "doc_id"))
+            .cast("int")
+            .alias("rank"),
+            "doc_id",
+            "lang",
+            "n_grams",
+            "weight_micro",
+        )
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_quality_scores": txt_quality_scores,
@@ -1141,6 +1356,9 @@ QUERIES = {
     "txt_sentiment": txt_sentiment,
     "txt_unigram_logprob": txt_unigram_logprob,
     "txt_mix_rebalance": txt_mix_rebalance,
+    "txt_tfidf_topterms": txt_tfidf_topterms,
+    "txt_bigram_lm_score": txt_bigram_lm_score,
+    "txt_dsir_sample": txt_dsir_sample,
 }
 
 # --- shared SQL fragments (mirror functions/text.py formulas) -----------
@@ -1531,4 +1749,110 @@ ORACLES = {
 
 ORACLES["txt_bpe_merges"] = _bpe_oracle_sql()
 ORACLES["txt_bpe_tokenize"] = _bpe_tokenize_oracle_sql()
+
+ORACLES["txt_tfidf_topterms"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+s AS (
+  SELECT doc_id, tok, tf, df,
+         tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS score
+  FROM tf JOIN dfreq USING (tok), nd
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+  FROM s
+)
+SELECT doc_id, CAST(rnk AS INT) AS rank, tok AS term,
+       CAST(tf AS INT) AS tf, CAST(df AS INT) AS df,
+       ROUND(score, 6) AS tfidf
+FROM r WHERE rnk <= {TFIDF_TOP} ORDER BY doc_id, rnk
+"""
+
+# exact-integer mirror: every division is a positive-operand integer
+# division (`//` here, `div` on the Spark side), so the score carries no
+# float at all; the hugeint SUM is cast back to BIGINT before dividing
+# to keep the output schema at int64
+ORACLES["txt_bigram_lm_score"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+  WHERE len(t) >= 2
+),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT unnest(t) AS tok FROM toks) u GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM uni),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_pairs,
+         CAST(CAST(SUM((9000000 * c12) // (10 * c1)
+                       + (1000000 * c2) // (10 * t_total)) AS BIGINT)
+              // COUNT(*) AS BIGINT) AS avg_p_micro
+  FROM pairs
+  JOIN big USING (w1, w2)
+  JOIN (SELECT tok AS w1, cnt AS c1 FROM uni) u1 USING (w1)
+  JOIN (SELECT tok AS w2, cnt AS c2 FROM uni) u2 USING (w2)
+  , tot
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_pairs AS INT) AS n_pairs, avg_p_micro,
+       avg_p_micro >= {LM_KEEP_MIN} AS keep
+FROM scored ORDER BY doc_id
+"""
+
+ORACLES["txt_dsir_sample"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+g AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5('dsir' ||
+                array_to_string(t[i : i + 1], ' ')), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS f
+  FROM toks,
+  LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t) - 1, 1))) AS i) s
+),
+dist AS (
+  SELECT f, COUNT(*) AS cr,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM g GROUP BY f
+),
+tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+  FROM dist
+),
+lr AS (
+  SELECT f,
+         CAST(FLOOR(ln(((ct + 1) * (tr + {DSIR_BUCKETS}))
+                       / ((cr + 1) * (tt + {DSIR_BUCKETS}))) * 1e6)
+              AS BIGINT) AS lr_micro
+  FROM dist, tot
+),
+feats AS (
+  SELECT doc_id, lang, f, COUNT(*) AS n_f FROM g GROUP BY 1, 2, 3
+),
+wts AS (
+  SELECT doc_id, lang,
+         CAST(SUM(n_f) AS INT) AS n_grams,
+         CAST(SUM(n_f * lr_micro) AS BIGINT) AS weight_micro
+  FROM feats JOIN lr USING (f)
+  GROUP BY 1, 2
+),
+sel AS (SELECT * FROM wts ORDER BY weight_micro DESC, doc_id LIMIT {DSIR_K})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, lang, n_grams, weight_micro
+FROM sel ORDER BY rank
+"""
 

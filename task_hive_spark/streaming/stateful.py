@@ -59,6 +59,7 @@ WATERMARK_S = 30
 WINDOW_S = 60
 SESSION_GAP_S = 120  # worker-activity session: new session after 120 s idle
 DISPATCH_BOUND_S = 60  # assign must land within 60 s of its submit
+SLA_BOUND_S = 3  # fast-dispatch SLA: assign within 3 s of submit
 
 _RAN: dict[tuple[str, str], dict[str, str]] = {}
 
@@ -106,6 +107,7 @@ def run_once(
         "windows": os.path.join(work, "windows"),
         "sessions": os.path.join(work, "sessions"),
         "latency": os.path.join(work, "latency"),
+        "sla": os.path.join(work, "sla"),
     }
 
     src = (
@@ -229,10 +231,67 @@ def run_once(
         .trigger(availableNow=True)
         .start()
     )
+    # LEFT OUTER stream-stream interval join — the state-EVICTION
+    # semantics the inner join above never exercises: a submit with no
+    # assign inside its SLA window emits a null-extended row only when
+    # the join watermark passes submit + SLA_BOUND_S and its state is
+    # evicted (inner matches still emit immediately). That makes the
+    # null rows the interesting converged set: every SLA row is either
+    # an on-time match or a PROVEN miss — a submit the stream can
+    # certify no future assign can rescue. lt-stuck (submit 8900) pins
+    # the retention side: its window end (8903+86400) is past the final
+    # combined watermark (min of both sides' filtered maxima − 30 s),
+    # so it must NOT emit — an oracle cutoff any plain SQL LEFT JOIN
+    # would get wrong.
+    sla_submits = (
+        src.where(F.col("op") == "submit")
+        .select(
+            "task_id",
+            F.col("event_s").alias("submit_s"),
+            F.timestamp_seconds(F.col("event_s") + 86400).alias("s_ts"),
+        )
+        .withWatermark("s_ts", f"{WATERMARK_S} seconds")
+    )
+    sla_assigns = (
+        src.where(F.col("op") == "assign")
+        .select(
+            F.col("task_id").alias("a_task_id"),
+            F.col("worker_id").alias("a_worker_id"),
+            F.col("event_s").alias("a_event_s"),
+            F.timestamp_seconds(F.col("event_s") + 86400).alias("a_ts"),
+        )
+        .withWatermark("a_ts", f"{WATERMARK_S} seconds")
+    )
+    sla = (
+        sla_submits.join(
+            sla_assigns,
+            F.expr(
+                "task_id = a_task_id AND "
+                f"a_ts BETWEEN s_ts AND s_ts + INTERVAL {SLA_BOUND_S} SECONDS"
+            ),
+            "leftOuter",
+        )
+        .select(
+            "task_id",
+            "submit_s",
+            F.col("a_worker_id").alias("worker_id"),
+            F.col("a_event_s").alias("assign_s"),
+            F.col("a_event_s").isNotNull().alias("sla_met"),
+        )
+    )
+    q5 = (
+        sla.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out["sla"])
+        .option("checkpointLocation", os.path.join(work, "ckpt_sla"))
+        .trigger(availableNow=True)
+        .start()
+    )
     q1.awaitTermination()
     q2.awaitTermination()
     q3.awaitTermination()
     q4.awaitTermination()
+    q5.awaitTermination()
     return out
 
 
@@ -278,11 +337,26 @@ def st_dispatch_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("task_id", "assign_s")
 
 
+def st_unmatched_submits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged dispatch-SLA roster through the LEFT OUTER interval
+    join: every submit either matched to its within-SLA assign, or
+    null-extended once the watermark proved no assign can ever land in
+    its window. Submits whose window the final watermark has not closed
+    (lt-stuck) are withheld — still in join state, not yet decidable."""
+    out = _run_streams(spark, sf_dir)
+    return (
+        spark.read.parquet(out["sla"])
+        .select("task_id", "submit_s", "worker_id", "assign_s", "sla_met")
+        .orderBy("task_id", "submit_s", "assign_s")
+    )
+
+
 QUERIES = {
     "st_worker_counter_stateful": st_worker_counter_stateful,
     "st_windowed_throughput": st_windowed_throughput,
     "st_session_windows": st_session_windows,
     "st_dispatch_latency": st_dispatch_latency,
+    "st_unmatched_submits": st_unmatched_submits,
 }
 
 ORACLES = {
@@ -372,6 +446,37 @@ ORACLES = {
          AND a.op = 'assign' AND s.op = 'submit'
          AND a.event_s BETWEEN s.event_s AND s.event_s + {DISPATCH_BOUND_S}
         ORDER BY a.task_id, assign_s
+        """
+    ),
+    # left-outer interval join: matches emit on sight; null-extended
+    # rows emit only at state eviction, i.e. once the combined
+    # watermark — min of the two FILTERED substreams' maxima minus the
+    # delay — closes the submit's SLA window. A plain SQL LEFT JOIN has
+    # no such cutoff, so the oracle applies it to the unmatched branch
+    # explicitly (lt-stuck's submit at 8900 is the pin: undecidable at
+    # the final watermark, it must appear in neither branch).
+    "st_unmatched_submits": oracle_events_cte(
+        f"""
+        WITH s AS (
+          SELECT task_id, event_s AS submit_s FROM events WHERE op = 'submit'
+        ),
+        a AS (
+          SELECT task_id, worker_id, event_s FROM events WHERE op = 'assign'
+        ),
+        j AS (
+          SELECT s.task_id, s.submit_s, a.worker_id, a.event_s AS assign_s
+          FROM s LEFT JOIN a
+            ON s.task_id = a.task_id
+           AND a.event_s BETWEEN s.submit_s AND s.submit_s + {SLA_BOUND_S}
+        )
+        SELECT task_id, submit_s, worker_id, assign_s,
+               assign_s IS NOT NULL AS sla_met
+        FROM j
+        WHERE assign_s IS NOT NULL
+           OR submit_s + {SLA_BOUND_S}
+              <= LEAST((SELECT MAX(submit_s) FROM s),
+                       (SELECT MAX(event_s) FROM a)) - {WATERMARK_S}
+        ORDER BY task_id, submit_s, assign_s
         """
     ),
 }

@@ -36,7 +36,7 @@ def _session_set(spark, out_dir):
 
 
 def test_counter_invariant_to_batching(spark, sf_dir):
-    counters, sessions, latencies = [], [], []
+    counters, sessions, latencies, slas = [], [], [], []
     for n_chunks in (1, 5):
         work = tempfile.mkdtemp(prefix=f"stateful_test{n_chunks}_", dir=_scratch_root())
         out = stateful.run_once(spark, sf_dir, work, n_chunks)
@@ -46,6 +46,12 @@ def test_counter_invariant_to_batching(spark, sf_dir):
             {
                 (r["task_id"], r["worker_id"], r["assign_s"], r["latency_s"])
                 for r in spark.read.parquet(out["latency"]).collect()
+            }
+        )
+        slas.append(
+            {
+                (r["task_id"], r["submit_s"], r["worker_id"], r["assign_s"])
+                for r in spark.read.parquet(out["sla"]).collect()
             }
         )
     assert counters[0] == counters[1]
@@ -58,6 +64,27 @@ def test_counter_invariant_to_batching(spark, sf_dir):
     # micro-batches; the buffered-state join must still match them
     assert latencies[0] == latencies[1]
     assert latencies[0]
+    # left-outer join: null-extended rows emit at state eviction, which
+    # depends only on the final watermark, never on chunk boundaries
+    assert slas[0] == slas[1]
+    assert slas[0]
+
+
+def test_unmatched_submits_eviction_semantics(spark, sf_dir):
+    """The three-way split the outer join must produce: on-time matches
+    emit with their assign, proven SLA misses emit null-extended, and
+    submits whose window the final watermark never closed (lt-stuck)
+    appear in NEITHER branch — they are still in join state."""
+    rows = {r["task_id"]: r for r in stateful.st_unmatched_submits(spark, sf_dir).collect()}
+    # scripted on-time dispatches (assign 1 s after submit)
+    assert rows["lt-retry"]["sla_met"] and rows["lt-retry"]["assign_s"] == 101
+    assert rows["lt-delayed"]["sla_met"] and rows["lt-delayed"]["worker_id"] == "lw1"
+    # bulk submits assign at +5 s — every one is a proven miss
+    misses = [r for r in rows.values() if not r["sla_met"]]
+    assert misses and all(r["worker_id"] is None and r["assign_s"] is None for r in misses)
+    # lt-stuck's window end (8903) is past the final combined watermark
+    # (min(max submit 8900, max assign 8910) − 30): undecidable, withheld
+    assert "lt-stuck" not in rows
 
 
 def test_counter_is_net_inflight(spark, sf_dir):

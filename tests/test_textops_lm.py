@@ -1,0 +1,133 @@
+"""LM-family text operators: TF-IDF keywords, the exact-integer bigram
+LM gate, and DSIR selection.
+
+The float-discipline contract: every cross-engine double in these
+operators is either (a) absent (bigram LM — pure integer divisions), or
+(b) a deterministic per-row expression whose ordering/rounding decisions
+clear a measured fixture margin (TF-IDF scores, DSIR feature
+log-ratios). The margin tests here pin (b): if a fixture regeneration
+ever lands a score within ulp distance of a rank/floor/round boundary,
+these fail loudly instead of the oracle gate failing mysteriously.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from task_hive_spark.operators import textops
+from task_hive_spark.plans.oracle import duckdb_conn
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _tfidf_scores(sf: str) -> list[tuple]:
+    con = duckdb_conn(sf)
+    return con.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks)
+        SELECT doc_id, tok, tf, df, n_docs FROM tf JOIN dfreq USING (tok), nd
+        """
+    ).fetchall()
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_tfidf_rank_and_round_margins(sf):
+    """Within every doc, consecutive DISTINCT scores are separated by
+    far more than cross-engine ln ulp noise (so the rank-3 cutoff can't
+    flip), and no score sits at a ROUND(·, 6) half-way boundary."""
+    per_doc: dict[int, list[float]] = {}
+    for doc_id, _tok, tf, df, n in _tfidf_scores(sf):
+        score = tf * (math.log((n + 1.0) / (df + 1.0)) + 1.0)
+        per_doc.setdefault(doc_id, []).append(score)
+        # ROUND(score, 6) margin: distance from the .5 rounding boundary
+        frac = (score * 1e6) % 1.0
+        assert abs(frac - 0.5) > 1e-6, (doc_id, _tok, score)
+    for doc_id, scores in per_doc.items():
+        scores.sort(reverse=True)
+        for a, b in zip(scores, scores[1:]):
+            if a != b:  # exact ties break on term order in both engines
+                assert (a - b) / max(a, 1.0) > 1e-9, (doc_id, a, b)
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_dsir_logratio_floor_margin(sf):
+    """Every hashed-bucket log-ratio lands well inside its 1e-6
+    quantization cell: FLOOR(ln(r)·1e6) agrees across engines as long
+    as their ln differs by less than the asserted margin. |ln r| < 1
+    here, so a 2-ulp library divergence is < 5e-10 quantization units;
+    the 1e-6-unit margin leaves three orders of magnitude."""
+    con = duckdb_conn(sf)
+    rows = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        g AS (
+          SELECT doc_id, lang,
+                 CAST(concat('0x', substr(md5('dsir' ||
+                        array_to_string(t[i : i + 1], ' ')), 1, 8)) AS BIGINT)
+                   % {textops.DSIR_BUCKETS} AS f
+          FROM toks,
+          LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t) - 1, 1))) AS i) s
+        )
+        SELECT f, COUNT(*) AS cr,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        FROM g GROUP BY f
+        """
+    ).fetchall()
+    assert rows
+    tr = sum(r[1] for r in rows)
+    tt = sum(r[2] for r in rows)
+    b = textops.DSIR_BUCKETS
+    for _f, cr, ct in rows:
+        v = math.log(((ct + 1) * (tr + b)) / ((cr + 1) * (tt + b))) * 1e6
+        frac = v - math.floor(v)
+        assert 1e-6 < frac < 1 - 1e-6, (_f, v)
+
+
+def test_bigram_lm_is_exact_and_bounded(spark):
+    """The score path carries no floats: every per-pair likelihood is a
+    pair of positive integer divisions, so avg_p_micro is an exact
+    integer in [0, 1e6] and n_pairs is exactly ntok − 1."""
+    sf = "/root/testdata/sf0.001"
+    rows = textops.txt_bigram_lm_score(spark, sf).collect()
+    assert rows
+    ntok = {
+        r["doc_id"]: r["ntok"]
+        for r in textops.token_index(spark, sf).select("doc_id", "ntok").collect()
+    }
+    for r in rows:
+        assert 0 <= r["avg_p_micro"] <= 1_000_000
+        assert r["n_pairs"] == ntok[r["doc_id"]] - 1
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {True, False}, "LM_KEEP_MIN must split the corpus"
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """Directional sanity: the DSIR top-K is enriched in the target
+    domain (lang='en') relative to the corpus base rate — the whole
+    point of importance weighting toward a target distribution."""
+    sf = "/root/testdata/sf0.001"
+    sel = textops.txt_dsir_sample(spark, sf).collect()
+    assert len(sel) == textops.DSIR_K
+    assert [r["rank"] for r in sel] == list(range(1, textops.DSIR_K + 1))
+    en_sel = sum(r["lang"] == "en" for r in sel) / len(sel)
+    stats = (
+        textops.doc_stats(spark, sf)
+        .groupby()
+        .agg({"doc_id": "count"})
+        .collect()[0][0]
+    )
+    en_all = (
+        textops.doc_stats(spark, sf).where("lang = 'en'").count() / stats
+    )
+    assert en_sel > en_all, (en_sel, en_all)

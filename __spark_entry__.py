@@ -54,16 +54,17 @@ from pyspark.sql import DataFrame, SparkSession
 #      st_minhash_incremental, txt_bpe_tokenize — the last also
 #      displacing rel_scalar_datetime, a pure deterministic
 #      map-stage query hash-checked at sf0.001 every pytest run).
-#   6. four operators added later in the round (txt_tfidf_topterms,
-#      txt_bigram_lm_score, txt_dsir_sample, st_unmatched_submits) are
-#      never-graded and take front slots from four r5-green queries
-#      whose round-6 delta is value-invariant on the fixtures:
-#      xp_dispatch_results (the int64-overflow guard has no >18-digit
-#      fixture suffix; unit-tested at tests/test_processors.py),
-#      st_snapshot_merge (crash-path atomicity only),
-#      rel_q14_promo_effect and rel_q17_small_qty_revenue (single-row
+#   6. five operators added later in the round (txt_tfidf_topterms,
+#      txt_bigram_lm_score, txt_dsir_sample, txt_quality_classifier,
+#      st_unmatched_submits) are never-graded and take front slots from
+#      five r5-green queries whose round-6 delta is value-invariant on
+#      the fixtures: xp_dispatch_results (the int64-overflow guard has
+#      no >18-digit fixture suffix; unit-tested at
+#      tests/test_processors.py), st_snapshot_merge (crash-path
+#      atomicity only), and rel_q14_promo_effect /
+#      rel_q17_small_qty_revenue / rel_q15_top_supplier (small
 #      aggregates of the shared _cents helper, whose half-up
-#      equivalence is test-pinned and regraded through the twelve
+#      equivalence is test-pinned and regraded through the eleven
 #      cents-family queries still in front).
 # Every back-set query is bit-identical this round apart from
 # behavior-invariant refactors with provably identical plans (the
@@ -98,6 +99,7 @@ _BACK_R6 = frozenset(
         "rel_pivot_status",
         "rel_q11_important_stock",
         "rel_q14_promo_effect",
+        "rel_q15_top_supplier",
         "rel_q17_small_qty_revenue",
         "rel_q12_late_lines",
         "rel_q13_custdist",

@@ -43,6 +43,9 @@ DEFAULT = [
     "txt_bm25_topk",  # postings ride token_index partitioning — matching rows linear
     "th_snapshot_merge",  # one full-outer id SMJ — rows linear in snapshot+changes
     "gr_pagerank",  # fixed iterations x |E| — linear per round, rounds flat
+    "txt_tfidf_topterms",  # per-doc top-3 — rows exactly 3x docs, vocab df broadcast
+    "txt_bigram_lm_score",  # pair explosion co-partitioned by doc — rows = docs
+    "txt_dsir_sample",  # fit+score two corpus passes — rows fixed at DSIR_K
 ]
 
 

@@ -94,6 +94,58 @@ def test_dsir_logratio_floor_margin(sf):
         assert 1e-6 < frac < 1 - 1e-6, (_f, v)
 
 
+@pytest.mark.parametrize("sf", SFS)
+def test_classifier_weight_floor_margins(sf):
+    """Same pin as the DSIR test, for the NB student's B class-ratio
+    weights and the prior-odds term: every ln lands well inside its
+    1e-6 quantization cell."""
+    con = duckdb_conn(sf)
+    b = textops.DSIR_BUCKETS
+    rows = con.execute(
+        f"""
+        WITH lab AS (
+          SELECT doc_id, keep FROM ( {textops.ORACLES['txt_unigram_logprob']} ) t
+        ),
+        {textops._HASHED_FEATS_CTES.strip()}
+        SELECT f.f,
+               SUM(CASE WHEN l.keep THEN f.n_f ELSE 0 END) AS ck,
+               SUM(CASE WHEN l.keep THEN 0 ELSE f.n_f END) AS cd
+        FROM feats f JOIN lab l USING (doc_id) GROUP BY 1
+        """
+    ).fetchall()
+    assert rows
+    tk = sum(r[1] for r in rows)
+    td = sum(r[2] for r in rows)
+    vals = [
+        math.log(((ck + 1) * (td + b)) / ((cd + 1) * (tk + b))) * 1e6
+        for _f, ck, cd in rows
+    ]
+    n_keep = con.execute(
+        f"SELECT SUM(CASE WHEN keep THEN 1 ELSE 0 END),"
+        f" SUM(CASE WHEN keep THEN 0 ELSE 1 END)"
+        f" FROM ( {textops.ORACLES['txt_unigram_logprob']} ) t"
+    ).fetchone()
+    vals.append(math.log(n_keep[0] / n_keep[1]) * 1e6)
+    for v in vals:
+        frac = v - math.floor(v)
+        assert 1e-6 < frac < 1 - 1e-6, v
+
+
+def test_classifier_beats_base_rate(spark):
+    """The distilled student must actually learn the teacher: agreement
+    well above the majority-class base rate (measured 0.79 at sf0.001;
+    floor 0.70), and the integer decision margin must be non-degenerate
+    (no doc scores exactly 0)."""
+    rows = textops.txt_quality_classifier(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    agree = sum(r["agrees"] for r in rows) / len(rows)
+    pos = sum(r["label"] for r in rows)
+    base = max(pos, len(rows) - pos) / len(rows)
+    assert agree >= 0.70, agree
+    assert agree > base + 0.1, (agree, base)
+    assert all(r["score_micro"] != 0 for r in rows)
+
+
 def test_bigram_lm_is_exact_and_bounded(spark):
     """The score path carries no floats: every per-pair likelihood is a
     pair of positive integer divisions, so avg_p_micro is an exact

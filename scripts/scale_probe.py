@@ -186,6 +186,62 @@ def semdedup_probe() -> int:
     return 0
 
 
+def lm_probe() -> int:
+    """--lm: the LM-family operators (TF-IDF, bigram gate, DSIR,
+    distilled classifier) at sf0.01 / sf0.1 / synthetic sf1. Scale
+    signals: per-query seconds and row counts must grow ~linearly in
+    the corpus (all four are index-scan + vocab-broadcast shapes), and
+    the NB student's teacher agreement must HOLD UP at 10× the docs —
+    a distillation whose accuracy collapses with corpus growth would
+    mean the hashed feature space, not the data, was doing the work.
+    Exits non-zero if sf1 agreement falls below base rate + 0.1."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = subprocess.run(
+        [sys.executable, os.path.join(here, "gen_scale_fixture.py")],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip().splitlines()[-1]
+
+    from task_hive_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scale_probe_lm")
+    qs = entrymod.queries()
+    dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1_dir]
+    tags = ["sf0.01", "sf0.1", "sf1"]
+    for name in [
+        "txt_tfidf_topterms",
+        "txt_bigram_lm_score",
+        "txt_dsir_sample",
+        "txt_quality_classifier",
+    ]:
+        secs: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for tag, d in zip(tags, dirs):
+            t0 = time.perf_counter()
+            rows[tag] = qs[name](spark, d).count()
+            secs[tag] = round(time.perf_counter() - t0, 3)
+        print(json.dumps({
+            "probe": "lm_scale", "query": name, "rows": rows, "seconds": secs,
+            "x10_time_growth": round(secs["sf1"] / max(secs["sf0.1"], 1e-9), 2),
+        }))
+    bad = 0
+    for tag, d in zip(tags, dirs):
+        r = qs["txt_quality_classifier"](spark, d).collect()
+        agree = sum(x["agrees"] for x in r) / len(r)
+        pos = sum(x["label"] for x in r)
+        base = max(pos, len(r) - pos) / len(r)
+        ok = agree >= base + 0.1
+        bad += 0 if ok else 1
+        print(json.dumps({
+            "probe": "lm_classifier_agreement", "sf": tag, "n_docs": len(r),
+            "agreement": round(agree, 3), "base_rate": round(base, 3), "ok": ok,
+        }))
+    return 1 if bad else 0
+
+
 def main() -> int:
     from task_hive_spark.session import get_spark
 
@@ -197,6 +253,8 @@ def main() -> int:
         return sf1_probe()
     if sys.argv[1:2] == ["--semdedup"]:
         return semdedup_probe()
+    if sys.argv[1:2] == ["--lm"]:
+        return lm_probe()
 
     names = sys.argv[1:] or DEFAULT
     spark = get_spark("scale_probe")

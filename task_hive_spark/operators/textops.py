@@ -668,6 +668,25 @@ def txt_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus unigram LM table (tok, cnt) as a session index —
+    ONE definition for every consumer (_unigram_scores' NLL probe, the
+    bigram LM's interpolation terms). session_index caches by name, so
+    a second registered builder would be a silent first-run-wins
+    collision; deriving from doc_term_freq keeps it a second-level
+    aggregate of the already-materialized bag-of-words (no extra token
+    explosion)."""
+
+    def build() -> DataFrame:
+        return (
+            doc_term_freq(spark, sf_dir)
+            .groupBy("tok")
+            .agg(F.sum("tf").alias("cnt"))
+        )
+
+    return session_index(spark, sf_dir, "unigram_vocab", build)
+
+
 def _unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality proxy — the cheap stand-in for the
     KenLM perplexity filter a CCNet-style pipeline runs: score every doc
@@ -685,14 +704,7 @@ def _unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the former's shape. The token stream reads the materialized
     token_index, so tokenization is paid once per session."""
     toks = token_index(spark, sf_dir).select("doc_id", F.explode("toks").alias("tok"))
-
-    # the unigram LM table is a session index (fixed vocab-sized output,
-    # every scoring consumer shares it) — without it the token explosion
-    # runs twice in one plan: once to build the vocab, once to probe it
-    def build_vocab() -> DataFrame:
-        return toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-
-    vocab = session_index(spark, sf_dir, "unigram_vocab", build_vocab)
+    vocab = unigram_vocab(spark, sf_dir)
     total = vocab.agg(F.sum("cnt").alias("n_total"))
     nll = -F.log(F.col("cnt") / F.col("n_total"))
     return (
@@ -1260,15 +1272,7 @@ def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pf.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
 
     big = session_index(spark, sf_dir, "bigram_counts", build_bigrams)
-
-    def build_vocab() -> DataFrame:
-        return (
-            doc_term_freq(spark, sf_dir)
-            .groupBy("tok")
-            .agg(F.sum("tf").alias("cnt"))
-        )
-
-    vocab = session_index(spark, sf_dir, "unigram_vocab", build_vocab)
+    vocab = unigram_vocab(spark, sf_dir)
     total = vocab.agg(F.sum("cnt").alias("t_total"))
     p_micro = F.expr("(9000000 * c12) div (10 * c1)") + F.expr(
         "(1000000 * c2) div (10 * t_total)"
@@ -2028,22 +2032,11 @@ FROM scored, prior ORDER BY doc_id
 ORACLES["txt_quality_classifier"] = _qc_oracle_sql()
 
 ORACLES["txt_dsir_sample"] = f"""
-WITH toks AS (
-  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-  FROM documents WHERE length(trim(text)) > 0
-),
-g AS (
-  SELECT doc_id, lang,
-         CAST(concat('0x', substr(md5('dsir' ||
-                array_to_string(t[i : i + 1], ' ')), 1, 8)) AS BIGINT)
-           % {DSIR_BUCKETS} AS f
-  FROM toks,
-  LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t) - 1, 1))) AS i) s
-),
+WITH {_HASHED_FEATS_CTES.strip()},
 dist AS (
-  SELECT f, COUNT(*) AS cr,
-         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
-  FROM g GROUP BY f
+  SELECT f, SUM(n_f) AS cr,
+         SUM(CASE WHEN lang = 'en' THEN n_f ELSE 0 END) AS ct
+  FROM feats GROUP BY f
 ),
 tot AS (
   SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
@@ -2055,9 +2048,6 @@ lr AS (
                        / ((cr + 1) * (tt + {DSIR_BUCKETS}))) * 1e6)
               AS BIGINT) AS lr_micro
   FROM dist, tot
-),
-feats AS (
-  SELECT doc_id, lang, f, COUNT(*) AS n_f FROM g GROUP BY 1, 2, 3
 ),
 wts AS (
   SELECT doc_id, lang,

@@ -192,7 +192,11 @@ def run_once(
     # is the plain bounded join the oracle computes.
     submits = (
         src.where(F.col("op") == "submit")
-        .select("task_id", F.timestamp_seconds(F.col("event_s") + 86400).alias("s_ts"))
+        .select(
+            "task_id",
+            F.col("event_s").alias("submit_s"),
+            F.timestamp_seconds(F.col("event_s") + 86400).alias("s_ts"),
+        )
         .withWatermark("s_ts", f"{WATERMARK_S} seconds")
     )
     assigns = (
@@ -231,10 +235,11 @@ def run_once(
         .trigger(availableNow=True)
         .start()
     )
-    # LEFT OUTER stream-stream interval join — the state-EVICTION
-    # semantics the inner join above never exercises: a submit with no
-    # assign inside its SLA window emits a null-extended row only when
-    # the join watermark passes submit + SLA_BOUND_S and its state is
+    # LEFT OUTER stream-stream interval join over the SAME watermarked
+    # substreams as the inner latency join — the state-EVICTION
+    # semantics that join never exercises: a submit with no assign
+    # inside its SLA window emits a null-extended row only when the
+    # join watermark passes submit + SLA_BOUND_S and its state is
     # evicted (inner matches still emit immediately). That makes the
     # null rows the interesting converged set: every SLA row is either
     # an on-time match or a PROVEN miss — a submit the stream can
@@ -243,40 +248,22 @@ def run_once(
     # combined watermark (min of both sides' filtered maxima − 30 s),
     # so it must NOT emit — an oracle cutoff any plain SQL LEFT JOIN
     # would get wrong.
-    sla_submits = (
-        src.where(F.col("op") == "submit")
-        .select(
-            "task_id",
-            F.col("event_s").alias("submit_s"),
-            F.timestamp_seconds(F.col("event_s") + 86400).alias("s_ts"),
-        )
-        .withWatermark("s_ts", f"{WATERMARK_S} seconds")
-    )
-    sla_assigns = (
-        src.where(F.col("op") == "assign")
-        .select(
-            F.col("task_id").alias("a_task_id"),
-            F.col("worker_id").alias("a_worker_id"),
-            F.col("event_s").alias("a_event_s"),
-            F.timestamp_seconds(F.col("event_s") + 86400).alias("a_ts"),
-        )
-        .withWatermark("a_ts", f"{WATERMARK_S} seconds")
-    )
     sla = (
-        sla_submits.join(
-            sla_assigns,
+        submits.alias("s")
+        .join(
+            assigns.alias("a"),
             F.expr(
-                "task_id = a_task_id AND "
-                f"a_ts BETWEEN s_ts AND s_ts + INTERVAL {SLA_BOUND_S} SECONDS"
+                "s.task_id = a.task_id AND "
+                f"a.a_ts BETWEEN s.s_ts AND s.s_ts + INTERVAL {SLA_BOUND_S} SECONDS"
             ),
             "leftOuter",
         )
         .select(
-            "task_id",
+            F.col("s.task_id").alias("task_id"),
             "submit_s",
-            F.col("a_worker_id").alias("worker_id"),
-            F.col("a_event_s").alias("assign_s"),
-            F.col("a_event_s").isNotNull().alias("sla_met"),
+            F.col("a.worker_id").alias("worker_id"),
+            F.col("a.assign_s").alias("assign_s"),
+            F.col("a.assign_s").isNotNull().alias("sla_met"),
         )
     )
     q5 = (
@@ -451,10 +438,13 @@ ORACLES = {
     # left-outer interval join: matches emit on sight; null-extended
     # rows emit only at state eviction, i.e. once the combined
     # watermark — min of the two FILTERED substreams' maxima minus the
-    # delay — closes the submit's SLA window. A plain SQL LEFT JOIN has
+    # delay — passes the submit's SLA window. A plain SQL LEFT JOIN has
     # no such cutoff, so the oracle applies it to the unmatched branch
     # explicitly (lt-stuck's submit at 8900 is the pin: undecidable at
-    # the final watermark, it must appear in neither branch).
+    # the final watermark, it must appear in neither branch). STRICT <:
+    # a window ending exactly ON the watermark is still in state — a
+    # boundary assign would not be late — pinned empirically by
+    # tests/test_stateful.py::test_unmatched_submits_watermark_boundary.
     "st_unmatched_submits": oracle_events_cte(
         f"""
         WITH s AS (
@@ -474,8 +464,8 @@ ORACLES = {
         FROM j
         WHERE assign_s IS NOT NULL
            OR submit_s + {SLA_BOUND_S}
-              <= LEAST((SELECT MAX(submit_s) FROM s),
-                       (SELECT MAX(event_s) FROM a)) - {WATERMARK_S}
+              < LEAST((SELECT MAX(submit_s) FROM s),
+                      (SELECT MAX(event_s) FROM a)) - {WATERMARK_S}
         ORDER BY task_id, submit_s, assign_s
         """
     ),

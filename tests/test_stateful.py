@@ -75,7 +75,13 @@ def test_unmatched_submits_eviction_semantics(spark, sf_dir):
     emit with their assign, proven SLA misses emit null-extended, and
     submits whose window the final watermark never closed (lt-stuck)
     appear in NEITHER branch — they are still in join state."""
-    rows = {r["task_id"]: r for r in stateful.st_unmatched_submits(spark, sf_dir).collect()}
+    all_rows = stateful.st_unmatched_submits(spark, sf_dir).collect()
+    rows = {r["task_id"]: r for r in all_rows}
+    # the scripted feed has one submit and at most one within-SLA assign
+    # per task — if a fixture change ever emits multiple rows per task,
+    # the per-task assertions below would silently check an arbitrary
+    # survivor, so pin the 1:1 shape first
+    assert len(all_rows) == len(rows)
     # scripted on-time dispatches (assign 1 s after submit)
     assert rows["lt-retry"]["sla_met"] and rows["lt-retry"]["assign_s"] == 101
     assert rows["lt-delayed"]["sla_met"] and rows["lt-delayed"]["worker_id"] == "lw1"
@@ -85,6 +91,36 @@ def test_unmatched_submits_eviction_semantics(spark, sf_dir):
     # lt-stuck's window end (8903) is past the final combined watermark
     # (min(max submit 8900, max assign 8910) − 30): undecidable, withheld
     assert "lt-stuck" not in rows
+
+
+def test_unmatched_submits_watermark_boundary(spark):
+    """Pin the eviction comparator the oracle mirrors: a submit whose
+    SLA window ends EXACTLY on the final combined watermark is still in
+    join state (a boundary assign would not be late), so it must NOT
+    emit — the oracle cutoff is a strict <, not <=. Feed: 'bnd' ends at
+    103 == min(max submit 133, max assign 500) − 30; 'ctl' ends at
+    93 < 103 and must emit as a proven miss."""
+    import os
+    import tempfile
+
+    rows = [
+        (90, "submit", "ctl", None, None),
+        (100, "submit", "bnd", None, None),
+        (133, "submit", "pad", None, None),
+        (500, "assign", "other", "w0", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_s BIGINT, op STRING, task_id STRING, worker_id STRING, task_json STRING",
+    )
+    work = tempfile.mkdtemp(prefix="wm_boundary_", dir=_scratch_root())
+    feed = os.path.join(work, "feed")
+    df.coalesce(1).write.parquet(feed)
+    out = stateful.run_once(spark, None, work, 0, feed=feed)
+    got = {r["task_id"]: r for r in spark.read.parquet(out["sla"]).collect()}
+    assert "ctl" in got and not got["ctl"]["sla_met"]
+    assert "bnd" not in got
+    assert "pad" not in got  # its own window end (136) is past the watermark too
 
 
 def test_counter_is_net_inflight(spark, sf_dir):

@@ -67,21 +67,10 @@ def test_dsir_logratio_floor_margin(sf):
     con = duckdb_conn(sf)
     rows = con.execute(
         f"""
-        WITH toks AS (
-          SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-          FROM documents WHERE length(trim(text)) > 0
-        ),
-        g AS (
-          SELECT doc_id, lang,
-                 CAST(concat('0x', substr(md5('dsir' ||
-                        array_to_string(t[i : i + 1], ' ')), 1, 8)) AS BIGINT)
-                   % {textops.DSIR_BUCKETS} AS f
-          FROM toks,
-          LATERAL (SELECT unnest(generate_series(1, GREATEST(len(t) - 1, 1))) AS i) s
-        )
-        SELECT f, COUNT(*) AS cr,
-               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
-        FROM g GROUP BY f
+        WITH {textops._HASHED_FEATS_CTES.strip()}
+        SELECT f, SUM(n_f) AS cr,
+               SUM(CASE WHEN lang = 'en' THEN n_f ELSE 0 END) AS ct
+        FROM feats GROUP BY f
         """
     ).fetchall()
     assert rows
@@ -129,6 +118,36 @@ def test_classifier_weight_floor_margins(sf):
     for v in vals:
         frac = v - math.floor(v)
         assert 1e-6 < frac < 1 - 1e-6, v
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_classifier_teacher_label_margins(sf):
+    """One flipped teacher label reshapes every NB weight, so the
+    teacher's own float boundary needs a pin too: each doc's raw
+    avg-NLL must sit well clear of its ROUND(·, 6) half-way point (the
+    only place a cross-engine summation-order ulp could flip keep).
+    Worst-case fold-order divergence of a ≤100-term double average at
+    |avg| ≈ 3.5 is (n−1)·eps·|avg| ≈ 4e-14 ≈ 4e-8 rounding cells; the
+    1e-6-cell margin leaves ~25×."""
+    con = duckdb_conn(sf)
+    vals = con.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT SUM(cnt) AS n_total FROM vocab)
+        SELECT AVG(-ln(cnt * 1.0 / n_total)) AS avg_nll
+        FROM toks JOIN vocab USING (tok), tot
+        GROUP BY doc_id
+        """
+    ).fetchall()
+    assert vals
+    for (v,) in vals:
+        frac = (v * 1e6) % 1.0
+        assert abs(frac - 0.5) > 1e-6, v
 
 
 def test_classifier_beats_base_rate(spark):

@@ -880,6 +880,28 @@ def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-status count columns back to long
+    (priority, status, n_orders) rows — Spark's `unpivot` relational
+    operator, the inverse of rel_pivot_status. Round-tripping the SAME
+    pivoted frame makes the pair a wide↔long conversion test: 5
+    priorities × 3 statuses = 15 rows, zeros preserved (a melt that
+    drops empty cells silently changes downstream aggregates). Shape:
+    one aggregation shuffle for the pivot; the melt itself is a pure
+    map-side expand (3 rows per input row, no shuffle)."""
+    wide = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return (
+        wide.unpivot(["o_orderpriority"], ["F", "O", "P"], "status", "n_orders")
+        .orderBy("o_orderpriority", "status")
+    )
+
+
 # --- TPC-H completion (Q2..Q22 shapes over the reduced fixture schema) ---
 #
 # The fixtures carry no partsupp table and drop several TPC-H columns
@@ -1380,6 +1402,7 @@ QUERIES = {
     "rel_q18_large_orders": rel_q18_large_orders,
     "rel_window_ranks": rel_window_ranks,
     "rel_pivot_status": rel_pivot_status,
+    "rel_unpivot_status": rel_unpivot_status,
     "rel_q4_order_priority": rel_q4_order_priority,
     "rel_q12_late_lines": rel_q12_late_lines,
     "rel_q13_custdist": rel_q13_custdist,
@@ -1781,6 +1804,19 @@ ORACLES = {
                CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
                CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    "rel_unpivot_status": """
+        WITH p AS (
+          SELECT o_orderpriority,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+          FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, s.status,
+               CASE s.status WHEN 'F' THEN f WHEN 'O' THEN o ELSE p END AS n_orders
+        FROM p CROSS JOIN (VALUES ('F'), ('O'), ('P')) s(status)
+        ORDER BY o_orderpriority, status
         """,
     "rel_q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count

@@ -84,6 +84,18 @@ def ivf_recall() -> int:
     return 0
 
 
+def _gen_sf1_dir() -> str:
+    """Generate (idempotently) and return the synthetic sf1 fixture dir
+    — ONE invocation/parse recipe shared by every probe that needs it."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return subprocess.run(
+        [sys.executable, os.path.join(here, "gen_scale_fixture.py")],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip().splitlines()[-1]
+
+
 def sf1_probe() -> int:
     """--sf1: candidate-pair growth + IVF recall at a synthetic sf1
     (10x sf0.1, statistics-matched — scripts/gen_scale_fixture.py).
@@ -92,13 +104,7 @@ def sf1_probe() -> int:
     corpus (10x docs → far less than 100x pairs), and the trained IVF
     quantizer's nprobe=3 recall must hold up at 10x the vectors.
     Exits non-zero if candidate growth exceeds the sub-quadratic gate."""
-    import subprocess
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    sf1_dir = subprocess.run(
-        [sys.executable, os.path.join(here, "gen_scale_fixture.py")],
-        check=True, capture_output=True, text=True,
-    ).stdout.strip().splitlines()[-1]
+    sf1_dir = _gen_sf1_dir()
 
     from task_hive_spark.session import get_spark
     from task_hive_spark.operators.similarity import sim_topk_brute, sim_topk_ivf
@@ -194,14 +200,10 @@ def lm_probe() -> int:
     the NB student's teacher agreement must HOLD UP at 10× the docs —
     a distillation whose accuracy collapses with corpus growth would
     mean the hashed feature space, not the data, was doing the work.
-    Exits non-zero if sf1 agreement falls below base rate + 0.1."""
-    import subprocess
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    sf1_dir = subprocess.run(
-        [sys.executable, os.path.join(here, "gen_scale_fixture.py")],
-        check=True, capture_output=True, text=True,
-    ).stdout.strip().splitlines()[-1]
+    Exits non-zero if agreement falls below base rate + 0.1 at ANY
+    scale (sf1 is the interesting one; the small scales are regression
+    canaries)."""
+    sf1_dir = _gen_sf1_dir()
 
     from task_hive_spark.session import get_spark
 
@@ -211,6 +213,7 @@ def lm_probe() -> int:
     qs = entrymod.queries()
     dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1_dir]
     tags = ["sf0.01", "sf0.1", "sf1"]
+    cls_rows: dict[str, list] = {}
     for name in [
         "txt_tfidf_topterms",
         "txt_bigram_lm_score",
@@ -221,15 +224,21 @@ def lm_probe() -> int:
         rows: dict[str, int] = {}
         for tag, d in zip(tags, dirs):
             t0 = time.perf_counter()
-            rows[tag] = qs[name](spark, d).count()
+            if name == "txt_quality_classifier":
+                # collected once here, reused by the agreement gate —
+                # the fit+score pipeline must not run twice per scale
+                cls_rows[tag] = qs[name](spark, d).collect()
+                rows[tag] = len(cls_rows[tag])
+            else:
+                rows[tag] = qs[name](spark, d).count()
             secs[tag] = round(time.perf_counter() - t0, 3)
         print(json.dumps({
             "probe": "lm_scale", "query": name, "rows": rows, "seconds": secs,
             "x10_time_growth": round(secs["sf1"] / max(secs["sf0.1"], 1e-9), 2),
         }))
     bad = 0
-    for tag, d in zip(tags, dirs):
-        r = qs["txt_quality_classifier"](spark, d).collect()
+    for tag in tags:
+        r = cls_rows[tag]
         agree = sum(x["agrees"] for x in r) / len(r)
         pos = sum(x["label"] for x in r)
         base = max(pos, len(r) - pos) / len(r)

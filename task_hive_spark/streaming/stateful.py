@@ -95,13 +95,26 @@ def _run_streams(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
 
 def run_once(
-    spark: SparkSession, sf_dir: str, work: str, n_chunks: int, feed: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    work: str,
+    n_chunks: int,
+    feed: str | None = None,
+    only: tuple[str, ...] | None = None,
 ) -> dict[str, str]:
-    """Run both streaming jobs against a chunked feed (the test entry
-    point — converged output must be invariant to n_chunks)."""
+    """Run the streaming jobs against a chunked feed (the test entry
+    point — converged output must be invariant to n_chunks). ``only``
+    starts just the named sinks (e.g. ("sla",)) — a semantics probe of
+    one operator shouldn't pay four unrelated checkpointed queries'
+    start/commit overhead."""
     if feed is None:
         feed = os.path.join(work, "feed")
         _write_chunks(spark, sf_dir, feed, n_chunks)
+
+    def want(k: str) -> bool:
+        return only is None or k in only
+
+    started = []
     out = {
         "counter": os.path.join(work, "counter"),
         "windows": os.path.join(work, "windows"),
@@ -128,13 +141,16 @@ def run_once(
             GroupStateTimeout.NoTimeout,
         )
     )
-    q1 = (
-        counter.writeStream.outputMode("update")
-        .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(out["counter"]))
-        .option("checkpointLocation", os.path.join(work, "ckpt_counter"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    if want("counter"):
+        started.append(
+            counter.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out["counter"])
+            )
+            .option("checkpointLocation", os.path.join(work, "ckpt_counter"))
+            .trigger(availableNow=True)
+            .start()
+        )
 
     windows = (
         src.withColumn("ts", F.timestamp_seconds("event_s"))
@@ -147,14 +163,15 @@ def run_once(
             "n",
         )
     )
-    q2 = (
-        windows.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out["windows"])
-        .option("checkpointLocation", os.path.join(work, "ckpt_windows"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    if want("windows"):
+        started.append(
+            windows.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out["windows"])
+            .option("checkpointLocation", os.path.join(work, "ckpt_windows"))
+            .trigger(availableNow=True)
+            .start()
+        )
     # Session windows (dynamic-gap event-time windows): one session per
     # burst of a worker's activity, closed after SESSION_GAP_S idle.
     # The state store merges windows as later chunks arrive; append mode
@@ -174,14 +191,15 @@ def run_once(
             "n_events",
         )
     )
-    q3 = (
-        sessions.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out["sessions"])
-        .option("checkpointLocation", os.path.join(work, "ckpt_sessions"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    if want("sessions"):
+        started.append(
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out["sessions"])
+            .option("checkpointLocation", os.path.join(work, "ckpt_sessions"))
+            .trigger(availableNow=True)
+            .start()
+        )
     # Stream-stream interval join: every assign matched to its submit
     # within DISPATCH_BOUND_S of event time. The time bound + watermarks
     # are what make the join state FINITE — each side's rows are evicted
@@ -227,14 +245,15 @@ def run_once(
             ),
         )
     )
-    q4 = (
-        latency.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out["latency"])
-        .option("checkpointLocation", os.path.join(work, "ckpt_latency"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    if want("latency"):
+        started.append(
+            latency.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out["latency"])
+            .option("checkpointLocation", os.path.join(work, "ckpt_latency"))
+            .trigger(availableNow=True)
+            .start()
+        )
     # LEFT OUTER stream-stream interval join over the SAME watermarked
     # substreams as the inner latency join — the state-EVICTION
     # semantics that join never exercises: a submit with no assign
@@ -266,19 +285,17 @@ def run_once(
             F.col("a.assign_s").isNotNull().alias("sla_met"),
         )
     )
-    q5 = (
-        sla.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out["sla"])
-        .option("checkpointLocation", os.path.join(work, "ckpt_sla"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q1.awaitTermination()
-    q2.awaitTermination()
-    q3.awaitTermination()
-    q4.awaitTermination()
-    q5.awaitTermination()
+    if want("sla"):
+        started.append(
+            sla.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out["sla"])
+            .option("checkpointLocation", os.path.join(work, "ckpt_sla"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    for q in started:
+        q.awaitTermination()
     return out
 
 

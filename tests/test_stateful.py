@@ -116,7 +116,7 @@ def test_unmatched_submits_watermark_boundary(spark):
     work = tempfile.mkdtemp(prefix="wm_boundary_", dir=_scratch_root())
     feed = os.path.join(work, "feed")
     df.coalesce(1).write.parquet(feed)
-    out = stateful.run_once(spark, None, work, 0, feed=feed)
+    out = stateful.run_once(spark, None, work, 0, feed=feed, only=("sla",))
     got = {r["task_id"]: r for r in spark.read.parquet(out["sla"]).collect()}
     assert "ctl" in got and not got["ctl"]["sla_met"]
     assert "bnd" not in got

@@ -86,14 +86,22 @@ def ivf_recall() -> int:
 
 def _gen_sf1_dir() -> str:
     """Generate (idempotently) and return the synthetic sf1 fixture dir
-    — ONE invocation/parse recipe shared by every probe that needs it."""
+    — ONE invocation/parse recipe shared by every probe that needs it.
+    Failures surface the generator's own stderr (check=True alone would
+    report only 'returned non-zero' with the cause swallowed)."""
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    return subprocess.run(
+    proc = subprocess.run(
         [sys.executable, os.path.join(here, "gen_scale_fixture.py")],
-        check=True, capture_output=True, text=True,
-    ).stdout.strip().splitlines()[-1]
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"gen_scale_fixture failed:\n{proc.stderr.strip()}")
+    lines = proc.stdout.strip().splitlines()
+    if not lines:
+        raise RuntimeError("gen_scale_fixture printed no output dir")
+    return lines[-1]
 
 
 def sf1_probe() -> int:
@@ -209,11 +217,16 @@ def lm_probe() -> int:
 
     import __spark_entry__ as entrymod
 
+    from pyspark.sql import functions as F
+
     spark = get_spark("scale_probe_lm")
     qs = entrymod.queries()
     dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1_dir]
     tags = ["sf0.01", "sf0.1", "sf1"]
-    cls_rows: dict[str, list] = {}
+    # gate stats collected DURING the classifier's timed run (three
+    # scalars per scale, not full row sets — driver residency must not
+    # grow with the corpus) and consumed by the agreement loop below
+    cls_stats: dict[str, tuple[int, int, int]] = {}
     for name in [
         "txt_tfidf_topterms",
         "txt_bigram_lm_score",
@@ -225,10 +238,17 @@ def lm_probe() -> int:
         for tag, d in zip(tags, dirs):
             t0 = time.perf_counter()
             if name == "txt_quality_classifier":
-                # collected once here, reused by the agreement gate —
-                # the fit+score pipeline must not run twice per scale
-                cls_rows[tag] = qs[name](spark, d).collect()
-                rows[tag] = len(cls_rows[tag])
+                agg = (
+                    qs[name](spark, d)
+                    .agg(
+                        F.sum(F.col("agrees").cast("int")).alias("a"),
+                        F.sum("label").alias("p"),
+                        F.count("*").alias("n"),
+                    )
+                    .collect()[0]
+                )
+                cls_stats[tag] = (int(agg["a"]), int(agg["p"]), int(agg["n"]))
+                rows[tag] = cls_stats[tag][2]
             else:
                 rows[tag] = qs[name](spark, d).count()
             secs[tag] = round(time.perf_counter() - t0, 3)
@@ -236,16 +256,18 @@ def lm_probe() -> int:
             "probe": "lm_scale", "query": name, "rows": rows, "seconds": secs,
             "x10_time_growth": round(secs["sf1"] / max(secs["sf0.1"], 1e-9), 2),
         }))
+    assert set(cls_stats) == set(tags), (
+        "agreement gate needs txt_quality_classifier in the timing list"
+    )
     bad = 0
     for tag in tags:
-        r = cls_rows[tag]
-        agree = sum(x["agrees"] for x in r) / len(r)
-        pos = sum(x["label"] for x in r)
-        base = max(pos, len(r) - pos) / len(r)
+        agrees, pos, n = cls_stats[tag]
+        agree = agrees / n
+        base = max(pos, n - pos) / n
         ok = agree >= base + 0.1
         bad += 0 if ok else 1
         print(json.dumps({
-            "probe": "lm_classifier_agreement", "sf": tag, "n_docs": len(r),
+            "probe": "lm_classifier_agreement", "sf": tag, "n_docs": n,
             "agreement": round(agree, 3), "base_rate": round(base, 3), "ok": ok,
         }))
     return 1 if bad else 0

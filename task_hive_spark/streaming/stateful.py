@@ -111,10 +111,6 @@ def run_once(
         feed = os.path.join(work, "feed")
         _write_chunks(spark, sf_dir, feed, n_chunks)
 
-    def want(k: str) -> bool:
-        return only is None or k in only
-
-    started = []
     out = {
         "counter": os.path.join(work, "counter"),
         "windows": os.path.join(work, "windows"),
@@ -122,6 +118,27 @@ def run_once(
         "latency": os.path.join(work, "latency"),
         "sla": os.path.join(work, "sla"),
     }
+    # fail fast on a typoed selector — a silent zero-sink run would
+    # surface later as an opaque path-does-not-exist at the reader
+    if only is not None and not set(only) <= out.keys():
+        raise ValueError(f"unknown sink(s) {set(only) - out.keys()}")
+
+    def want(k: str) -> bool:
+        return only is None or k in only
+
+    started = []
+
+    def start_sink(df: DataFrame, k: str) -> None:
+        """The shared parquet-append sink recipe (path + checkpoint
+        keyed by sink name, AvailableNow)."""
+        started.append(
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out[k])
+            .option("checkpointLocation", os.path.join(work, f"ckpt_{k}"))
+            .trigger(availableNow=True)
+            .start()
+        )
 
     src = (
         spark.readStream.schema(_EVENT_SCHEMA)
@@ -164,14 +181,7 @@ def run_once(
         )
     )
     if want("windows"):
-        started.append(
-            windows.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out["windows"])
-            .option("checkpointLocation", os.path.join(work, "ckpt_windows"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        start_sink(windows, "windows")
     # Session windows (dynamic-gap event-time windows): one session per
     # burst of a worker's activity, closed after SESSION_GAP_S idle.
     # The state store merges windows as later chunks arrive; append mode
@@ -192,14 +202,7 @@ def run_once(
         )
     )
     if want("sessions"):
-        started.append(
-            sessions.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out["sessions"])
-            .option("checkpointLocation", os.path.join(work, "ckpt_sessions"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        start_sink(sessions, "sessions")
     # Stream-stream interval join: every assign matched to its submit
     # within DISPATCH_BOUND_S of event time. The time bound + watermarks
     # are what make the join state FINITE — each side's rows are evicted
@@ -246,14 +249,7 @@ def run_once(
         )
     )
     if want("latency"):
-        started.append(
-            latency.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out["latency"])
-            .option("checkpointLocation", os.path.join(work, "ckpt_latency"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        start_sink(latency, "latency")
     # LEFT OUTER stream-stream interval join over the SAME watermarked
     # substreams as the inner latency join — the state-EVICTION
     # semantics that join never exercises: a submit with no assign
@@ -286,14 +282,7 @@ def run_once(
         )
     )
     if want("sla"):
-        started.append(
-            sla.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out["sla"])
-            .option("checkpointLocation", os.path.join(work, "ckpt_sla"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        start_sink(sla, "sla")
     for q in started:
         q.awaitTermination()
     return out

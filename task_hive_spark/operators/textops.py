@@ -734,13 +734,22 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     before tokenization: every gate in one pass, with the FIRST failing
     gate as the drop reason — too_short → duplicate (exact-dedup
     canonical) → low_quality (composite score) → repetitive (Gopher
-    gates). Shape: one fingerprint-window shuffle (the dedup decision)
-    over the materialized doc_stats index, one doc_id-co-partitioned
-    2-gram explosion (the shared _gopher_signals construction — the
-    same arithmetic txt_repetition_filter gates on), joined back on
-    doc_id; every other signal is a map-stage expression. At 100 TB
-    that is two narrow shuffles of |docs| rows — the same budget the
-    individual gates already pay."""
+    gates) → low_likelihood (the bigram-LM perplexity gate, the same
+    exact-integer arithmetic txt_bigram_lm_score gates on) — the
+    RefinedWeb/DCLM gate stack end-to-end. Shape: one
+    fingerprint-window shuffle (the dedup decision) over the
+    materialized doc_stats index, one doc_id-co-partitioned 2-gram
+    explosion (the shared _gopher_signals construction), and the
+    doc_id-partitioned pair-frequency index scan behind the LM scores —
+    all joins back on doc_id; every other signal is a map-stage
+    expression. At 100 TB that is three narrow shuffles of |docs| rows
+    — the same budget the individual gates already pay.
+
+    Gate-domain note: every doc that reaches the low_likelihood gate
+    has ≥ FILTER_MIN_TOKENS (=5) ≥ 2 tokens, so the left join against
+    _bigram_scores (defined on ntok ≥ 2) is total over the surviving
+    rows — the coalesce default can only ever apply to rows an earlier
+    gate already dropped."""
     scored = doc_stats(spark, sf_dir).select(
         "doc_id",
         "lang",
@@ -753,6 +762,10 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = flagged.join(
         _gopher_signals(spark, sf_dir).drop("ntok"), "doc_id", "left"
+    ).join(
+        _bigram_scores(spark, sf_dir).select("doc_id", "avg_p_micro"),
+        "doc_id",
+        "left",
     )
     # a doc with no grams (empty text) cannot be repetitive
     repetitive = F.coalesce(
@@ -760,11 +773,15 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("distinct_ratio_raw") < REP_DISTINCT_MIN),
         F.lit(False),
     )
+    low_likelihood = F.coalesce(
+        F.col("avg_p_micro") < LM_KEEP_MIN, F.lit(False)
+    )
     reason = (
         F.when(F.col("n_tokens") < FILTER_MIN_TOKENS, "too_short")
         .when(F.col("doc_id") != F.col("canonical_doc_id"), "duplicate")
         .when(F.col("quality") < MIX_QUALITY_MIN, "low_quality")
         .when(repetitive, "repetitive")
+        .when(low_likelihood, "low_likelihood")
         .otherwise("kept")
     )
     return (
@@ -1222,15 +1239,17 @@ def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_KEEP_MIN = 33_000
 
 
-def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality gate, bigram form: score every doc by the
-    mean interpolated bigram likelihood of its adjacent token pairs
-    under the corpus's own counts — p(w2|w1) = 0.9·c(w1w2)/c(w1) +
-    0.1·c(w2)/T — and keep docs whose mean (in exact 1e-6 units)
-    clears LM_KEEP_MIN. Formulaic high-probability text scores high;
-    docs full of rare transitions (garbage, wrong-language splices)
-    score low. The real CCNet filter scores with a pretrained KenLM;
-    the corpus-self-trained bigram table is the same shape with the LM
+def _bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores, bigram form (the unordered core
+    of txt_bigram_lm_score; the curation pipeline's low_likelihood gate
+    joins this rather than paying the registered query's global sort):
+    score every doc with ≥2 tokens by the mean interpolated bigram
+    likelihood of its adjacent token pairs under the corpus's own
+    counts — p(w2|w1) = 0.9·c(w1w2)/c(w1) + 0.1·c(w2)/T, in exact 1e-6
+    units. Formulaic high-probability text scores high; docs full of
+    rare transitions (garbage, wrong-language splices) score low. The
+    real CCNet filter scores with a pretrained KenLM; the
+    corpus-self-trained bigram table is the same shape with the LM
     training step inlined.
 
     Scale shape: one pair explosion co-partitioned by doc_id (the
@@ -1288,6 +1307,15 @@ def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("int").alias("n_pairs"),
             F.expr("sum(n * p_micro) div sum(n)").alias("avg_p_micro"),
         )
+    )
+
+
+def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered (gated + ordered) form of _bigram_scores: keep
+    docs whose mean pair likelihood clears LM_KEEP_MIN — an exact
+    integer comparison, no float surface anywhere in the path."""
+    return (
+        _bigram_scores(spark, sf_dir)
         .withColumn("keep", F.col("avg_p_micro") >= LM_KEEP_MIN)
         .orderBy("doc_id")
     )
@@ -1751,11 +1779,14 @@ ORACLES = {
           SELECT doc_id, len(list_distinct(t)) * 1.0 / len(t) AS distinct_ratio_raw
           FROM toks
         ),
+        {{LM_CTES}},
         j AS (
-          SELECT f.*, rep.top2_frac_raw, ratio.distinct_ratio_raw
+          SELECT f.*, rep.top2_frac_raw, ratio.distinct_ratio_raw,
+                 lm.avg_p_micro
           FROM flagged f
           LEFT JOIN rep USING (doc_id)
           LEFT JOIN ratio USING (doc_id)
+          LEFT JOIN lm_scored lm USING (doc_id)
         ),
         reasons AS (
           SELECT doc_id, lang, n_tokens,
@@ -1765,6 +1796,8 @@ ORACLES = {
                       WHEN COALESCE(top2_frac_raw > {REP_TOP2_MAX}
                                     OR distinct_ratio_raw < {REP_DISTINCT_MIN},
                                     FALSE) THEN 'repetitive'
+                      WHEN COALESCE(avg_p_micro < {LM_KEEP_MIN}, FALSE)
+                           THEN 'low_likelihood'
                       ELSE 'kept' END AS reason
           FROM j
         )
@@ -1924,39 +1957,51 @@ FROM r WHERE rnk <= {TFIDF_TOP} ORDER BY doc_id, rnk
 # exact-integer mirror: every division is a positive-operand integer
 # division (`//` here, `div` on the Spark side), so the score carries no
 # float at all; the hugeint SUM is cast back to BIGINT before dividing
-# to keep the output schema at int64
-ORACLES["txt_bigram_lm_score"] = f"""
-WITH toks AS (
+# to keep the output schema at int64. lm_-prefixed CTE names so the
+# fragment composes into oracles that already define their own `toks`
+# (the filter pipeline's).
+_BIGRAM_SCORE_CTES = """
+lm_toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
   FROM documents WHERE length(trim(text)) > 0
 ),
-pairs AS (
+lm_pairs AS (
   SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+  FROM lm_toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
   WHERE len(t) >= 2
 ),
-big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
-uni AS (
+lm_big AS (SELECT w1, w2, COUNT(*) AS c12 FROM lm_pairs GROUP BY 1, 2),
+lm_uni AS (
   SELECT tok, COUNT(*) AS cnt
-  FROM (SELECT unnest(t) AS tok FROM toks) u GROUP BY 1
+  FROM (SELECT unnest(t) AS tok FROM lm_toks) u GROUP BY 1
 ),
-tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM uni),
-scored AS (
+lm_tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_total FROM lm_uni),
+lm_scored AS (
   SELECT doc_id, COUNT(*) AS n_pairs,
          CAST(CAST(SUM((9000000 * c12) // (10 * c1)
                        + (1000000 * c2) // (10 * t_total)) AS BIGINT)
               // COUNT(*) AS BIGINT) AS avg_p_micro
-  FROM pairs
-  JOIN big USING (w1, w2)
-  JOIN (SELECT tok AS w1, cnt AS c1 FROM uni) u1 USING (w1)
-  JOIN (SELECT tok AS w2, cnt AS c2 FROM uni) u2 USING (w2)
-  , tot
+  FROM lm_pairs
+  JOIN lm_big USING (w1, w2)
+  JOIN (SELECT tok AS w1, cnt AS c1 FROM lm_uni) u1 USING (w1)
+  JOIN (SELECT tok AS w2, cnt AS c2 FROM lm_uni) u2 USING (w2)
+  , lm_tot
   GROUP BY doc_id
 )
+"""
+
+ORACLES["txt_bigram_lm_score"] = f"""
+WITH {_BIGRAM_SCORE_CTES.strip()}
 SELECT doc_id, CAST(n_pairs AS INT) AS n_pairs, avg_p_micro,
        avg_p_micro >= {LM_KEEP_MIN} AS keep
-FROM scored ORDER BY doc_id
+FROM lm_scored ORDER BY doc_id
 """
+
+# the pipeline oracle composes the same LM-score CTEs (defined above,
+# after the dict literal — hence the placeholder substitution)
+ORACLES["txt_filter_pipeline"] = ORACLES["txt_filter_pipeline"].replace(
+    "{LM_CTES}", _BIGRAM_SCORE_CTES.strip()
+)
 
 # shared by the DSIR and quality-classifier oracles: the hashed-bigram
 # feature table (mirrors hashed_gram_features)

@@ -35,7 +35,7 @@ DEFAULT = [
     "txt_repetition_filter",  # 2-gram explode co-partitioned by doc — linear
     "txt_decontaminate",  # broadcast benchmark grams — hit count sub-linear
     "txt_sequence_pack",  # distributed prefix sum — bins linear in tokens
-    "txt_filter_pipeline",  # two narrow shuffles — rows linear
+    "txt_filter_pipeline",  # three narrow shuffles — rows linear
     "txt_unigram_logprob",  # broadcast vocab probe — rows linear
     "sim_pq_codes",  # K-way codebook fan-out per vector — rows linear
     "th_assign_least_tasks",

@@ -1959,12 +1959,10 @@ FROM r WHERE rnk <= {TFIDF_TOP} ORDER BY doc_id, rnk
 # float at all; the hugeint SUM is cast back to BIGINT before dividing
 # to keep the output schema at int64. lm_-prefixed CTE names so the
 # fragment composes into oracles that already define their own `toks`
-# (the filter pipeline's).
-_BIGRAM_SCORE_CTES = """
-lm_toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-  FROM documents WHERE length(trim(text)) > 0
-),
+# (the filter pipeline's) — composed hosts pass their tokenized CTE as
+# {src} so the documents regexp scan isn't paid twice in one query.
+_BIGRAM_SCORE_CTES_TMPL = """
+lm_toks AS ({src}),
 lm_pairs AS (
   SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
   FROM lm_toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
@@ -1990,6 +1988,13 @@ lm_scored AS (
 )
 """
 
+# standalone form: the fragment tokenizes documents itself
+_LM_TOKS_SRC = (
+    "SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t "
+    "FROM documents WHERE length(trim(text)) > 0"
+)
+_BIGRAM_SCORE_CTES = _BIGRAM_SCORE_CTES_TMPL.format(src=_LM_TOKS_SRC)
+
 ORACLES["txt_bigram_lm_score"] = f"""
 WITH {_BIGRAM_SCORE_CTES.strip()}
 SELECT doc_id, CAST(n_pairs AS INT) AS n_pairs, avg_p_micro,
@@ -1998,9 +2003,12 @@ FROM lm_scored ORDER BY doc_id
 """
 
 # the pipeline oracle composes the same LM-score CTEs (defined above,
-# after the dict literal — hence the placeholder substitution)
+# after the dict literal — hence the placeholder substitution), with
+# lm_toks riding the host's identical `toks` CTE so the documents
+# regexp scan runs once per gate run, not twice
 ORACLES["txt_filter_pipeline"] = ORACLES["txt_filter_pipeline"].replace(
-    "{LM_CTES}", _BIGRAM_SCORE_CTES.strip()
+    "{LM_CTES}",
+    _BIGRAM_SCORE_CTES_TMPL.format(src="SELECT doc_id, t FROM toks").strip(),
 )
 
 # shared by the DSIR and quality-classifier oracles: the hashed-bigram

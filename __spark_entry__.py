@@ -54,18 +54,19 @@ from pyspark.sql import DataFrame, SparkSession
 #      st_minhash_incremental, txt_bpe_tokenize — the last also
 #      displacing rel_scalar_datetime, a pure deterministic
 #      map-stage query hash-checked at sf0.001 every pytest run).
-#   6. six operators added later in the round (txt_tfidf_topterms,
+#   6. seven operators added later in the round (txt_tfidf_topterms,
 #      txt_bigram_lm_score, txt_dsir_sample, txt_quality_classifier,
-#      st_unmatched_submits, rel_unpivot_status) are never-graded and
-#      take front slots from six r5-green queries whose round-6 delta
-#      is value-invariant on the fixtures: xp_dispatch_results (the
-#      int64-overflow guard has no >18-digit fixture suffix;
-#      unit-tested at tests/test_processors.py), st_snapshot_merge
-#      (crash-path atomicity only), and rel_q14_promo_effect /
-#      rel_q17_small_qty_revenue / rel_q15_top_supplier /
-#      rel_q19_disjunctive_join (small aggregates of the shared _cents
+#      txt_temperature_mix, st_unmatched_submits, rel_unpivot_status)
+#      are never-graded and take front slots from seven r5-green
+#      queries whose round-6 delta is value-invariant on the fixtures:
+#      xp_dispatch_results (the int64-overflow guard has no >18-digit
+#      fixture suffix; unit-tested at tests/test_processors.py),
+#      st_snapshot_merge (crash-path atomicity only), and
+#      rel_q14_promo_effect / rel_q17_small_qty_revenue /
+#      rel_q15_top_supplier / rel_q19_disjunctive_join /
+#      rel_q20_excess_stock (small aggregates of the shared _cents
 #      helper, whose half-up equivalence is test-pinned and regraded
-#      through the ten cents-family queries still in front).
+#      through the nine cents-family queries still in front).
 # Every back-set query is bit-identical this round apart from
 # behavior-invariant refactors with provably identical plans (the
 # load_table memoization, the portable_hash32 / status_count_aggs /
@@ -102,6 +103,7 @@ _BACK_R6 = frozenset(
         "rel_q15_top_supplier",
         "rel_q17_small_qty_revenue",
         "rel_q19_disjunctive_join",
+        "rel_q20_excess_stock",
         "rel_q12_late_lines",
         "rel_q13_custdist",
         "rel_q16_supplier_part_count",

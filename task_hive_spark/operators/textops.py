@@ -668,6 +668,54 @@ def txt_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-based multilingual sampling (the XLM-R / mT5 α-sampling
+# rule, Conneau et al. 2020 §3.1): draw language l with probability
+# p_l ∝ s_l^α, α < 1 flattening the natural distribution so
+# low-resource languages are upsampled without destroying the
+# high-resource signal. α is a dyadic rational (eighths) so s^α =
+# exp(α·ln s) uses an exactly-representable exponent in both engines.
+MIX_ALPHA = 0.375
+
+
+def txt_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture: derive the training mix FROM the corpus
+    (p_l ∝ share_l^α) rather than toward an externally-given target
+    (txt_mix_rebalance's waterfill) — the two standard mixture modes.
+    Per language: natural token share, temperature share, and the
+    oversample factor (temp/natural — >1 means the language is drawn
+    more often than its natural rate; the rarest language gets the
+    biggest boost). Shape: one 5-row aggregation over the doc_stats
+    index plus two scalar broadcasts — the same budget as every other
+    mix query; nothing scales with the corpus."""
+    prof = (
+        doc_stats(spark, sf_dir)
+        .select("lang", F.col("ws_tokens").cast("long").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("actual_tokens"))
+    )
+    tot = prof.agg(F.sum("actual_tokens").alias("t_all"))
+    shared = prof.crossJoin(F.broadcast(tot)).withColumn(
+        "share_raw", F.col("actual_tokens") / F.col("t_all")
+    )
+    powed = shared.withColumn(
+        "pow_raw", F.pow(F.col("share_raw"), F.lit(MIX_ALPHA))
+    )
+    z = powed.agg(F.sum("pow_raw").alias("z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "actual_tokens",
+            F.round("share_raw", 6).alias("natural_share"),
+            F.round(F.col("pow_raw") / F.col("z"), 6).alias("temp_share"),
+            F.round(
+                (F.col("pow_raw") / F.col("z")) / F.col("share_raw"), 6
+            ).alias("oversample_factor"),
+        )
+        .orderBy("lang")
+    )
+
+
 def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus unigram LM table (tok, cnt) as a session index —
     ONE definition for every consumer (_unigram_scores' NLL probe, the
@@ -1531,6 +1579,7 @@ QUERIES = {
     "txt_sentiment": txt_sentiment,
     "txt_unigram_logprob": txt_unigram_logprob,
     "txt_mix_rebalance": txt_mix_rebalance,
+    "txt_temperature_mix": txt_temperature_mix,
     "txt_tfidf_topterms": txt_tfidf_topterms,
     "txt_bigram_lm_score": txt_bigram_lm_score,
     "txt_dsir_sample": txt_dsir_sample,
@@ -1819,6 +1868,31 @@ ORACLES = {
                ROUND(LEAST(target_share * m_total / actual_tokens, 1.0), 6)
                  AS sample_rate
         FROM prof, m ORDER BY lang
+        """,
+    # α = 0.375 is exactly representable in double, so power(share, α)
+    # evaluates the same (share, exponent) pair in both engines; the
+    # round-6 boundary margins are pinned in tests/test_textops_lm.py
+    "txt_temperature_mix": f"""
+        WITH prof AS (
+          SELECT lang, CAST(SUM({_WS_TOKENS_SAFE}) AS BIGINT) AS actual_tokens
+          FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(SUM(actual_tokens) AS BIGINT) AS t_all FROM prof),
+        s AS (
+          SELECT lang, actual_tokens, actual_tokens / t_all AS share_raw
+          FROM prof, tot
+        ),
+        p AS (
+          SELECT lang, actual_tokens, share_raw,
+                 power(share_raw, {MIX_ALPHA}) AS pow_raw
+          FROM s
+        ),
+        z AS (SELECT SUM(pow_raw) AS z FROM p)
+        SELECT lang, actual_tokens,
+               ROUND(share_raw, 6) AS natural_share,
+               ROUND(pow_raw / z, 6) AS temp_share,
+               ROUND((pow_raw / z) / share_raw, 6) AS oversample_factor
+        FROM p, z ORDER BY lang
         """,
     "txt_unigram_logprob": f"""
         WITH toks AS (

@@ -183,6 +183,30 @@ def test_bigram_lm_is_exact_and_bounded(spark):
     assert keeps == {True, False}, "LM_KEEP_MIN must split the corpus"
 
 
+@pytest.mark.parametrize("sf", SFS)
+def test_temperature_mix_margins_and_flattening(sf):
+    """The α-sampling outputs: round-6 boundaries clear a margin ≫ the
+    cross-engine pow/division ulp (the only float surface), and the
+    temperature distribution actually flattens — the rarest language is
+    oversampled (factor > 1), the most common undersampled (< 1), and
+    the temperature shares still sum to 1."""
+    con = duckdb_conn(sf)
+    rows = con.execute(
+        textops.ORACLES["txt_temperature_mix"]
+        .replace("ROUND(share_raw, 6)", "share_raw")
+        .replace("ROUND(pow_raw / z, 6)", "pow_raw / z")
+        .replace("ROUND((pow_raw / z) / share_raw, 6)", "(pow_raw / z) / share_raw")
+    ).fetchall()
+    assert rows
+    for _lang, _n, nat, temp, over in rows:
+        for v in (nat, temp, over):
+            frac = (v * 1e6) % 1.0
+            assert abs(frac - 0.5) > 1e-6, (_lang, v)
+    by_nat = sorted(rows, key=lambda r: r[2])
+    assert by_nat[0][4] > 1.0 and by_nat[-1][4] < 1.0
+    assert abs(sum(r[3] for r in rows) - 1.0) < 1e-12
+
+
 def test_dsir_selects_target_like_docs(spark):
     """Directional sanity: the DSIR top-K is enriched in the target
     domain (lang='en') relative to the corpus base rate — the whole

@@ -13,171 +13,75 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# The driver grades the FIRST 50 registered queries, so registration
-# order is an evidence-rotation policy: the back set below holds the
-# queries with the freshest driver evidence (or the least drift since
-# their last grading), everything else registers first.
-#
-# Round-6 front-50 composition (policy: every query whose code changed
-# this round regrades in front; remaining slots go to the stalest
-# driver evidence):
-#   1. the 10 dd_* queries — CORPUS_SQL augmented-id offsets widened to
-#      1e9 (the r5 verdict's #1 task; value-bearing for every dd hash);
-#   2. the 14 _cents-family rel_* queries — the exact-cents conversion
-#      moved to the arithmetic half-up form and Q1's partial layout
-#      changed (r5 task 3);
-#   3. the 5 textops queries now reading the shared doc_stats index /
-#      _gopher_signals helper, two of them with exact-integer quality
-#      averages (r5 tasks 4 & 7);
-#   4. st_timer_requeue (watermark no longer frozen at the last fail —
-#      ADVICE medium), st_snapshot_merge (versioned atomic snapshot
-#      swap), xp_dispatch_results (int64-safe vectorized executor),
-#      gr_pagerank + sim_topk_ivf_pq (value-bearing float-discipline
-#      fixes from the round-6 review: repr-interpolated teleport
-#      numerator; integer-unit ADC sum — gr_pagerank re-fronted in
-#      place of the value-identical txt_token_stats), and the
-#      never-graded dd_semdedup (added this round) displacing
-#      dd_minhash_signatures — the one dd_* demotion the CORPUS_SQL
-#      offset change still covers transitively: dd_minhash_lsh_pairs
-#      joins the SAME materialized signature index back, so a green
-#      lsh_pairs regrade certifies the signatures at the new offsets;
-#   5. r3-evidence holdovers (lifecycle fold queries and
-#      similarity picks; the scalar-function trio ultimately ceded
-#      its slots to changed-code regrades — the seven
-#      lifecycle fold queries, mm_frame_sample, sim kmeans/quantize/
-#      label-centroids, dd_embedding_cosine_pairs) + 3 r4-evidence
-#      picks with the most code adjacency (txt_unigram_logprob on the
-#      token_index) — all three r4 picks (cat_bucketed_join_stats,
-#      mm_audio_segments, txt_unigram_logprob) ultimately ceded
-#      their slots to the never-graded operators added later in
-#      the round (txt_bpe_merges, dd_duplicate_spans,
-#      st_minhash_incremental, txt_bpe_tokenize — the last also
-#      displacing rel_scalar_datetime, a pure deterministic
-#      map-stage query hash-checked at sf0.001 every pytest run).
-#   6. seven operators added later in the round (txt_tfidf_topterms,
-#      txt_bigram_lm_score, txt_dsir_sample, txt_quality_classifier,
-#      txt_temperature_mix, st_unmatched_submits, rel_unpivot_status)
-#      are never-graded and take front slots from seven r5-green
-#      queries whose round-6 delta is value-invariant on the fixtures:
-#      xp_dispatch_results (the int64-overflow guard has no >18-digit
-#      fixture suffix; unit-tested at tests/test_processors.py),
-#      st_snapshot_merge (crash-path atomicity only), and
-#      rel_q14_promo_effect / rel_q17_small_qty_revenue /
-#      rel_q15_top_supplier / rel_q19_disjunctive_join /
-#      rel_q20_excess_stock (small aggregates of the shared _cents
-#      helper, whose half-up equivalence is test-pinned and regraded
-#      through the nine cents-family queries still in front).
-# Every back-set query is bit-identical this round apart from
-# behavior-invariant refactors with provably identical plans (the
-# load_table memoization, the portable_hash32 / status_count_aggs /
-# fixture_is_active expression extractions, and txt_pii_scrub's +
-# rel_grouping_sets_events' switch to the shared memoized view
-# registration), and remains
-# hash-checked against its DuckDB oracle at
-# sf0.001 on every pytest run (tests/test_oracle_suite.py) plus
-# re-verified at sf0.01 by scripts/verify_local.py before this
-# rotation landed.
-_BACK_R6 = frozenset(
-    {
-        "cat_bucketed_join_stats",
-        "cat_pending_by_type",
-        "mm_audio_segments",
-        "dd_embedding_cosine_pairs",
-        "dd_minhash_signatures",
-        "mm_catalog_stats",
-        "mm_decode_features",
-        "mm_frame_sample",
-        "rel_approx_distinct",
-        "rel_asof_join",
-        "rel_case_null_logic",
-        "rel_correlated_above_avg",
-        "rel_cube_part",
-        "rel_distinct_aggs",
-        "rel_grouping_sets_events",
-        "rel_lag_lead_delta",
-        "rel_outer_join_nulls",
-        "rel_percentiles",
-        "rel_pivot_status",
-        "rel_q11_important_stock",
-        "rel_q14_promo_effect",
-        "rel_q15_top_supplier",
-        "rel_q17_small_qty_revenue",
-        "rel_q19_disjunctive_join",
-        "rel_q20_excess_stock",
-        "rel_q12_late_lines",
-        "rel_q13_custdist",
-        "rel_q16_supplier_part_count",
-        "rel_q18_large_orders",
-        "rel_q21_waiting_suppliers",
-        "rel_q2_min_cost_supplier",
-        "rel_q4_order_priority",
-        "rel_range_join",
-        "rel_rollup_orders",
-        "rel_scalar_datetime",
-        "rel_scalar_math",
-        "rel_scalar_string",
-        "rel_self_join_prev_order",
-        "rel_semi_anti_join",
-        "rel_sessionize",
-        "rel_set_ops",
-        "rel_topk_per_group",
-        "rel_window_frames",
-        "rel_window_ranks",
-        "rel_window_running",
-        "sim_topk_brute",
-        "sim_topk_ivf",
-        "sim_topk_lsh",
-        "sim_label_centroids",
-        "sim_quantize_int8",
-        "src_csv_roundtrip",
-        "src_jsonl_roundtrip",
-        "src_orc_roundtrip",
-        "st_dispatch_latency",
-        "st_snapshot_merge",
-        "st_session_windows",
-        "st_stream_dedup",
-        "st_stream_dedup_bounded",
-        "st_worker_counter_stateful",
-        "th_api_json",
-        "th_assign_banded",
-        "th_assign_least_tasks",
-        "th_assign_random",
-        "th_assign_round_robin",
-        "th_assignment_load",
-        "th_backoff_schedule",
-        "th_composite_keys",
-        "th_eligible_workers",
-        "th_id_functions",
-        "th_latest_event_per_user",
-        "th_least_tasks_worker",
-        "th_list_all_union",
-        "th_list_by_status",
-        "th_payload_parse",
-        "th_pending_count",
-        "th_point_get",
-        "th_snapshot_merge",
-        "th_spider_ingest",
-        "th_stats",
-        "th_status_enum_roundtrip",
-        "th_top10_pending",
-        "th_unknown_type_failed",
-        "th_worker_inbox",
-        "th_workers_liveness",
-        "txt_unigram_logprob",
-        "txt_bm25_topk",
-        "txt_chunks",
-        "txt_decontaminate",
-        "txt_hash_sample",
-        "txt_importance_sample",
-        "txt_language_id",
-        "txt_pii_scrub",
-        "txt_sentiment",
-        "txt_sequence_pack",
-        "txt_token_stats",
-        "xp_dispatch_results",
-        "xp_taskgen_summary",
-    }
-)
+# Round-7 front-50 (policy: scripts/evidence_age.py asserts it — the
+# r6-comment-maintained freshness claim drifted, so the front set is
+# now EXPLICIT and derived from the CORRECTNESS_r0*.json ledgers):
+#   1. the round's never-graded additions (txt_clean_corpus family);
+#   2. ALL 16 queries whose latest driver grade is r3 (the stalest
+#      evidence in the ledger — r6 verdict task 1);
+#   3. the seven r5-graded queries the r6 session-2 rotation demoted
+#      (xp_dispatch_results, st_snapshot_merge, rel_q14/q15/q17/q19/q20);
+#   4. fillers from the r4-evidence block, code-adjacent first
+#      (txt_unigram_logprob reads the refactored _bigram_scores core;
+#      cat_* sit on the Derby isolation change), then rel_*/st_*/th_ in
+#      name order. The 17 r4-evidence th_* queries that did not fit
+#      remain back-set (every back query is still hash-checked at
+#      sf0.001 per pytest run and at sf0.01/sf0.1 by verify_local) and
+#      are the planned _FRONT_R8 core.
+# New operators added later this round displace fillers from the END
+# of this list (keeping 2+3 intact).
+_FRONT_R7 = [
+    "txt_clean_corpus",
+    "txt_clean_corpus_stats",
+    "dd_embedding_cosine_pairs",
+    "mm_frame_sample",
+    "rel_case_null_logic",
+    "rel_correlated_above_avg",
+    "rel_pivot_status",
+    "rel_scalar_datetime",
+    "rel_scalar_math",
+    "rel_scalar_string",
+    "rel_window_ranks",
+    "sim_label_centroids",
+    "sim_quantize_int8",
+    "txt_chunks",
+    "txt_hash_sample",
+    "txt_language_id",
+    "txt_pii_scrub",
+    "txt_token_stats",
+    "xp_dispatch_results",
+    "st_snapshot_merge",
+    "rel_q14_promo_effect",
+    "rel_q15_top_supplier",
+    "rel_q17_small_qty_revenue",
+    "rel_q19_disjunctive_join",
+    "rel_q20_excess_stock",
+    "txt_unigram_logprob",
+    "cat_bucketed_join_stats",
+    "cat_pending_by_type",
+    "mm_audio_segments",
+    "rel_approx_distinct",
+    "rel_asof_join",
+    "rel_cube_part",
+    "rel_distinct_aggs",
+    "rel_grouping_sets_events",
+    "rel_lag_lead_delta",
+    "rel_outer_join_nulls",
+    "rel_percentiles",
+    "rel_range_join",
+    "rel_rollup_orders",
+    "rel_self_join_prev_order",
+    "rel_semi_anti_join",
+    "rel_sessionize",
+    "rel_set_ops",
+    "rel_topk_per_group",
+    "rel_window_frames",
+    "rel_window_running",
+    "st_dispatch_latency",
+    "st_session_windows",
+    "st_stream_dedup_bounded",
+    "th_assign_banded",
+]
 
 # The driver's grading window; the front set must fill it exactly so no
 # grading slot is wasted and no front query silently falls off the end.
@@ -212,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         graph,
         multimodal,
+        pipeline,
         processors,
         queries as q,
         relational,
@@ -229,7 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         timers,
     )
 
-    # Register evidence-first (see _BACK_R6): queries whose driver
+    # Register evidence-first (see _FRONT_R7): queries whose driver
     # evidence is stalest fill the 50 graded slots; the freshly-graded
     # set rotates to the back.
     out: dict[str, Callable] = {}
@@ -250,13 +155,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(cdcmerge.QUERIES)
     out.update(minhashstream.QUERIES)
     out.update(textfiles.QUERIES)
+    out.update(pipeline.QUERIES)
 
-    front = {k: v for k, v in out.items() if k not in _BACK_R6}
-    back = {k: v for k, v in out.items() if k in _BACK_R6}
-    assert len(front) == GRADING_WINDOW, (
+    missing = [k for k in _FRONT_R7 if k not in out]
+    assert not missing, f"front names not registered: {missing}"
+    assert len(_FRONT_R7) == GRADING_WINDOW, (
         f"front set must fill the driver's grading window exactly: "
-        f"{len(front)} != {GRADING_WINDOW} — re-balance _BACK_R6"
+        f"{len(_FRONT_R7)} != {GRADING_WINDOW} — re-balance _FRONT_R7"
     )
+    front = {k: out[k] for k in _FRONT_R7}
+    back = {k: v for k, v in out.items() if k not in front}
     ordered = {**front, **back}
 
     def _wrap(fn):
@@ -275,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         graph,
         multimodal,
+        pipeline,
         processors,
         queries as q,
         relational,
@@ -310,4 +219,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(graph.ORACLES)
     out.update(textfiles.ORACLES)
+    out.update(pipeline.ORACLES)
     return out

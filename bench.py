@@ -40,6 +40,16 @@ HEADLINE = [
     "dd_simhash",
     "dd_chunk_dedup",
     "sim_topk_lsh",
+    # round-6 additions (r6 verdict task 3: the newest, heaviest code
+    # needs committed wall-time evidence). Note: txt_bpe_merges' DuckDB
+    # mirror is the unrolled splice-chain correctness artifact, not a
+    # tuned DuckDB implementation — its ratio reads in Spark's favor.
+    "dd_semdedup",
+    "dd_duplicate_spans",
+    "txt_bigram_lm_score",
+    "txt_dsir_sample",
+    "txt_quality_classifier",
+    "txt_bpe_merges",
 ]
 
 
@@ -75,9 +85,21 @@ def main() -> int:
     # warm-session methodology the DuckDB baseline is timed under.
     # Cold-start cost is a per-session constant, not a per-query
     # property of the plan.
+    def _pre_run(name: str) -> None:
+        # txt_bpe_merges memoizes its ENTIRE learned result per session
+        # (the trainer/tokenizer share one learning run); timing the
+        # cached list would be fake. Clear it so every measured run
+        # re-learns — the word-frequency session index stays warm, the
+        # same index-amortized footing as every other headline query.
+        if name == "txt_bpe_merges":
+            from task_hive_spark.operators.textops import _BPE_MERGE_CACHE
+
+            _BPE_MERGE_CACHE.clear()
+
     for _ in range(2):
         for name in names:
             try:
+                _pre_run(name)
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass  # warm-up is best-effort; the timed run surfaces real errors
@@ -91,6 +113,7 @@ def main() -> int:
     for name in names:
         best = float("inf")
         for _ in range(3):
+            _pre_run(name)
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -66,7 +66,12 @@ def latest_grades(ledgers: dict[int, dict]) -> dict[str, tuple[int, bool]]:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--max-age", type=int, default=2)
+    # default: the steady-state bound. A 50-slot window over N queries
+    # regrades each query every ceil(N/50) rounds at best, so with 149
+    # registered queries "age <= 2" is structurally impossible — the
+    # honest invariant is age <= ceil(N/window) with every older query
+    # fronted for regrading. Pass --max-age to tighten.
+    ap.add_argument("--max-age", type=int, default=None)
     ap.add_argument("--current-round", type=int, default=None)
     args = ap.parse_args()
 
@@ -83,6 +88,9 @@ def main() -> int:
     registered = list(entry.queries().keys())
     window = entry.GRADING_WINDOW
     front = set(registered[:window])
+    steady = -(-len(registered) // window)  # ceil(N/window)
+    if args.max_age is None:
+        args.max_age = steady
 
     grades = latest_grades(ledgers)
 
@@ -102,7 +110,8 @@ def main() -> int:
         hist[a] = hist.get(a, 0) + 1
     print(f"ledgers: r{min(ledgers):02d}..r{latest_round:02d}; "
           f"current round = r{current:02d}; registered = {len(registered)}; "
-          f"front window = {window}")
+          f"front window = {window}; steady-state bound = {steady} "
+          f"(gating at max-age {args.max_age})")
     for a in sorted(hist):
         label = "never-graded" if a == float("inf") else f"age {int(a)}"
         print(f"  {label}: {hist[a]}")

@@ -430,18 +430,19 @@ REP_TOP2_MAX = 0.05  # max share of the most frequent 2-gram
 REP_DISTINCT_MIN = 0.4  # min distinct-token ratio
 
 
-def _gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher repetition signals per non-empty doc: (doc_id, ntok,
-    top2_frac_raw, distinct_ratio_raw). ONE construction shared by
-    txt_repetition_filter and txt_filter_pipeline — the thresholds are
-    correctness-bearing, so the signal arithmetic must not drift between
-    the standalone gate and the composed pipeline. Scale shape: the
-    2-gram explosion is co-partitioned by doc_id (one |docs|-row
-    shuffle), both aggregations run exchange-free on top of it, and the
-    distinct-ratio branch is a pure map stage joined back on the same
-    partitioning; every non-empty doc emits ≥1 gram, so the inner join
-    is total over the token_index domain."""
-    t = token_index(spark, sf_dir)
+def gopher_signals_of(t: DataFrame) -> DataFrame:
+    """The Gopher repetition signals per non-empty doc of a (doc_id,
+    toks, ntok) frame: (doc_id, ntok, top2_frac_raw,
+    distinct_ratio_raw). ONE construction shared by
+    txt_repetition_filter, txt_filter_pipeline and the cleaned-corpus
+    materializer (pipeline.py, which gates the AUGMENTED dedup corpus)
+    — the thresholds are correctness-bearing, so the signal arithmetic
+    must not drift between the standalone gate and the compositions.
+    Scale shape: the 2-gram explosion is co-partitioned by doc_id (one
+    |docs|-row shuffle), both aggregations run exchange-free on top of
+    it, and the distinct-ratio branch is a pure map stage joined back
+    on the same partitioning; every non-empty doc emits ≥1 gram, so the
+    inner join is total over the frame's domain."""
     cnt = _toks_ngrams(t, 2).groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     rep = cnt.groupBy("doc_id").agg(
         (F.max("c") / F.sum("c")).alias("top2_frac_raw"),
@@ -452,6 +453,10 @@ def _gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct("toks")) / F.col("ntok")).alias("distinct_ratio_raw"),
     )
     return ratio.join(rep, "doc_id")
+
+
+def _gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_signals_of(token_index(spark, sf_dir))
 
 
 def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,51 +857,87 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each merge round is pair-count + argmax + merge-apply over the vocab
 # rows. At 100 TB the corpus pass is the only heavy stage; the loop
 # touches millions of vocab rows, not trillions of tokens.
-BPE_MERGES = 8
+#
+# BATCHED rounds (r6 verdict task 4): strict Sennrich training is one
+# Spark job per merge — a 32k-merge production vocab would be 32k
+# sequential driver-paced jobs. Each round here selects the top
+# BPE_BATCH pairs that are pairwise SYMBOL-DISJOINT (no shared lft/rgt,
+# and no selected pair's merged symbol equal to another's symbol) from
+# ONE pair-count pass and applies them in one vocab fold — disjointness
+# makes the simultaneous application identical to applying them one at
+# a time in any order. Bound (documented + parity-tested in
+# tests/test_text_functions.py): BPE_BATCH=1 is EXACTLY sequential
+# Sennrich; for BPE_BATCH>1 the merge PATH may diverge from sequential
+# because merges chain — sequential's next pick is often a pair using
+# the symbol just created (t+h → th+e), which a disjoint batch cannot
+# see until the next round (measured on the fixture vocab: the 64
+# batched merges share ~45/64 of sequential's merge set while paying 8
+# driver rounds instead of 64). That is the standard throughput /
+# fidelity trade of batched tokenizer trainers; the DuckDB oracle
+# applies the SAME batched selection rule, so the value gate still
+# checks this implementation exactly.
+BPE_MERGES = 64
+BPE_BATCH = 8
 # the oracle unrolls first-occurrence splices; 8 per round covers words
 # to 17 chars (the fixture max is 8; a longer-word corpus raises this)
 _BPE_ORACLE_REPS = 8
 
 
-def _greedy_merge_expr(lft: str, rgt: str) -> str:
-    """SQL expression applying ONE learned merge to the `syms` array,
-    greedy left-to-right (the BPE application rule): fold over the
-    symbols, merging when the accumulator's tail is `lft` and the next
-    symbol is `rgt`. The merged token is strictly longer than `lft`, so
-    a merge can never cascade within the same fold step — the fold IS
-    exact greedy semantics ('a a a' under (a,a) → [aa, a], not [a, aa]).
-    Symbols are [a-z0-9]+ by tokenizer construction, so inlining them
-    in single quotes is injection-safe (asserted by the caller)."""
-    merged = lft + rgt
+def _greedy_multi_merge_expr(pairs: list[tuple[str, str]]) -> str:
+    """SQL expression applying one ROUND of learned merges to the
+    `syms` array, greedy left-to-right (the BPE application rule): fold
+    over the symbols, merging when the accumulator's tail is a pair's
+    lft and the next symbol its rgt. The round's pairs are pairwise
+    symbol-disjoint by selection, so at most one WHEN branch can match
+    any (tail, next) state and the one-pass fold equals applying the
+    pairs one at a time. A merged token is strictly longer than its
+    lft, so a merge can never cascade within the same fold step — the
+    fold IS exact greedy semantics ('a a a' under (a,a) → [aa, a], not
+    [a, aa]). Symbols are [a-z0-9]+ by tokenizer construction, so
+    inlining them in single quotes is injection-safe (asserted by the
+    caller)."""
+    whens = "\n            ".join(
+        f"WHEN size(acc) > 0 AND element_at(acc, -1) = '{lft}' AND s = '{rgt}'"
+        f" THEN concat(slice(acc, 1, size(acc) - 1), array('{lft + rgt}'))"
+        for lft, rgt in pairs
+    )
     return f"""
         aggregate(
           syms,
           CAST(array() AS ARRAY<STRING>),
           (acc, s) -> CASE
-            WHEN size(acc) > 0 AND element_at(acc, -1) = '{lft}' AND s = '{rgt}'
-            THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}'))
+            {whens}
             ELSE concat(acc, array(s))
           END
         )
     """
 
 
+def _greedy_merge_expr(lft: str, rgt: str) -> str:
+    """Single-merge form of _greedy_multi_merge_expr (kept for the fold
+    semantics unit/property tests)."""
+    return _greedy_multi_merge_expr([(lft, rgt)])
+
+
 def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first BPE_MERGES byte-pair-encoding merges over the
-    corpus: per round, the (left, right) adjacent-symbol pair with the
-    highest frequency-weighted occurrence count (ties broken by
-    (left, right) ascending — fully deterministic), applied greedy
-    left-to-right before the next round. Output: one row per learned
-    merge (merge_round, lft, rgt, pair_count).
+    """Learn BPE_MERGES byte-pair-encoding merges over the corpus in
+    batched rounds: per round, the top BPE_BATCH pairwise
+    symbol-disjoint (left, right) adjacent-symbol pairs by
+    frequency-weighted occurrence count (ties broken by (left, right)
+    ascending — fully deterministic), all applied greedy left-to-right
+    in one vocab fold before the next round. Output: one row per
+    learned merge (merge_round = global 1-based selection order, lft,
+    rgt, pair_count as of the pair's round start).
 
     Shape: one corpus pass builds the word-frequency table (a session
     index — the training-mix/profile discipline); every merge round is
-    vocab-sized work. The per-round argmax is a bounded 1-row driver
-    collect (the k-means-iteration pattern); per-round localCheckpoint
-    keeps the plan O(1) in rounds. The DuckDB oracle runs the SAME
-    procedure with the merge application unrolled as first-occurrence
-    string splices — two independent implementations of greedy BPE
-    whose agreement the value gate checks end-to-end."""
+    vocab-sized work. The per-round selection is a bounded driver
+    collect over the sorted pair-count head (the k-means-iteration
+    pattern); per-round localCheckpoint keeps the plan O(1) in rounds.
+    The DuckDB oracle runs the SAME batched procedure with the merge
+    application unrolled as first-occurrence string splices — two
+    independent implementations of greedy BPE whose agreement the
+    value gate checks end-to-end."""
     merges, _v = _learn_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_round int, lft string, rgt string, pair_count bigint"
@@ -945,7 +986,7 @@ def _learn_merges(
         ),
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, BPE_MERGES + 1):
+    while len(merges) < BPE_MERGES:
         pairs = (
             v.where(F.size("syms") > 1)
             .select(
@@ -960,14 +1001,40 @@ def _learn_merges(
             .groupBy("p.lft", "p.rgt")
             .agg(F.sum("freq").alias("c"))
         )
-        top = pairs.orderBy(F.desc("c"), "lft", "rgt").limit(1).collect()
-        if not top:
+        want = min(BPE_BATCH, BPE_MERGES - len(merges))
+        # conflict-greedy selection over the (c desc, lft, rgt) order:
+        # walk the sorted pair list, skip any pair touching a symbol an
+        # accepted pair already uses (its lft, rgt, or merged token).
+        # Collect a bounded head and widen if conflicts exhaust it —
+        # equivalent to scanning the full sorted list, but the driver
+        # only ever holds a small prefix.
+        lim = max(64, 8 * want)
+        while True:
+            head = pairs.orderBy(F.desc("c"), "lft", "rgt").limit(lim).collect()
+            sel: list[tuple[str, str, int]] = []
+            used: set[str] = set()
+            for row in head:
+                lft, rgt = row["lft"], row["rgt"]
+                if lft in used or rgt in used or (lft + rgt) in used:
+                    continue
+                assert lft.isalnum() and rgt.isalnum(), "non-alnum BPE symbol"
+                sel.append((lft, rgt, int(row["c"])))
+                used.update((lft, rgt, lft + rgt))
+                if len(sel) == want:
+                    break
+            if len(sel) == want or len(head) < lim:
+                break  # filled the batch, or the pair table is exhausted
+            lim *= 4
+        if not sel:
             break  # every word fully merged — corpus smaller than rounds
-        lft, rgt, c = top[0]["lft"], top[0]["rgt"], int(top[0]["c"])
-        assert lft.isalnum() and rgt.isalnum(), "non-alnum symbol in BPE vocab"
-        merges.append((rnd, lft, rgt, c))
+        for lft, rgt, c in sel:
+            merges.append((len(merges) + 1, lft, rgt, c))
         v = v.select(
-            "w", "freq", F.expr(_greedy_merge_expr(lft, rgt)).alias("syms")
+            "w",
+            "freq",
+            F.expr(_greedy_multi_merge_expr([(l, r) for l, r, _ in sel])).alias(
+                "syms"
+            ),
         ).localCheckpoint(eager=True)
     _BPE_MERGE_CACHE[key] = (merges, v)
     return merges, v
@@ -1004,16 +1071,24 @@ def txt_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql() -> str:
-    """Unrolled DuckDB mirror of txt_bpe_merges: per round, pair counts
-    + deterministic argmax, then _BPE_ORACLE_REPS first-occurrence
-    splices of ' lft rgt ' → ' lftrgt ' over the padded symbol string —
-    replacing the leftmost occurrence repeatedly IS greedy
-    left-to-right (a replacement re-emits both boundary spaces and can
-    never create an earlier match, since the merged token would have to
-    equal a shorter symbol). Every per-step CTE is AS MATERIALIZED:
-    DuckDB inlines plain CTEs, and the thrice-referenced position()
-    expression would otherwise grow 3^REPS per round."""
+def _bpe_chain_sql() -> tuple[str, str, str]:
+    """Unrolled DuckDB mirror of the batched trainer's CTE chain.
+    Returns (chain_sql, final_vocab_cte_name, merge_union_sql).
+
+    Per round: pair counts, then BPE_BATCH conflict-greedy argmax steps
+    (each step's argmax excludes every symbol — lft, rgt, merged — an
+    earlier step of the round selected, via the accumulated u-CTEs:
+    exactly the driver-side conflict-greedy walk over the full sorted
+    pair list), then per selected pair _BPE_ORACLE_REPS
+    first-occurrence splices of ' lft rgt ' → ' lftrgt ' over the
+    padded symbol string — replacing the leftmost occurrence repeatedly
+    IS greedy left-to-right (a replacement re-emits both boundary
+    spaces and can never create an earlier match, since the merged
+    token would have to equal a shorter symbol), and round pairs are
+    symbol-disjoint so the per-pair splice chains commute. Every
+    multi-referenced per-step CTE is AS MATERIALIZED: DuckDB inlines
+    plain CTEs, and the thrice-referenced position() expression would
+    otherwise grow 3^REPS per round."""
     parts = [
         """toks AS (
   SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
@@ -1026,68 +1101,118 @@ vocab0 AS (
   FROM toks GROUP BY w
 )"""
     ]
-    for rnd in range(1, BPE_MERGES + 1):
+    # round schedule: full BPE_BATCH rounds plus a remainder round
+    schedule = [BPE_BATCH] * (BPE_MERGES // BPE_BATCH)
+    if BPE_MERGES % BPE_BATCH:
+        schedule.append(BPE_MERGES % BPE_BATCH)
+    sel_rows: list[str] = []
+    for rnd, want in enumerate(schedule, 1):
         prev = f"vocab{rnd - 1}"
         parts.append(
-            f"""p{rnd} AS (
+            f"""p{rnd} AS MATERIALIZED (
   SELECT syms[CAST(i AS INT)] AS lft, syms[CAST(i AS INT) + 1] AS rgt,
          SUM(freq) AS c
   FROM (SELECT freq, string_split(sym, ' ') AS syms FROM {prev}
         WHERE sym LIKE '% %') t,
   LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) s
   GROUP BY 1, 2
-),
-m{rnd} AS MATERIALIZED (
-  -- sentinel fallback: when the pair supply is exhausted before
-  -- BPE_MERGES rounds, an EMPTY argmax would cross-join the vocab
-  -- chain to zero rows; the ('','',0) row keeps the chain alive, its
-  -- '   ' pattern (empty symbols) can never match a single-space-
-  -- joined sym, and the final union filters c > 0 so the emitted
-  -- merge list still matches Spark's early-exit loop
-  SELECT lft, rgt, c FROM (
-    (SELECT lft, rgt, c FROM p{rnd} ORDER BY c DESC, lft, rgt LIMIT 1)
-    UNION ALL SELECT '', '', 0
-  ) ORDER BY c DESC LIMIT 1),
-r{rnd}_0 AS MATERIALIZED (
-  SELECT w, freq, ' ' || sym || ' ' AS p,
-         ' ' || lft || ' ' || rgt || ' ' AS pat,
-         ' ' || lft || rgt || ' ' AS rep
-  FROM {prev}, m{rnd}
 )"""
         )
-        for k in range(1, _BPE_ORACLE_REPS + 1):
+        for j in range(1, want + 1):
+            excl = (
+                ""
+                if j == 1
+                else f"""
+  WHERE lft NOT IN (SELECT s FROM u{rnd}_{j - 1})
+    AND rgt NOT IN (SELECT s FROM u{rnd}_{j - 1})
+    AND (lft || rgt) NOT IN (SELECT s FROM u{rnd}_{j - 1})"""
+            )
             parts.append(
-                f"""r{rnd}_{k} AS MATERIALIZED (
+                f"""m{rnd}_{j} AS MATERIALIZED (
+  -- sentinel fallback: when the pair supply is exhausted, an EMPTY
+  -- argmax would cross-join the vocab chain to zero rows; the
+  -- ('','',0) row keeps the chain alive, its '   ' pattern (empty
+  -- symbols) can never match a single-space-joined sym, and the final
+  -- union filters c > 0 so the emitted merge list still matches
+  -- Spark's early-exit loop
+  SELECT lft, rgt, c FROM (
+    (SELECT lft, rgt, c FROM p{rnd}{excl} ORDER BY c DESC, lft, rgt LIMIT 1)
+    UNION ALL SELECT '', '', 0
+  ) ORDER BY c DESC LIMIT 1)"""
+            )
+            carry = (
+                f"\n  UNION SELECT s FROM u{rnd}_{j - 1}" if j > 1 else ""
+            )
+            parts.append(
+                f"""u{rnd}_{j} AS (
+  SELECT lft AS s FROM m{rnd}_{j} WHERE c > 0
+  UNION SELECT rgt FROM m{rnd}_{j} WHERE c > 0
+  UNION SELECT lft || rgt FROM m{rnd}_{j} WHERE c > 0{carry}
+)"""
+            )
+            sel_rows.append(
+                f"SELECT {rnd} AS rnd, {j} AS j, lft, rgt, c"
+                f" FROM m{rnd}_{j} WHERE c > 0"
+            )
+        # application: chain the per-pair splice sequences; pair j reads
+        # the padded string pair j-1 finished with
+        for j in range(1, want + 1):
+            src = (
+                f"(SELECT w, freq, ' ' || sym || ' ' AS p FROM {prev})"
+                if j == 1
+                else f"(SELECT w, freq, p FROM r{rnd}_{j - 1}_{_BPE_ORACLE_REPS})"
+            )
+            parts.append(
+                f"""r{rnd}_{j}_0 AS MATERIALIZED (
+  SELECT w, freq, p,
+         ' ' || lft || ' ' || rgt || ' ' AS pat,
+         ' ' || lft || rgt || ' ' AS rep
+  FROM {src} v, m{rnd}_{j}
+)"""
+            )
+            for k in range(1, _BPE_ORACLE_REPS + 1):
+                parts.append(
+                    f"""r{rnd}_{j}_{k} AS MATERIALIZED (
   SELECT w, freq, pat, rep,
          CASE WHEN position(pat IN p) > 0
               THEN substr(p, 1, position(pat IN p) - 1) || rep
                    || substr(p, position(pat IN p) + length(pat))
               ELSE p END AS p
-  FROM r{rnd}_{k - 1}
+  FROM r{rnd}_{j}_{k - 1}
 )"""
-            )
+                )
         parts.append(
-            f"vocab{rnd} AS MATERIALIZED (SELECT w, freq, trim(p) AS sym FROM r{rnd}_{_BPE_ORACLE_REPS})"
+            f"vocab{rnd} AS MATERIALIZED (SELECT w, freq, trim(p) AS sym"
+            f" FROM r{rnd}_{want}_{_BPE_ORACLE_REPS})"
         )
-    union = "\nUNION ALL ".join(
-        f"SELECT {r} AS merge_round, lft, rgt, CAST(c AS BIGINT) AS pair_count"
-        f" FROM m{r} WHERE c > 0"
-        for r in range(1, BPE_MERGES + 1)
+    union = (
+        "sel_all AS (\n" + "\nUNION ALL ".join(sel_rows) + "\n)"
     )
-    return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY merge_round"
+    parts.append(union)
+    chain = "WITH " + ",\n".join(parts)
+    return chain, f"vocab{len(schedule)}", "sel_all"
+
+
+def _bpe_oracle_sql() -> str:
+    chain, _final, sel = _bpe_chain_sql()
+    return (
+        chain
+        + f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, j) AS INT) AS merge_round,
+       lft, rgt, CAST(c AS BIGINT) AS pair_count
+FROM {sel} ORDER BY merge_round"""
+    )
 
 
 def _bpe_tokenize_oracle_sql() -> str:
-    """Per-doc roll-up over the training chain's FINAL vocab state
-    (vocab{BPE_MERGES}): word→subtoken counts joined onto the token
-    stream — the oracle side of txt_bpe_tokenize, sharing every CTE of
-    the training oracle so learning and application are checked as one
-    pipeline."""
-    base = _bpe_oracle_sql()
-    chain = base[: base.rindex("\nSELECT 1 AS merge_round")]
+    """Per-doc roll-up over the training chain's FINAL vocab state:
+    word→subtoken counts joined onto the token stream — the oracle side
+    of txt_bpe_tokenize, sharing every CTE of the training oracle so
+    learning and application are checked as one pipeline."""
+    chain, final, _sel = _bpe_chain_sql()
     return chain + f""",
 seg AS (SELECT w, CAST(len(string_split(sym, ' ')) AS INT) AS n_subtok
-        FROM vocab{BPE_MERGES}),
+        FROM {final}),
 dtoks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
   FROM documents WHERE length(trim(text)) > 0
@@ -1317,29 +1442,45 @@ def _bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-partitioned by doc_id; both the LM fit (a vocab²-bounded
     # second-level aggregate) and the scoring join read THIS index —
     # the pair explosion never runs twice
-    def build_pair_freq() -> DataFrame:
-        t = token_index(spark, sf_dir).where(F.col("ntok") >= 2)
-        toks = t.select(
-            "doc_id", "toks", "ntok", F.posexplode("toks").alias("pos", "w1")
-        )
-        return (
-            toks.where(F.col("pos") <= F.col("ntok") - 2)
-            .select(
-                "doc_id",
-                "w1",
-                F.try_element_at("toks", F.col("pos") + 2).alias("w2"),
-            )
-            .groupBy("doc_id", "w1", "w2")
-            .agg(F.count("*").alias("n"))
-        )
-
-    pf = session_index(spark, sf_dir, "doc_pair_freq", build_pair_freq)
+    pf = session_index(
+        spark, sf_dir, "doc_pair_freq", lambda: pair_freq_of(token_index(spark, sf_dir))
+    )
 
     def build_bigrams() -> DataFrame:
         return pf.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
 
     big = session_index(spark, sf_dir, "bigram_counts", build_bigrams)
     vocab = unigram_vocab(spark, sf_dir)
+    return bigram_scores_of(pf, big, vocab)
+
+
+def pair_freq_of(t: DataFrame) -> DataFrame:
+    """Per-(doc, adjacent-token-pair) multiplicity table of a (doc_id,
+    toks, ntok) frame — the one-corpus-pass input every bigram-LM
+    consumer aggregates from (see _bigram_scores)."""
+    toks = t.where(F.col("ntok") >= 2).select(
+        "doc_id", "toks", "ntok", F.posexplode("toks").alias("pos", "w1")
+    )
+    return (
+        toks.where(F.col("pos") <= F.col("ntok") - 2)
+        .select(
+            "doc_id",
+            "w1",
+            F.try_element_at("toks", F.col("pos") + 2).alias("w2"),
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def bigram_scores_of(pf: DataFrame, big: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Interpolated-bigram doc scores from a pair-frequency frame
+    (doc_id, w1, w2, n), a bigram-count table (w1, w2, c12) and a
+    unigram table (tok, cnt) — the arithmetic core shared by
+    _bigram_scores (base documents, session-indexed tables) and the
+    cleaned-corpus materializer (pipeline.py, corpus-trained tables).
+    One definition so the exact 1e-6 integer likelihood cannot drift
+    between the standalone gate and the composition."""
     total = vocab.agg(F.sum("cnt").alias("t_total"))
     p_micro = F.expr("(9000000 * c12) div (10 * c1)") + F.expr(
         "(1000000 * c2) div (10 * t_total)"

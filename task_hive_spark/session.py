@@ -9,10 +9,48 @@ comparable against the DuckDB oracle, Arrow for the Python boundary.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
+def _isolated_store_dirs() -> tuple[str, str]:
+    """Per-PROCESS Derby metastore + warehouse directories.
+
+    Embedded Derby is single-connection: two concurrent processes
+    sharing one ``derby.system.home`` make the second one fail every
+    catalog query with a HiveException (hit in round 6 when pytest and
+    verify_local ran together). Catalog tables are (re)created inside
+    their own session (plans/catalog.py's ready-caches key on
+    applicationId), so nothing needs to survive the process — key both
+    stores by pid, and sweep stale pid dirs whose owner is gone so
+    repeated runs don't accumulate metastores."""
+    pid = os.getpid()
+    out = []
+    for base in ("/root/repo/.derby", "/root/repo/.warehouse"):
+        os.makedirs(base, exist_ok=True)
+        for d in os.listdir(base):
+            if d.startswith("pid-"):
+                try:
+                    owner = int(d[4:])
+                except ValueError:
+                    continue
+                if owner != pid and not _pid_alive(owner):
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        out.append(os.path.join(base, f"pid-{pid}"))
+    return out[0], out[1]
 
 
 def get_spark(app_name: str = "task_hive_spark", extra_conf: dict | None = None) -> SparkSession:
@@ -23,6 +61,7 @@ def get_spark(app_name: str = "task_hive_spark", extra_conf: dict | None = None)
     ``spark.sql.files.maxPartitionBytes`` bounds scan-task size.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", DEFAULT_SHUFFLE_PARTITIONS)
+    derby_home, warehouse = _isolated_store_dirs()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -55,10 +94,11 @@ def get_spark(app_name: str = "task_hive_spark", extra_conf: dict | None = None)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Persistent catalog (plans/catalog.py): warehouse + derby
-        # metastore pinned under the repo so saveAsTable works from any
-        # cwd. enableHiveSupport uses pyspark's builtin Hive classes.
-        .config("spark.sql.warehouse.dir", "/root/repo/.warehouse")
-        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/root/repo/.derby")
+        # metastore under the repo (so saveAsTable works from any cwd),
+        # keyed per PROCESS — see _isolated_store_dirs.
+        # enableHiveSupport uses pyspark's builtin Hive classes.
+        .config("spark.sql.warehouse.dir", warehouse)
+        .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={derby_home}")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

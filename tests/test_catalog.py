@@ -54,3 +54,34 @@ def test_catalog_matches_view(spark):
         )
     }
     assert got == want and got
+
+
+def test_concurrent_process_catalog_isolated(spark, sf_dir):
+    """A SECOND concurrent process must run catalog queries green while
+    this session holds its own embedded-Derby connection (round-6 wart:
+    a shared derby.system.home made the second process fail every cat_*
+    query with HiveException — gate runs had to be solo). get_spark now
+    keys the metastore and warehouse per pid (session._isolated_store_dirs)."""
+    import subprocess
+    import sys
+
+    from task_hive_spark.plans.catalog import cat_pending_by_type
+
+    # hold a live Derby connection in THIS process
+    assert cat_pending_by_type(spark, sf_dir).count() > 0
+    code = (
+        "from task_hive_spark.session import get_spark\n"
+        "from task_hive_spark.plans.catalog import cat_pending_by_type\n"
+        f"rows = cat_pending_by_type(get_spark('derby-iso'), {sf_dir!r}).collect()\n"
+        "assert rows, 'no rows'\n"
+        "print('CONCURRENT-OK', len(rows))\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "CONCURRENT-OK" in r.stdout

@@ -104,3 +104,101 @@ def test_bpe_merges_are_wellformed(spark, sf_dir):
         for side in (r.lft, r.rgt):
             assert len(side) == 1 or side in built, side
         built.add(r.lft + r.rgt)
+
+
+def test_bpe_batched_selection_parity(spark, sf_dir):
+    """(r6 verdict task 4) The batched trainer's parity bounds:
+    (a) cross-implementation: the Spark fold trainer's BPE_MERGES
+        merges equal an independent pure-Python batched-greedy mirror
+        merge-for-merge (selection order, symbols, counts);
+    (b) BPE_BATCH=1 degenerates to EXACT sequential Sennrich — the
+        batched rule at k=1 reproduces the sequential trainer, so
+        batching is the ONLY source of divergence;
+    (c) the documented bound where k>1 diverges from sequential:
+        merges chain (sequential's next pick may use the symbol it
+        just created, which a symbol-disjoint batch cannot), so the
+        batched PATH differs — but it must still recover most of the
+        sequential merge set on the fixture."""
+    from collections import Counter
+
+    from task_hive_spark.operators.textops import (
+        BPE_BATCH,
+        BPE_MERGES,
+        _bpe_vocab,
+        txt_bpe_merges,
+    )
+
+    vocab = {r["w"]: r["freq"] for r in _bpe_vocab(spark, sf_dir).collect()}
+
+    def pair_counts(syms):
+        cnt = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += f
+        return cnt
+
+    def apply_rules(syms, rules):
+        d = {(l, r): l + r for l, r, _ in rules}
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) in d:
+                    out.append(d[(s[i], s[i + 1])])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    def batched(total, batch):
+        syms = {w: list(w) for w in vocab}
+        merges = []
+        while len(merges) < total:
+            cnt = pair_counts(syms)
+            if not cnt:
+                break
+            sel, used = [], set()
+            want = min(batch, total - len(merges))
+            for (l, r), c in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0])):
+                if l in used or r in used or (l + r) in used:
+                    continue
+                sel.append((l, r, c))
+                used |= {l, r, l + r}
+                if len(sel) == want:
+                    break
+            if not sel:
+                break
+            merges.extend(sel)
+            apply_rules(syms, sel)
+        return merges
+
+    def sequential(total):
+        syms = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(total):
+            cnt = pair_counts(syms)
+            if not cnt:
+                break
+            (l, r), c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append((l, r, c))
+            apply_rules(syms, [(l, r, c)])
+        return merges
+
+    # (a) Spark == python batched mirror
+    spark_merges = [
+        (r["lft"], r["rgt"], int(r["pair_count"]))
+        for r in txt_bpe_merges(spark, sf_dir).collect()
+    ]
+    assert spark_merges == batched(BPE_MERGES, BPE_BATCH)
+
+    # (b) k=1 == sequential, exactly (16 merges keeps the test cheap)
+    assert batched(16, 1) == sequential(16)
+
+    # (c) documented k>1 bound: path diverges, merge-set mostly recovered
+    seq = {(l, r) for l, r, _ in sequential(BPE_MERGES)}
+    bat = {(l, r) for l, r, _ in spark_merges}
+    assert len(seq & bat) >= int(0.6 * BPE_MERGES), (
+        f"batched trainer recovered only {len(seq & bat)}/{BPE_MERGES} "
+        "of the sequential merge set"
+    )

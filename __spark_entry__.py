@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 #      evidence in the ledger — r6 verdict task 1);
 #   3. the seven r5-graded queries the r6 session-2 rotation demoted
 #      (xp_dispatch_results, st_snapshot_merge, rel_q14/q15/q17/q19/q20);
+#   1b. later-round additions displace fillers from the END of the
+#      list as planned: txt_unigram_lm_vocab/_fertility displaced
+#      st_stream_dedup_bounded and th_assign_banded (both r4-evidence,
+#      now first in the _FRONT_R8 core).
 #   4. fillers from the r4-evidence block, code-adjacent first
 #      (txt_unigram_logprob reads the refactored _bigram_scores core;
 #      cat_* sit on the Derby isolation change), then rel_*/st_*/th_ in
@@ -33,6 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 _FRONT_R7 = [
     "txt_clean_corpus",
     "txt_clean_corpus_stats",
+    "txt_unigram_lm_vocab",
+    "txt_unigram_lm_fertility",
     "dd_embedding_cosine_pairs",
     "mm_frame_sample",
     "rel_case_null_logic",
@@ -79,8 +85,6 @@ _FRONT_R7 = [
     "rel_window_running",
     "st_dispatch_latency",
     "st_session_windows",
-    "st_stream_dedup_bounded",
-    "th_assign_banded",
 ]
 
 # The driver's grading window; the front set must fill it exactly so no
@@ -122,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         relational,
         similarity,
         textops,
+        unigram_lm,
     )
     from task_hive_spark.plans import catalog
     from task_hive_spark.sources import textfiles
@@ -156,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(minhashstream.QUERIES)
     out.update(textfiles.QUERIES)
     out.update(pipeline.QUERIES)
+    out.update(unigram_lm.QUERIES)
 
     missing = [k for k in _FRONT_R7 if k not in out]
     assert not missing, f"front names not registered: {missing}"
@@ -189,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         relational,
         similarity,
         textops,
+        unigram_lm,
     )
     from task_hive_spark.plans import catalog
     from task_hive_spark.sources import textfiles
@@ -220,4 +227,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(graph.ORACLES)
     out.update(textfiles.ORACLES)
     out.update(pipeline.ORACLES)
+    out.update(unigram_lm.ORACLES)
     return out

@@ -373,22 +373,49 @@ def _write_chunks(spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int
     ev.unpersist()
 
 
+EVENT_SCHEMA = (
+    "event_s BIGINT, op STRING, task_id STRING, worker_id STRING, task_json STRING"
+)
+
+
 def start_lifecycle(
     spark: SparkSession,
     work_dir: str,
     feed_dir: str,
     trigger: dict | None = None,
 ):
-    """Start the lifecycle stream against `feed_dir` and return
-    (query, paths). `paths` is the LIVE pointer dict the fold advances
-    per micro-batch — callers can read the current converged-so-far
-    snapshot while the stream runs (the pointer swaps only after a
-    version is fully written, the same read-validity discipline as the
-    facade's snapshots). Default trigger drains what is already in the
-    feed (AvailableNow); pass e.g. {"processingTime": "200 milliseconds"}
-    for a LIVE feed that a producer appends to while the query runs —
+    """Start the lifecycle stream against the file feed `feed_dir` —
     the file source picks up new chunk files in mtime order exactly as
-    the etcd watch delivers new revisions."""
+    the etcd watch delivers new revisions. See start_lifecycle_stream
+    for the returned (query, paths) contract; streaming/socketfeed.py
+    plugs a push-based socket source into the same fold."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(feed_dir)
+    )
+    return start_lifecycle_stream(spark, work_dir, stream, trigger)
+
+
+def start_lifecycle_stream(
+    spark: SparkSession,
+    work_dir: str,
+    stream: DataFrame,
+    trigger: dict | None = None,
+):
+    """Start the lifecycle fold over ANY streaming DataFrame with the
+    EVENT_SCHEMA columns and return (query, paths). `paths` is the LIVE
+    pointer dict the fold advances per micro-batch — callers can read
+    the current converged-so-far snapshot while the stream runs (the
+    pointer swaps only after a version is fully written, the same
+    read-validity discipline as the facade's snapshots). Default
+    trigger drains what is already in the feed (AvailableNow); pass
+    e.g. {"processingTime": "200 milliseconds"} for a LIVE feed a
+    producer appends to while the query runs. The converged state is
+    batch-boundary invariant (tests re-chunk the same feed), which is
+    what makes the file feed and the socket feed interchangeable
+    sources for one fold."""
     ckpt_dir = os.path.join(work_dir, "ckpt")
     state_dir = os.path.join(work_dir, "state")
     os.makedirs(state_dir, exist_ok=True)
@@ -399,16 +426,6 @@ def start_lifecycle(
     # half-applied batch idempotently, so a partial checkpoint + reset
     # state would silently drop every already-committed chunk
     shutil.rmtree(ckpt_dir, ignore_errors=True)
-
-    schema = (
-        "event_s BIGINT, op STRING, task_id STRING, worker_id STRING, task_json STRING"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(feed_dir)
-    )
 
     version = {"n": 0}
     paths = {

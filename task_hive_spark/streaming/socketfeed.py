@@ -1,0 +1,112 @@
+"""Push-based socket change-feed for the lifecycle state machine — the
+last seam between the scripted file feed and a production connector.
+
+The reference's dispatcher is driven by live etcd watches
+(/root/reference/tasks/dispatcher.go:305-309, worker.go:42): events are
+PUSHED to the engine over a connection, not discovered by scanning a
+directory. Spark's native push-shaped source is the socket source
+(``readStream.format("socket")``): one newline-delimited JSON event per
+line, parsed with ``from_json`` into the exact EVENT_SCHEMA the
+lifecycle fold consumes — so the state machine itself is untouched
+(``start_lifecycle_stream``); only the transport differs. A Kafka
+deployment swaps ``format("socket")`` for ``format("kafka")`` and
+``value`` for ``CAST(value AS STRING)`` — the parse and the fold are
+identical, which is the point of keeping the source seam this thin.
+
+Delivery semantics: the socket source is at-most-once on failure (no
+replayable offsets), fine for the convergence test and dev usage; the
+production bus (Kafka) brings replay. Batch boundaries are arrival-
+timed and arbitrary — safe because the converged lifecycle state is
+batch-boundary invariant (tests/test_lifecycle.py re-chunks the same
+feed; tests/test_socketfeed.py asserts socket-fed state equals the
+scripted file feed's).
+
+``EventSocketServer`` is the test/demo producer: Spark's socket source
+CONNECTS OUT to a host:port, so the producer side is a tiny accepting
+server that writes the event lines — the role etcd plays for the
+reference.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from task_hive_spark.streaming.lifecycle import (
+    EVENT_SCHEMA,
+    start_lifecycle_stream,
+)
+
+
+def socket_event_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Newline-JSON events from a socket as a streaming DataFrame with
+    the lifecycle EVENT_SCHEMA columns. Non-JSON lines parse to an
+    all-null struct and are dropped (op is mandatory in every event)."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return (
+        raw.select(F.from_json("value", EVENT_SCHEMA).alias("e"))
+        .select("e.*")
+        .where(F.col("op").isNotNull())
+    )
+
+
+def start_lifecycle_socket(
+    spark: SparkSession,
+    work_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 9999,
+    trigger: dict | None = None,
+):
+    """The lifecycle state machine driven by a live socket feed.
+    Returns (query, paths) — same contract as start_lifecycle; the
+    caller stops the query once the producer is done (a socket has no
+    end-of-feed marker, so AvailableNow does not apply here)."""
+    stream = socket_event_stream(spark, host, port)
+    return start_lifecycle_stream(
+        spark, work_dir, stream, trigger or {"processingTime": "200 milliseconds"}
+    )
+
+
+class EventSocketServer:
+    """Minimal single-client event producer for tests/demos: listens on
+    an ephemeral port, and once Spark's socket source connects, writes
+    each queued line followed by newline. The connection stays open
+    until close() — the socket source treats a closed peer as stream
+    end/failure, so the producer outlives the query."""
+
+    def __init__(self, host: str = "127.0.0.1"):
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, 0))
+        self._srv.listen(1)
+        self.host, self.port = self._srv.getsockname()
+        self._conn: socket.socket | None = None
+        self._ready = threading.Event()
+        self._accept_thread = threading.Thread(target=self._accept, daemon=True)
+        self._accept_thread.start()
+
+    def _accept(self) -> None:
+        conn, _addr = self._srv.accept()
+        self._conn = conn
+        self._ready.set()
+
+    def send_lines(self, lines: list[str], timeout: float = 60.0) -> None:
+        if not self._ready.wait(timeout):
+            raise TimeoutError("socket source never connected")
+        payload = "".join(line + "\n" for line in lines).encode()
+        self._conn.sendall(payload)
+
+    def close(self) -> None:
+        for s in (self._conn, self._srv):
+            if s is not None:
+                try:
+                    s.close()
+                except OSError:
+                    pass

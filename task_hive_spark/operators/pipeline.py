@@ -147,16 +147,28 @@ def pipe_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(PIPE_CORPUS_SQL)
 
 
+def _pipe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline corpus rows as a session index: five consumers
+    (gate scoring, token index, signature index, language map, and four
+    accounting branches) each re-paid the four-way union scan +
+    boilerplate synthesis otherwise; doc_id partitioning feeds every
+    downstream per-doc join exchange-free."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return session_index(
+        spark, sf_dir, "pipe_corpus",
+        lambda: pipe_corpus_df(spark, sf_dir).repartition(n, "doc_id"),
+    )
+
+
 def _corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """token_index's shape over the pipeline corpus: (doc_id, toks,
-    ntok), non-empty docs, doc_id-partitioned, one per session."""
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ntok), non-empty docs, doc_id-partitioned (inherited from the
+    corpus index), one per session."""
 
     def build() -> DataFrame:
-        d = pipe_corpus_df(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+        d = _pipe_corpus(spark, sf_dir).where(F.length(F.trim("text")) > 0)
         return (
-            d.repartition(n, "doc_id")
-            .select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
+            d.select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
             .withColumn("ntok", F.size("toks"))
         )
 
@@ -173,7 +185,7 @@ def _pipe_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         from task_hive_spark.operators.dedup import minhash_sigs_of
 
-        return minhash_sigs_of(pipe_corpus_df(spark, sf_dir).repartition(n, "doc_id"))
+        return minhash_sigs_of(_pipe_corpus(spark, sf_dir))
 
     return session_index(spark, sf_dir, "pipe_minhash_sig", build)
 
@@ -199,7 +211,7 @@ def _gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt")),
     )
     lm = bigram_scores_of(pf, big, vocab).select("doc_id", "avg_p_micro")
-    scored = pipe_corpus_df(spark, sf_dir).select(
+    scored = _pipe_corpus(spark, sf_dir).select(
         "doc_id",
         "text",
         ws_token_count(F.col("text")).cast("int").alias("n_tokens"),
@@ -329,10 +341,12 @@ def _sampled(spark: SparkSession, sf_dir: str, clean: DataFrame) -> DataFrame:
     part (docs of over-represented languages downsample to 0 copies,
     rare languages replicate — the one-epoch materialization of the
     temperature mix)."""
+    import math
+
     from task_hive_spark.sources.fixtures import load_table
 
     langmap = (
-        pipe_corpus_df(spark, sf_dir)
+        _pipe_corpus(spark, sf_dir)
         .select("doc_id", (F.col("doc_id") % DUP_OFFSET).alias("base_id"))
         .join(
             load_table(spark, sf_dir, "documents").select(
@@ -343,19 +357,28 @@ def _sampled(spark: SparkSession, sf_dir: str, clean: DataFrame) -> DataFrame:
         .select("doc_id", "lang")
     )
     cl = clean.join(langmap, "doc_id")
-    prof = cl.groupBy("lang").agg(F.sum("n_tokens_clean").cast("bigint").alias("tok"))
-    tot = prof.agg(F.sum("tok").alias("t_all"))
-    pw = prof.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        (F.col("tok") / F.col("t_all")).alias("share"),
-        F.pow(F.col("tok") / F.col("t_all"), F.lit(MIX_ALPHA)).alias("pw_raw"),
+    # the per-language factor table is a ≤|langs|-row scalar: collect it
+    # once and quantize driver-side (the bounded-scalar pattern) — the
+    # earlier all-DataFrame chain re-derived the profile aggregation for
+    # every downstream crossJoin (measured 13.7s for a 5-row result at
+    # sf0.01). Arithmetic is expression-identical to the oracle
+    # (FLOOR(pw / z / share * 1e6)); cross-engine pow/sum ulp drift is
+    # covered by the derived-margin test, same as the ln quantizations.
+    prof = sorted(
+        (r["lang"], int(r["tok"]))
+        for r in cl.groupBy("lang")
+        .agg(F.sum("n_tokens_clean").cast("bigint").alias("tok"))
+        .collect()
     )
-    z = pw.agg(F.sum("pw_raw").alias("z"))
-    fac = pw.crossJoin(F.broadcast(z)).select(
-        "lang",
-        F.floor(F.col("pw_raw") / F.col("z") / F.col("share") * F.lit(1000000.0))
-        .cast("bigint")
-        .alias("f_micro"),
+    t_all = sum(tok for _, tok in prof)
+    pw = {lang: (tok / t_all) ** MIX_ALPHA for lang, tok in prof}
+    z = sum(pw[lang] for lang, _ in prof)
+    fac = spark.createDataFrame(
+        [
+            (lang, math.floor(pw[lang] / z / (tok / t_all) * 1000000.0))
+            for lang, tok in prof
+        ],
+        "lang string, f_micro bigint",
     )
     return (
         cl.join(F.broadcast(fac), "lang")
@@ -384,7 +407,7 @@ def _stage_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     accounting query reads every stage) — the session index is the
     local-mode form of that, and makes the corpus query and the stats
     query share one computation of the gate/CC/excision work."""
-    corpus = pipe_corpus_df(spark, sf_dir)
+    corpus = _pipe_corpus(spark, sf_dir)
     gated = session_index(spark, sf_dir, "pipe_gated", lambda: _gated(spark, sf_dir))
     exact = _exact_surviving(gated)
     near = session_index(

@@ -21,19 +21,19 @@ from pyspark.sql import DataFrame, SparkSession
 #      evidence in the ledger — r6 verdict task 1);
 #   3. the seven r5-graded queries the r6 session-2 rotation demoted
 #      (xp_dispatch_results, st_snapshot_merge, rel_q14/q15/q17/q19/q20);
-#   1b. later-round additions displace fillers from the END of the
-#      list as planned: txt_unigram_lm_vocab/_fertility displaced
-#      st_stream_dedup_bounded and th_assign_banded (both r4-evidence,
-#      now first in the _FRONT_R8 core).
 #   4. fillers from the r4-evidence block, code-adjacent first
 #      (txt_unigram_logprob reads the refactored _bigram_scores core;
 #      cat_* sit on the Derby isolation change), then rel_*/st_*/th_ in
 #      name order. The 17 r4-evidence th_* queries that did not fit
 #      remain back-set (every back query is still hash-checked at
-#      sf0.001 per pytest run and at sf0.01/sf0.1 by verify_local) and
-#      are the planned _FRONT_R8 core.
-# New operators added later this round displace fillers from the END
-# of this list (keeping 2+3 intact).
+#      sf0.001 per pytest run and at sf0.01/sf0.1 by verify_local).
+# Operators added later in the round displace fillers from the END of
+# this list (keeping 2+3 intact): txt_unigram_lm_vocab/_fertility
+# displaced st_stream_dedup_bounded and th_assign_banded.
+# _FRONT_R8 core = whatever scripts/evidence_age.py reports stale after
+# the r7 grades land (the 17 unfronted r4-evidence th_* queries plus
+# the two displaced fillers) — derive it from the script, not this
+# comment.
 _FRONT_R7 = [
     "txt_clean_corpus",
     "txt_clean_corpus_stats",
@@ -165,9 +165,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     missing = [k for k in _FRONT_R7 if k not in out]
     assert not missing, f"front names not registered: {missing}"
-    assert len(_FRONT_R7) == GRADING_WINDOW, (
+    # distinct-count, not list-length: a pasted duplicate would pass a
+    # len() check while silently shrinking the graded front below the
+    # window (review finding r7)
+    assert len(set(_FRONT_R7)) == len(_FRONT_R7) == GRADING_WINDOW, (
         f"front set must fill the driver's grading window exactly: "
-        f"{len(_FRONT_R7)} != {GRADING_WINDOW} — re-balance _FRONT_R7"
+        f"{len(set(_FRONT_R7))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R7"
     )
     front = {k: out[k] for k in _FRONT_R7}
     back = {k: v for k, v in out.items() if k not in front}

@@ -80,7 +80,9 @@ def main() -> int:
         print("no CORRECTNESS_r*.json ledgers found", file=sys.stderr)
         return 2
     latest_round = max(ledgers)
-    current = args.current_round or latest_round + 1
+    current = (
+        args.current_round if args.current_round is not None else latest_round + 1
+    )
 
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry
@@ -135,10 +137,12 @@ def main() -> int:
     if stale_fronted:
         print(f"\nstale-but-fronted (will regrade this round): "
               f"{len(stale_fronted)}")
-    print("\nOK: every query is fresh (age <= "
-          f"{args.max_age}) or fronted for regrading{' ' if red else ''}"
-          + ("— but red queries above need fixing" if red else ""))
-    return 0 if not red else 1
+    if red:
+        print(f"\nFAIL: {len(red)} queries red at their latest grading")
+        return 1
+    print(f"\nOK: every query is fresh (age <= {args.max_age})"
+          " or fronted for regrading")
+    return 0
 
 
 if __name__ == "__main__":

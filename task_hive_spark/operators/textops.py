@@ -878,9 +878,15 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checks this implementation exactly.
 BPE_MERGES = 64
 BPE_BATCH = 8
-# the oracle unrolls first-occurrence splices; 8 per round covers words
-# to 17 chars (the fixture max is 8; a longer-word corpus raises this)
-_BPE_ORACLE_REPS = 8
+# the oracle unrolls _BPE_ORACLE_REPS first-occurrence splices per
+# selected pair — enough iff no word holds more occurrences of one pair
+# than that, i.e. max word length ≤ 2·REPS (a pair occupies two
+# symbols). The fixture max is 8 chars → 4 splices; _learn_merges
+# ASSERTS the bound against the live vocab so a longer-word corpus
+# fails loudly instead of silently under-splicing the oracle. (At 64
+# merges the oracle's cost is dominated by per-CTE materialization —
+# REPS is the multiplier on its 2·merges·REPS CTE count.)
+_BPE_ORACLE_REPS = 4
 
 
 def _greedy_multi_merge_expr(pairs: list[tuple[str, str]]) -> str:
@@ -978,7 +984,13 @@ def _learn_merges(
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BPE_MERGE_CACHE:
         return _BPE_MERGE_CACHE[key]
-    v = _bpe_vocab(spark, sf_dir).select(
+    vocab_tbl = _bpe_vocab(spark, sf_dir)
+    max_w = vocab_tbl.agg(F.max(F.length("w"))).collect()[0][0] or 0
+    assert max_w <= 2 * _BPE_ORACLE_REPS, (
+        f"max word length {max_w} exceeds the oracle splice budget "
+        f"(2 x _BPE_ORACLE_REPS = {2 * _BPE_ORACLE_REPS}) - raise it"
+    )
+    v = vocab_tbl.select(
         "w",
         "freq",
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
@@ -986,7 +998,16 @@ def _learn_merges(
         ),
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    while len(merges) < BPE_MERGES:
+    # FIXED round schedule, mirroring the oracle exactly: ceil(M/B)
+    # rounds of up to BPE_BATCH selections each. A while-until-M loop
+    # would instead ADD rounds when conflict-greedy under-fills one —
+    # shifting every later round's pair-count recomputation off the
+    # oracle's boundaries (review finding r7; on the fixtures every
+    # round fills, but the contract must not depend on that).
+    schedule = [BPE_BATCH] * (BPE_MERGES // BPE_BATCH)
+    if BPE_MERGES % BPE_BATCH:
+        schedule.append(BPE_MERGES % BPE_BATCH)
+    for want in schedule:
         pairs = (
             v.where(F.size("syms") > 1)
             .select(
@@ -1001,7 +1022,6 @@ def _learn_merges(
             .groupBy("p.lft", "p.rgt")
             .agg(F.sum("freq").alias("c"))
         )
-        want = min(BPE_BATCH, BPE_MERGES - len(merges))
         # conflict-greedy selection over the (c desc, lft, rgt) order:
         # walk the sorted pair list, skip any pair touching a symbol an
         # accepted pair already uses (its lft, rgt, or merged token).
@@ -1026,7 +1046,10 @@ def _learn_merges(
                 break  # filled the batch, or the pair table is exhausted
             lim *= 4
         if not sel:
-            break  # every word fully merged — corpus smaller than rounds
+            # pair supply exhausted (an empty table selects nothing in
+            # every later round too, so skipping them equals the
+            # oracle's sentinel rounds)
+            break
         for lft, rgt, c in sel:
             merges.append((len(merges) + 1, lft, rgt, c))
         v = v.select(
@@ -1155,22 +1178,34 @@ vocab0 AS (
                 f" FROM m{rnd}_{j} WHERE c > 0"
             )
         # application: chain the per-pair splice sequences; pair j reads
-        # the padded string pair j-1 finished with
+        # the padded string pair j-1 finished with. Rows WITHOUT the
+        # pattern bypass the splice chain entirely (position() computed
+        # once on the full vocab, then only the hit subset pays the
+        # REPS first-occurrence splices — at 64 merges the
+        # all-rows-through-every-step form cost ~47s per oracle run)
         for j in range(1, want + 1):
             src = (
                 f"(SELECT w, freq, ' ' || sym || ' ' AS p FROM {prev})"
                 if j == 1
-                else f"(SELECT w, freq, p FROM r{rnd}_{j - 1}_{_BPE_ORACLE_REPS})"
+                else f"(SELECT w, freq, p FROM out{rnd}_{j - 1})"
             )
             parts.append(
                 f"""r{rnd}_{j}_0 AS MATERIALIZED (
   SELECT w, freq, p,
          ' ' || lft || ' ' || rgt || ' ' AS pat,
-         ' ' || lft || rgt || ' ' AS rep
+         ' ' || lft || rgt || ' ' AS rep,
+         position((' ' || lft || ' ' || rgt || ' ') IN p) AS hit
   FROM {src} v, m{rnd}_{j}
 )"""
             )
-            for k in range(1, _BPE_ORACLE_REPS + 1):
+            parts.append(
+                f"""r{rnd}_{j}_1 AS MATERIALIZED (
+  SELECT w, freq, pat, rep,
+         substr(p, 1, hit - 1) || rep || substr(p, hit + length(pat)) AS p
+  FROM r{rnd}_{j}_0 WHERE hit > 0
+)"""
+            )
+            for k in range(2, _BPE_ORACLE_REPS + 1):
                 parts.append(
                     f"""r{rnd}_{j}_{k} AS MATERIALIZED (
   SELECT w, freq, pat, rep,
@@ -1181,9 +1216,15 @@ vocab0 AS (
   FROM r{rnd}_{j}_{k - 1}
 )"""
                 )
+            parts.append(
+                f"""out{rnd}_{j} AS MATERIALIZED (
+  SELECT w, freq, p FROM r{rnd}_{j}_0 WHERE hit = 0
+  UNION ALL SELECT w, freq, p FROM r{rnd}_{j}_{_BPE_ORACLE_REPS}
+)"""
+            )
         parts.append(
             f"vocab{rnd} AS MATERIALIZED (SELECT w, freq, trim(p) AS sym"
-            f" FROM r{rnd}_{want}_{_BPE_ORACLE_REPS})"
+            f" FROM out{rnd}_{want})"
         )
     union = (
         "sel_all AS (\n" + "\nUNION ALL ".join(sel_rows) + "\n)"

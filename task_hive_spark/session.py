@@ -49,7 +49,17 @@ def _isolated_store_dirs() -> tuple[str, str]:
                     continue
                 if owner != pid and not _pid_alive(owner):
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-        out.append(os.path.join(base, f"pid-{pid}"))
+        mine = os.path.join(base, f"pid-{pid}")
+        # PID-reuse guard (review finding r7): a dir left by a SIGKILLed
+        # earlier process that HAD this pid would otherwise be adopted —
+        # possibly with a dirty Derby log. Before the first session of
+        # this process exists, any dir under our own pid is stale by
+        # definition; once a session is live, leave it alone.
+        from pyspark import SparkContext
+
+        if SparkContext._active_spark_context is None and os.path.isdir(mine):
+            shutil.rmtree(mine, ignore_errors=True)
+        out.append(mine)
     return out[0], out[1]
 
 

@@ -75,27 +75,40 @@ def start_lifecycle_socket(
 
 
 class EventSocketServer:
-    """Minimal single-client event producer for tests/demos: listens on
-    an ephemeral port, and once Spark's socket source connects, writes
-    each queued line followed by newline. The connection stays open
-    until close() — the socket source treats a closed peer as stream
-    end/failure, so the producer outlives the query."""
+    """Minimal event producer for tests/demos: listens on an ephemeral
+    port and keeps accepting — the LATEST connection wins, so a socket-
+    source reconnect after a query restart is serviced instead of
+    rotting in the backlog (and writes then target the live peer, not
+    the dead first one). Lines are written newline-terminated; the
+    connection stays open until close() — the socket source treats a
+    closed peer as stream end/failure, so the producer outlives the
+    query."""
 
     def __init__(self, host: str = "127.0.0.1"):
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, 0))
-        self._srv.listen(1)
+        self._srv.listen(4)
         self.host, self.port = self._srv.getsockname()
         self._conn: socket.socket | None = None
         self._ready = threading.Event()
+        self._closed = False
         self._accept_thread = threading.Thread(target=self._accept, daemon=True)
         self._accept_thread.start()
 
     def _accept(self) -> None:
-        conn, _addr = self._srv.accept()
-        self._conn = conn
-        self._ready.set()
+        while not self._closed:
+            try:
+                conn, _addr = self._srv.accept()
+            except OSError:
+                return  # server socket closed
+            old, self._conn = self._conn, conn
+            self._ready.set()
+            if old is not None:
+                try:
+                    old.close()
+                except OSError:
+                    pass
 
     def send_lines(self, lines: list[str], timeout: float = 60.0) -> None:
         if not self._ready.wait(timeout):
@@ -104,6 +117,7 @@ class EventSocketServer:
         self._conn.sendall(payload)
 
     def close(self) -> None:
+        self._closed = True
         for s in (self._conn, self._srv):
             if s is not None:
                 try:

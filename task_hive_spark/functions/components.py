@@ -27,19 +27,78 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Edge count under which the component computation collapses to a
+# driver-local union-find: the near-dup graph is usually a small
+# fraction of the corpus (only flagged pairs), and the distributed
+# fixpoint pays ~10 fixed job barriers per ROUND regardless of size
+# (measured 12.4s for a 1,902-edge graph at sf0.1 — all scheduling, no
+# data). This is the same bounded-side reasoning as a broadcast join:
+# below the limit the edge list is a few MB on the driver and
+# union-find is exact and instant; above it the Pregel-style loop runs
+# unchanged. Both paths return identical (node, min-id component)
+# labelings — pinned by tests/test_components.py.
+CC_LOCAL_EDGE_LIMIT = 1_000_000
 
-def min_label_components(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+
+def _local_components(spark, rows, src_type) -> DataFrame:
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    out = [(n, comp_min[find(n)]) for n in parent]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", src_type, False), StructField("component", src_type, False)]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def min_label_components(
+    pairs: DataFrame,
+    max_rounds: int = 16,
+    local_edge_limit: int = CC_LOCAL_EDGE_LIMIT,
+) -> DataFrame:
     """Components of the undirected graph given as one-directional
     ``pairs`` (first column = one endpoint, second = the other; any
     names). Returns (node, component) for every node with ≥1 edge,
     where component = the min node id in its connected component.
 
-    Raises if the propagation has not converged in ``max_rounds``:
+    Graphs at or under ``local_edge_limit`` edges are solved by a
+    driver-local union-find (see CC_LOCAL_EDGE_LIMIT); larger ones run
+    the distributed min-label propagation with pointer jumping. Raises
+    if the propagation has not converged in ``max_rounds``:
     partially-converged labels diverge from an oracle's full transitive
     closure, so failing loudly beats returning them (chained near-dup
     paths can exceed any fixed round bound)."""
     a, b = pairs.columns[0], pairs.columns[1]
     p = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    if local_edge_limit > 0:
+        # limit+1 bounds the driver transfer even when the graph is huge
+        head = p.limit(local_edge_limit + 1).collect()
+        if len(head) <= local_edge_limit:
+            spark = pairs.sparkSession
+            return _local_components(
+                spark, [(r["src"], r["dst"]) for r in head], p.schema["src"].dataType
+            )
     # undirected edges, both directions
     edges = p.union(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

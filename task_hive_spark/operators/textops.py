@@ -756,20 +756,30 @@ def _unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast) or shuffle-joins on token; the fixture-true broadcast is
     the former's shape. The token stream reads the materialized
     token_index, so tokenization is paid once per session."""
-    toks = token_index(spark, sf_dir).select("doc_id", F.explode("toks").alias("tok"))
-    vocab = unigram_vocab(spark, sf_dir)
-    total = vocab.agg(F.sum("cnt").alias("n_total"))
-    nll = -F.log(F.col("cnt") / F.col("n_total"))
-    return (
-        toks.join(F.broadcast(vocab), "tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("int").alias("n_tokens"),
-            F.round(F.avg(nll), 6).alias("avg_nll"),
+    def build() -> DataFrame:
+        toks = token_index(spark, sf_dir).select(
+            "doc_id", F.explode("toks").alias("tok")
         )
-        .withColumn("keep", F.col("avg_nll") <= NLL_KEEP_MAX)
-    )
+        vocab = unigram_vocab(spark, sf_dir)
+        total = vocab.agg(F.sum("cnt").alias("n_total"))
+        nll = -F.log(F.col("cnt") / F.col("n_total"))
+        return (
+            toks.join(F.broadcast(vocab), "tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("int").alias("n_tokens"),
+                F.round(F.avg(nll), 6).alias("avg_nll"),
+            )
+            .withColumn("keep", F.col("avg_nll") <= NLL_KEEP_MAX)
+        )
+
+    # fixed width per doc and read by THREE consumers (the registered
+    # logprob query, the classifier's teacher labels — twice per run:
+    # the labeled join and the prior — and the distillation tests):
+    # worth the session index; the token explosion behind it was the
+    # classifier's dominant repeated cost (measured 1.8s/run at sf0.1)
+    return session_index(spark, sf_dir, "unigram_scores", build)
 
 
 def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

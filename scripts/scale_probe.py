@@ -273,6 +273,53 @@ def lm_probe() -> int:
     return 1 if bad else 0
 
 
+def pipeline_probe() -> int:
+    """--pipeline: the cleaned-corpus materializer's stage funnel and
+    wall time at sf0.01 / sf0.1 / synthetic sf1. Scale signals: wall
+    time must grow sub-linearly vs the 10× doc step (every stage is an
+    index build + narrow shuffles; the only quadratic term — in-cell
+    LSH candidates — is band-bounded), and the stage funnel must keep
+    CUTTING at every scale (a stage whose in/out counts converge to
+    equality has degenerated into a no-op and its correctness is no
+    longer being exercised). Exits non-zero if any of gates/exact/near
+    drops zero docs or span excision cuts zero tokens at any scale."""
+    sf1_dir = _gen_sf1_dir()
+
+    from task_hive_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scale_probe_pipeline")
+    qs = entrymod.queries()
+    dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1_dir]
+    tags = ["sf0.01", "sf0.1", "sf1"]
+    bad = 0
+    secs: dict[str, float] = {}
+    for tag, d in zip(tags, dirs):
+        t0 = time.perf_counter()
+        rows = {r["stage"]: r for r in qs["txt_clean_corpus_stats"](spark, d).collect()}
+        secs[tag] = round(time.perf_counter() - t0, 3)
+        docs = [rows[s]["n_docs"] for s in
+                ["corpus", "gates", "exact_dedup", "near_dedup",
+                 "span_excision", "temperature_sample"]]
+        toks = [rows[s]["n_tokens"] for s in
+                ["corpus", "gates", "exact_dedup", "near_dedup",
+                 "span_excision", "temperature_sample"]]
+        cuts_ok = (
+            docs[0] > docs[1] > docs[2] > docs[3] and toks[4] < toks[3]
+        )
+        bad += 0 if cuts_ok else 1
+        print(json.dumps({
+            "probe": "pipeline_scale", "sf": tag, "seconds": secs[tag],
+            "stage_docs": docs, "stage_tokens": toks, "cuts_ok": cuts_ok,
+        }))
+    print(json.dumps({
+        "probe": "pipeline_scale_growth",
+        "x10_time_growth": round(secs["sf1"] / max(secs["sf0.1"], 1e-9), 2),
+    }))
+    return 1 if bad else 0
+
+
 def main() -> int:
     from task_hive_spark.session import get_spark
 
@@ -286,6 +333,8 @@ def main() -> int:
         return semdedup_probe()
     if sys.argv[1:2] == ["--lm"]:
         return lm_probe()
+    if sys.argv[1:2] == ["--pipeline"]:
+        return pipeline_probe()
 
     names = sys.argv[1:] or DEFAULT
     spark = get_spark("scale_probe")

@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 #      sf0.001 per pytest run and at sf0.01/sf0.1 by verify_local).
 # Operators added later in the round displace fillers from the END of
 # this list (keeping 2+3 intact): txt_unigram_lm_vocab/_fertility
-# displaced st_stream_dedup_bounded and th_assign_banded.
+# displaced st_stream_dedup_bounded and th_assign_banded;
+# sim_prototypes_prune displaced st_session_windows.
 # _FRONT_R8 core = whatever scripts/evidence_age.py reports stale after
 # the r7 grades land (the 17 unfronted r4-evidence th_* queries plus
 # the two displaced fillers) — derive it from the script, not this
@@ -39,6 +40,7 @@ _FRONT_R7 = [
     "txt_clean_corpus_stats",
     "txt_unigram_lm_vocab",
     "txt_unigram_lm_fertility",
+    "sim_prototypes_prune",
     "dd_embedding_cosine_pairs",
     "mm_frame_sample",
     "rel_case_null_logic",
@@ -84,7 +86,6 @@ _FRONT_R7 = [
     "rel_window_frames",
     "rel_window_running",
     "st_dispatch_latency",
-    "st_session_windows",
 ]
 
 # The driver's grading window; the front set must fill it exactly so no

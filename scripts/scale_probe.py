@@ -278,11 +278,18 @@ def pipeline_probe() -> int:
     wall time at sf0.01 / sf0.1 / synthetic sf1. Scale signals: wall
     time must grow sub-linearly vs the 10× doc step (every stage is an
     index build + narrow shuffles; the only quadratic term — in-cell
-    LSH candidates — is band-bounded), and the stage funnel must keep
-    CUTTING at every scale (a stage whose in/out counts converge to
-    equality has degenerated into a no-op and its correctness is no
-    longer being exercised). Exits non-zero if any of gates/exact/near
-    drops zero docs or span excision cuts zero tokens at any scale."""
+    LSH candidates — is band-bounded), and the stage funnel must stay
+    value-bearing. Caveat found by this probe's first run: the sf1
+    synthetic corpus is unigram-sampled text, which the quality/LM
+    gates correctly REJECT wholesale — and identical text gates
+    identically, so every (base, exact-copy) pair drops TOGETHER and
+    exact-dedup legitimately has nothing left to cut. The probe
+    therefore asserts the INVARIANT rather than a blanket cut: when
+    exact-dedup cuts zero docs, NO both-surviving (base, base+1e9)
+    pair may exist among the gate survivors (exact-dedup's sf1
+    value-bearing evidence is the separate dd-family hash gate,
+    VERIFY_sf1_dd_r7.txt). Gates, near dedup and span excision must
+    cut at every scale. Exits non-zero on any violation."""
     sf1_dir = _gen_sf1_dir()
 
     from task_hive_spark.session import get_spark
@@ -305,8 +312,28 @@ def pipeline_probe() -> int:
         toks = [rows[s]["n_tokens"] for s in
                 ["corpus", "gates", "exact_dedup", "near_dedup",
                  "span_excision", "temperature_sample"]]
-        cuts_ok = (
-            docs[0] > docs[1] > docs[2] > docs[3] and toks[4] < toks[3]
+        exact_ok = docs[1] > docs[2]
+        if not exact_ok:
+            # zero exact cut is legitimate ONLY if no (base, base+1e9)
+            # pair both survived the gates — verify, don't assume
+            from task_hive_spark.operators.pipeline import _gated
+            from pyspark.sql import functions as F
+
+            g = _gated(spark, d).select("doc_id")
+            both = (
+                g.alias("a")
+                .where(F.col("a.doc_id") < 1_000_000_000)  # true bases only:
+                # nearcopy(2e9+x)+1e9 would spuriously match host(3e9+x)
+                .join(
+                    g.alias("b"),
+                    F.col("b.doc_id") == F.col("a.doc_id") + 1_000_000_000,
+                )
+                .count()
+            )
+            exact_ok = both == 0
+        cuts_ok = bool(
+            docs[0] > docs[1] and exact_ok and docs[2] > docs[3]
+            and toks[4] < toks[3]
         )
         bad += 0 if cuts_ok else 1
         print(json.dumps({

@@ -609,6 +609,57 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROTO_PRUNE_FRAC = 0.25  # prune the most-prototypical quarter per cell
+
+
+def sim_prototypes_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws", arXiv:2206.14486 — public paper): score every
+    example by its cosine to its cluster prototype (the trained
+    quantizer centroid — the SAME _ivf_centroids/_ivf_assignment the
+    ANN index and SemDeDup read) and, in the abundant-data regime the
+    paper targets, PRUNE the most prototypical (easiest) quarter of
+    each cell — keeping the hard examples is what beats power-law
+    scaling. Output: (vec_id, cell, cos_proto, proto_rank, keep), rank
+    1 = most prototypical; keep = rank past the pruned head.
+
+    Determinism: rank on 6dp-rounded cosine with vec_id tie-break (the
+    established quantizer discipline); the prune boundary
+    ceil(cell_n · 0.25) is exact in both engines (dyadic fraction,
+    integer ceil). Scale shape: one broadcast of the K-row centroid
+    table onto the materialized inverted file, one cell-partitioned
+    rank window — a map-join plus one bounded shuffle; nothing
+    quadratic anywhere (the paper's k-means step is the already-shared
+    trained quantizer)."""
+    asg = _ivf_assignment(spark, sf_dir)
+    cent = _ivf_centroids(spark, sf_dir)
+    scored = asg.join(F.broadcast(cent), "cell").select(
+        "vec_id",
+        "cell",
+        F.round(
+            dot(F.col("embedding"), F.col("centroid"))
+            / (norm(F.col("embedding")) * norm(F.col("centroid"))),
+            6,
+        ).alias("cos_proto"),
+    )
+    w = W.partitionBy("cell").orderBy(F.desc("cos_proto"), "vec_id")
+    return (
+        scored.withColumn("proto_rank", F.row_number().over(w))
+        .withColumn("cell_n", F.count("*").over(W.partitionBy("cell")))
+        .select(
+            "vec_id",
+            "cell",
+            "cos_proto",
+            F.col("proto_rank").cast("int").alias("proto_rank"),
+            (
+                F.col("proto_rank")
+                > F.ceil(F.col("cell_n") * F.lit(PROTO_PRUNE_FRAC)).cast("int")
+            ).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization accounting per embedding — the
     4×-storage-compression pass an ANN serving tier runs over the
@@ -829,6 +880,7 @@ QUERIES = {
     "sim_label_centroids": sim_label_centroids,
     "dd_embedding_cosine_pairs": dd_embedding_cosine_pairs,
     "dd_semdedup": dd_semdedup,
+    "sim_prototypes_prune": sim_prototypes_prune,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_kmeans_step": sim_kmeans_step,
     "sim_pq_codes": sim_pq_codes,
@@ -1203,6 +1255,37 @@ ORACLES["sim_topk_ivf_pq"] = f"""
 # drift from the IVF oracles. The recursive member is the transitive
 # min-label closure (UNION dedupes, so it terminates) — the same
 # fixpoint min_label_components iterates to.
+ORACLES["sim_prototypes_prune"] = f"""
+    WITH {_DE},
+    {_CENT_TRAINED},
+    cellscore AS (
+      SELECT d.vec_id, d.v, cent.cell,
+             ROUND({_COS.format(a='d.v', b='cent.centroid')}, 6) AS cos_cell
+      FROM de d CROSS JOIN cent
+    ),
+    ranked_cells AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos_cell DESC, cell) AS rn
+      FROM cellscore
+    ),
+    assigned AS (SELECT vec_id, v, cell FROM ranked_cells WHERE rn = 1),
+    scored AS (
+      SELECT a.vec_id, a.cell,
+             ROUND({_COS.format(a='a.v', b='c.centroid')}, 6) AS cos_proto
+      FROM assigned a JOIN cent c USING (cell)
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                  ORDER BY cos_proto DESC, vec_id) AS proto_rank,
+             COUNT(*) OVER (PARTITION BY cell) AS cell_n
+      FROM scored
+    )
+    SELECT vec_id, cell, cos_proto,
+           CAST(proto_rank AS INT) AS proto_rank,
+           proto_rank > CEIL(cell_n * {PROTO_PRUNE_FRAC}) AS keep
+    FROM r ORDER BY vec_id
+"""
+
 ORACLES["dd_semdedup"] = f"""
     WITH RECURSIVE {_DE},
     {_CENT_TRAINED},

@@ -154,3 +154,34 @@ def test_semdedup_groups_are_cell_scoped_with_one_representative(spark, sf_dir):
         assert next(m for m in members if m.keep).vec_id == rep
         assert len({m.cell for m in members}) == 1
         assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_prototype_pruning_budget_per_cell(spark, sf_dir):
+    """Sorscher-style pruning must remove EXACTLY the ceil(n/4) most
+    prototypical examples of every cell: ranks are a 1..n permutation
+    per cell, prune set = the rank head, keep set = the tail."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.similarity import (
+        PROTO_PRUNE_FRAC,
+        sim_prototypes_prune,
+    )
+
+    rows = sim_prototypes_prune(spark, sf_dir).collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert len(by_cell) > 1
+    for cell, rs in by_cell.items():
+        n = len(rs)
+        ranks = sorted(r["proto_rank"] for r in rs)
+        assert ranks == list(range(1, n + 1)), f"cell {cell} ranks not 1..n"
+        cut = math.ceil(n * PROTO_PRUNE_FRAC)
+        pruned = {r["proto_rank"] for r in rs if not r["keep"]}
+        assert pruned == set(range(1, cut + 1)), f"cell {cell} prune head wrong"
+        # the pruned head is at least as prototypical as every kept row
+        min_pruned = min(r["cos_proto"] for r in rs if not r["keep"])
+        max_kept = max(r["cos_proto"] for r in rs if r["keep"])
+        assert min_pruned >= max_kept

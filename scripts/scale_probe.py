@@ -316,10 +316,12 @@ def pipeline_probe() -> int:
         if not exact_ok:
             # zero exact cut is legitimate ONLY if no (base, base+1e9)
             # pair both survived the gates — verify, don't assume
-            from task_hive_spark.operators.pipeline import _gated
+            from task_hive_spark.operators.pipeline import _stage_frames
             from pyspark.sql import functions as F
 
-            g = _gated(spark, d).select("doc_id")
+            # the stats collect above already materialized the
+            # pipe_gated session index — reuse it, don't re-run gates
+            g = _stage_frames(spark, d)["gated"].select("doc_id")
             both = (
                 g.alias("a")
                 .where(F.col("a.doc_id") < 1_000_000_000)  # true bases only:
@@ -340,9 +342,12 @@ def pipeline_probe() -> int:
             "probe": "pipeline_scale", "sf": tag, "seconds": secs[tag],
             "stage_docs": docs, "stage_tokens": toks, "cuts_ok": cuts_ok,
         }))
+    growth = round(secs["sf1"] / max(secs["sf0.1"], 1e-9), 2)
+    growth_ok = growth <= 8.0  # 10x docs must cost well under 10x wall
+    bad += 0 if growth_ok else 1
     print(json.dumps({
         "probe": "pipeline_scale_growth",
-        "x10_time_growth": round(secs["sf1"] / max(secs["sf0.1"], 1e-9), 2),
+        "x10_time_growth": growth, "sub_linear_ok": growth_ok,
     }))
     return 1 if bad else 0
 

@@ -1,9 +1,14 @@
-"""Connected components over a pair graph by min-label propagation
-with pointer jumping — the dedup endgame's shared primitive (a
-pipeline keeps one document per connected component, not per near-dup
-pair).
+"""Connected components over a pair graph — the dedup endgame's shared
+primitive (a pipeline keeps one document per connected component, not
+per near-dup pair). Two execution paths behind one contract:
 
-Every node starts labeled with itself; each round (1) a node takes the
+* graphs at or under CC_LOCAL_EDGE_LIMIT edges (every fixture graph,
+  and any real near-dup graph whose flagged-pair set is small) solve
+  by a driver-local union-find — one bounded collect, exact, instant;
+* larger graphs run the distributed min-label propagation with
+  pointer jumping described below — the 100 TB path.
+
+In the distributed loop every node starts labeled with itself; each round (1) a node takes the
 min label among itself and its neighbors (one edge join + one
 aggregation), then (2) jumps through its label's own label (one
 label-to-label self-join — path compression). Step 1 alone advances
@@ -32,12 +37,13 @@ from pyspark.sql import DataFrame, functions as F
 # fraction of the corpus (only flagged pairs), and the distributed
 # fixpoint pays ~10 fixed job barriers per ROUND regardless of size
 # (measured 12.4s for a 1,902-edge graph at sf0.1 — all scheduling, no
-# data). This is the same bounded-side reasoning as a broadcast join:
-# below the limit the edge list is a few MB on the driver and
-# union-find is exact and instant; above it the Pregel-style loop runs
-# unchanged. Both paths return identical (node, min-id component)
-# labelings — pinned by tests/test_components.py.
-CC_LOCAL_EDGE_LIMIT = 1_000_000
+# data). Same bounded-side reasoning as a broadcast join; both paths
+# return identical (node, min-id component) labelings — pinned by
+# tests/test_components.py. 200k edges keeps the collected Row list
+# and the parent dict in the tens of MB (pyspark Rows are ~100+ bytes,
+# not 16 — review finding r7); a graph just over the limit pays one
+# bounded (limit+1)-row scan before falling through to the loop.
+CC_LOCAL_EDGE_LIMIT = 200_000
 
 
 def _local_components(spark, rows, src_type) -> DataFrame:

@@ -316,19 +316,22 @@ def pipeline_probe() -> int:
         if not exact_ok:
             # zero exact cut is legitimate ONLY if no (base, base+1e9)
             # pair both survived the gates — verify, don't assume
-            from task_hive_spark.operators.pipeline import _stage_frames
+            from task_hive_spark.operators.dedup import DUP_OFFSET
+            from task_hive_spark.operators.pipeline import BOILER_OFFSET, _stage_frames
             from pyspark.sql import functions as F
+
+            assert BOILER_OFFSET > 2 * DUP_OFFSET  # offsets keep id families disjoint
 
             # the stats collect above already materialized the
             # pipe_gated session index — reuse it, don't re-run gates
             g = _stage_frames(spark, d)["gated"].select("doc_id")
             both = (
                 g.alias("a")
-                .where(F.col("a.doc_id") < 1_000_000_000)  # true bases only:
+                .where(F.col("a.doc_id") < DUP_OFFSET)  # true bases only:
                 # nearcopy(2e9+x)+1e9 would spuriously match host(3e9+x)
                 .join(
                     g.alias("b"),
-                    F.col("b.doc_id") == F.col("a.doc_id") + 1_000_000_000,
+                    F.col("b.doc_id") == F.col("a.doc_id") + DUP_OFFSET,
                 )
                 .count()
             )

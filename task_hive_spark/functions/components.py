@@ -98,10 +98,17 @@ def min_label_components(
     a, b = pairs.columns[0], pairs.columns[1]
     p = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     if local_edge_limit > 0:
+        # persist before the probe: limit(n+1).collect() executes the
+        # full upstream pair plan (LSH candidate joins can be the round's
+        # most expensive stage), and on the large-graph path the
+        # distributed loop below would otherwise recompute it from
+        # lineage — paying the pair join twice
+        p = p.persist()
         # limit+1 bounds the driver transfer even when the graph is huge
         head = p.limit(local_edge_limit + 1).collect()
         if len(head) <= local_edge_limit:
             spark = pairs.sparkSession
+            p.unpersist()
             return _local_components(
                 spark, [(r["src"], r["dst"]) for r in head], p.schema["src"].dataType
             )
@@ -109,6 +116,8 @@ def min_label_components(
     edges = p.union(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    if local_edge_limit > 0:
+        p.unpersist()  # edges is materialized; the cached pairs are done
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -180,7 +180,6 @@ def _pipe_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index — the dedup family's `minhash_sig` index covers the dedup
     corpus, which lacks the boilerplate hosts). Same arithmetic:
     minhash_sigs_of is the one shared implementation."""
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def build() -> DataFrame:
         from task_hive_spark.operators.dedup import minhash_sigs_of

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import socket
 import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -91,6 +92,7 @@ class EventSocketServer:
         self._srv.listen(4)
         self.host, self.port = self._srv.getsockname()
         self._conn: socket.socket | None = None
+        self._conn_lock = threading.Lock()  # guards _conn swap/close vs send
         self._ready = threading.Event()
         self._closed = False
         self._accept_thread = threading.Thread(target=self._accept, daemon=True)
@@ -102,8 +104,9 @@ class EventSocketServer:
                 conn, _addr = self._srv.accept()
             except OSError:
                 return  # server socket closed
-            old, self._conn = self._conn, conn
-            self._ready.set()
+            with self._conn_lock:
+                old, self._conn = self._conn, conn
+                self._ready.set()
             if old is not None:
                 try:
                     old.close()
@@ -114,11 +117,25 @@ class EventSocketServer:
         if not self._ready.wait(timeout):
             raise TimeoutError("socket source never connected")
         payload = "".join(line + "\n" for line in lines).encode()
-        self._conn.sendall(payload)
+        # snapshot under the lock so _accept can't swap-and-close the
+        # connection mid-send; one retry covers a reconnect racing the
+        # snapshot (the swapped-in peer is the one that should get data)
+        for attempt in (0, 1):
+            with self._conn_lock:
+                conn = self._conn
+            try:
+                conn.sendall(payload)
+                return
+            except OSError:
+                if attempt:
+                    raise
+                time.sleep(0.05)  # let the accept thread finish the swap
 
     def close(self) -> None:
         self._closed = True
-        for s in (self._conn, self._srv):
+        with self._conn_lock:
+            conn = self._conn
+        for s in (conn, self._srv):
             if s is not None:
                 try:
                     s.close()

@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries as q,
         relational,
         similarity,
+        sketches,
         textops,
         unigram_lm,
     )
@@ -163,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(textfiles.QUERIES)
     out.update(pipeline.QUERIES)
     out.update(unigram_lm.QUERIES)
+    out.update(sketches.QUERIES)
 
     missing = [k for k in _FRONT_R7 if k not in out]
     assert not missing, f"front names not registered: {missing}"
@@ -198,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         queries as q,
         relational,
         similarity,
+        sketches,
         textops,
         unigram_lm,
     )
@@ -232,4 +235,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(textfiles.ORACLES)
     out.update(pipeline.ORACLES)
     out.update(unigram_lm.ORACLES)
+    out.update(sketches.ORACLES)
     return out

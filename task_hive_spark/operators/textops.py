@@ -6,6 +6,8 @@ embarrassingly parallel map stages with a small final aggregation.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from task_hive_spark.functions.text import (
@@ -1749,6 +1751,95 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- stratified train/val/test split ------------------------------------
+# Deterministic hash-based assignment (the txt_hash_sample discipline:
+# reproducible across engines, runs, and partition retries — RNG
+# splits are none of those) with per-language stratification, the
+# split a pretraining pipeline freezes before any model sees the data.
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test = the remaining 5
+
+
+def txt_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, split) accounting of the deterministic 90/5/5 split:
+    doc and token counts plus a membership checksum (sum of doc_ids) so
+    the oracle gate checks WHICH docs landed where, not just how many.
+    The split decision is a map-stage expression — no shuffle beyond
+    the final (|langs|·3)-group aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash32(F.col("doc_id").cast("string"), seed="split-") % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.groupBy("lang", split.alias("split"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(ws_token_count(F.col("text")).cast("long")).alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def txt_tokenized_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed pretraining dataset: quality/dedup/LM gates →
+    trained-BPE tokenization → fixed-SEQ_LEN sequence bins, composed
+    end-to-end. This closes the loop the individual operators leave
+    open — txt_filter_pipeline emits a keep roster, txt_bpe_tokenize
+    per-doc token counts, txt_sequence_pack whitespace-token bins; a
+    training run needs the three composed: the SURVIVING docs laid out
+    in TOKENIZER units. Output per bin: doc count, BPE-token total, and
+    the doc_id span. (The full clean-corpus materializer's span
+    excision + temperature stages — operators/pipeline.py — change doc
+    text/set the same way and would compose here by swapping the input
+    frame; the gate stack is kept as the input so the oracle re-pays
+    the already-proven pipeline chain once, not twice.)
+
+    Scale shape: every stage reuses a session-materialized input (gate
+    signals ride doc_stats/token_index; the tokenizer is the cached
+    word-frequency-table trainer), the vocab→subtoken-count map is a
+    broadcast join onto the doc_id-partitioned token stream, and the
+    corpus-wide token offset is the distributed two-pass prefix sum
+    (functions/prefix.py) — never a single-partition window."""
+    kept = txt_filter_pipeline(spark, sf_dir).where("keep").select("doc_id")
+    _m, v = _learn_merges(spark, sf_dir)  # session-cached trained vocab
+    seg = v.select("w", F.size("syms").cast("long").alias("n_subtok"))
+    toks = token_index(spark, sf_dir).select("doc_id", F.explode("toks").alias("w"))
+    per_doc = (
+        toks.join(kept, "doc_id", "left_semi")
+        .join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_subtok").alias("n_bpe"))
+    )
+    b, off, total = bucketed_prefix(
+        per_doc,
+        "doc_id",
+        weight=F.col("n_bpe"),
+        n_buckets=int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    if total == 0:
+        return spark.createDataFrame(
+            [], "bin_id bigint, n_docs bigint, n_bpe_tokens bigint,"
+            " first_doc_id bigint, last_doc_id bigint"
+        )
+    run = F.sum("n_bpe").over(W.partitionBy("_bkt").orderBy("doc_id"))
+    doc_offset = off + run - F.col("n_bpe")  # exclusive prefix sum
+    return (
+        b.withColumn("bin_id", F.floor(doc_offset / F.lit(SEQ_LEN)).cast("bigint"))
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("bin_id")
+    )
+
+
 QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_quality_scores": txt_quality_scores,
@@ -1776,6 +1867,8 @@ QUERIES = {
     "txt_bigram_lm_score": txt_bigram_lm_score,
     "txt_dsir_sample": txt_dsir_sample,
     "txt_quality_classifier": txt_quality_classifier,
+    "txt_stratified_split": txt_stratified_split,
+    "txt_tokenized_dataset": txt_tokenized_dataset,
 }
 
 # --- shared SQL fragments (mirror functions/text.py formulas) -----------
@@ -2382,3 +2475,69 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight_micro DESC, doc_id) AS INT)
 FROM sel ORDER BY rank
 """
 
+
+
+# --- stratified split oracle ---------------------------------------------
+ORACLES["txt_stratified_split"] = f"""
+WITH tagged AS (
+  SELECT lang, doc_id, {_WS_TOKENS_SAFE} AS n_tokens,
+         CAST(concat('0x', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM tagged GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+# --- tokenized-dataset oracle --------------------------------------------
+# Composes the (LM-substituted) filter-pipeline CTE chain with the BPE
+# trainer's unrolled chain and the prefix-sum binning. The filter body
+# is extracted from its finished oracle string (anchored on the roster
+# SELECT — rindex fails loudly if that select is ever reworded); the
+# BPE chain's one colliding CTE name (`toks`) is word-boundary-renamed.
+_FILTER_ROSTER_SELECT = (
+    "SELECT doc_id, lang, n_tokens, reason, reason = 'kept' AS keep"
+)
+_filter_ctes = ORACLES["txt_filter_pipeline"][
+    : ORACLES["txt_filter_pipeline"].rindex(_FILTER_ROSTER_SELECT)
+].rstrip().rstrip(",")
+
+
+def _tokenized_dataset_oracle() -> str:
+    chain, final_vocab, _merges = _bpe_chain_sql()
+    chain = re.sub(r"^\s*WITH\s+", "", chain)  # body only — one WITH total
+    chain = re.sub(r"(?<![a-z0-9_])toks(?![a-z0-9_])", "bpe_toks", chain)
+    return f"""
+{_filter_ctes},
+{chain},
+kept AS (SELECT doc_id FROM reasons WHERE reason = 'kept'),
+dsub AS (
+  SELECT t.doc_id,
+         CAST(SUM(len(string_split(v.sym, ' '))) AS BIGINT) AS n_bpe
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) t
+  JOIN {final_vocab} v USING (w)
+  JOIN kept k ON k.doc_id = t.doc_id
+  GROUP BY t.doc_id
+),
+offs AS (
+  SELECT doc_id, n_bpe,
+         COALESCE(SUM(n_bpe) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM dsub
+)
+SELECT CAST(FLOOR(o / {SEQ_LEN}) AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM offs GROUP BY 1 ORDER BY bin_id
+"""
+
+
+ORACLES["txt_tokenized_dataset"] = _tokenized_dataset_oracle()

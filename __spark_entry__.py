@@ -13,79 +13,70 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Round-7 front-50 (policy: scripts/evidence_age.py asserts it — the
-# r6-comment-maintained freshness claim drifted, so the front set is
-# now EXPLICIT and derived from the CORRECTNESS_r0*.json ledgers):
-#   1. the round's never-graded additions (txt_clean_corpus family);
-#   2. ALL 16 queries whose latest driver grade is r3 (the stalest
-#      evidence in the ledger — r6 verdict task 1);
-#   3. the seven r5-graded queries the r6 session-2 rotation demoted
-#      (xp_dispatch_results, st_snapshot_merge, rel_q14/q15/q17/q19/q20);
-#   4. fillers from the r4-evidence block, code-adjacent first
-#      (txt_unigram_logprob reads the refactored _bigram_scores core;
-#      cat_* sit on the Derby isolation change), then rel_*/st_*/th_ in
-#      name order. The 17 r4-evidence th_* queries that did not fit
-#      remain back-set (every back query is still hash-checked at
-#      sf0.001 per pytest run and at sf0.01/sf0.1 by verify_local).
-# Operators added later in the round displace fillers from the END of
-# this list (keeping 2+3 intact): txt_unigram_lm_vocab/_fertility
-# displaced st_stream_dedup_bounded and th_assign_banded;
-# sim_prototypes_prune displaced st_session_windows.
-# _FRONT_R8 core = whatever scripts/evidence_age.py reports stale after
-# the r7 grades land (the 17 unfronted r4-evidence th_* queries plus
-# the two displaced fillers) — derive it from the script, not this
-# comment.
-_FRONT_R7 = [
-    "txt_clean_corpus",
-    "txt_clean_corpus_stats",
-    "txt_unigram_lm_vocab",
-    "txt_unigram_lm_fertility",
-    "sim_prototypes_prune",
-    "dd_embedding_cosine_pairs",
-    "mm_frame_sample",
-    "rel_case_null_logic",
-    "rel_correlated_above_avg",
-    "rel_pivot_status",
-    "rel_scalar_datetime",
-    "rel_scalar_math",
-    "rel_scalar_string",
-    "rel_window_ranks",
-    "sim_label_centroids",
-    "sim_quantize_int8",
-    "txt_chunks",
-    "txt_hash_sample",
-    "txt_language_id",
-    "txt_pii_scrub",
-    "txt_token_stats",
-    "xp_dispatch_results",
-    "st_snapshot_merge",
-    "rel_q14_promo_effect",
-    "rel_q15_top_supplier",
-    "rel_q17_small_qty_revenue",
-    "rel_q19_disjunctive_join",
-    "rel_q20_excess_stock",
-    "txt_unigram_logprob",
-    "cat_bucketed_join_stats",
-    "cat_pending_by_type",
-    "mm_audio_segments",
-    "rel_approx_distinct",
-    "rel_asof_join",
-    "rel_cube_part",
-    "rel_distinct_aggs",
-    "rel_grouping_sets_events",
-    "rel_lag_lead_delta",
-    "rel_outer_join_nulls",
-    "rel_percentiles",
-    "rel_range_join",
-    "rel_rollup_orders",
-    "rel_self_join_prev_order",
-    "rel_semi_anti_join",
-    "rel_sessionize",
-    "rel_set_ops",
-    "rel_topk_per_group",
-    "rel_window_frames",
-    "rel_window_running",
-    "st_dispatch_latency",
+# Round-8 front-50 (policy: scripts/evidence_age.py derives and asserts
+# it from the CORRECTNESS_r0*.json ledgers):
+#   1. the round's never-graded additions (sk_* sketch family,
+#      txt_stratified_split, txt_tokenized_dataset);
+#   2. ALL 20 queries whose latest driver grade is r4 (age 4, the
+#      ledger's stalest: the th_* batch surface + st_session_windows /
+#      st_stream_dedup_bounded);
+#   3. 25 of the 32 r5-evidence queries, code-adjacent first. The seven
+#      left back (mm_catalog_stats, mm_decode_features,
+#      src_{csv,jsonl,orc}_roundtrip, xp_taskgen_summary, th_stats) are
+#      in modules untouched this round, remain hash-checked at sf0.001
+#      on every pytest run and at sf0.01/sf0.1 by verify_local, and
+#      form the r9 front core.
+_FRONT_R8 = [
+    "sk_kmv_distinct",
+    "sk_cms_heavy_hitters",
+    "sk_bloom_semi_join",
+    "txt_stratified_split",
+    "txt_tokenized_dataset",
+    "st_session_windows",
+    "st_stream_dedup_bounded",
+    "th_assign_banded",
+    "th_assign_least_tasks",
+    "th_assign_random",
+    "th_assign_round_robin",
+    "th_assignment_load",
+    "th_backoff_schedule",
+    "th_composite_keys",
+    "th_eligible_workers",
+    "th_id_functions",
+    "th_latest_event_per_user",
+    "th_least_tasks_worker",
+    "th_payload_parse",
+    "th_pending_count",
+    "th_spider_ingest",
+    "th_status_enum_roundtrip",
+    "th_top10_pending",
+    "th_worker_inbox",
+    "th_workers_liveness",
+    "dd_minhash_signatures",
+    "rel_q2_min_cost_supplier",
+    "rel_q4_order_priority",
+    "rel_q11_important_stock",
+    "rel_q12_late_lines",
+    "rel_q13_custdist",
+    "rel_q16_supplier_part_count",
+    "rel_q18_large_orders",
+    "rel_q21_waiting_suppliers",
+    "sim_topk_brute",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "st_stream_dedup",
+    "st_worker_counter_stateful",
+    "th_api_json",
+    "th_list_all_union",
+    "th_list_by_status",
+    "th_point_get",
+    "th_snapshot_merge",
+    "th_unknown_type_failed",
+    "txt_bm25_topk",
+    "txt_decontaminate",
+    "txt_importance_sample",
+    "txt_sentiment",
+    "txt_sequence_pack",
 ]
 
 # The driver's grading window; the front set must fill it exactly so no
@@ -141,7 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         timers,
     )
 
-    # Register evidence-first (see _FRONT_R7): queries whose driver
+    # Register evidence-first (see _FRONT_R8): queries whose driver
     # evidence is stalest fill the 50 graded slots; the freshly-graded
     # set rotates to the back.
     out: dict[str, Callable] = {}
@@ -166,16 +157,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(unigram_lm.QUERIES)
     out.update(sketches.QUERIES)
 
-    missing = [k for k in _FRONT_R7 if k not in out]
+    missing = [k for k in _FRONT_R8 if k not in out]
     assert not missing, f"front names not registered: {missing}"
     # distinct-count, not list-length: a pasted duplicate would pass a
     # len() check while silently shrinking the graded front below the
     # window (review finding r7)
-    assert len(set(_FRONT_R7)) == len(_FRONT_R7) == GRADING_WINDOW, (
+    assert len(set(_FRONT_R8)) == len(_FRONT_R8) == GRADING_WINDOW, (
         f"front set must fill the driver's grading window exactly: "
-        f"{len(set(_FRONT_R7))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R7"
+        f"{len(set(_FRONT_R8))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R8"
     )
-    front = {k: out[k] for k in _FRONT_R7}
+    front = {k: out[k] for k in _FRONT_R8}
     back = {k: v for k, v in out.items() if k not in front}
     ordered = {**front, **back}
 

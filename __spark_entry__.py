@@ -22,12 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 #      st_stream_dedup_bounded);
 #   3. 25 of the 32 r5-evidence queries, code-adjacent first. The seven
 #      left back (mm_catalog_stats, mm_decode_features,
-#      src_{csv,jsonl,orc}_roundtrip, xp_taskgen_summary, th_stats) are
+#      src_{csv,jsonl,orc}_roundtrip, xp_taskgen_summary, th_stats,
+#      and the two displaced by late-round sketch additions:
+#      txt_importance_sample, txt_sentiment) are
 #      in modules untouched this round, remain hash-checked at sf0.001
 #      on every pytest run and at sf0.01/sf0.1 by verify_local, and
 #      form the r9 front core.
 _FRONT_R8 = [
     "sk_kmv_distinct",
+    "sk_hll_distinct",
+    "sk_theta_intersect",
     "sk_cms_heavy_hitters",
     "sk_bloom_semi_join",
     "txt_stratified_split",
@@ -74,8 +78,6 @@ _FRONT_R8 = [
     "th_unknown_type_failed",
     "txt_bm25_topk",
     "txt_decontaminate",
-    "txt_importance_sample",
-    "txt_sentiment",
     "txt_sequence_pack",
 ]
 

@@ -50,6 +50,19 @@ HEADLINE = [
     "txt_dsir_sample",
     "txt_quality_classifier",
     "txt_bpe_merges",
+    # round-8 additions: the sketch family and the composed dataset
+    # surface. txt_tokenized_dataset is timed on a warm trainer (the
+    # txt_bpe_merges entry above re-learns and re-caches each measured
+    # run), so its number is the MARGINAL gates→tokenize→pack cost; its
+    # DuckDB mirror re-pays the unrolled BPE correctness chain, so —
+    # like txt_bpe_merges — its ratio reads in Spark's favor.
+    "sk_kmv_distinct",
+    "sk_hll_distinct",
+    "sk_theta_intersect",
+    "sk_cms_heavy_hitters",
+    "sk_bloom_semi_join",
+    "txt_stratified_split",
+    "txt_tokenized_dataset",
 ]
 
 

@@ -84,6 +84,176 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# --- HyperLogLog distinct estimator -------------------------------------
+# Flajolet et al. 2007. Unlike KMV, HLL never needs the distinct
+# pre-shuffle: register state is a per-(group, register) MAX — an
+# algebraic aggregate with map-side combine, so each map task emits at
+# most m rows per group no matter how many values it saw. That makes
+# HLL the sketch of choice for streaming/ingest-time cardinality.
+# Determinism: the register fold is exact-integer (Σ 2^(53−M_j) in
+# int64 — order-free, unlike a float Σ 2^−M_j whose rounding would
+# depend on engine summation order); the only float ops are one
+# division and (small-range) one ln(), both already proven
+# engine-stable by the BM25/DSIR oracles.
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_W = 52  # rank field: low 52 of the 60-bit portable hash
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# raw estimate = α·m² / Σ 2^−M  =  (α·m²·2^53) / Σ 2^(53−M)
+_HLL_ALPHA_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
+
+
+def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via 256-register HyperLogLog,
+    with the standard small-range linear-counting correction.
+
+    Shape: ONE narrow shuffle of ≤ m·|groups| partial-max rows (the
+    groupBy(group, register).max partial-aggregates map-side); the
+    register grid, zero-fill join, and estimate arithmetic all run on
+    m·|groups| rows. At 100 TB this is the cheapest possible distinct:
+    the data is touched once, map-side, and the shuffle is sketch-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        portable_hash64(F.col("user_id").cast("string"), seed="hll-").alias("h"),
+    )
+    w = F.col("h").bitwiseAND(F.lit((1 << HLL_W) - 1))
+    # leading zeros in the 52-bit field + 1; bin() is minimal-width in
+    # both engines, so bitlen(w) = length(bin(w)) for w > 0
+    rank = F.when(w == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        h.select("event_type", F.shiftright("h", HLL_W).alias("j"), rank.alias("r"))
+        .groupBy("event_type", "j")
+        .agg(F.max("r").alias("m"))
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(HLL_M).select(F.col("id").alias("j"))))
+    )
+    full = grid.join(regs, ["event_type", "j"], "left").withColumn(
+        "m", F.coalesce("m", F.lit(0))
+    )
+    agg = full.groupBy("event_type").agg(
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("bigint").alias("v_zero"),
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("long")).alias(
+            "sum_scaled"
+        ),
+    )
+    raw = F.lit(_HLL_ALPHA_NUM) / F.col("sum_scaled")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return agg.select(
+        "event_type",
+        "v_zero",
+        "sum_scaled",
+        F.floor(est).cast("bigint").alias("est_distinct"),
+    ).orderBy("event_type")
+
+
+# --- Theta-sketch set intersection --------------------------------------
+# Dasgupta et al. 2016 (the DataSketches theta framework): KMV sketches
+# of two sets are unioned by keeping hashes below θ = min(θ_A, θ_B);
+# |A∩B| ≈ |S_A ∩ S_B ∩ [0,θ)| · D/θ. Set-expression cardinalities
+# WITHOUT ever co-shuffling the raw sets — at 100 TB the two sides are
+# sketched independently (possibly on different clusters/days) and the
+# set algebra runs on 2·K rows.
+THETA_K = 64
+THETA_SIDE_A = "click"
+THETA_SIDE_B = "purchase"
+
+
+def _bottom_k_hashes(distinct_h: DataFrame, k: int) -> DataFrame:
+    """Global bottom-K of a single-column distinct hash frame via the
+    salted two-level merge; the final unpartitioned window sees only
+    ≤ k·KMV_SALTS survivors (one of plan_audit's documented bounded
+    single-partition cases)."""
+    partial = W.partitionBy(F.pmod("h", F.lit(KMV_SALTS))).orderBy("h")
+    merged = W.orderBy("h")
+    return (
+        distinct_h.withColumn("rn", F.row_number().over(partial))
+        .where(F.col("rn") <= k)
+        .withColumn("rn", F.row_number().over(merged))
+        .where(F.col("rn") <= k)
+    )
+
+
+def sk_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap between the click-user and purchase-user sets from their
+    theta sketches: estimated |A∩B|, |A∪B| and the Jaccard (in exact
+    micro units). Under-full sketches degrade to exact set algebra
+    (θ = D), so the estimator is total."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(event_type: str) -> DataFrame:
+        hashes = (
+            ev.where(F.col("event_type") == event_type)
+            .select(
+                portable_hash64(
+                    F.col("user_id").cast("string"), seed="kmv-"
+                ).alias("h")
+            )
+            .distinct()
+        )
+        return _bottom_k_hashes(hashes, THETA_K)
+
+    sa, sb = side(THETA_SIDE_A), side(THETA_SIDE_B)
+    stats = (
+        sa.agg(
+            F.count("*").cast("bigint").alias("n_sketch_a"),
+            F.max(F.when(F.col("rn") == THETA_K, F.col("h"))).alias("kth_a"),
+        )
+        .crossJoin(
+            sb.agg(
+                F.count("*").cast("bigint").alias("n_sketch_b"),
+                F.max(F.when(F.col("rn") == THETA_K, F.col("h"))).alias("kth_b"),
+            )
+        )
+        .withColumn(
+            "theta",
+            F.least(
+                F.coalesce("kth_a", F.lit(1 << 60)),
+                F.coalesce("kth_b", F.lit(1 << 60)),
+            ),
+        )
+    )
+    both = sa.select("h").withColumn("in_a", F.lit(1)).join(
+        sb.select("h").withColumn("in_b", F.lit(1)), "h", "full_outer"
+    )
+    counts = (
+        both.crossJoin(F.broadcast(stats.select("theta")))
+        .where(F.col("h") < F.col("theta"))
+        .agg(
+            F.sum(
+                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_common"),
+            F.count("*").cast("bigint").alias("n_union"),
+        )
+    )
+    d = F.lit(_HASH64_DOMAIN)
+    return stats.crossJoin(F.broadcast(counts)).select(
+        "n_sketch_a",
+        "n_sketch_b",
+        "theta",
+        "n_common",
+        "n_union",
+        F.floor(F.col("n_common") * d / F.col("theta")).cast("bigint").alias(
+            "est_intersect"
+        ),
+        F.floor(F.col("n_union") * d / F.col("theta")).cast("bigint").alias(
+            "est_union"
+        ),
+        F.floor(F.col("n_common") * F.lit(1000000.0) / F.col("n_union"))
+        .cast("bigint")
+        .alias("jaccard_micro"),
+    )
+
+
 # --- Count-min sketch heavy hitters -------------------------------------
 # Cormode & Muthukrishnan 2005: D independent hash rows × W counters;
 # point estimate = min over rows (one-sided: never under-counts).
@@ -212,6 +382,8 @@ def sk_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
+    "sk_hll_distinct": sk_hll_distinct,
+    "sk_theta_intersect": sk_theta_intersect,
     "sk_cms_heavy_hitters": sk_cms_heavy_hitters,
     "sk_bloom_semi_join": sk_bloom_semi_join,
 }
@@ -264,6 +436,98 @@ ORACLES = {
                                     / kth_min_hash)
                     END AS BIGINT) AS est_distinct
         FROM s ORDER BY event_type
+        """,
+    "sk_hll_distinct": f"""
+        WITH h AS (
+          SELECT event_type,
+                 CAST(concat('0x', substr(md5('hll-' || CAST(user_id AS VARCHAR)),
+                      1, 15)) AS BIGINT) AS h
+          FROM events
+        ),
+        ranked AS (
+          SELECT event_type, h >> {HLL_W} AS j,
+                 CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
+                      ELSE {HLL_W + 1} - length(bin(h & {(1 << HLL_W) - 1}))
+                 END AS r
+          FROM h
+        ),
+        regs AS (SELECT event_type, j, MAX(r) AS m FROM ranked GROUP BY 1, 2),
+        grid AS (
+          SELECT e.event_type, g.range AS j
+          FROM (SELECT DISTINCT event_type FROM events) e, range({HLL_M}) g
+        ),
+        filled AS (
+          SELECT grid.event_type, grid.j, COALESCE(regs.m, 0) AS m
+          FROM grid LEFT JOIN regs
+            ON regs.event_type = grid.event_type AND regs.j = grid.j
+        ),
+        agg AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+                 CAST(SUM(CAST(power(2.0, 53 - m) AS BIGINT)) AS BIGINT)
+                   AS sum_scaled
+          FROM filled GROUP BY event_type
+        )
+        SELECT event_type, v_zero, sum_scaled,
+               CAST(FLOOR(CASE WHEN {_HLL_ALPHA_NUM!r} / sum_scaled
+                                    <= {2.5 * HLL_M}
+                               AND v_zero > 0
+                          THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)
+                          ELSE {_HLL_ALPHA_NUM!r} / sum_scaled
+                          END) AS BIGINT) AS est_distinct
+        FROM agg ORDER BY event_type
+        """,
+    "sk_theta_intersect": f"""
+        WITH ha AS (
+          SELECT DISTINCT
+            CAST(concat('0x', substr(md5('kmv-' || CAST(user_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) AS h
+          FROM events WHERE event_type = '{THETA_SIDE_A}'
+        ),
+        hb AS (
+          SELECT DISTINCT
+            CAST(concat('0x', substr(md5('kmv-' || CAST(user_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) AS h
+          FROM events WHERE event_type = '{THETA_SIDE_B}'
+        ),
+        sa AS (
+          SELECT h, rn FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha
+          ) WHERE rn <= {THETA_K}
+        ),
+        sb AS (
+          SELECT h, rn FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb
+          ) WHERE rn <= {THETA_K}
+        ),
+        stats AS (
+          SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sa) AS n_sketch_a,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM sb) AS n_sketch_b,
+            LEAST(
+              COALESCE((SELECT MAX(h) FROM sa WHERE rn = {THETA_K}), {1 << 60}),
+              COALESCE((SELECT MAX(h) FROM sb WHERE rn = {THETA_K}), {1 << 60})
+            ) AS theta
+        ),
+        merged AS (
+          SELECT COALESCE(sa.h, sb.h) AS h,
+                 sa.h IS NOT NULL AS in_a, sb.h IS NOT NULL AS in_b
+          FROM sa FULL OUTER JOIN sb ON sa.h = sb.h
+        ),
+        counts AS (
+          SELECT CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_common,
+                 CAST(COUNT(*) AS BIGINT) AS n_union
+          FROM merged, stats WHERE h < theta
+        )
+        SELECT n_sketch_a, n_sketch_b, theta, n_common, n_union,
+               CAST(FLOOR(n_common * {_HASH64_DOMAIN!r} / theta) AS BIGINT)
+                 AS est_intersect,
+               CAST(FLOOR(n_union * {_HASH64_DOMAIN!r} / theta) AS BIGINT)
+                 AS est_union,
+               CAST(FLOOR(n_common * 1000000.0 / n_union) AS BIGINT)
+                 AS jaccard_micro
+        FROM stats, counts
         """,
     "sk_cms_heavy_hitters": f"""
         WITH occ AS (

@@ -9,12 +9,17 @@ from pyspark.sql import functions as F
 from task_hive_spark.operators.sketches import (
     BLOOM_K,
     CMS_D,
+    HLL_M,
     KMV_K,
+    THETA_SIDE_A,
+    THETA_SIDE_B,
     bloom_positions,
     cms_cells,
     sk_bloom_semi_join,
     sk_cms_heavy_hitters,
+    sk_hll_distinct,
     sk_kmv_distinct,
+    sk_theta_intersect,
 )
 from task_hive_spark.sources.fixtures import load_table
 
@@ -44,6 +49,46 @@ def test_kmv_estimate_tracks_exact(spark, sf_dir):
                 row["est_distinct"],
                 exact[et],
             )
+
+
+def test_hll_estimate_tracks_exact(spark, sf_dir):
+    est = {r["event_type"]: r for r in sk_hll_distinct(spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et, row in est.items():
+        # HLL stderr ≈ 1.04/sqrt(m) ≈ 6.5% at m=256; generous 3σ bound
+        # (linear counting governs the small-sf fixtures)
+        assert abs(row["est_distinct"] - exact[et]) <= max(0.2 * exact[et], 3), (
+            et,
+            row["est_distinct"],
+            exact[et],
+        )
+        assert 0 <= row["v_zero"] <= HLL_M
+
+
+def test_theta_intersect_consistent(spark, sf_dir):
+    row = sk_theta_intersect(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == THETA_SIDE_A).select("user_id").distinct()
+    b = ev.where(F.col("event_type") == THETA_SIDE_B).select("user_id").distinct()
+    exact_common = a.join(b, "user_id").count()
+    exact_union = a.union(b).distinct().count()
+    # sketch-algebra sanity
+    assert 0 <= row["n_common"] <= row["n_union"]
+    assert row["est_intersect"] <= row["est_union"]
+    # 3σ-ish accuracy on both set estimates
+    assert abs(row["est_intersect"] - exact_common) <= max(0.4 * exact_common, 3)
+    assert abs(row["est_union"] - exact_union) <= max(0.4 * exact_union, 3)
+    # under-full sketches must be EXACT (θ = full domain)
+    if row["n_sketch_a"] < 64 and row["n_sketch_b"] < 64:
+        assert row["est_intersect"] == exact_common
+        assert row["est_union"] == exact_union
 
 
 def test_cms_estimates_never_undercount(spark, sf_dir):

@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 #   3. 25 of the 32 r5-evidence queries, code-adjacent first. The seven
 #      left back (mm_catalog_stats, mm_decode_features,
 #      src_{csv,jsonl,orc}_roundtrip, xp_taskgen_summary, th_stats,
-#      and the two displaced by late-round sketch additions:
-#      txt_importance_sample, txt_sentiment) are
+#      and the three displaced by late-round sketch additions:
+#      txt_importance_sample, txt_sentiment, txt_bm25_topk) are
 #      in modules untouched this round, remain hash-checked at sf0.001
 #      on every pytest run and at sf0.01/sf0.1 by verify_local, and
 #      form the r9 front core.
@@ -34,6 +34,7 @@ _FRONT_R8 = [
     "sk_theta_intersect",
     "sk_cms_heavy_hitters",
     "sk_bloom_semi_join",
+    "st_hll_incremental",
     "txt_stratified_split",
     "txt_tokenized_dataset",
     "st_session_windows",
@@ -76,7 +77,6 @@ _FRONT_R8 = [
     "th_point_get",
     "th_snapshot_merge",
     "th_unknown_type_failed",
-    "txt_bm25_topk",
     "txt_decontaminate",
     "txt_sequence_pack",
 ]
@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedupstream,
         lifecycle,
         minhashstream,
+        sketchstream,
         stateful,
         timers,
     )
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(pipeline.QUERIES)
     out.update(unigram_lm.QUERIES)
     out.update(sketches.QUERIES)
+    out.update(sketchstream.QUERIES)
 
     missing = [k for k in _FRONT_R8 if k not in out]
     assert not missing, f"front names not registered: {missing}"
@@ -204,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         dedupstream,
         lifecycle,
         minhashstream,
+        sketchstream,
         stateful,
         timers,
     )
@@ -229,4 +232,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(pipeline.ORACLES)
     out.update(unigram_lm.ORACLES)
     out.update(sketches.ORACLES)
+    out.update(sketchstream.ORACLES)
     return out

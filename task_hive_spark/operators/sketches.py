@@ -103,16 +103,12 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 _HLL_ALPHA_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
 
 
-def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event type via 256-register HyperLogLog,
-    with the standard small-range linear-counting correction.
-
-    Shape: ONE narrow shuffle of ≤ m·|groups| partial-max rows (the
-    groupBy(group, register).max partial-aggregates map-side); the
-    register grid, zero-fill join, and estimate arithmetic all run on
-    m·|groups| rows. At 100 TB this is the cheapest possible distinct:
-    the data is touched once, map-side, and the shuffle is sketch-sized."""
-    ev = load_table(spark, sf_dir, "events")
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """Sparse HLL register state (event_type, j, m) for a frame with
+    (event_type, user_id). ONE implementation shared by the batch query
+    and the incremental streaming fold (streaming/sketchstream.py) —
+    the minhash_sigs_of no-drift discipline. State merges by MAX, so
+    incremental folds and whole-corpus builds converge identically."""
     h = ev.select(
         "event_type",
         portable_hash64(F.col("user_id").cast("string"), seed="hll-").alias("h"),
@@ -123,13 +119,19 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = F.when(w == 0, F.lit(HLL_W + 1)).otherwise(
         F.lit(HLL_W + 1) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         h.select("event_type", F.shiftright("h", HLL_W).alias("j"), rank.alias("r"))
         .groupBy("event_type", "j")
         .agg(F.max("r").alias("m"))
     )
+
+
+def hll_estimate(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """The per-group HLL estimate (with small-range linear counting)
+    from sparse register state — grid-fill to all m registers, the
+    exact-integer Σ 2^(53−M) fold, then the α-corrected division."""
     grid = (
-        ev.select("event_type")
+        regs.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(spark.range(HLL_M).select(F.col("id").alias("j"))))
     )
@@ -153,6 +155,19 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_scaled",
         F.floor(est).cast("bigint").alias("est_distinct"),
     ).orderBy("event_type")
+
+
+def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via 256-register HyperLogLog,
+    with the standard small-range linear-counting correction.
+
+    Shape: ONE narrow shuffle of ≤ m·|groups| partial-max rows (the
+    groupBy(group, register).max partial-aggregates map-side); the
+    register grid, zero-fill join, and estimate arithmetic all run on
+    m·|groups| rows. At 100 TB this is the cheapest possible distinct:
+    the data is touched once, map-side, and the shuffle is sketch-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    return hll_estimate(spark, hll_registers(ev))
 
 
 # --- Theta-sketch set intersection --------------------------------------

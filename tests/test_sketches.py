@@ -130,6 +130,24 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     assert row["n_bits_set"] <= BLOOM_K * bad.count()
 
 
+def test_incremental_hll_converges_to_batch_and_is_chunk_invariant(
+    spark, sf_dir, tmp_path
+):
+    from task_hive_spark.streaming.sketchstream import (
+        latest_state,
+        run_once,
+    )
+    from task_hive_spark.operators.sketches import hll_estimate
+
+    batch = sk_hll_distinct(spark, sf_dir).collect()
+    outs = []
+    for n_chunks in (2, 4):
+        root = run_once(spark, sf_dir, str(tmp_path / f"c{n_chunks}"), n_chunks)
+        outs.append(hll_estimate(spark, latest_state(spark, root)).collect())
+    # max-monoid state: ANY batching folds to the whole-corpus sketch
+    assert outs[0] == outs[1] == batch
+
+
 def test_shared_cell_helpers_are_single_source(spark):
     # build and probe must use the same cell/position derivations;
     # the helpers are that single source — pin their shape

@@ -23,18 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 #   3. 25 of the 32 r5-evidence queries, code-adjacent first. The seven
 #      left back (mm_catalog_stats, mm_decode_features,
 #      src_{csv,jsonl,orc}_roundtrip, xp_taskgen_summary, th_stats,
-#      and the three displaced by late-round sketch additions:
-#      txt_importance_sample, txt_sentiment, txt_bm25_topk) are
+#      and the five displaced by late-round additions:
+#      txt_importance_sample, txt_sentiment, txt_bm25_topk, th_api_json,
+#      th_snapshot_merge) are
 #      in modules untouched this round, remain hash-checked at sf0.001
 #      on every pytest run and at sf0.01/sf0.1 by verify_local, and
 #      form the r9 front core.
 _FRONT_R8 = [
     "sk_kmv_distinct",
     "sk_hll_distinct",
+    "sk_hll_union",
     "sk_theta_intersect",
     "sk_cms_heavy_hitters",
     "sk_bloom_semi_join",
     "st_hll_incremental",
+    "dd_split_leakage",
     "txt_stratified_split",
     "txt_tokenized_dataset",
     "st_session_windows",
@@ -71,11 +74,9 @@ _FRONT_R8 = [
     "sim_topk_lsh",
     "st_stream_dedup",
     "st_worker_counter_stateful",
-    "th_api_json",
     "th_list_all_union",
     "th_list_by_status",
     "th_point_get",
-    "th_snapshot_merge",
     "th_unknown_type_failed",
     "txt_decontaminate",
     "txt_sequence_pack",

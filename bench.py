@@ -58,11 +58,13 @@ HEADLINE = [
     # like txt_bpe_merges — its ratio reads in Spark's favor.
     "sk_kmv_distinct",
     "sk_hll_distinct",
+    "sk_hll_union",
     "sk_theta_intersect",
     "sk_cms_heavy_hitters",
     "sk_bloom_semi_join",
     "txt_stratified_split",
     "txt_tokenized_dataset",
+    "dd_split_leakage",
 ]
 
 

@@ -703,6 +703,71 @@ def dd_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: exact- and near-duplicate pairs
+    whose members landed in DIFFERENT splits of the frozen hash split
+    (txt_stratified_split's formula — one definition imported, no
+    drift). This is the QA gate run before any eval is trusted: a test
+    document with a train-side (near-)duplicate silently inflates every
+    benchmark, which is exactly why dedup must precede splitting — the
+    audit quantifies the residual leakage if it didn't.
+
+    Shape: exact pairs from the fingerprint self-join (groups are
+    duplicate clusters — tiny), near pairs from the banded MinHash-LSH
+    candidates (the materialized session index; never all-pairs); split
+    tags are map-stage hash expressions; the output is a
+    |kinds|·|splits|² summary with membership checksums."""
+    from task_hive_spark.operators.textops import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+    from task_hive_spark.functions.text import portable_hash32
+
+    def split_of(col: F.Column) -> F.Column:
+        bucket = portable_hash32(col.cast("string"), seed="split-") % 100
+        return (
+            F.when(bucket < SPLIT_TRAIN_PCT, "train")
+            .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+            .otherwise("test")
+        )
+
+    d = corpus_df(spark, sf_dir)
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    ex = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    near = (
+        dd_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(ex, ["doc_a", "doc_b"], "left_anti")  # identical text → 'exact'
+    )
+    pairs = ex.withColumn("kind", F.lit("exact")).unionByName(
+        near.withColumn("kind", F.lit("near"))
+    )
+    tagged = pairs.select(
+        "kind",
+        "doc_a",
+        "doc_b",
+        split_of(F.col("doc_a")).alias("split_a"),
+        split_of(F.col("doc_b")).alias("split_b"),
+    )
+    return (
+        tagged.where(F.col("split_a") != F.col("split_b"))
+        .groupBy("kind", "split_a", "split_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("doc_a").cast("bigint").alias("sum_doc_a"),
+            F.sum("doc_b").cast("bigint").alias("sum_doc_b"),
+        )
+        .orderBy("kind", "split_a", "split_b")
+    )
+
+
 QUERIES = {
     "dd_exact_groups": dd_exact_groups,
     "dd_exact_keep_list": dd_exact_keep_list,
@@ -715,6 +780,7 @@ QUERIES = {
     "dd_chunk_dedup": dd_chunk_dedup,
     "dd_duplicate_spans": dd_duplicate_spans,
     "dd_dup_rate_by_source": dd_dup_rate_by_source,
+    "dd_split_leakage": dd_split_leakage,
 }
 
 # --- oracle SQL ----------------------------------------------------------
@@ -988,4 +1054,61 @@ JOIN documents d ON c.doc_id % {DUP_OFFSET} = d.doc_id
 LEFT JOIN members m ON c.doc_id = m.doc_id
 GROUP BY d.source
 ORDER BY d.source
+"""
+
+# split-leakage audit: the minhash oracle runs nested (its own WITH is
+# scoped inside the CTE parentheses), exact pairs ride the fingerprint
+# self-join, split tags mirror txt_stratified_split's hash formula
+from task_hive_spark.operators.textops import (  # noqa: E402
+    SPLIT_TRAIN_PCT as _SPLIT_TRAIN_PCT,
+    SPLIT_VAL_PCT as _SPLIT_VAL_PCT,
+)
+
+
+def _split_case(col: str) -> str:
+    h = (
+        f"CAST(concat('0x', substr(md5('split-' || CAST({col} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % 100"
+    )
+    return (
+        f"CASE WHEN {h} < {_SPLIT_TRAIN_PCT} THEN 'train'"
+        f" WHEN {h} < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'"
+        f" ELSE 'test' END"
+    )
+
+
+ORACLES["dd_split_leakage"] = f"""
+WITH near0 AS (
+{ORACLES["dd_minhash_lsh_pairs"]}
+),
+corpus AS ({CORPUS_SQL}),
+fp AS (SELECT doc_id, {_FP} AS fp FROM corpus),
+ex AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+near AS (
+  SELECT n.doc_a, n.doc_b
+  FROM near0 n LEFT JOIN ex ON ex.doc_a = n.doc_a AND ex.doc_b = n.doc_b
+  WHERE ex.doc_a IS NULL
+),
+pairs AS (
+  SELECT doc_a, doc_b, 'exact' AS kind FROM ex
+  UNION ALL
+  SELECT doc_a, doc_b, 'near' AS kind FROM near
+),
+tagged AS (
+  SELECT kind, doc_a, doc_b,
+         {_split_case("doc_a")} AS split_a,
+         {_split_case("doc_b")} AS split_b
+  FROM pairs
+)
+SELECT kind, split_a, split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(doc_a) AS BIGINT) AS sum_doc_a,
+       CAST(SUM(doc_b) AS BIGINT) AS sum_doc_b
+FROM tagged
+WHERE split_a != split_b
+GROUP BY kind, split_a, split_b
+ORDER BY kind, split_a, split_b
 """

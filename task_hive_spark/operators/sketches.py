@@ -170,6 +170,33 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(spark, hll_registers(ev))
 
 
+def sk_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users across ALL event types, computed by MERGING the
+    per-type register sketches (register-wise max) — the data is never
+    re-read. This is the property that makes sketches the 100 TB
+    answer: per-partition/per-day/per-source sketches built
+    independently union in O(m) regardless of what they summarize. The
+    output also carries Σ of the per-group estimates so the union ≠
+    sum distinction (overlapping groups) is visible in the gated row."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev)
+    union_regs = (
+        regs.groupBy("j")
+        .agg(F.max("m").alias("m"))
+        .withColumn("event_type", F.lit("all"))
+    )
+    union_est = hll_estimate(spark, union_regs).select(
+        F.col("est_distinct").alias("est_union")
+    )
+    per_group = hll_estimate(spark, regs).agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("est_distinct").cast("bigint").alias("sum_group_ests"),
+    )
+    return per_group.crossJoin(F.broadcast(union_est)).select(
+        "n_groups", "sum_group_ests", "est_union"
+    )
+
+
 # --- Theta-sketch set intersection --------------------------------------
 # Dasgupta et al. 2016 (the DataSketches theta framework): KMV sketches
 # of two sets are unioned by keeping hashes below θ = min(θ_A, θ_B);
@@ -398,6 +425,7 @@ def sk_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_hll_distinct": sk_hll_distinct,
+    "sk_hll_union": sk_hll_union,
     "sk_theta_intersect": sk_theta_intersect,
     "sk_cms_heavy_hitters": sk_cms_heavy_hitters,
     "sk_bloom_semi_join": sk_bloom_semi_join,
@@ -414,6 +442,57 @@ _KMV_HASH = (
 )
 
 _CMS_ARMS = ", ".join(f"({d})" for d in range(CMS_D))
+
+# shared HLL oracle fragments (register build + estimate arithmetic),
+# composed by sk_hll_distinct, sk_hll_union and st_hll_incremental
+_HLL_REGS_CTES = f"""h AS (
+          SELECT event_type,
+                 CAST(concat('0x', substr(md5('hll-' || CAST(user_id AS VARCHAR)),
+                      1, 15)) AS BIGINT) AS h
+          FROM events
+        ),
+        ranked AS (
+          SELECT event_type, h >> {HLL_W} AS j,
+                 CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
+                      ELSE {HLL_W + 1} - length(bin(h & {(1 << HLL_W) - 1}))
+                 END AS r
+          FROM h
+        ),
+        regs AS (SELECT event_type, j, MAX(r) AS m FROM ranked GROUP BY 1, 2)"""
+
+
+def _hll_est_tail(regs_cte: str, groups_cte: str) -> str:
+    """grid-fill + exact-integer fold + α-corrected estimate over a
+    sparse (event_type, j, m) register CTE."""
+    return f"""
+        grid_{regs_cte} AS (
+          SELECT e.event_type, g.range AS j
+          FROM (SELECT DISTINCT event_type FROM {groups_cte}) e, range({HLL_M}) g
+        ),
+        filled_{regs_cte} AS (
+          SELECT grid_{regs_cte}.event_type, grid_{regs_cte}.j,
+                 COALESCE({regs_cte}.m, 0) AS m
+          FROM grid_{regs_cte} LEFT JOIN {regs_cte}
+            ON {regs_cte}.event_type = grid_{regs_cte}.event_type
+           AND {regs_cte}.j = grid_{regs_cte}.j
+        ),
+        agg_{regs_cte} AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+                 CAST(SUM(CAST(power(2.0, 53 - m) AS BIGINT)) AS BIGINT)
+                   AS sum_scaled
+          FROM filled_{regs_cte} GROUP BY event_type
+        ),
+        est_{regs_cte} AS (
+          SELECT event_type, v_zero, sum_scaled,
+                 CAST(FLOOR(CASE WHEN {_HLL_ALPHA_NUM!r} / sum_scaled
+                                      <= {2.5 * HLL_M}
+                                 AND v_zero > 0
+                            THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)
+                            ELSE {_HLL_ALPHA_NUM!r} / sum_scaled
+                            END) AS BIGINT) AS est_distinct
+          FROM agg_{regs_cte}
+        )"""
 
 
 def _cms_hash(item_sql: str) -> str:
@@ -453,44 +532,20 @@ ORACLES = {
         FROM s ORDER BY event_type
         """,
     "sk_hll_distinct": f"""
-        WITH h AS (
-          SELECT event_type,
-                 CAST(concat('0x', substr(md5('hll-' || CAST(user_id AS VARCHAR)),
-                      1, 15)) AS BIGINT) AS h
-          FROM events
-        ),
-        ranked AS (
-          SELECT event_type, h >> {HLL_W} AS j,
-                 CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
-                      ELSE {HLL_W + 1} - length(bin(h & {(1 << HLL_W) - 1}))
-                 END AS r
-          FROM h
-        ),
-        regs AS (SELECT event_type, j, MAX(r) AS m FROM ranked GROUP BY 1, 2),
-        grid AS (
-          SELECT e.event_type, g.range AS j
-          FROM (SELECT DISTINCT event_type FROM events) e, range({HLL_M}) g
-        ),
-        filled AS (
-          SELECT grid.event_type, grid.j, COALESCE(regs.m, 0) AS m
-          FROM grid LEFT JOIN regs
-            ON regs.event_type = grid.event_type AND regs.j = grid.j
-        ),
-        agg AS (
-          SELECT event_type,
-                 CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
-                 CAST(SUM(CAST(power(2.0, 53 - m) AS BIGINT)) AS BIGINT)
-                   AS sum_scaled
-          FROM filled GROUP BY event_type
-        )
-        SELECT event_type, v_zero, sum_scaled,
-               CAST(FLOOR(CASE WHEN {_HLL_ALPHA_NUM!r} / sum_scaled
-                                    <= {2.5 * HLL_M}
-                               AND v_zero > 0
-                          THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v_zero)
-                          ELSE {_HLL_ALPHA_NUM!r} / sum_scaled
-                          END) AS BIGINT) AS est_distinct
-        FROM agg ORDER BY event_type
+        WITH {_HLL_REGS_CTES},{_hll_est_tail("regs", "events")}
+        SELECT event_type, v_zero, sum_scaled, est_distinct
+        FROM est_regs ORDER BY event_type
+        """,
+    "sk_hll_union": f"""
+        WITH {_HLL_REGS_CTES},
+        uregs AS (
+          SELECT 'all' AS event_type, j, MAX(m) AS m FROM regs GROUP BY j
+        ),{_hll_est_tail("regs", "events")},{_hll_est_tail("uregs", "uregs")}
+        SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM est_regs) AS n_groups,
+          (SELECT CAST(SUM(est_distinct) AS BIGINT) FROM est_regs)
+            AS sum_group_ests,
+          (SELECT est_distinct FROM est_uregs) AS est_union
         """,
     "sk_theta_intersect": f"""
         WITH ha AS (

@@ -148,6 +148,60 @@ def test_incremental_hll_converges_to_batch_and_is_chunk_invariant(
     assert outs[0] == outs[1] == batch
 
 
+def test_hll_union_is_register_merge_not_sum(spark, sf_dir):
+    from task_hive_spark.operators.sketches import sk_hll_union
+
+    row = sk_hll_union(spark, sf_dir).collect()[0]
+    exact_union = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert abs(row["est_union"] - exact_union) <= max(0.2 * exact_union, 3)
+    # the fixture's groups share users, so the naive sum over groups
+    # must overcount what the merged sketch reports
+    assert row["sum_group_ests"] > row["est_union"]
+
+
+def test_split_leakage_exact_pairs_reconcile(spark, sf_dir):
+    from task_hive_spark.operators.dedup import corpus_df, dd_split_leakage
+    from task_hive_spark.operators.textops import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        txt_stratified_split,  # noqa: F401  (same formula, imported not copied)
+    )
+    from task_hive_spark.functions.text import fingerprint, portable_hash32
+
+    rows = dd_split_leakage(spark, sf_dir).collect()
+    got_exact = sum(r["n_pairs"] for r in rows if r["kind"] == "exact")
+    # independent reconstruction: every exact-duplicate pair whose two
+    # hash buckets fall in different split ranges
+    bucket = portable_hash32(F.col("doc_id").cast("string"), seed="split-") % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    fp = corpus_df(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp"), split.alias("split")
+    )
+    expect = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert got_exact == expect
+    assert expect > 0, "fixture must make the audit value-bearing"
+    # split labels never repeat inside a row (cross-split by definition)
+    assert all(r["split_a"] != r["split_b"] for r in rows)
+
+
 def test_shared_cell_helpers_are_single_source(spark):
     # build and probe must use the same cell/position derivations;
     # the helpers are that single source — pin their shape

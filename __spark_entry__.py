@@ -15,20 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Round-8 front-50 (policy: scripts/evidence_age.py derives and asserts
 # it from the CORRECTNESS_r0*.json ledgers):
-#   1. the round's never-graded additions (sk_* sketch family,
-#      txt_stratified_split, txt_tokenized_dataset);
+#   1. the 10 never-graded round-8 additions (six sk_* sketches,
+#      st_hll_incremental, dd_split_leakage, txt_stratified_split,
+#      txt_tokenized_dataset);
 #   2. ALL 20 queries whose latest driver grade is r4 (age 4, the
 #      ledger's stalest: the th_* batch surface + st_session_windows /
 #      st_stream_dedup_bounded);
-#   3. 25 of the 32 r5-evidence queries, code-adjacent first. The seven
-#      left back (mm_catalog_stats, mm_decode_features,
-#      src_{csv,jsonl,orc}_roundtrip, xp_taskgen_summary, th_stats,
-#      and the five displaced by late-round additions:
-#      txt_importance_sample, txt_sentiment, txt_bm25_topk, th_api_json,
-#      th_snapshot_merge) are
-#      in modules untouched this round, remain hash-checked at sf0.001
-#      on every pytest run and at sf0.01/sf0.1 by verify_local, and
-#      form the r9 front core.
+#   3. 20 of the 32 r5-evidence queries, code-adjacent first. The 12
+#      left back (the seven untouched-module fillers mm_catalog_stats,
+#      mm_decode_features, src_{csv,jsonl,orc}_roundtrip,
+#      xp_taskgen_summary, th_stats; plus the five displaced by
+#      late-round additions: txt_importance_sample, txt_sentiment,
+#      txt_bm25_topk, th_api_json, th_snapshot_merge — these last five
+#      sit in otherwise-touched modules but their own functions are
+#      unchanged) remain hash-checked at sf0.001 on every pytest run
+#      and at sf0.01/sf0.1 by verify_local, and form the r9 front core.
+# Counts are asserted by scripts/evidence_age.py — derive the r9 front
+# from the script, not this comment.
 _FRONT_R8 = [
     "sk_kmv_distinct",
     "sk_hll_distinct",

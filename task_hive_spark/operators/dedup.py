@@ -706,8 +706,7 @@ def dd_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test leakage audit: exact- and near-duplicate pairs
     whose members landed in DIFFERENT splits of the frozen hash split
-    (txt_stratified_split's formula — one definition imported, no
-    drift). This is the QA gate run before any eval is trusted: a test
+    (textops.split_expr — the ONE split definition, imported). This is the QA gate run before any eval is trusted: a test
     document with a train-side (near-)duplicate silently inflates every
     benchmark, which is exactly why dedup must precede splitting — the
     audit quantifies the residual leakage if it didn't.
@@ -717,16 +716,7 @@ def dd_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (the materialized session index; never all-pairs); split
     tags are map-stage hash expressions; the output is a
     |kinds|·|splits|² summary with membership checksums."""
-    from task_hive_spark.operators.textops import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
-    from task_hive_spark.functions.text import portable_hash32
-
-    def split_of(col: F.Column) -> F.Column:
-        bucket = portable_hash32(col.cast("string"), seed="split-") % 100
-        return (
-            F.when(bucket < SPLIT_TRAIN_PCT, "train")
-            .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-            .otherwise("test")
-        )
+    from task_hive_spark.operators.textops import split_expr as split_of
 
     d = corpus_df(spark, sf_dir)
     fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
@@ -1058,23 +1048,11 @@ ORDER BY d.source
 
 # split-leakage audit: the minhash oracle runs nested (its own WITH is
 # scoped inside the CTE parentheses), exact pairs ride the fingerprint
-# self-join, split tags mirror txt_stratified_split's hash formula
+# self-join, split tags are textops' ONE split definition (Spark and
+# SQL forms both imported — no re-implementation to drift)
 from task_hive_spark.operators.textops import (  # noqa: E402
-    SPLIT_TRAIN_PCT as _SPLIT_TRAIN_PCT,
-    SPLIT_VAL_PCT as _SPLIT_VAL_PCT,
+    split_case_sql as _split_case,
 )
-
-
-def _split_case(col: str) -> str:
-    h = (
-        f"CAST(concat('0x', substr(md5('split-' || CAST({col} AS VARCHAR)), 1, 8))"
-        f" AS BIGINT) % 100"
-    )
-    return (
-        f"CASE WHEN {h} < {_SPLIT_TRAIN_PCT} THEN 'train'"
-        f" WHEN {h} < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'"
-        f" ELSE 'test' END"
-    )
 
 
 ORACLES["dd_split_leakage"] = f"""

@@ -1758,6 +1758,34 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split a pretraining pipeline freezes before any model sees the data.
 SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 5  # test = the remaining 5
+_SPLIT_SEED = "split-"
+
+
+def split_expr(doc_id: F.Column) -> F.Column:
+    """THE frozen split assignment — one definition for every consumer
+    (txt_stratified_split, dd_split_leakage's audit tags); a second
+    copy of the seed/width/threshold formula would let an audit drift
+    off the split it claims to audit."""
+    bucket = portable_hash32(doc_id.cast("string"), seed=_SPLIT_SEED) % 100
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def split_case_sql(col: str) -> str:
+    """DuckDB mirror of split_expr — same single-definition contract
+    for the oracle side."""
+    h = (
+        f"CAST(concat('0x', substr(md5('{_SPLIT_SEED}' || CAST({col} AS VARCHAR)),"
+        f" 1, 8)) AS BIGINT) % 100"
+    )
+    return (
+        f"CASE WHEN {h} < {SPLIT_TRAIN_PCT} THEN 'train'"
+        f" WHEN {h} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'"
+        f" ELSE 'test' END"
+    )
 
 
 def txt_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1767,14 +1795,8 @@ def txt_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     The split decision is a map-stage expression — no shuffle beyond
     the final (|langs|·3)-group aggregation."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = portable_hash32(F.col("doc_id").cast("string"), seed="split-") % 100
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, "train")
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
     return (
-        d.groupBy("lang", split.alias("split"))
+        d.groupBy("lang", split_expr(F.col("doc_id")).alias("split"))
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum(ws_token_count(F.col("text")).cast("long")).alias("n_tokens"),
@@ -2481,14 +2503,10 @@ FROM sel ORDER BY rank
 ORACLES["txt_stratified_split"] = f"""
 WITH tagged AS (
   SELECT lang, doc_id, {_WS_TOKENS_SAFE} AS n_tokens,
-         CAST(concat('0x', substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) % 100 AS bucket
+         {split_case_sql("doc_id")} AS split
   FROM documents
 )
-SELECT lang,
-       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
-            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
-            ELSE 'test' END AS split,
+SELECT lang, split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id

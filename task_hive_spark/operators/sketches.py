@@ -316,6 +316,42 @@ def cms_cells(item: F.Column, width: int = CMS_W) -> list[F.Column]:
     ]
 
 
+def cms_grid(occ: DataFrame) -> DataFrame:
+    """Sparse CMS counter grid (d, col, c) from a token-occurrence
+    frame (column ``tok``). ONE implementation shared by the batch
+    query and the incremental streaming fold — sketch state merges by
+    SUM, so per-chunk grids added together equal the whole-stream grid."""
+    return (
+        occ.select(F.explode(F.array(*cms_cells(F.col("tok")))).alias("cell"))
+        .groupBy("cell.d", "cell.col")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_heavy_hitters_from(sketch: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Heavy hitters from a finished CMS grid + a candidate-token
+    frame: min-over-rows point estimates, φ-thresholded against the
+    stream length (any single sketch row sums to N)."""
+    total = sketch.where(F.col("d") == 0).agg(F.sum("c").alias("n_stream"))
+    probe = (
+        candidates.select(
+            "tok", F.explode(F.array(*cms_cells(F.col("tok")))).alias("cell")
+        )
+        .select("tok", "cell.d", "cell.col")
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["d", "col"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .where(F.col("est_count") * CMS_PHI_INV >= F.col("n_stream"))
+        .select("tok", "est_count")
+        .orderBy(F.desc("est_count"), "tok")
+    )
+
+
 def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter tokens of the corpus token stream via CMS.
 
@@ -330,28 +366,7 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from task_hive_spark.operators.textops import token_index
 
     occ = token_index(spark, sf_dir).select(F.explode("toks").alias("tok"))
-    sketch = (
-        occ.select(F.explode(F.array(*cms_cells(F.col("tok")))).alias("cell"))
-        .groupBy("cell.d", "cell.col")
-        .agg(F.count("*").alias("c"))
-    )
-    total = sketch.where(F.col("d") == 0).agg(F.sum("c").alias("n_stream"))
-    probe = (
-        occ.distinct()
-        .select("tok", F.explode(F.array(*cms_cells(F.col("tok")))).alias("cell"))
-        .select("tok", "cell.d", "cell.col")
-    )
-    est = (
-        probe.join(F.broadcast(sketch), ["d", "col"])
-        .groupBy("tok")
-        .agg(F.min("c").alias("est_count"))
-    )
-    return (
-        est.crossJoin(F.broadcast(total))
-        .where(F.col("est_count") * CMS_PHI_INV >= F.col("n_stream"))
-        .select("tok", "est_count")
-        .orderBy(F.desc("est_count"), "tok")
-    )
+    return cms_heavy_hitters_from(cms_grid(occ), occ.distinct())
 
 
 # --- Bloom-filter semi-join pre-filter ----------------------------------

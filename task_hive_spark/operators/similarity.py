@@ -824,6 +824,16 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> D
     neighbor_id tie-break so ordering is reproducible cross-engine
     (identical code tuples make exact ADC ties legitimately
     possible)."""
+    return _topk_ranked(
+        _adc_scored(spark, sf_dir, nprobe), "adc_d2", ascending=True
+    )
+
+
+def _adc_scored(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
+    """The (probe_id, neighbor_id, adc_d2) ADC scoring core of
+    sim_topk_ivf_pq, shared with the refine stage."""
     assigned = _ivf_assignment(spark, sf_dir).select("vec_id", "cell")
 
     # corpus side: the stored M-byte code index, shared with
@@ -869,7 +879,47 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> D
             ).alias("adc_d2")
         )
     )
-    return _topk_ranked(scored, "adc_d2", ascending=True)
+    return scored
+
+
+REFINE_R = 32  # ADC shortlist width handed to the exact re-rank
+
+
+def sim_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with an exact refine stage — the standard serving recipe
+    (FAISS's IndexRefineFlat): the compressed ADC scan produces a
+    REFINE_R-deep shortlist per probe, and only those candidates'
+    RAW vectors are re-read for exact squared-L2 re-ranking to the
+    final top-k. Quantization error then affects recall only through
+    shortlist membership, not final ordering.
+
+    Scale shape: the expensive exact math runs on REFINE_R·|probes|
+    rows — independent of corpus size; the raw-vector fetch is a
+    narrow join against the shortlist (at serving scale, a point-read
+    per survivor). Exact d2 is composed from the proven dot-product
+    primitive (‖p‖² − 2·p·n + ‖n‖², identical op order both engines)
+    and 6-dp-rounded with neighbor_id tie-break."""
+    scored = _adc_scored(spark, sf_dir, NPROBE)
+    w = W.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rr", F.row_number().over(w))
+        .where(F.col("rr") <= REFINE_R)
+        .select("probe_id", "neighbor_id")
+    )
+    probes = _probe_emb(spark, sf_dir).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    neigh = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    pe, ne = F.col("pe"), F.col("ne")
+    d2 = F.round(dot(pe, pe) - F.lit(2.0) * dot(pe, ne) + dot(ne, ne), 6)
+    refined = (
+        shortlist.join(F.broadcast(probes), "probe_id")
+        .join(neigh, "neighbor_id")
+        .select("probe_id", "neighbor_id", d2.alias("d2"))
+    )
+    return _topk_ranked(refined, "d2", ascending=True)
 
 
 QUERIES = {
@@ -877,6 +927,7 @@ QUERIES = {
     "sim_topk_lsh": sim_topk_lsh,
     "sim_topk_ivf": sim_topk_ivf,
     "sim_topk_ivf_pq": sim_topk_ivf_pq,
+    "sim_topk_pq_refined": sim_topk_pq_refined,
     "sim_label_centroids": sim_label_centroids,
     "dd_embedding_cosine_pairs": dd_embedding_cosine_pairs,
     "dd_semdedup": dd_semdedup,
@@ -1322,3 +1373,40 @@ ORACLES["dd_semdedup"] = f"""
     JOIN assigned a ON a.vec_id = c.node
     ORDER BY rep_id, vec_id
     """
+
+# refine oracle: the ADC chain's CTE body (everything before its final
+# top-k SELECT — anchored; rindex fails loudly if that select is ever
+# reworded) + shortlist / raw-vector re-rank CTEs
+_PQ_FINAL_SELECT = "SELECT probe_id, rank, neighbor_id, adc_d2 FROM ("
+_pq_ctes = ORACLES["sim_topk_ivf_pq"][
+    : ORACLES["sim_topk_ivf_pq"].rindex(_PQ_FINAL_SELECT)
+].rstrip()
+
+ORACLES["sim_topk_pq_refined"] = f"""
+{_pq_ctes},
+shortlist AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY adc_d2, neighbor_id) AS rr
+    FROM scored
+  ) q WHERE rr <= {REFINE_R}
+),
+rprobes AS (
+  SELECT vec_id AS probe_id, v AS pv FROM de
+  WHERE vec_id IN (SELECT vec_id FROM probe_ids)
+),
+refined AS (
+  SELECT s.probe_id, s.neighbor_id,
+         ROUND(list_dot_product(p.pv, p.pv)
+               - 2.0 * list_dot_product(p.pv, n.v)
+               + list_dot_product(n.v, n.v), 6) AS d2
+  FROM shortlist s
+  JOIN rprobes p ON p.probe_id = s.probe_id
+  JOIN de n ON n.vec_id = s.neighbor_id
+)
+SELECT probe_id, rank, neighbor_id, d2 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+            ORDER BY d2, neighbor_id) AS rank
+  FROM refined
+) r WHERE rank <= {TOP_K} ORDER BY probe_id, rank
+"""

@@ -90,6 +90,64 @@ def test_sim_lsh_and_ivf_recall(spark, sf_dir):
     assert ivf_recall >= 0.5, f"IVF (nprobe=3) recall regressed: {ivf_recall:.2f}"
 
 
+def test_pq_refine_improves_on_adc(spark, sf_dir):
+    """The refine contract: (a) refined top-k ⊆ the ADC shortlist —
+    refine re-ranks, never re-opens the candidate set; (b) against the
+    exact squared-L2 top-k over the SAME candidate pool, exact
+    re-ranking agrees at least as often as ADC ordering does
+    (aggregate — quantization error can no longer flip final ranks)."""
+    from pyspark.sql import functions as F
+    from task_hive_spark.functions.vectors import dot
+    from task_hive_spark.operators.similarity import (
+        NPROBE,
+        REFINE_R,
+        TOP_K,
+        W,
+        _adc_scored,
+        _emb,
+        _probe_emb,
+        sim_topk_ivf_pq,
+        sim_topk_pq_refined,
+    )
+
+    scored = _adc_scored(spark, sf_dir, NPROBE)
+    w = W.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = {
+        (r.probe_id, r.neighbor_id)
+        for r in scored.withColumn("rr", F.row_number().over(w))
+        .where(F.col("rr") <= REFINE_R)
+        .collect()
+    }
+    refined = sim_topk_pq_refined(spark, sf_dir).collect()
+    assert all((r.probe_id, r.neighbor_id) in shortlist for r in refined)
+    # exact L2 top-k over the full corpus (the refine target metric)
+    probes = _probe_emb(spark, sf_dir).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    neigh = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    d2 = dot(F.col("pe"), F.col("pe")) - 2 * dot(F.col("pe"), F.col("ne")) + dot(
+        F.col("ne"), F.col("ne")
+    )
+    exact_w = W.partitionBy("probe_id").orderBy(F.round(d2, 6), "neighbor_id")
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in neigh.join(F.broadcast(probes), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("rank", F.row_number().over(exact_w))
+        .where(F.col("rank") <= TOP_K)
+        .collect()
+    }
+    ref_pairs = {(r.probe_id, r.neighbor_id) for r in refined}
+    adc_pairs = {
+        (r.probe_id, r.neighbor_id)
+        for r in sim_topk_ivf_pq(spark, sf_dir).collect()
+    }
+    assert len(exact & ref_pairs) >= len(exact & adc_pairs), (
+        "exact re-rank agreed with the exact top-k LESS than raw ADC did"
+    )
+
+
 def test_duplicate_spans_cover_exact_copies(spark, sf_dir):
     """Substring-level dedup semantics: a doc with an injected EXACT
     copy (doc_id % 7 == 0, +DUP_OFFSET) must carry one maximal span

@@ -1862,6 +1862,44 @@ def txt_tokenized_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def materialize_tokenized_dataset(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> list[dict]:
+    """WRITE the loader-boundary artifact: the packed-bin manifest as
+    parquet (bucketed-by-nothing, bin_id-sorted — the index a training
+    loader reads to schedule sequence fetches) plus the learned merge
+    table and a run summary JSON (bins, docs, BPE tokens, SEQ_LEN).
+    Returns the summary. The companion of
+    pipeline.materialize_clean_corpus one stage further down the
+    pipeline: corpus → clean corpus → packed token bins."""
+    import json as _json
+    import os as _os
+
+    bins = txt_tokenized_dataset(spark, sf_dir)
+    bins.write.mode("overwrite").parquet(_os.path.join(out_dir, "bins"))
+    merges = txt_bpe_merges(spark, sf_dir)
+    merges.write.mode("overwrite").parquet(_os.path.join(out_dir, "merges"))
+    agg = bins.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+    ).collect()[0]
+    summary = [
+        {
+            "n_bins": agg["n_bins"],
+            "n_docs": agg["n_docs"],
+            "n_bpe_tokens": agg["n_bpe_tokens"],
+            "seq_len": SEQ_LEN,
+            # actual learned count — the trainer stops early if the
+            # pair supply exhausts below BPE_MERGES on a tiny corpus
+            "bpe_merges": merges.count(),
+        }
+    ]
+    with open(_os.path.join(out_dir, "summary.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    return summary
+
+
 QUERIES = {
     "txt_token_stats": txt_token_stats,
     "txt_quality_scores": txt_quality_scores,

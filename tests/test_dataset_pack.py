@@ -38,6 +38,27 @@ def test_stratified_split_partitions_corpus(spark, sf_dir):
     assert 0.82 * n_docs <= train <= 0.97 * n_docs
 
 
+def test_tokenized_dataset_writer_roundtrip(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from task_hive_spark.operators.textops import materialize_tokenized_dataset
+
+    out = str(tmp_path / "ds")
+    summary = materialize_tokenized_dataset(spark, sf_dir, out)[0]
+    bins = spark.read.parquet(os.path.join(out, "bins"))
+    assert bins.count() == summary["n_bins"]
+    totals = bins.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_bpe_tokens").alias("t")
+    ).collect()[0]
+    assert totals["d"] == summary["n_docs"]
+    assert totals["t"] == summary["n_bpe_tokens"]
+    merges = spark.read.parquet(os.path.join(out, "merges"))
+    assert merges.count() == summary["bpe_merges"]
+    with open(os.path.join(out, "summary.json")) as f:
+        assert json.load(f)[0] == summary
+
+
 def test_tokenized_dataset_conserves_tokens_and_order(spark, sf_dir):
     bins = txt_tokenized_dataset(spark, sf_dir).collect()
     kept = set(

@@ -360,11 +360,12 @@ def sketch_probe() -> int:
     function of the sketch parameters, not the data — verify it
     numerically across the 100× fixture span (plus synthetic sf1
     documents for CMS). Checks per sf: KMV rows ≤ K·|groups|, HLL
-    register rows ≤ m·|groups| (and the streaming state file equals
-    the batch registers), CMS grid rows ≤ D·W, Bloom bits ≤ K·|build|
-    ∧ ≤ M. Exits non-zero if any state grows past its parameter
-    bound — the signal that an estimator silently degenerated into an
-    exact structure."""
+    register rows ≤ m·|groups|, CMS grid rows ≤ D·W, Bloom bits ≤
+    min(M, K·|build|). Exits non-zero if any state grows past its
+    parameter bound — the signal that an estimator silently
+    degenerated into an exact structure. (Streaming-state ≡ batch
+    convergence is pytest's job — tests/test_sketches.py — not this
+    probe's.)"""
     from task_hive_spark.session import get_spark
     from task_hive_spark.functions.text import ws_tokens
     from task_hive_spark.operators.sketches import (
@@ -374,7 +375,6 @@ def sketch_probe() -> int:
         CMS_W,
         HLL_M,
         KMV_K,
-        KMV_SALTS,
         cms_grid,
         hll_registers,
     )
@@ -391,23 +391,27 @@ def sketch_probe() -> int:
     for d in SF_DIRS:
         ev = load_table(spark, d, "events")
         n_groups = ev.select("event_type").distinct().count()
+        n_build = (
+            load_table(spark, d, "customer").where(F.col("c_acctbal") < 0).count()
+        )
         t0 = time.perf_counter()
         kmv = sk_kmv_distinct(spark, d)
         kmv_rows = kmv.agg(F.sum("n_sketch")).collect()[0][0]
         hll_rows = hll_registers(ev).count()
         bloom_bits = sk_bloom_semi_join(spark, d).collect()[0]["n_bits_set"]
         secs = round(time.perf_counter() - t0, 3)
+        bloom_bound = min(BLOOM_M, BLOOM_K * n_build)
         ok = (
             kmv_rows <= KMV_K * n_groups
             and hll_rows <= HLL_M * n_groups
-            and bloom_bits <= BLOOM_M
+            and bloom_bits <= bloom_bound
         )
         bad += 0 if ok else 1
         print(json.dumps({
             "probe": "sketch_state", "sf_dir": d, "seconds": secs,
             "kmv_sketch_rows": int(kmv_rows), "kmv_bound": KMV_K * n_groups,
             "hll_register_rows": hll_rows, "hll_bound": HLL_M * n_groups,
-            "bloom_bits_set": int(bloom_bits), "bloom_bound": BLOOM_M,
+            "bloom_bits_set": int(bloom_bits), "bloom_bound": bloom_bound,
             "bounds_ok": ok,
         }))
     # CMS over documents (real 10x growth through synthetic sf1)
@@ -427,9 +431,6 @@ def sketch_probe() -> int:
             "stream_tokens": n_stream, "cms_grid_rows": grid_rows,
             "cms_bound": CMS_D * CMS_W, "bounds_ok": ok,
         }))
-    # the parameter bounds reference BLOOM_K implicitly via bits ≤ K·|build|;
-    # keep the import load-bearing so a renamed constant fails loudly
-    assert BLOOM_K * KMV_SALTS > 0
     return 1 if bad else 0
 
 

@@ -909,7 +909,11 @@ def sim_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = _probe_emb(spark, sf_dir).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
-    neigh = _emb(spark, sf_dir).select(
+    # raw scan, NOT _emb: the refine fetch keeps ~REFINE_R·|probes|
+    # rows, and _emb's full-corpus round-robin Exchange (wide float
+    # arrays) would be paid just to discard everything but the
+    # shortlist (_probe_emb's rationale, same trap)
+    neigh = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
     )
     pe, ne = F.col("pe"), F.col("ne")

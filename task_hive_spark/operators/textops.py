@@ -1875,15 +1875,25 @@ def materialize_tokenized_dataset(
     import json as _json
     import os as _os
 
-    bins = txt_tokenized_dataset(spark, sf_dir)
-    bins.write.mode("overwrite").parquet(_os.path.join(out_dir, "bins"))
-    merges = txt_bpe_merges(spark, sf_dir)
-    merges.write.mode("overwrite").parquet(_os.path.join(out_dir, "merges"))
-    agg = bins.agg(
-        F.count("*").alias("n_bins"),
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
-    ).collect()[0]
+    txt_tokenized_dataset(spark, sf_dir).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "bins")
+    )
+    txt_bpe_merges(spark, sf_dir).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "merges")
+    )
+    # summarize the PARQUET just written, not the logical plans — the
+    # plans would re-run the whole gates→tokenize→pack chain (and the
+    # trainer) a second time, and reading back guarantees the summary
+    # describes the artifact actually on disk
+    agg = (
+        spark.read.parquet(_os.path.join(out_dir, "bins"))
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .collect()[0]
+    )
     summary = [
         {
             "n_bins": agg["n_bins"],
@@ -1892,7 +1902,9 @@ def materialize_tokenized_dataset(
             "seq_len": SEQ_LEN,
             # actual learned count — the trainer stops early if the
             # pair supply exhausts below BPE_MERGES on a tiny corpus
-            "bpe_merges": merges.count(),
+            "bpe_merges": spark.read.parquet(
+                _os.path.join(out_dir, "merges")
+            ).count(),
         }
     ]
     with open(_os.path.join(out_dir, "summary.json"), "w") as f:

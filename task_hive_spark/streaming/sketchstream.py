@@ -1,25 +1,31 @@
-"""Incrementally maintained HyperLogLog cardinalities over the event
-stream.
+"""Incrementally maintained sketches over arriving data: HyperLogLog
+cardinalities (event stream) and count-min heavy hitters (document
+token stream).
 
-The batch sketch (operators/sketches.sk_hll_distinct) counts a corpus
-that already exists; the production companion is the ingest-time form —
-every arriving micro-batch folds into per-(group, register) MAX state,
-and the live cardinality estimate is readable at any instant without
-touching historical data. HLL is the textbook case for this: register
-state is a bounded-size commutative-idempotent monoid (max), so
-incremental folds in ANY batching converge to exactly the whole-corpus
-sketch — which is the oracle used here (the batch query's own SQL, the
-st_minhash_incremental discipline).
+The batch sketches (operators/sketches.py) summarize a corpus that
+already exists; the production companion is the ingest-time form —
+every arriving micro-batch folds into bounded sketch state, and the
+live estimate is readable at any instant without touching historical
+data. Two monoid classes are exercised deliberately:
 
-Mechanics mirror streaming/minhashstream.py: the events table arrives
-as mtime-ordered parquet chunks; ``foreachBatch`` computes the batch's
-sparse registers with the SHARED derivation (sketches.hll_registers —
-one implementation, no drift), MAX-merges them with the latest prior
-state, and writes the full merged state to a batch-scoped subdir
-(replay after a mid-fold crash rewrites the same subdir —
-idempotent). State is m·|groups| rows (~1–2k), so the "read latest,
-write merged" loop costs O(sketch), not O(history) — at 100 TB of
-events per day the state file never grows.
+- HLL register state merges by MAX — commutative AND idempotent, so
+  incremental folds in any batching (even a replayed one) converge to
+  exactly the whole-corpus sketch.
+- CMS counter state merges by SUM — additive, NOT idempotent, so the
+  replay discipline is load-bearing: a naively re-applied micro-batch
+  would double-count its tokens. The batch-scoped "read latest prior
+  (< bid), write full merged state into batch=bid" layout makes a
+  checkpoint replay REWRITE the same subdir from the same prior
+  instead of adding to it — exactly-once folding on an at-least-once
+  trigger (the re-drain test pins that no counter grows).
+
+Both folds reuse the batch queries' state derivations verbatim
+(sketches.hll_registers / sketches.cms_grid — one implementation, no
+drift), so converged state ≡ the whole-corpus sketch and each oracle
+is the batch query's own SQL (the st_minhash_incremental discipline).
+State is sketch-sized (≤ m·|groups| / D·W rows), so the
+"read latest, write merged" loop costs O(sketch) per trigger, never
+O(history) — at 100 TB of events per day the state file never grows.
 """
 
 from __future__ import annotations
@@ -39,32 +45,32 @@ from task_hive_spark.sources.fixtures import load_table
 from task_hive_spark.streaming.lifecycle import _scratch_root
 
 _EVENT_SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING"
+_DOC_SCHEMA = "doc_id BIGINT, text STRING"
 N_EVENT_CHUNKS = 4
+N_DOC_CHUNKS = 4
 
 _RAN: dict[tuple[str, str], str] = {}
+_CMS_RAN: dict[tuple[str, str], str] = {}
 
 
-def _write_event_chunks(
-    spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int
+def _write_chunks(
+    df: DataFrame, id_col: str, feed_dir: str, n_chunks: int
 ) -> None:
-    """The events table as n event_id-ranged parquet chunks with
-    increasing mtimes (ingestion clock). Convergence is
-    batching-invariant (max-monoid), so boundaries only need to be
+    """A table as ``n_chunks`` id-ranged parquet files with increasing
+    mtimes (the ingestion clock). Convergence is batching-invariant
+    for both monoid classes, so boundaries only need to be
     deterministic, not balanced."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type"
-    )
     probs = [i / n_chunks for i in range(1, n_chunks)]
-    bounds = ev.stat.approxQuantile("event_id", probs, 0.0) if probs else []
+    bounds = df.stat.approxQuantile(id_col, probs, 0.0) if probs else []
     chunk = F.lit(1)
     for b in bounds:
-        chunk = chunk + (F.col("event_id") > b).cast("int")
-    ev = ev.withColumn("chunk", chunk)
+        chunk = chunk + (F.col(id_col) > b).cast("int")
+    df = df.withColumn("chunk", chunk)
     os.makedirs(feed_dir, exist_ok=True)
     base = 1_700_000_000
     for i in range(1, n_chunks + 1):
         tmp = tempfile.mkdtemp(prefix="chunk", dir=feed_dir)
-        ev.where(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+        df.where(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
             "overwrite"
         ).parquet(tmp)
         part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
@@ -74,38 +80,27 @@ def _write_event_chunks(
         os.utime(dst, (base + i * 10, base + i * 10))
 
 
-def run_stream(spark: SparkSession, work: str, feed: str) -> str:
-    """Drain the feed through the register fold (checkpointed; a later
-    call with more files resumes); returns the state root dir."""
-    state_root = os.path.join(work, "hll_state")
+def _latest_batch_dir(root: str, below: int | None = None) -> str | None:
+    """The highest batch=N subdir of a state root (optionally among
+    batches strictly below ``below`` — the replay-safe prior)."""
+    subs = [
+        d
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("batch=")
+        and (below is None or int(d.split("=", 1)[1]) < below)
+    ]
+    if not subs:
+        return None
+    return os.path.join(root, max(subs, key=lambda d: int(d.split("=", 1)[1])))
 
-    def fold(batch_df: DataFrame, bid: int) -> None:
-        batch_regs = hll_registers(batch_df)
-        subs = [
-            d
-            for d in (os.listdir(state_root) if os.path.isdir(state_root) else [])
-            if d.startswith("batch=") and int(d.split("=", 1)[1]) < bid
-        ]
-        if subs:
-            latest = max(subs, key=lambda d: int(d.split("=", 1)[1]))
-            prior = spark.read.parquet(os.path.join(state_root, latest)).select(
-                "event_type", "j", "m"
-            )
-            merged = (
-                prior.unionByName(batch_regs)
-                .groupBy("event_type", "j")
-                .agg(F.max("m").alias("m"))
-            )
-        else:
-            merged = batch_regs
-        # full merged state into this batch's subdir: a checkpoint
-        # replay rewrites it from the same prior (< bid) — idempotent
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_root, f"batch={bid}")
-        )
 
+def _drain(
+    spark: SparkSession, work: str, feed: str, schema: str, fold
+) -> None:
+    """Run the checkpointed availableNow file stream through ``fold``;
+    a later call with more files resumes where this one stopped."""
     q = (
-        spark.readStream.schema(_EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
         .parquet(feed)
@@ -116,13 +111,38 @@ def run_stream(spark: SparkSession, work: str, feed: str) -> str:
         .start()
     )
     q.awaitTermination()
+
+
+# --- incremental HLL over the event stream -------------------------------
+
+
+def run_stream(spark: SparkSession, work: str, feed: str) -> str:
+    """Drain the event feed through the HLL register fold; returns the
+    state root dir."""
+    state_root = os.path.join(work, "hll_state")
+
+    def fold(batch_df: DataFrame, bid: int) -> None:
+        merged = hll_registers(batch_df)
+        prior_dir = _latest_batch_dir(state_root, below=bid)
+        if prior_dir is not None:
+            prior = spark.read.parquet(prior_dir).select("event_type", "j", "m")
+            merged = (
+                prior.unionByName(merged)
+                .groupBy("event_type", "j")
+                .agg(F.max("m").alias("m"))
+            )
+        # full merged state into this batch's subdir: a checkpoint
+        # replay rewrites it from the same prior (< bid) — idempotent
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"batch={bid}")
+        )
+
+    _drain(spark, work, feed, _EVENT_SCHEMA, fold)
     return state_root
 
 
 def latest_state(spark: SparkSession, state_root: str) -> DataFrame:
-    subs = [d for d in os.listdir(state_root) if d.startswith("batch=")]
-    latest = max(subs, key=lambda d: int(d.split("=", 1)[1]))
-    return spark.read.parquet(os.path.join(state_root, latest)).select(
+    return spark.read.parquet(_latest_batch_dir(state_root)).select(
         "event_type", "j", "m"
     )
 
@@ -131,7 +151,10 @@ def run_once(
     spark: SparkSession, sf_dir: str, work: str, n_chunks: int = N_EVENT_CHUNKS
 ) -> str:
     feed = os.path.join(work, "feed")
-    _write_event_chunks(spark, sf_dir, feed, n_chunks)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    _write_chunks(ev, "event_id", feed, n_chunks)
     return run_stream(spark, work, feed)
 
 
@@ -151,64 +174,14 @@ def st_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(spark, latest_state(spark, state_root))
 
 
-# --- incremental count-min over the document token stream ---------------
-# CMS state merges by SUM — additive, NOT idempotent like HLL's max, so
-# the replay discipline is load-bearing here: a naively re-applied
-# micro-batch would double-count its tokens. The batch-scoped
-# "read latest prior (< bid), write full merged state into batch=bid"
-# layout makes a checkpoint replay REWRITE the same subdir from the
-# same prior instead of adding to it — exactly-once folding on an
-# at-least-once trigger. Candidates (the probe vocabulary) ride a
-# second state frame merged by distinct-union (idempotent).
-
-_DOC_SCHEMA = "doc_id BIGINT, text STRING"
-N_DOC_CHUNKS = 4
-
-_CMS_RAN: dict[tuple[str, str], str] = {}
-
-
-def _write_doc_chunks(
-    spark: SparkSession, sf_dir: str, feed_dir: str, n_chunks: int
-) -> None:
-    """The raw documents table as doc_id-ranged parquet chunks with
-    increasing mtimes (same convergence-invariance contract as the
-    event chunks)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    probs = [i / n_chunks for i in range(1, n_chunks)]
-    bounds = d.stat.approxQuantile("doc_id", probs, 0.0) if probs else []
-    chunk = F.lit(1)
-    for b in bounds:
-        chunk = chunk + (F.col("doc_id") > b).cast("int")
-    d = d.withColumn("chunk", chunk)
-    os.makedirs(feed_dir, exist_ok=True)
-    base = 1_700_000_000
-    for i in range(1, n_chunks + 1):
-        tmp = tempfile.mkdtemp(prefix="chunk", dir=feed_dir)
-        d.where(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = os.path.join(feed_dir, f"chunk_{i:03d}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (base + i * 10, base + i * 10))
-
-
-def _latest_batch_dir(root: str, below: int | None = None) -> str | None:
-    subs = [
-        d
-        for d in (os.listdir(root) if os.path.isdir(root) else [])
-        if d.startswith("batch=")
-        and (below is None or int(d.split("=", 1)[1]) < below)
-    ]
-    if not subs:
-        return None
-    return os.path.join(root, max(subs, key=lambda d: int(d.split("=", 1)[1])))
+# --- incremental count-min over the document token stream ----------------
 
 
 def run_cms_stream(spark: SparkSession, work: str, feed: str) -> tuple[str, str]:
-    """Drain the document feed through the CMS + vocab folds
-    (checkpointed); returns (cms_state_root, vocab_state_root)."""
+    """Drain the document feed through the CMS + vocab folds; returns
+    (cms_state_root, vocab_state_root). Candidates (the probe
+    vocabulary) ride the second state frame merged by distinct-union
+    (idempotent); the counter grid is the additive one."""
     from task_hive_spark.functions.text import ws_tokens
     from task_hive_spark.operators.sketches import cms_grid
 
@@ -245,18 +218,7 @@ def run_cms_stream(spark: SparkSession, work: str, feed: str) -> tuple[str, str]
             os.path.join(vocab_root, f"batch={bid}")
         )
 
-    q = (
-        spark.readStream.schema(_DOC_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(feed)
-        .writeStream.outputMode("append")
-        .foreachBatch(fold)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain(spark, work, feed, _DOC_SCHEMA, fold)
     return cms_root, vocab_root
 
 
@@ -264,15 +226,16 @@ def run_cms_once(
     spark: SparkSession, sf_dir: str, work: str, n_chunks: int = N_DOC_CHUNKS
 ) -> tuple[str, str]:
     feed = os.path.join(work, "feed")
-    _write_doc_chunks(spark, sf_dir, feed, n_chunks)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _write_chunks(d, "doc_id", feed, n_chunks)
     return run_cms_stream(spark, work, feed)
 
 
-def _ensure_cms_run(spark: SparkSession, sf_dir: str) -> str:
+def _ensure_cms_run(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CMS_RAN:
         work = tempfile.mkdtemp(prefix="cmsstream_", dir=_scratch_root())
-        _CMS_RAN[key] = run_cms_once(spark, sf_dir, work)[0].rsplit("/", 1)[0]
+        _CMS_RAN[key] = run_cms_once(spark, sf_dir, work)
     return _CMS_RAN[key]
 
 
@@ -283,13 +246,9 @@ def st_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk_cms_heavy_hitters answer."""
     from task_hive_spark.operators.sketches import cms_heavy_hitters_from
 
-    work = _ensure_cms_run(spark, sf_dir)
-    sketch = spark.read.parquet(
-        _latest_batch_dir(os.path.join(work, "cms_state"))
-    ).select("d", "col", "c")
-    vocab = spark.read.parquet(
-        _latest_batch_dir(os.path.join(work, "vocab_state"))
-    ).select("tok")
+    cms_root, vocab_root = _ensure_cms_run(spark, sf_dir)
+    sketch = spark.read.parquet(_latest_batch_dir(cms_root)).select("d", "col", "c")
+    vocab = spark.read.parquet(_latest_batch_dir(vocab_root)).select("tok")
     return cms_heavy_hitters_from(sketch, vocab)
 
 

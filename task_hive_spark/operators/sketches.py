@@ -103,14 +103,18 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 _HLL_ALPHA_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
 
 
-def hll_registers(ev: DataFrame) -> DataFrame:
-    """Sparse HLL register state (event_type, j, m) for a frame with
-    (event_type, user_id). ONE implementation shared by the batch query
-    and the incremental streaming fold (streaming/sketchstream.py) —
-    the minhash_sigs_of no-drift discipline. State merges by MAX, so
-    incremental folds and whole-corpus builds converge identically."""
+def hll_registers(
+    ev: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Sparse HLL register state (*keys, j, m) for a frame carrying the
+    key columns and ``user_id``. ONE implementation shared by the batch
+    queries and the incremental streaming fold
+    (streaming/sketchstream.py) — the minhash_sigs_of no-drift
+    discipline. State merges by MAX, so incremental folds and
+    whole-corpus builds converge identically."""
+    keys = keys or ["event_type"]
     h = ev.select(
-        "event_type",
+        *keys,
         portable_hash64(F.col("user_id").cast("string"), seed="hll-").alias("h"),
     )
     w = F.col("h").bitwiseAND(F.lit((1 << HLL_W) - 1))
@@ -120,25 +124,28 @@ def hll_registers(ev: DataFrame) -> DataFrame:
         F.lit(HLL_W + 1) - F.length(F.bin(w))
     )
     return (
-        h.select("event_type", F.shiftright("h", HLL_W).alias("j"), rank.alias("r"))
-        .groupBy("event_type", "j")
+        h.select(*keys, F.shiftright("h", HLL_W).alias("j"), rank.alias("r"))
+        .groupBy(*keys, "j")
         .agg(F.max("r").alias("m"))
     )
 
 
-def hll_estimate(spark: SparkSession, regs: DataFrame) -> DataFrame:
+def hll_estimate(
+    spark: SparkSession, regs: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
     """The per-group HLL estimate (with small-range linear counting)
     from sparse register state — grid-fill to all m registers, the
     exact-integer Σ 2^(53−M) fold, then the α-corrected division."""
+    keys = keys or ["event_type"]
     grid = (
-        regs.select("event_type")
+        regs.select(*keys)
         .distinct()
         .crossJoin(F.broadcast(spark.range(HLL_M).select(F.col("id").alias("j"))))
     )
-    full = grid.join(regs, ["event_type", "j"], "left").withColumn(
+    full = grid.join(regs, [*keys, "j"], "left").withColumn(
         "m", F.coalesce("m", F.lit(0))
     )
-    agg = full.groupBy("event_type").agg(
+    agg = full.groupBy(*keys).agg(
         F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("bigint").alias("v_zero"),
         F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("long")).alias(
             "sum_scaled"
@@ -150,11 +157,11 @@ def hll_estimate(spark: SparkSession, regs: DataFrame) -> DataFrame:
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
     ).otherwise(raw)
     return agg.select(
-        "event_type",
+        *keys,
         "v_zero",
         "sum_scaled",
         F.floor(est).cast("bigint").alias("est_distinct"),
-    ).orderBy("event_type")
+    ).orderBy(*keys)
 
 
 def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,6 +175,23 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data is touched once, map-side, and the shuffle is sketch-sized."""
     ev = load_table(spark, sf_dir, "events")
     return hll_estimate(spark, hll_registers(ev))
+
+
+def sk_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users per event type — the canonical dashboard
+    query a 100 TB event store answers from sketches: HLL registers
+    keyed by (day, event_type). Per-day sketches are also what the
+    mergeability story composes over (sk_hll_union's register-max over
+    any subset of days answers any date-range distinct without
+    re-reading events). Same single register/estimate implementation,
+    group keys widened; `to_date`/CAST-to-DATE pins the grouping type
+    cross-engine (DuckDB's date_trunc('day') yields DATE, Spark's
+    yields TIMESTAMP)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    keys = ["day", "event_type"]
+    return hll_estimate(spark, hll_registers(ev, keys), keys)
 
 
 def sk_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,6 +464,7 @@ def sk_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_hll_distinct": sk_hll_distinct,
+    "sk_hll_daily": sk_hll_daily,
     "sk_hll_union": sk_hll_union,
     "sk_theta_intersect": sk_theta_intersect,
     "sk_cms_heavy_hitters": sk_cms_heavy_hitters,
@@ -476,30 +501,38 @@ _HLL_REGS_CTES = f"""h AS (
         regs AS (SELECT event_type, j, MAX(r) AS m FROM ranked GROUP BY 1, 2)"""
 
 
-def _hll_est_tail(regs_cte: str, groups_cte: str) -> str:
+def _hll_est_tail(
+    regs_cte: str, groups_cte: str, keys: tuple[str, ...] = ("event_type",)
+) -> str:
     """grid-fill + exact-integer fold + α-corrected estimate over a
-    sparse (event_type, j, m) register CTE."""
+    sparse (*keys, j, m) register CTE."""
+    klist = ", ".join(keys)
+    gkeys = ", ".join(f"e.{k}" for k in keys)
+    fkeys = ", ".join(f"grid_{regs_cte}.{k}" for k in keys)
+    join_on = " AND ".join(
+        f"{regs_cte}.{k} = grid_{regs_cte}.{k}" for k in keys
+    )
     return f"""
         grid_{regs_cte} AS (
-          SELECT e.event_type, g.range AS j
-          FROM (SELECT DISTINCT event_type FROM {groups_cte}) e, range({HLL_M}) g
+          SELECT {gkeys}, g.range AS j
+          FROM (SELECT DISTINCT {klist} FROM {groups_cte}) e, range({HLL_M}) g
         ),
         filled_{regs_cte} AS (
-          SELECT grid_{regs_cte}.event_type, grid_{regs_cte}.j,
+          SELECT {fkeys}, grid_{regs_cte}.j,
                  COALESCE({regs_cte}.m, 0) AS m
           FROM grid_{regs_cte} LEFT JOIN {regs_cte}
-            ON {regs_cte}.event_type = grid_{regs_cte}.event_type
+            ON {join_on}
            AND {regs_cte}.j = grid_{regs_cte}.j
         ),
         agg_{regs_cte} AS (
-          SELECT event_type,
+          SELECT {klist},
                  CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
                  CAST(SUM(CAST(power(2.0, 53 - m) AS BIGINT)) AS BIGINT)
                    AS sum_scaled
-          FROM filled_{regs_cte} GROUP BY event_type
+          FROM filled_{regs_cte} GROUP BY {klist}
         ),
         est_{regs_cte} AS (
-          SELECT event_type, v_zero, sum_scaled,
+          SELECT {klist}, v_zero, sum_scaled,
                  CAST(FLOOR(CASE WHEN {_HLL_ALPHA_NUM!r} / sum_scaled
                                       <= {2.5 * HLL_M}
                                  AND v_zero > 0
@@ -550,6 +583,26 @@ ORACLES = {
         WITH {_HLL_REGS_CTES},{_hll_est_tail("regs", "events")}
         SELECT event_type, v_zero, sum_scaled, est_distinct
         FROM est_regs ORDER BY event_type
+        """,
+    "sk_hll_daily": f"""
+        WITH h AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(concat('0x', substr(md5('hll-' || CAST(user_id AS VARCHAR)),
+                      1, 15)) AS BIGINT) AS h
+          FROM events
+        ),
+        ranked AS (
+          SELECT day, event_type, h >> {HLL_W} AS j,
+                 CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
+                      ELSE {HLL_W + 1} - length(bin(h & {(1 << HLL_W) - 1}))
+                 END AS r
+          FROM h
+        ),
+        dregs AS (
+          SELECT day, event_type, j, MAX(r) AS m FROM ranked GROUP BY 1, 2, 3
+        ),{_hll_est_tail("dregs", "dregs", ("day", "event_type"))}
+        SELECT day, event_type, v_zero, sum_scaled, est_distinct
+        FROM est_dregs ORDER BY day, event_type
         """,
     "sk_hll_union": f"""
         WITH {_HLL_REGS_CTES},

@@ -72,6 +72,27 @@ def test_hll_estimate_tracks_exact(spark, sf_dir):
         assert 0 <= row["v_zero"] <= HLL_M
 
 
+def test_hll_daily_tracks_exact_per_group(spark, sf_dir):
+    from task_hive_spark.operators.sketches import sk_hll_daily
+
+    est = {
+        (r["day"], r["event_type"]): r["est_distinct"]
+        for r in sk_hll_daily(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        # daily groups sit in the linear-counting regime at fixture
+        # scale — tight relative bound with a small absolute floor
+        assert abs(est[g] - n) <= max(0.25 * n, 3), (g, est[g], n)
+
+
 def test_theta_intersect_consistent(spark, sf_dir):
     row = sk_theta_intersect(spark, sf_dir).collect()[0]
     ev = load_table(spark, sf_dir, "events")

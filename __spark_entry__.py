@@ -15,23 +15,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Round-8 front-50 (policy: scripts/evidence_age.py derives and asserts
 # it from the CORRECTNESS_r0*.json ledgers):
-#   1. the 13 never-graded round-8 additions (seven sk_* sketches,
-#      st_hll_incremental, st_cms_incremental, dd_split_leakage,
-#      sim_topk_pq_refined, txt_stratified_split, txt_tokenized_dataset);
+#   1. the 14 never-graded round-8 additions (seven sk_* sketches,
+#      st_hll_incremental, st_kmv_incremental, st_cms_incremental,
+#      dd_split_leakage, sim_topk_pq_refined, txt_stratified_split,
+#      txt_tokenized_dataset);
 #   2. ALL 20 queries whose latest driver grade is r4 (age 4, the
 #      ledger's stalest: the th_* batch surface + st_session_windows /
 #      st_stream_dedup_bounded);
-#   3. 17 of the 32 r5-evidence queries, code-adjacent first. The 15
+#   3. 16 of the 32 r5-evidence queries, code-adjacent first. The 16
 #      left back (the seven untouched-module fillers mm_catalog_stats,
 #      mm_decode_features, src_{csv,jsonl,orc}_roundtrip,
-#      xp_taskgen_summary, th_stats; plus the eight displaced by
+#      xp_taskgen_summary, th_stats; plus the nine displaced by
 #      late-round additions: txt_importance_sample, txt_sentiment,
 #      txt_bm25_topk, th_api_json, th_snapshot_merge,
-#      th_unknown_type_failed, th_list_by_status, th_list_all_union —
-#      these last eight sit in otherwise-touched modules but their own
-#      functions are unchanged) remain hash-checked at sf0.001 on every
-#      pytest run and at sf0.01/sf0.1 by verify_local, and form the r9
-#      front core.
+#      th_unknown_type_failed, th_list_by_status, th_list_all_union,
+#      th_point_get — these last nine sit in otherwise-touched modules
+#      but their own functions are unchanged) remain hash-checked at
+#      sf0.001 on every pytest run and at sf0.01/sf0.1 by verify_local,
+#      and form the r9 front core.
 # Counts are asserted by scripts/evidence_age.py — derive the r9 front
 # from the script, not this comment.
 _FRONT_R8 = [
@@ -43,6 +44,7 @@ _FRONT_R8 = [
     "sk_cms_heavy_hitters",
     "sk_bloom_semi_join",
     "st_hll_incremental",
+    "st_kmv_incremental",
     "st_cms_incremental",
     "dd_split_leakage",
     "sim_topk_pq_refined",
@@ -82,7 +84,6 @@ _FRONT_R8 = [
     "sim_topk_lsh",
     "st_stream_dedup",
     "st_worker_counter_stateful",
-    "th_point_get",
     "txt_decontaminate",
     "txt_sequence_pack",
 ]

@@ -44,6 +44,53 @@ KMV_SALTS = 16  # partial-sketch fan-in for the two-level bottom-K merge
 _HASH64_DOMAIN = float(1 << 60)  # portable_hash64 = 15 hex digits
 
 
+def kmv_sketch(hashed: DataFrame) -> DataFrame:
+    """Per-group bottom-K of a distinct (event_type, h) hash frame via
+    the two-level salted merge — the KMV state. ONE implementation
+    shared by the batch query and the incremental streaming fold:
+    bottom-K is a mergeable order statistic (bottom-K of unioned
+    bottom-Ks ≡ bottom-K of the union), so chunked folds converge to
+    the whole-corpus sketch."""
+    partial = W.partitionBy("event_type", F.pmod("h", F.lit(KMV_SALTS))).orderBy("h")
+    merged = W.partitionBy("event_type").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(partial))
+        .where(F.col("rn") <= KMV_K)
+        .withColumn("rn", F.row_number().over(merged))
+        .where(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+
+
+def kmv_hashes(ev: DataFrame) -> DataFrame:
+    """Distinct (event_type, h) rows for a frame with (event_type,
+    user_id) — the KMV update stream."""
+    return ev.select(
+        "event_type",
+        portable_hash64(F.col("user_id").cast("string"), seed="kmv-").alias("h"),
+    ).distinct()
+
+
+def kmv_estimate(sk: DataFrame) -> DataFrame:
+    """The per-group estimate from KMV state (≤ K rows per group): a
+    full sketch's max IS its K-th smallest; under-full sketches report
+    their exact count (the state is the value set there)."""
+    agg = sk.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_sketch"),
+        F.max("h").alias("max_h"),
+    )
+    kth = F.when(F.col("n_sketch") == KMV_K, F.col("max_h"))
+    est = F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch")).otherwise(
+        F.floor(F.lit(float(KMV_K - 1)) * F.lit(_HASH64_DOMAIN) / kth)
+    )
+    return agg.select(
+        "event_type",
+        "n_sketch",
+        kth.alias("kth_min_hash"),
+        est.cast("bigint").alias("est_distinct"),
+    ).orderBy("event_type")
+
+
 def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via a KMV sketch.
 
@@ -54,34 +101,7 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors per group. At 100 TB only the first shuffle sees the
     data; the sketch merge is O(K·SALTS) rows per group."""
     ev = load_table(spark, sf_dir, "events")
-    h = (
-        ev.select(
-            "event_type",
-            portable_hash64(F.col("user_id").cast("string"), seed="kmv-").alias("h"),
-        )
-        .distinct()
-    )
-    partial = W.partitionBy("event_type", F.pmod("h", F.lit(KMV_SALTS))).orderBy("h")
-    merged = W.partitionBy("event_type").orderBy("h")
-    sk = (
-        h.withColumn("rn", F.row_number().over(partial))
-        .where(F.col("rn") <= KMV_K)
-        .withColumn("rn", F.row_number().over(merged))
-        .where(F.col("rn") <= KMV_K)
-    )
-    agg = sk.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_sketch"),
-        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("kth_min_hash"),
-    )
-    est = F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch")).otherwise(
-        F.floor(F.lit(float(KMV_K - 1)) * F.lit(_HASH64_DOMAIN) / F.col("kth_min_hash"))
-    )
-    return agg.select(
-        "event_type",
-        "n_sketch",
-        "kth_min_hash",
-        est.cast("bigint").alias("est_distinct"),
-    ).orderBy("event_type")
+    return kmv_estimate(kmv_sketch(kmv_hashes(ev)))
 
 
 # --- HyperLogLog distinct estimator -------------------------------------

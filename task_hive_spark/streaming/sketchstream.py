@@ -174,6 +174,67 @@ def st_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(spark, latest_state(spark, state_root))
 
 
+# --- incremental KMV over the event stream -------------------------------
+
+_KMV_RAN: dict[tuple[str, str], str] = {}
+
+
+def run_kmv_stream(spark: SparkSession, work: str, feed: str) -> str:
+    """Drain the event feed through the KMV bottom-K fold (the third
+    monoid class: an order statistic — merge = bottom-K of the union,
+    commutative and idempotent like HLL's max but over SETS of rows);
+    returns the state root."""
+    from task_hive_spark.operators.sketches import kmv_hashes, kmv_sketch
+
+    state_root = os.path.join(work, "kmv_state")
+
+    def fold(batch_df: DataFrame, bid: int) -> None:
+        merged = kmv_hashes(batch_df)
+        prior_dir = _latest_batch_dir(state_root, below=bid)
+        if prior_dir is not None:
+            prior = spark.read.parquet(prior_dir).select("event_type", "h")
+            merged = prior.unionByName(merged).distinct()
+        kmv_sketch(merged).write.mode("overwrite").parquet(
+            os.path.join(state_root, f"batch={bid}")
+        )
+
+    _drain(spark, work, feed, _EVENT_SCHEMA, fold)
+    return state_root
+
+
+def run_kmv_once(
+    spark: SparkSession, sf_dir: str, work: str, n_chunks: int = N_EVENT_CHUNKS
+) -> str:
+    feed = os.path.join(work, "feed")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    _write_chunks(ev, "event_id", feed, n_chunks)
+    return run_kmv_stream(spark, work, feed)
+
+
+def _ensure_kmv_run(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KMV_RAN:
+        work = tempfile.mkdtemp(prefix="kmvstream_", dir=_scratch_root())
+        _KMV_RAN[key] = run_kmv_once(spark, sf_dir, work)
+    return _KMV_RAN[key]
+
+
+def st_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live KMV distinct estimates after the whole feed has folded —
+    the converged bottom-K state equals the whole-corpus sketch, so the
+    output is exactly the batch sk_kmv_distinct answer (shared
+    oracle)."""
+    from task_hive_spark.operators.sketches import kmv_estimate
+
+    state_root = _ensure_kmv_run(spark, sf_dir)
+    sk = spark.read.parquet(_latest_batch_dir(state_root)).select(
+        "event_type", "h"
+    )
+    return kmv_estimate(sk)
+
+
 # --- incremental count-min over the document token stream ----------------
 
 
@@ -254,6 +315,7 @@ def st_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "st_hll_incremental": st_hll_incremental,
+    "st_kmv_incremental": st_kmv_incremental,
     "st_cms_incremental": st_cms_incremental,
 }
 
@@ -261,5 +323,6 @@ QUERIES = {
 # SQL are the oracles
 ORACLES = {
     "st_hll_incremental": _SK_ORACLES["sk_hll_distinct"],
+    "st_kmv_incremental": _SK_ORACLES["sk_kmv_distinct"],
     "st_cms_incremental": _SK_ORACLES["sk_cms_heavy_hitters"],
 }

@@ -223,6 +223,26 @@ def test_split_leakage_exact_pairs_reconcile(spark, sf_dir):
     assert all(r["split_a"] != r["split_b"] for r in rows)
 
 
+def test_incremental_kmv_converges_to_batch_and_is_chunk_invariant(
+    spark, sf_dir, tmp_path
+):
+    from task_hive_spark.operators.sketches import kmv_estimate
+    from task_hive_spark.streaming.sketchstream import (
+        _latest_batch_dir,
+        run_kmv_once,
+    )
+
+    batch = sk_kmv_distinct(spark, sf_dir).collect()
+    outs = []
+    for n_chunks in (2, 4):
+        root = run_kmv_once(spark, sf_dir, str(tmp_path / f"k{n_chunks}"), n_chunks)
+        sk = spark.read.parquet(_latest_batch_dir(root)).select("event_type", "h")
+        outs.append(kmv_estimate(sk).collect())
+    # bottom-K is a mergeable order statistic: any chunking folds to
+    # the whole-corpus sketch
+    assert outs[0] == outs[1] == batch
+
+
 def test_incremental_cms_converges_and_never_double_counts(
     spark, sf_dir, tmp_path
 ):

@@ -62,13 +62,16 @@ def kmv_sketch(hashed: DataFrame) -> DataFrame:
     )
 
 
-def kmv_hashes(ev: DataFrame) -> DataFrame:
-    """Distinct (event_type, h) rows for a frame with (event_type,
-    user_id) — the KMV update stream."""
-    return ev.select(
+def kmv_hashes(ev: DataFrame, dedup: bool = True) -> DataFrame:
+    """(event_type, h) rows for a frame with (event_type, user_id) —
+    the KMV update stream. ``dedup=False`` lets a caller that is about
+    to union more rows (the streaming fold merging prior state) defer
+    to ONE distinct instead of paying two shuffles."""
+    h = ev.select(
         "event_type",
         portable_hash64(F.col("user_id").cast("string"), seed="kmv-").alias("h"),
-    ).distinct()
+    )
+    return h.distinct() if dedup else h
 
 
 def kmv_estimate(sk: DataFrame) -> DataFrame:
@@ -504,21 +507,36 @@ _KMV_HASH = (
 _CMS_ARMS = ", ".join(f"({d})" for d in range(CMS_D))
 
 # shared HLL oracle fragments (register build + estimate arithmetic),
-# composed by sk_hll_distinct, sk_hll_union and st_hll_incremental
-_HLL_REGS_CTES = f"""h AS (
-          SELECT event_type,
+# composed by sk_hll_distinct, sk_hll_daily, sk_hll_union and
+# st_hll_incremental — ONE SQL hash/rank definition, key columns
+# parameterized (the no-drift discipline the Spark helpers follow)
+
+
+def _hll_regs_ctes(
+    regs_cte: str = "regs", key_select: str = "event_type", keys: tuple[str, ...] = ("event_type",)
+) -> str:
+    klist = ", ".join(keys)
+    group_ords = ", ".join(str(i + 1) for i in range(len(keys) + 1))
+    return f"""h_{regs_cte} AS (
+          SELECT {key_select},
                  CAST(concat('0x', substr(md5('hll-' || CAST(user_id AS VARCHAR)),
                       1, 15)) AS BIGINT) AS h
           FROM events
         ),
-        ranked AS (
-          SELECT event_type, h >> {HLL_W} AS j,
+        ranked_{regs_cte} AS (
+          SELECT {klist}, h >> {HLL_W} AS j,
                  CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
                       ELSE {HLL_W + 1} - length(bin(h & {(1 << HLL_W) - 1}))
                  END AS r
-          FROM h
+          FROM h_{regs_cte}
         ),
-        regs AS (SELECT event_type, j, MAX(r) AS m FROM ranked GROUP BY 1, 2)"""
+        {regs_cte} AS (
+          SELECT {klist}, j, MAX(r) AS m
+          FROM ranked_{regs_cte} GROUP BY {group_ords}
+        )"""
+
+
+_HLL_REGS_CTES = _hll_regs_ctes()
 
 
 def _hll_est_tail(
@@ -605,22 +623,11 @@ ORACLES = {
         FROM est_regs ORDER BY event_type
         """,
     "sk_hll_daily": f"""
-        WITH h AS (
-          SELECT CAST(ts AS DATE) AS day, event_type,
-                 CAST(concat('0x', substr(md5('hll-' || CAST(user_id AS VARCHAR)),
-                      1, 15)) AS BIGINT) AS h
-          FROM events
-        ),
-        ranked AS (
-          SELECT day, event_type, h >> {HLL_W} AS j,
-                 CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
-                      ELSE {HLL_W + 1} - length(bin(h & {(1 << HLL_W) - 1}))
-                 END AS r
-          FROM h
-        ),
-        dregs AS (
-          SELECT day, event_type, j, MAX(r) AS m FROM ranked GROUP BY 1, 2, 3
-        ),{_hll_est_tail("dregs", "dregs", ("day", "event_type"))}
+        WITH {_hll_regs_ctes(
+            "dregs",
+            "CAST(ts AS DATE) AS day, event_type",
+            ("day", "event_type"),
+        )},{_hll_est_tail("dregs", "dregs", ("day", "event_type"))}
         SELECT day, event_type, v_zero, sum_scaled, est_distinct
         FROM est_dregs ORDER BY day, event_type
         """,

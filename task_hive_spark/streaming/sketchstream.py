@@ -113,6 +113,26 @@ def _drain(
     q.awaitTermination()
 
 
+def _event_feed(spark: SparkSession, sf_dir: str, work: str, n_chunks: int) -> str:
+    """Write (or reuse) the chunked events feed under ``work``."""
+    feed = os.path.join(work, "feed")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    _write_chunks(ev, "event_id", feed, n_chunks)
+    return feed
+
+
+def _memoized_run(cache: dict, spark: SparkSession, sf_dir: str, prefix: str, runner):
+    """One converged run per (session, sf_dir) — shared by all three
+    incremental sketches (the scaffold was triplicating)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in cache:
+        work = tempfile.mkdtemp(prefix=prefix, dir=_scratch_root())
+        cache[key] = runner(spark, sf_dir, work)
+    return cache[key]
+
+
 # --- incremental HLL over the event stream -------------------------------
 
 
@@ -150,20 +170,11 @@ def latest_state(spark: SparkSession, state_root: str) -> DataFrame:
 def run_once(
     spark: SparkSession, sf_dir: str, work: str, n_chunks: int = N_EVENT_CHUNKS
 ) -> str:
-    feed = os.path.join(work, "feed")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type"
-    )
-    _write_chunks(ev, "event_id", feed, n_chunks)
-    return run_stream(spark, work, feed)
+    return run_stream(spark, work, _event_feed(spark, sf_dir, work, n_chunks))
 
 
 def _ensure_run(spark: SparkSession, sf_dir: str) -> str:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _RAN:
-        work = tempfile.mkdtemp(prefix="hllstream_", dir=_scratch_root())
-        _RAN[key] = run_once(spark, sf_dir, work)
-    return _RAN[key]
+    return _memoized_run(_RAN, spark, sf_dir, "hllstream_", run_once)
 
 
 def st_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,12 +200,14 @@ def run_kmv_stream(spark: SparkSession, work: str, feed: str) -> str:
     state_root = os.path.join(work, "kmv_state")
 
     def fold(batch_df: DataFrame, bid: int) -> None:
-        merged = kmv_hashes(batch_df)
+        # dedup=False: the union below ends in ONE distinct instead of
+        # a per-batch distinct followed by a second one (review finding)
+        merged = kmv_hashes(batch_df, dedup=False)
         prior_dir = _latest_batch_dir(state_root, below=bid)
         if prior_dir is not None:
             prior = spark.read.parquet(prior_dir).select("event_type", "h")
-            merged = prior.unionByName(merged).distinct()
-        kmv_sketch(merged).write.mode("overwrite").parquet(
+            merged = prior.unionByName(merged)
+        kmv_sketch(merged.distinct()).write.mode("overwrite").parquet(
             os.path.join(state_root, f"batch={bid}")
         )
 
@@ -205,20 +218,11 @@ def run_kmv_stream(spark: SparkSession, work: str, feed: str) -> str:
 def run_kmv_once(
     spark: SparkSession, sf_dir: str, work: str, n_chunks: int = N_EVENT_CHUNKS
 ) -> str:
-    feed = os.path.join(work, "feed")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type"
-    )
-    _write_chunks(ev, "event_id", feed, n_chunks)
-    return run_kmv_stream(spark, work, feed)
+    return run_kmv_stream(spark, work, _event_feed(spark, sf_dir, work, n_chunks))
 
 
 def _ensure_kmv_run(spark: SparkSession, sf_dir: str) -> str:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _KMV_RAN:
-        work = tempfile.mkdtemp(prefix="kmvstream_", dir=_scratch_root())
-        _KMV_RAN[key] = run_kmv_once(spark, sf_dir, work)
-    return _KMV_RAN[key]
+    return _memoized_run(_KMV_RAN, spark, sf_dir, "kmvstream_", run_kmv_once)
 
 
 def st_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,11 +297,7 @@ def run_cms_once(
 
 
 def _ensure_cms_run(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CMS_RAN:
-        work = tempfile.mkdtemp(prefix="cmsstream_", dir=_scratch_root())
-        _CMS_RAN[key] = run_cms_once(spark, sf_dir, work)
-    return _CMS_RAN[key]
+    return _memoized_run(_CMS_RAN, spark, sf_dir, "cmsstream_", run_cms_once)
 
 
 def st_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

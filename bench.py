@@ -56,8 +56,13 @@ HEADLINE = [
     # run), so its number is the MARGINAL gates→tokenize→pack cost; its
     # DuckDB mirror re-pays the unrolled BPE correctness chain, so —
     # like txt_bpe_merges — its ratio reads in Spark's favor.
+    # The three st_*_incremental streaming sketches are excluded: their
+    # cost is the checkpointed feed drain (chunk writes + micro-batch
+    # replay), not a query plan — the batch queries above time the
+    # identical sketch arithmetic.
     "sk_kmv_distinct",
     "sk_hll_distinct",
+    "sk_hll_daily",
     "sk_hll_union",
     "sk_theta_intersect",
     "sk_cms_heavy_hitters",

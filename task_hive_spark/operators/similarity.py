@@ -1236,7 +1236,13 @@ ORACLES["sim_pq_codes"] = f"""
     FROM per GROUP BY vec_id ORDER BY vec_id
     """
 
-ORACLES["sim_topk_ivf_pq"] = f"""
+# The ADC scoring chain (probe selection → trained cells → PQ encode →
+# LUT → scored) as ONE shared CTE body: sim_topk_ivf_pq appends its
+# final top-k SELECT, sim_topk_pq_refined appends the shortlist/refine
+# CTEs — composition by constant, not string surgery (the HLL-CTE-helper
+# discipline; the earlier rindex splice broke on any rewording of the
+# parent's final SELECT).
+_ADC_CTES = f"""
     WITH {_DE},
     probe_ids AS (SELECT vec_id FROM de WHERE vec_id % {PROBE_MOD} = 0
                   ORDER BY vec_id LIMIT {K_PROBES}),
@@ -1296,7 +1302,10 @@ ORACLES["sim_topk_ivf_pq"] = f"""
       -- exact 1e-6 integer-unit sum of 6-dp LUT entries: identical to
       -- the Spark side's fold-order-independent ADC aggregation
       GROUP BY 1, 2
-    )
+    )"""
+
+ORACLES["sim_topk_ivf_pq"] = f"""
+    {_ADC_CTES}
     SELECT probe_id, rank, neighbor_id, adc_d2 FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
                 ORDER BY adc_d2, neighbor_id) AS rank
@@ -1378,16 +1387,10 @@ ORACLES["dd_semdedup"] = f"""
     ORDER BY rep_id, vec_id
     """
 
-# refine oracle: the ADC chain's CTE body (everything before its final
-# top-k SELECT — anchored; rindex fails loudly if that select is ever
-# reworded) + shortlist / raw-vector re-rank CTEs
-_PQ_FINAL_SELECT = "SELECT probe_id, rank, neighbor_id, adc_d2 FROM ("
-_pq_ctes = ORACLES["sim_topk_ivf_pq"][
-    : ORACLES["sim_topk_ivf_pq"].rindex(_PQ_FINAL_SELECT)
-].rstrip()
-
+# refine oracle: the shared ADC CTE chain + shortlist / raw-vector
+# re-rank CTEs
 ORACLES["sim_topk_pq_refined"] = f"""
-{_pq_ctes},
+{_ADC_CTES},
 shortlist AS (
   SELECT probe_id, neighbor_id FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id

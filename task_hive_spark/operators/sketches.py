@@ -386,10 +386,15 @@ def cms_heavy_hitters_from(sketch: DataFrame, candidates: DataFrame) -> DataFram
         )
         .select("tok", "cell.d", "cell.col")
     )
+    # LEFT join + coalesce-to-0: a candidate absent from the stream has
+    # all-empty cells and must estimate 0 (standard CMS point-estimate
+    # semantics) — an inner join would min() over only its nonzero
+    # collision cells. In-stream candidates (every current caller) hit
+    # D nonzero cells, so their estimates are unchanged.
     est = (
-        probe.join(F.broadcast(sketch), ["d", "col"])
+        probe.join(F.broadcast(sketch), ["d", "col"], "left")
         .groupBy("tok")
-        .agg(F.min("c").alias("est_count"))
+        .agg(F.min(F.coalesce("c", F.lit(0).cast("bigint"))).alias("est_count"))
     )
     return (
         est.crossJoin(F.broadcast(total))

@@ -130,6 +130,12 @@ class EventSocketServer:
                 if attempt:
                     raise
                 time.sleep(0.05)  # let the accept thread finish the swap
+                with self._conn_lock:
+                    if self._conn is conn:
+                        # same peer object: the first sendall may have
+                        # partially written, so a blind retry could
+                        # deliver duplicate lines — surface the error
+                        raise
 
     def close(self) -> None:
         self._closed = True

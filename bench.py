@@ -67,6 +67,8 @@ HEADLINE = [
     "sk_theta_intersect",
     "sk_cms_heavy_hitters",
     "sk_bloom_semi_join",
+    # round-9 addition: the quantile member completing the sketch tier
+    "sk_quantiles",
     "txt_stratified_split",
     "txt_tokenized_dataset",
     "dd_split_leakage",

@@ -361,7 +361,8 @@ def sketch_probe() -> int:
     numerically across the 100× fixture span (plus synthetic sf1
     documents for CMS). Checks per sf: KMV rows ≤ K·|groups|, HLL
     register rows ≤ m·|groups|, CMS grid rows ≤ D·W, Bloom bits ≤
-    min(M, K·|build|). Exits non-zero if any state grows past its
+    min(M, K·|build|), quantile-histogram buckets ≤ the log-linear
+    grid bound (octaves × sub-buckets) per group. Exits non-zero if any state grows past its
     parameter bound — the signal that an estimator silently
     degenerated into an exact structure. (Streaming-state ≡ batch
     convergence is pytest's job — tests/test_sketches.py — not this
@@ -394,17 +395,32 @@ def sketch_probe() -> int:
         n_build = (
             load_table(spark, d, "customer").where(F.col("c_acctbal") < 0).count()
         )
+        from task_hive_spark.operators.sketches import (
+            QSK_SUB_BITS,
+            qsk_lineitem_vals,
+            qsk_state,
+        )
+
+        li = load_table(spark, d, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        )
+        li_groups = li.select("l_returnflag").distinct().count()
+        li_rows = li.count()
         t0 = time.perf_counter()
         kmv = sk_kmv_distinct(spark, d)
         kmv_rows = kmv.agg(F.sum("n_sketch")).collect()[0][0]
         hll_rows = hll_registers(ev).count()
         bloom_bits = sk_bloom_semi_join(spark, d).collect()[0]["n_bits_set"]
+        qsk_rows = qsk_state(qsk_lineitem_vals(li)).count()
         secs = round(time.perf_counter() - t0, 3)
         bloom_bound = min(BLOOM_M, BLOOM_K * n_build)
+        # log-linear grid: ≤ (63 − S) octaves × 2^S sub-buckets per group
+        qsk_bound = (63 - QSK_SUB_BITS) * (1 << QSK_SUB_BITS) * li_groups
         ok = (
             kmv_rows <= KMV_K * n_groups
             and hll_rows <= HLL_M * n_groups
             and bloom_bits <= bloom_bound
+            and qsk_rows <= qsk_bound
         )
         bad += 0 if ok else 1
         print(json.dumps({
@@ -412,6 +428,8 @@ def sketch_probe() -> int:
             "kmv_sketch_rows": int(kmv_rows), "kmv_bound": KMV_K * n_groups,
             "hll_register_rows": hll_rows, "hll_bound": HLL_M * n_groups,
             "bloom_bits_set": int(bloom_bits), "bloom_bound": bloom_bound,
+            "qsk_stream_rows": li_rows, "qsk_bucket_rows": qsk_rows,
+            "qsk_bound": qsk_bound,
             "bounds_ok": ok,
         }))
     # CMS over documents (real 10x growth through synthetic sf1)

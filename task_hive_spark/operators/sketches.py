@@ -489,6 +489,121 @@ def sk_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Log-linear histogram quantile sketch --------------------------------
+# The fourth standard sketch-family member (distinct / frequency /
+# membership / QUANTILES): an HdrHistogram-style log-linear histogram
+# (Tene's HdrHistogram; the fixed-boundary analogue of KLL/t-digest).
+# Bucket boundaries are FIXED functions of the value — the top
+# QSK_SUB_BITS+1 significant bits — so the state is a pure counter map:
+# merge = SUM per bucket (the CMS monoid), map-side combine applies, and
+# two sketches built on different clusters/days union by addition. A
+# KLL compactor has better worst-case size for adversarial ranges, but
+# its compaction is sampling-based (randomized, merge-order-dependent) —
+# unusable under this repo's cross-engine determinism gate; with money-
+# scaled values (< 2^40) the log-linear grid is ≤ (40−S)·2^S buckets and
+# in practice a few hundred — broadcast-sized, like every sketch here.
+#
+# Bucket: for v ≥ 0, exp = max(bitlen(v) − (S+1), 0) and the bucket is
+# [lb, lb + 2^exp) with lb = (v >> exp) << exp — relative width ≤ 2^−S
+# (3.125% at S=5). All arithmetic is exact-integer: bitlen via the
+# minimal-width bin() both engines share, 2^exp via the proven
+# CAST(power(2.0, e) AS BIGINT) pattern, v/2^exp exact in IEEE (power-
+# of-two divisor, v < 2^53). Quantile report = each bucket's lb (a
+# deterministic value in-range of the true quantile's bucket).
+QSK_SUB_BITS = 5
+QSK_QS = (50, 90, 99)  # reported percentiles (integer percent — the
+# rank arithmetic stays exact: rank_q = ceil(n·q/100))
+
+
+def qsk_state(vals: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Sparse histogram state (*keys, lb, cnt) from a frame carrying the
+    key columns and a non-negative BIGINT measure ``v``. ONE
+    implementation shared by the batch query and the incremental
+    streaming fold (streaming/sketchstream.py): state merges by SUM per
+    (keys, lb), so chunked folds converge to the whole-corpus sketch."""
+    keys = keys or ["g"]
+    v = F.col("v")
+    exp = F.greatest(F.length(F.bin(v)) - F.lit(QSK_SUB_BITS + 1), F.lit(0))
+    p = F.pow(F.lit(2.0), exp).cast("long")
+    lb = (F.floor(v / p) * p).cast("long")
+    return vals.groupBy(*keys, lb.alias("lb")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+def qsk_estimate(state: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Percentile report from histogram state: per group, the lower
+    bound of the first bucket whose cumulative count reaches
+    rank_q = ceil(n·q/100) — the classic histogram quantile readout,
+    deterministic because ranks are exact integers and buckets are
+    fixed. Runs entirely on sketch-sized rows (the cumulative window
+    partitions per group over its ≤ few-hundred buckets)."""
+    keys = keys or ["g"]
+    cum = state.withColumn(
+        "cum", F.sum("cnt").over(W.partitionBy(*keys).orderBy("lb"))
+    )
+    tot = state.groupBy(*keys).agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+    )
+
+    def rank(q: int) -> F.Column:
+        # ceil(n·q/100) in exact arithmetic: (n·q + 99)/100 is a double
+        # division whose true value, when integral, is exactly
+        # representable — floor is then exact in both engines
+        return F.floor((F.col("n_rows") * q + F.lit(99)) / F.lit(100.0))
+
+    return (
+        cum.join(tot, keys)
+        .groupBy(*keys)
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("n_buckets").alias("n_buckets"),
+            *[
+                F.min(F.when(F.col("cum") >= rank(q), F.col("lb")))
+                .cast("bigint")
+                .alias(f"p{q}_cents")
+                for q in QSK_QS
+            ],
+        )
+        .orderBy(*keys)
+    )
+
+
+def qsk_lineitem_vals(li: DataFrame) -> DataFrame:
+    """The quantile-sketch update stream from a lineitem projection:
+    (g = l_returnflag, v = exact integer cents of l_extendedprice) —
+    shared by batch and streaming so the measure derivation can't
+    drift. Cents via the relational suite's (x·100 + 0.5) truncation
+    (exact for the non-negative TPC-H money domain)."""
+    return li.select(
+        F.col("l_returnflag").alias("g"),
+        (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+
+
+def sk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of l_extendedprice per return flag via the log-linear
+    histogram sketch.
+
+    Shape: ONE narrow shuffle of ≤ |buckets|·|groups| partial-sum rows
+    (the groupBy(g, lb).count partial-aggregates map-side — the data is
+    touched once, map-side, exactly like CMS/HLL); the cumulative
+    window and rank probe run on sketch-sized state. At 100 TB this
+    replaces the full sort/percentile_approx shuffle with a counter-map
+    fold, and per-day sketches answer any date-range percentile by
+    bucket-wise addition without re-reading data."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return qsk_estimate(qsk_state(qsk_lineitem_vals(li)), ["g"]).select(
+        F.col("g").alias("l_returnflag"),
+        "n_rows",
+        "n_buckets",
+        *[f"p{q}_cents" for q in QSK_QS],
+    )
+
+
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_hll_distinct": sk_hll_distinct,
@@ -497,6 +612,7 @@ QUERIES = {
     "sk_theta_intersect": sk_theta_intersect,
     "sk_cms_heavy_hitters": sk_cms_heavy_hitters,
     "sk_bloom_semi_join": sk_bloom_semi_join,
+    "sk_quantiles": sk_quantiles,
 }
 
 # --- DuckDB oracles ------------------------------------------------------
@@ -586,6 +702,52 @@ def _hll_est_tail(
         )"""
 
 
+def _qsk_bucket_sql(v_sql: str) -> str:
+    """The log-linear bucket lower bound of a non-negative BIGINT SQL
+    expression — the exact mirror of qsk_state's arithmetic."""
+    p = (
+        f"CAST(power(2.0, GREATEST(length(bin({v_sql})) - {QSK_SUB_BITS + 1}, 0))"
+        f" AS BIGINT)"
+    )
+    return f"CAST(FLOOR({v_sql} / {p}) AS BIGINT) * {p}"
+
+
+_QSK_RANK_MINS = ",\n               ".join(
+    f"CAST(MIN(CASE WHEN c.cum >= FLOOR((t.n_rows * {q} + 99) / 100.0)"
+    f" THEN c.lb END) AS BIGINT) AS p{q}_cents"
+    for q in QSK_QS
+)
+
+_QSK_SQL = f"""
+        WITH vals AS (
+          SELECT l_returnflag AS g,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem
+        ),
+        state AS (
+          SELECT g, lb, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT g, {_qsk_bucket_sql("v")} AS lb FROM vals)
+          GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT g, lb, cnt,
+                 SUM(cnt) OVER (PARTITION BY g ORDER BY lb) AS cum
+          FROM state
+        ),
+        tot AS (
+          SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_buckets
+          FROM state GROUP BY g
+        )
+        SELECT c.g AS l_returnflag,
+               MAX(t.n_rows) AS n_rows,
+               MAX(t.n_buckets) AS n_buckets,
+               {_QSK_RANK_MINS}
+        FROM cum c JOIN tot t USING (g)
+        GROUP BY 1 ORDER BY 1
+        """
+
+
 def _cms_hash(item_sql: str) -> str:
     return (
         f"CAST(concat('0x', substr(md5('cms' || CAST(s.d AS VARCHAR) || '-' || "
@@ -601,6 +763,7 @@ def _bloom_hash(key_sql: str, k: int) -> str:
 
 
 ORACLES = {
+    "sk_quantiles": _QSK_SQL,
     "sk_kmv_distinct": f"""
         WITH h AS (
           SELECT DISTINCT event_type, {_KMV_HASH} AS h FROM events

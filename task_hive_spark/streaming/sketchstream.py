@@ -313,10 +313,81 @@ def st_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters_from(sketch, vocab)
 
 
+# --- incremental quantile histogram over the lineitem stream -------------
+
+_QSK_RAN: dict[tuple[str, str], str] = {}
+_LINEITEM_SCHEMA = (
+    "l_orderkey BIGINT, l_returnflag STRING, l_extendedprice DOUBLE"
+)
+N_LINEITEM_CHUNKS = 4
+
+
+def run_qsk_stream(spark: SparkSession, work: str, feed: str) -> str:
+    """Drain the lineitem feed through the log-linear histogram fold —
+    additive counter state like CMS, so the same batch-scoped replay
+    discipline applies (a re-applied micro-batch would double-count its
+    rows; 'read latest prior < bid, overwrite batch=bid' makes replays
+    rewrite instead of add). Returns the state root."""
+    from task_hive_spark.operators.sketches import qsk_lineitem_vals, qsk_state
+
+    state_root = os.path.join(work, "qsk_state")
+
+    def fold(batch_df: DataFrame, bid: int) -> None:
+        merged = qsk_state(qsk_lineitem_vals(batch_df))
+        prior_dir = _latest_batch_dir(state_root, below=bid)
+        if prior_dir is not None:
+            prior = spark.read.parquet(prior_dir).select("g", "lb", "cnt")
+            merged = (
+                prior.unionByName(merged)
+                .groupBy("g", "lb")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"batch={bid}")
+        )
+
+    _drain(spark, work, feed, _LINEITEM_SCHEMA, fold)
+    return state_root
+
+
+def run_qsk_once(
+    spark: SparkSession, sf_dir: str, work: str, n_chunks: int = N_LINEITEM_CHUNKS
+) -> str:
+    feed = os.path.join(work, "feed")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    _write_chunks(li, "l_orderkey", feed, n_chunks)
+    return run_qsk_stream(spark, work, feed)
+
+
+def _ensure_qsk_run(spark: SparkSession, sf_dir: str) -> str:
+    return _memoized_run(_QSK_RAN, spark, sf_dir, "qskstream_", run_qsk_once)
+
+
+def st_quantiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live p50/p90/p99 after the whole lineitem feed has folded — the
+    converged additive histogram equals the whole-corpus sketch, so the
+    output is exactly the batch sk_quantiles answer (shared oracle)."""
+    from task_hive_spark.operators.sketches import QSK_QS, qsk_estimate
+
+    state_root = _ensure_qsk_run(spark, sf_dir)
+    state = spark.read.parquet(_latest_batch_dir(state_root)).select(
+        "g", "lb", "cnt"
+    )
+    return qsk_estimate(state, ["g"]).select(
+        F.col("g").alias("l_returnflag"),
+        "n_rows",
+        "n_buckets",
+        *[f"p{q}_cents" for q in QSK_QS],
+    )
+
+
 QUERIES = {
     "st_hll_incremental": st_hll_incremental,
     "st_kmv_incremental": st_kmv_incremental,
     "st_cms_incremental": st_cms_incremental,
+    "st_quantiles_incremental": st_quantiles_incremental,
 }
 
 # converged state == the whole-corpus sketch: the batch queries' own
@@ -325,4 +396,5 @@ ORACLES = {
     "st_hll_incremental": _SK_ORACLES["sk_hll_distinct"],
     "st_kmv_incremental": _SK_ORACLES["sk_kmv_distinct"],
     "st_cms_incremental": _SK_ORACLES["sk_cms_heavy_hitters"],
+    "st_quantiles_incremental": _SK_ORACLES["sk_quantiles"],
 }

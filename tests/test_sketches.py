@@ -283,6 +283,80 @@ def test_incremental_cms_converges_and_never_double_counts(
     assert states[0] == states[1] == batch_grid
 
 
+def test_quantile_sketch_brackets_exact_percentiles(spark, sf_dir):
+    """The reported bucket lower bound must bracket the true rank-q
+    value within one bucket width (relative error ≤ 2^-QSK_SUB_BITS)."""
+    from pyspark.sql.window import Window as W
+
+    from task_hive_spark.operators.sketches import (
+        QSK_QS,
+        QSK_SUB_BITS,
+        qsk_lineitem_vals,
+        sk_quantiles,
+    )
+
+    got = {r["l_returnflag"]: r for r in sk_quantiles(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    vals = qsk_lineitem_vals(li)
+    ranked = vals.withColumn(
+        "rn", F.row_number().over(W.partitionBy("g").orderBy("v"))
+    )
+    totals = {r["g"]: r["n"] for r in vals.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    for g, row in got.items():
+        assert row["n_rows"] == totals[g]
+        for q in QSK_QS:
+            rank = -(-totals[g] * q // 100)  # ceil
+            exact = ranked.where(
+                (F.col("g") == g) & (F.col("rn") == rank)
+            ).collect()[0]["v"]
+            lb = row[f"p{q}_cents"]
+            assert lb <= exact, (g, q, lb, exact)
+            # bucket width ≤ lb·2^-S once lb ≥ 2^S (cents are ≥ 9e4 here)
+            assert exact <= lb + max(lb >> QSK_SUB_BITS, 1), (g, q, lb, exact)
+
+
+def test_incremental_qsk_converges_and_never_double_counts(
+    spark, sf_dir, tmp_path
+):
+    """Quantile histogram state is additive like CMS: chunking must not
+    change the converged grid, and re-draining an exhausted feed must
+    not re-add any batch."""
+    import os
+
+    from task_hive_spark.operators.sketches import qsk_lineitem_vals, qsk_state
+    from task_hive_spark.streaming.sketchstream import (
+        _latest_batch_dir,
+        run_qsk_once,
+        run_qsk_stream,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    batch_grid = {
+        (r["g"], r["lb"]): r["cnt"]
+        for r in qsk_state(qsk_lineitem_vals(li)).collect()
+    }
+    states = []
+    for n_chunks in (2, 4):
+        work = str(tmp_path / f"q{n_chunks}")
+        root = run_qsk_once(spark, sf_dir, work, n_chunks)
+        got = {
+            (r["g"], r["lb"]): r["cnt"]
+            for r in spark.read.parquet(_latest_batch_dir(root)).collect()
+        }
+        states.append(got)
+        run_qsk_stream(spark, work, os.path.join(work, "feed"))
+        again = {
+            (r["g"], r["lb"]): r["cnt"]
+            for r in spark.read.parquet(_latest_batch_dir(root)).collect()
+        }
+        assert again == got
+    assert states[0] == states[1] == batch_grid
+
+
 def test_shared_cell_helpers_are_single_source(spark):
     # build and probe must use the same cell/position derivations;
     # the helpers are that single source — pin their shape

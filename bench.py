@@ -117,6 +117,15 @@ def main() -> int:
             from task_hive_spark.operators.textops import _BPE_MERGE_CACHE
 
             _BPE_MERGE_CACHE.clear()
+        # the LSH pair frame is a shared session index (dd_split_leakage
+        # reads it warm — its bench number is the marginal audit cost,
+        # like txt_tokenized_dataset's warm-trainer precedent); timing
+        # the builder itself on the cache would be fake, so rebuild it
+        # every measured run
+        if name == "dd_minhash_lsh_pairs":
+            from task_hive_spark.materialize import drop_index
+
+            drop_index(spark, sf_dir, "lsh_pairs")
 
     for _ in range(2):
         for name in names:

@@ -79,6 +79,20 @@ def clear_indexes(spark: SparkSession | None = None) -> None:
                 _unpersist_value(aux.pop(key))
 
 
+def drop_index(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Unpersist and forget ONE materialized index so the next consumer
+    rebuilds it — bench.py uses this to keep a benched builder query an
+    honest measurement when its output is also a shared session index
+    (the _BPE_MERGE_CACHE precedent)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _CACHE.pop(key, None)
+    if df is not None:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to unpersist
+
+
 def session_index(
     spark: SparkSession, sf_dir: str, name: str, build: Callable[[], DataFrame]
 ) -> DataFrame:

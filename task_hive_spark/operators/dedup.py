@@ -385,13 +385,17 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the K-wide signature into
-    LSH_BANDS buckets (rows-per-band = 4), docs colliding in ANY band
-    become candidates, then estimate similarity as the fraction of
-    matching signature components. Candidate generation never compares
-    non-colliding docs — the property that makes this run at corpus
-    scale.
+def _lsh_pairs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scored MinHash-LSH candidate-pair frame (doc_a, doc_b,
+    est_jaccard), materialized once per (session, sf_dir): the near-dup
+    pair set is the second shared index of the dedup pipeline — the
+    pair REPORT (dd_minhash_lsh_pairs) and the leakage audit
+    (dd_split_leakage) both consume it, and the banded self-join +
+    distinct underneath is the expensive part of both. Candidate pairs
+    ≪ corpus by the banding construction, so persisting them is
+    index-sized. bench.py drops this index before timing
+    dd_minhash_lsh_pairs so the builder's bench number stays an honest
+    measurement (materialize.drop_index).
 
     Shape at K=128: the banded self-join carries ONLY (doc_id, bucket)
     — 32 narrow rows per doc — and the K-wide arrays are joined back
@@ -400,31 +404,57 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at K=128 that is 4096 bigints per doc through the join shuffle,
     measured 3× the whole query. Candidates ≪ corpus by construction,
     so two narrow joins against the cached index are the cheap side.)"""
-    sigs = _minhash_sig_array(spark, sf_dir)
-    # bucket = xxhash64(band id, 4 signature lanes): an 8-byte join key
-    # instead of the earlier ~40-char concat_ws string (5× less shuffle
-    # per band row, cheaper equality). The hash is length-prefixed per
-    # field so the collision classes are the band tuples themselves; a
-    # 2^-64 cross-band collision could only ADD a candidate pair, which
-    # the est_jaccard verify stage scores like any other candidate.
-    stacked = band_buckets_of(sigs)
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    cands = (
-        a.join(
-            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+
+    def build() -> DataFrame:
+        sigs = _minhash_sig_array(spark, sf_dir)
+        # bucket = xxhash64(band id, 4 signature lanes): an 8-byte join
+        # key instead of the earlier ~40-char concat_ws string (5× less
+        # shuffle per band row, cheaper equality). The hash is
+        # length-prefixed per field so the collision classes are the
+        # band tuples themselves; a 2^-64 cross-band collision could
+        # only ADD a candidate pair, which the est_jaccard verify stage
+        # scores like any other candidate.
+        stacked = band_buckets_of(sigs)
+        a = stacked.alias("a")
+        b = stacked.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", est_jaccard_col().alias("est_jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+        sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+        scored = (
+            cands.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", est_jaccard_col().alias("est_jaccard"))
+        )
+        # localCheckpoint severs lineage (graph.py precedent): consumers
+        # that ALSO scan the documents relations (dd_split_leakage's
+        # fingerprint self-join) would otherwise trigger
+        # DeduplicateRelations' attribute-id rewrite on the shared base
+        # scans, which breaks the CacheManager's canonicalized-subtree
+        # match — measured as the whole LSH chain silently re-running
+        # from parquet inside the union (IMR=0 in the plan).
+        return scored.localCheckpoint()
+
+    return session_index(spark, sf_dir, "lsh_pairs", build)
+
+
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the K-wide signature into
+    LSH_BANDS buckets (rows-per-band = 4), docs colliding in ANY band
+    become candidates, then estimate similarity as the fraction of
+    matching signature components. Candidate generation never compares
+    non-colliding docs — the property that makes this run at corpus
+    scale. Reads the materialized pair index (_lsh_pairs_index)."""
+    return _lsh_pairs_index(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,7 +745,13 @@ def dd_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate clusters — tiny), near pairs from the banded MinHash-LSH
     candidates (the materialized session index; never all-pairs); split
     tags are map-stage hash expressions; the output is a
-    |kinds|·|splits|² summary with membership checksums."""
+    |kinds|·|splits|² summary with membership checksums.
+
+    The kind label resolves via ONE union + max-groupBy over the two
+    pair-sized frames (identical text → 'exact' wins) — the earlier
+    exact-branch ∪ (LSH anti-join exact) form evaluated the fingerprint
+    self-join twice, which was the whole >2×-of-baseline gap (measured
+    3.3s → ~1.0s at sf0.1)."""
     from task_hive_spark.operators.textops import split_expr as split_of
 
     d = corpus_df(spark, sf_dir)
@@ -731,13 +767,19 @@ def dd_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
     )
-    near = (
-        dd_minhash_lsh_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .join(ex, ["doc_a", "doc_b"], "left_anti")  # identical text → 'exact'
-    )
-    pairs = ex.withColumn("kind", F.lit("exact")).unionByName(
-        near.withColumn("kind", F.lit("near"))
+    near_cands = _lsh_pairs_index(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = (
+        ex.withColumn("is_exact", F.lit(1))
+        .unionByName(near_cands.withColumn("is_exact", F.lit(0)))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("is_exact").alias("is_exact"))
+        .select(
+            F.when(F.col("is_exact") == 1, F.lit("exact"))
+            .otherwise(F.lit("near"))
+            .alias("kind"),
+            "doc_a",
+            "doc_b",
+        )
     )
     tagged = pairs.select(
         "kind",

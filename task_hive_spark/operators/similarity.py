@@ -723,21 +723,30 @@ def _pq_codebook() -> list[tuple[int, int, int, float]]:
 PQ_BOOK = _pq_codebook()
 
 
-def _pq_dist_table(spark: SparkSession, e: DataFrame) -> DataFrame:
+def _pq_book_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(PQ_BOOK, "sub int, code int, d int, c double")
+
+
+def _pq_dist_table(
+    spark: SparkSession, e: DataFrame, book: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, sub, code, d2): squared L2 from each vector's sub-th
     subvector to every codebook entry — the shared kernel of PQ encode
     (argmin over code per sub, sim_pq_codes) and of ADC lookup tables
     (ALL codes kept, per probe, sim_topk_ivf_pq). posexplode →
     broadcast codebook join (PQ_K-way fan-out per element) → one
     aggregation, exchange-free on top of a vec_id partitioning (the
-    groupBy key set contains vec_id)."""
+    groupBy key set contains vec_id). ``book`` lets the serving path
+    substitute the PERSISTED codebook (materialize_ann_index) for the
+    literal one."""
     x = e.select("vec_id", F.posexplode("embedding").alias("pos", "xf")).select(
         "vec_id",
         (F.col("pos") / PQ_SUBDIM).cast("int").alias("sub"),
         (F.col("pos") % PQ_SUBDIM).cast("int").alias("d"),
         F.col("xf").cast("double").alias("x"),
     )
-    book = spark.createDataFrame(PQ_BOOK, "sub int, code int, d int, c double")
+    if book is None:
+        book = _pq_book_df(spark)
     return (
         x.join(F.broadcast(book), ["sub", "d"])
         .groupBy("vec_id", "sub", "code")
@@ -829,6 +838,49 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> D
     )
 
 
+def _adc_lut_of(dist: DataFrame) -> DataFrame:
+    """The ADC lookup table from a probe-subset distance table:
+    6-dp-rounded LUT entries — the ADC sum aggregates these in exact
+    1e-6 integer units (recon_err discipline); a raw double sum of
+    PQ_M terms crossing a shuffle is fold-order dependent and could
+    flip the final 6-dp rounding."""
+    return dist.select(
+        F.col("vec_id").alias("probe_id"),
+        "sub",
+        "code",
+        F.round(F.col("d2"), 6).alias("lut_d2r"),
+    )
+
+
+def _adc_score_frames(
+    assigned: DataFrame, codes: DataFrame, lut: DataFrame, probe_cells: DataFrame
+) -> DataFrame:
+    """ADC scoring from its four index frames — ONE arithmetic
+    implementation shared by the session-index path (_adc_scored) and
+    the on-disk serving path (sim_topk_pq_served), so the two can
+    never drift. assigned: (vec_id, cell); codes: (vec_id, sub, code);
+    lut: (probe_id, sub, code, lut_d2r); probe_cells: (probe_id, cell)."""
+    # one cell per corpus vector × nprobe distinct cells per probe →
+    # each (probe, neighbor) pair meets at most once; no distinct needed
+    cands = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return (
+        cands.join(codes, cands.neighbor_id == codes.vec_id)
+        .join(F.broadcast(lut), ["probe_id", "sub", "code"])
+        .groupBy("probe_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum((F.col("lut_d2r") * 1000000 + F.lit(0.5)).cast("long"))
+                / F.lit(1000000.0),
+                6,
+            ).alias("adc_d2")
+        )
+    )
+
+
 def _adc_scored(
     spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
 ) -> DataFrame:
@@ -845,41 +897,13 @@ def _adc_scored(
     # the K_PROBES-row pruned probe scan directly, so the corpus-wide
     # DIM×PQ_K fan-out runs ONCE (for codes), not twice — exchange
     # reuse would not have deduped the two dist references.
-    lut = _pq_dist_table(spark, _probe_emb(spark, sf_dir)).select(
-        F.col("vec_id").alias("probe_id"),
-        "sub",
-        "code",
-        # 6-dp-rounded LUT entries: the ADC sum aggregates these in
-        # exact 1e-6 integer units (recon_err discipline) — a raw
-        # double sum of PQ_M terms crossing a shuffle is fold-order
-        # dependent and could flip the final 6-dp rounding
-        F.round(F.col("d2"), 6).alias("lut_d2r"),
-    )
+    lut = _adc_lut_of(_pq_dist_table(spark, _probe_emb(spark, sf_dir)))
     probe_cells = (
         _probe_ranked_cells(spark, sf_dir)
         .where(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("probe_id"), "cell")
     )
-    # one cell per corpus vector × nprobe distinct cells per probe →
-    # each (probe, neighbor) pair meets at most once; no distinct needed
-    cands = (
-        assigned.join(F.broadcast(probe_cells), "cell")
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    scored = (
-        cands.join(codes, cands.neighbor_id == codes.vec_id)
-        .join(F.broadcast(lut), ["probe_id", "sub", "code"])
-        .groupBy("probe_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.sum((F.col("lut_d2r") * 1000000 + F.lit(0.5)).cast("long"))
-                / F.lit(1000000.0),
-                6,
-            ).alias("adc_d2")
-        )
-    )
-    return scored
+    return _adc_score_frames(assigned, codes, lut, probe_cells)
 
 
 REFINE_R = 32  # ADC shortlist width handed to the exact re-rank
@@ -900,12 +924,6 @@ def sim_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive (‖p‖² − 2·p·n + ‖n‖², identical op order both engines)
     and 6-dp-rounded with neighbor_id tie-break."""
     scored = _adc_scored(spark, sf_dir, NPROBE)
-    w = W.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
-    shortlist = (
-        scored.withColumn("rr", F.row_number().over(w))
-        .where(F.col("rr") <= REFINE_R)
-        .select("probe_id", "neighbor_id")
-    )
     probes = _probe_emb(spark, sf_dir).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
@@ -915,6 +933,22 @@ def sim_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shortlist (_probe_emb's rationale, same trap)
     neigh = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    return _refine_rerank(scored, probes, neigh)
+
+
+def _refine_rerank(
+    scored: DataFrame, probes: DataFrame, neigh: DataFrame
+) -> DataFrame:
+    """The exact re-rank tail from its three frames — shared by the
+    session-index path and the on-disk serving path (no-drift
+    discipline). scored: (probe_id, neighbor_id, adc_d2); probes:
+    (probe_id, pe); neigh: (neighbor_id, ne)."""
+    w = W.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rr", F.row_number().over(w))
+        .where(F.col("rr") <= REFINE_R)
+        .select("probe_id", "neighbor_id")
     )
     pe, ne = F.col("pe"), F.col("ne")
     d2 = F.round(dot(pe, pe) - F.lit(2.0) * dot(pe, ne) + dot(ne, ne), 6)
@@ -926,12 +960,128 @@ def sim_topk_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_ranked(refined, "d2", ascending=True)
 
 
+# --- ANN index materializer + serving path --------------------------------
+
+
+def materialize_ann_index(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict:
+    """WRITE the IVF-PQ index as parquet artifacts — the serving-tier
+    layout (FAISS IndexIVFPQ + IndexRefineFlat, persisted): after this
+    runs, queries are answered from the artifacts alone and the source
+    embeddings table is never scanned again.
+
+      centroids/  trained coarse quantizer (cell, centroid)   [K rows]
+      cells/      the inverted file (vec_id, cell)            [N rows]
+      codes/      PQ code index (vec_id, sub, code)           [M·N rows]
+      codebook/   PQ codebook (sub, code, d, c)               [M·K·SUBDIM]
+      vectors/    flat refine store (vec_id, embedding),
+                  sorted by vec_id — the raw-vector point-read
+                  side of the refine stage IS part of the index
+                  (at cluster scale this store is bucketed by
+                  vec_id so shortlist fetches prune to buckets)
+      summary.json  row counts per artifact
+
+    The companion of materialize_clean_corpus / the tokenized-dataset
+    writer for the similarity tier. Returns the summary dict."""
+    import json as _json
+    import os as _os
+
+    _ivf_centroids(spark, sf_dir).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "centroids")
+    )
+    _ivf_assignment(spark, sf_dir).select("vec_id", "cell").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(out_dir, "cells"))
+    _pq_code_index(spark, sf_dir).select("vec_id", "sub", "code").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(out_dir, "codes"))
+    _pq_book_df(spark).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "codebook")
+    )
+    load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).sort("vec_id").write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "vectors")
+    )
+    # summarize the parquet just written (not the logical plans — the
+    # materializer-reads-back discipline of the tokenized-dataset writer)
+    summary = {
+        name: spark.read.parquet(_os.path.join(out_dir, name)).count()
+        for name in ("centroids", "cells", "codes", "codebook", "vectors")
+    }
+    with open(_os.path.join(out_dir, "summary.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    return summary
+
+
+_ANN_IDX_RAN: dict[tuple[str, str], str] = {}
+
+
+def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the on-disk ANN index once per (session, sf_dir)."""
+    import tempfile
+
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_IDX_RAN:
+        out = tempfile.mkdtemp(prefix="annidx_", dir=_scratch_root())
+        materialize_ann_index(spark, sf_dir, out)
+        _ANN_IDX_RAN[key] = out
+    return _ANN_IDX_RAN[key]
+
+
+def sim_topk_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + refine answered ENTIRELY from the persisted index
+    artifacts (materialize_ann_index): probe vectors come from the flat
+    refine store, coarse routing from centroids/, candidates from
+    cells/, ADC lookup tables from codebook/, compressed scoring from
+    codes/, and the exact re-rank from vectors/ — the embeddings TABLE
+    is not in the plan (tests pin inputFiles() to the index dir). Same
+    arithmetic kernels as sim_topk_pq_refined (shared _adc_score_frames
+    / _refine_rerank), so the answer — and the oracle — are identical.
+
+    Scale shape: identical to the session-index path (broadcast dims,
+    sketch-sized LUTs, REFINE_R·|probes| exact math) — the difference
+    is operational: build once, serve forever, rebuild only on corpus
+    change."""
+    import os as _os
+
+    idx = _ann_index_dir(spark, sf_dir)
+    read = lambda name: spark.read.parquet(_os.path.join(idx, name))  # noqa: E731
+    vecs = read("vectors")
+    cent = read("centroids")
+    probe_ids = (
+        vecs.where(F.col("vec_id") % PROBE_MOD == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(K_PROBES)
+    )
+    probes = vecs.join(F.broadcast(probe_ids), "vec_id")
+    probe_cells = (
+        _assign_cells(probes, cent)
+        .where(F.col("rn") <= NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), "cell")
+    )
+    lut = _adc_lut_of(_pq_dist_table(spark, probes, book=read("codebook")))
+    scored = _adc_score_frames(
+        read("cells"), read("codes"), lut, probe_cells
+    )
+    return _refine_rerank(
+        scored,
+        probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")),
+        vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+    )
+
+
 QUERIES = {
     "sim_topk_brute": sim_topk_brute,
     "sim_topk_lsh": sim_topk_lsh,
     "sim_topk_ivf": sim_topk_ivf,
     "sim_topk_ivf_pq": sim_topk_ivf_pq,
     "sim_topk_pq_refined": sim_topk_pq_refined,
+    "sim_topk_pq_served": sim_topk_pq_served,
     "sim_label_centroids": sim_label_centroids,
     "dd_embedding_cosine_pairs": dd_embedding_cosine_pairs,
     "dd_semdedup": dd_semdedup,
@@ -1417,3 +1567,8 @@ SELECT probe_id, rank, neighbor_id, d2 FROM (
   FROM refined
 ) r WHERE rank <= {TOP_K} ORDER BY probe_id, rank
 """
+
+# the served path shares the refine oracle verbatim: same kernels, same
+# data — only the storage layer (session indexes vs persisted parquet)
+# differs, which SQL cannot observe
+ORACLES["sim_topk_pq_served"] = ORACLES["sim_topk_pq_refined"]

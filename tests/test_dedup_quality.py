@@ -243,3 +243,34 @@ def test_prototype_pruning_budget_per_cell(spark, sf_dir):
         min_pruned = min(r["cos_proto"] for r in rs if not r["keep"])
         max_kept = max(r["cos_proto"] for r in rs if r["keep"])
         assert min_pruned >= max_kept
+
+
+def test_served_index_answers_equal_refined_and_never_touch_embeddings(
+    spark, sf_dir, tmp_path
+):
+    """The persisted-index serving path must (a) write every artifact,
+    (b) return exactly the session-index refine answer, and (c) plan
+    only over index-dir files — the source embeddings parquet must not
+    appear in the served query's scan set."""
+    import os
+
+    from task_hive_spark.operators.similarity import (
+        materialize_ann_index,
+        sim_topk_pq_refined,
+        sim_topk_pq_served,
+    )
+
+    out = str(tmp_path / "annidx")
+    summary = materialize_ann_index(spark, sf_dir, out)
+    for name in ("centroids", "cells", "codes", "codebook", "vectors"):
+        assert summary[name] > 0
+        assert os.path.isdir(os.path.join(out, name))
+    assert summary["cells"] == summary["vectors"]  # one cell per vector
+    assert os.path.isfile(os.path.join(out, "summary.json"))
+
+    served = sim_topk_pq_served(spark, sf_dir)
+    refined = sim_topk_pq_refined(spark, sf_dir)
+    assert served.collect() == refined.collect()
+    scans = served.inputFiles()
+    assert scans, "served plan must read the index artifacts"
+    assert all("embeddings.parquet" not in f for f in scans), scans

@@ -81,12 +81,16 @@ def _oracle_assets_cte(body_sql: str) -> str:
 # --- real decode: stubbed (no codec libs in this container) ---------------
 
 
-def decode_asset_real(kind: str, content: bytes):  # pragma: no cover
+def decode_asset_real(kind: str, content: bytes, fmt: str | None = None):
     """The production decode stage: image → pixel array (PIL), audio →
-    waveform (soundfile), video → frame iterator. Codec libraries are
-    not available in this container; the fake decode below exercises
-    the identical Spark plumbing."""
-    try:
+    waveform, video → frame iterator. WAV is decoded for REAL with the
+    pure-stdlib RIFF/PCM parser below (mm_decode_real); the other
+    formats need codec libraries absent from this container and stay
+    stubbed — the deterministic fake decode exercises their identical
+    Spark plumbing."""
+    if kind == "audio" and fmt == "wav":
+        return decode_wav(content)
+    try:  # pragma: no cover
         if kind == "image":
             import PIL.Image  # noqa: F401
         elif kind == "audio":
@@ -98,6 +102,124 @@ def decode_asset_real(kind: str, content: bytes):  # pragma: no cover
             f"real {kind} decode needs codec libraries absent from this environment"
         ) from exc
     raise NotImplementedError("deterministic fake decode is the tested path here")
+
+
+# --- REAL WAV decode (pure stdlib: RIFF header + 16-bit PCM) ---------------
+# The fixtures carry no genuine media bytes, so the wav pipeline is
+# encode → decode over two mapInPandas stages: the ENCODE stage writes
+# real RIFF/WAVE containers (stdlib ``wave`` + ``struct``) around a
+# deterministic PCM ramp, and the DECODE stage genuinely parses them —
+# header fields from the RIFF chunks, samples from the PCM payload. The
+# oracle recomputes the decoded stats from the ramp formula, so a
+# decoder that misread the header or byte order hash-fails.
+WAV_RATE_BASE = 8000
+
+
+def _wav_params(asset_id: int) -> tuple[int, int]:
+    """(n_samples, sample_rate) for an asset — the deterministic synth
+    geometry shared by the encoder and the oracle."""
+    return 64 + asset_id % 128, WAV_RATE_BASE * (1 + asset_id % 3)
+
+
+def _wav_sample(asset_id: int, i: int) -> int:
+    """Sample i of asset's PCM ramp: exact int16 arithmetic both the
+    encoder and the SQL oracle reproduce."""
+    return (asset_id * 31 + i * 17) % 65536 - 32768
+
+
+def synth_wav_bytes(asset_id: int) -> bytes:
+    """A real mono 16-bit PCM WAV file (RIFF container via stdlib
+    ``wave``) holding the asset's deterministic ramp."""
+    import io
+    import struct
+    import wave as _wave
+
+    n, rate = _wav_params(asset_id)
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            struct.pack(f"<{n}h", *(_wav_sample(asset_id, i) for i in range(n)))
+        )
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """REAL WAV decode, stdlib only: parse the RIFF/fmt chunks with
+    ``wave``, then the little-endian int16 PCM payload with ``struct``.
+    Returns (n_channels, bits, sample_rate, n_samples, sum_pcm,
+    min_pcm, max_pcm)."""
+    import io
+    import struct
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(content), "rb") as w:
+        nch, sw, rate, nf = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(nf)
+    vals = struct.unpack(f"<{nf * nch}h", raw)
+    return nch, 8 * sw, rate, nf, sum(vals), min(vals), max(vals)
+
+
+def _wav_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "content": pdf["asset_id"].map(lambda a: synth_wav_bytes(int(a))),
+            }
+        )
+
+
+def _wav_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        dec = pdf["content"].map(decode_wav)
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "n_channels": dec.map(lambda t: t[0]),
+                "bits": dec.map(lambda t: t[1]),
+                "sample_rate": dec.map(lambda t: t[2]),
+                "n_samples": dec.map(lambda t: t[3]),
+                "sum_pcm": dec.map(lambda t: t[4]),
+                "min_pcm": dec.map(lambda t: t[5]),
+                "max_pcm": dec.map(lambda t: t[6]),
+            }
+        )
+
+
+_WAV_DECODE_SCHEMA = (
+    "asset_id bigint, n_channels int, bits int, sample_rate int, "
+    "n_samples int, sum_pcm bigint, min_pcm int, max_pcm int"
+)
+
+
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the wav assets: encode genuine RIFF
+    containers, then decode them with the stdlib parser and report
+    header fields + exact PCM stats. Both stages are the bounded
+    mapInPandas shape of the fake-decode pipeline — embarrassingly
+    parallel, no shuffle, Arrow-batched; per-asset payloads are
+    ≤ 192 samples so batches stay flat. The oracle rebuilds every stat
+    from the ramp formula: a decoder misreading channel count, sample
+    width, byte order, or frame count cannot hash-match."""
+    register_fixture_views(spark, sf_dir)
+    wav_ids = spark.sql(ASSETS_SQL).where(
+        (F.col("kind") == "audio")
+        & (F.col("format") == "wav")
+        & F.col("content").isNotNull()
+    ).select("asset_id")
+    encoded = wav_ids.mapInPandas(
+        _wav_encode_batches, schema="asset_id bigint, content binary"
+    )
+    decoded = encoded.mapInPandas(_wav_decode_batches, schema=_WAV_DECODE_SCHEMA)
+    return decoded.orderBy("asset_id")
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, int]:
@@ -297,6 +419,7 @@ def mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "mm_catalog_stats": mm_catalog_stats,
     "mm_decode_features": mm_decode_features,
+    "mm_decode_real": mm_decode_real,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_segments": mm_audio_segments,
 }
@@ -374,6 +497,35 @@ ORACLES = {
         """
     ),
 }
+
+# mm_decode_real: every decoded stat rebuilt from the synth geometry
+# (_wav_params / _wav_sample) — header fields (channels=1, bits=16,
+# rate) plus exact-integer PCM aggregates over the ramp
+ORACLES["mm_decode_real"] = _oracle_assets_cte(
+    f"""
+    , wav AS (
+      SELECT asset_id,
+             64 + asset_id % 128 AS n,
+             {WAV_RATE_BASE} * (1 + asset_id % 3) AS rate
+      FROM assets
+      WHERE kind = 'audio' AND format = 'wav' AND content IS NOT NULL
+    ),
+    pcm AS (
+      SELECT asset_id, n, rate,
+             (asset_id * 31 + i * 17) % 65536 - 32768 AS v
+      FROM wav, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) s
+    )
+    SELECT asset_id,
+           CAST(1 AS INT) AS n_channels,
+           CAST(16 AS INT) AS bits,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_pcm,
+           CAST(MIN(v) AS INT) AS min_pcm,
+           CAST(MAX(v) AS INT) AS max_pcm
+    FROM pcm GROUP BY asset_id, n, rate ORDER BY asset_id
+    """
+)
 
 # byte j (0-based) of content = hex pair (j % 16) of the repeated md5
 _SEG_BYTE = (

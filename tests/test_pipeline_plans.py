@@ -434,3 +434,47 @@ def test_bind_slot_join_is_broadcast_hash(spark):
         plan = _plan(df)
         assert plan.count("BroadcastHashJoin") == 1, plan
         assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_wav_decoder_parses_a_genuine_riff_container():
+    """decode_wav must be a REAL parser: hand it a foreign WAV (stereo,
+    rate/width not producible by the synth encoder path) and require
+    the header fields and PCM stats to come back exactly — plus the
+    encode→decode round trip of the synth geometry, and the
+    decode_asset_real dispatch routing wav to the real decoder while
+    the other formats stay stubbed."""
+    import io
+    import struct
+    import wave as _wave
+
+    import pytest
+
+    from task_hive_spark.operators.multimodal import (
+        _wav_params,
+        _wav_sample,
+        decode_asset_real,
+        decode_wav,
+        synth_wav_bytes,
+    )
+
+    # foreign container: stereo, 22050 Hz, interleaved frames
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(struct.pack("<6h", 100, -200, 300, -400, 500, -600))
+    nch, bits, rate, nf, s, lo, hi = decode_wav(buf.getvalue())
+    assert (nch, bits, rate, nf) == (2, 16, 22050, 3)
+    assert (s, lo, hi) == (100 - 200 + 300 - 400 + 500 - 600, -600, 500)
+
+    # synth round trip: header + every stat matches the ramp formula
+    aid = 12346  # % 3 == 1 (audio), % 2 == 0 (wav)
+    n, srate = _wav_params(aid)
+    samples = [_wav_sample(aid, i) for i in range(n)]
+    got = decode_asset_real("audio", synth_wav_bytes(aid), "wav")
+    assert got == (1, 16, srate, n, sum(samples), min(samples), max(samples))
+
+    # non-wav formats remain stubbed in this container
+    with pytest.raises(NotImplementedError):
+        decode_asset_real("image", b"\x89PNG", "png")

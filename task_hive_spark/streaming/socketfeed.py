@@ -8,10 +8,12 @@ directory. Spark's native push-shaped source is the socket source
 (``readStream.format("socket")``): one newline-delimited JSON event per
 line, parsed with ``from_json`` into the exact EVENT_SCHEMA the
 lifecycle fold consumes — so the state machine itself is untouched
-(``start_lifecycle_stream``); only the transport differs. A Kafka
-deployment swaps ``format("socket")`` for ``format("kafka")`` and
-``value`` for ``CAST(value AS STRING)`` — the parse and the fold are
-identical, which is the point of keeping the source seam this thin.
+(``start_lifecycle_stream``); only the transport differs. The Kafka
+transport (``start_lifecycle_kafka``) IS wired below — same newline-
+JSON parse (``event_lines_stream``), ``format("kafka")`` source — but
+neither a broker nor the spark-sql-kafka connector jar ships in this
+container, so its contract test gates on ``KAFKA_BOOTSTRAP`` and
+skips with a reason otherwise (tests/test_socketfeed.py).
 
 Delivery semantics: the socket source is at-most-once on failure (no
 replayable offsets), fine for the convergence test and dev usage; the
@@ -41,20 +43,69 @@ from task_hive_spark.streaming.lifecycle import (
 )
 
 
+def event_lines_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """ONE JSON-line parse for every push transport: a raw streaming
+    frame's string/binary ``value_col`` → EVENT_SCHEMA rows. Non-JSON
+    lines parse to an all-null struct and are dropped (op is mandatory
+    in every event). Socket and Kafka both route through here, so the
+    transports cannot drift."""
+    return (
+        raw.select(
+            F.from_json(F.col(value_col).cast("string"), EVENT_SCHEMA).alias("e")
+        )
+        .select("e.*")
+        .where(F.col("op").isNotNull())
+    )
+
+
 def socket_event_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     """Newline-JSON events from a socket as a streaming DataFrame with
-    the lifecycle EVENT_SCHEMA columns. Non-JSON lines parse to an
-    all-null struct and are dropped (op is mandatory in every event)."""
+    the lifecycle EVENT_SCHEMA columns."""
     raw = (
         spark.readStream.format("socket")
         .option("host", host)
         .option("port", port)
         .load()
     )
-    return (
-        raw.select(F.from_json("value", EVENT_SCHEMA).alias("e"))
-        .select("e.*")
-        .where(F.col("op").isNotNull())
+    return event_lines_stream(raw)
+
+
+def kafka_event_stream(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Newline-JSON events from a Kafka topic — the production
+    change-feed bus (replayable offsets = at-least-once delivery, which
+    the batch-boundary-invariant fold absorbs). Requires the
+    spark-sql-kafka connector on the classpath; absent it, ``load()``
+    raises Spark's failed-to-find-data-source error at call time (the
+    contract test converts that to a skip with instructions)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return event_lines_stream(raw)
+
+
+def start_lifecycle_kafka(
+    spark: SparkSession,
+    work_dir: str,
+    bootstrap: str,
+    topic: str,
+    trigger: dict | None = None,
+):
+    """The lifecycle state machine driven by a Kafka change-feed —
+    same (query, paths) contract as start_lifecycle_socket; pass
+    trigger={"availableNow": True} to drain a pre-loaded topic to
+    convergence (the contract test's mode)."""
+    stream = kafka_event_stream(spark, bootstrap, topic)
+    return start_lifecycle_stream(
+        spark, work_dir, stream, trigger or {"processingTime": "200 milliseconds"}
     )
 
 

@@ -171,3 +171,78 @@ def test_live_feed_converges_to_scripted_state(spark, sf_dir):
         assert got == ref
     finally:
         q.stop()
+
+
+def test_failover_second_driver_takes_over_after_kill(spark, sf_dir):
+    """The reference's leader-election story (tasks/leader.go:26-66,
+    README 领导者选举): when the active driver dies mid-feed, a standby
+    takes over and the system converges to the same state as an
+    uninterrupted run. This runner's recovery unit is the whole run
+    (start_lifecycle_stream resets checkpoint + state and redoes the
+    feed — documented there), so takeover = a SECOND JVM re-running the
+    fold over the same durable feed; determinism of the fold is what
+    makes the takeover exact.
+
+    Sequence: a victim JVM (subprocess, per-pid Derby isolation from
+    r7) runs the lifecycle LIVE over an 8-chunk feed; once it has
+    committed ≥2 state versions it is SIGKILLed mid-feed; this test's
+    JVM then takes over the same work_dir + feed and must converge to
+    exactly the uninterrupted run's task state."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time
+
+    from task_hive_spark.streaming.lifecycle import _write_chunks
+
+    work = tempfile.mkdtemp(prefix="lc_failover_", dir=_scratch_root())
+    feed = os.path.join(work, "feed")
+    _write_chunks(spark, sf_dir, feed, 8)
+
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from task_hive_spark.session import get_spark\n"
+        "from task_hive_spark.streaming.lifecycle import start_lifecycle\n"
+        "spark = get_spark('failover_victim')\n"
+        f"q, paths = start_lifecycle(spark, {work!r}, {feed!r},"
+        " trigger={'processingTime': '100 milliseconds'})\n"
+        "q.awaitTermination()\n"
+    )
+    log = open(os.path.join(work, "victim.log"), "wb")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        cwd="/root/repo",
+        stdout=log,
+        stderr=subprocess.STDOUT,
+    )
+    state_dir = os.path.join(work, "state")
+    try:
+        deadline = time.time() + 180
+        progressed = False
+        while time.time() < deadline:
+            if os.path.isdir(state_dir):
+                versions = [
+                    int(m.group(1))
+                    for d in os.listdir(state_dir)
+                    if (m := re.fullmatch(r"tasks_v(\d+)", d))
+                ]
+                if versions and max(versions) >= 2:
+                    progressed = True
+                    break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "victim driver exited early — see " + log.name
+                )
+            time.sleep(0.2)
+        assert progressed, "victim never committed 2 state versions"
+    finally:
+        proc.kill()  # SIGKILL: the leader dies mid-feed, no cleanup
+        proc.wait()
+        log.close()
+
+    # takeover in THIS JVM: same work_dir, same feed
+    paths = run_lifecycle(spark, sf_dir, work, feed_dir=feed)
+    got = _final(spark, paths)
+    ref = _final(spark, converged_state(spark, sf_dir))
+    assert got == ref

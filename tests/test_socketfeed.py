@@ -68,3 +68,54 @@ def test_socket_feed_converges_to_scripted_state(spark, sf_dir):
     finally:
         q.stop()
         server.close()
+
+
+def test_kafka_transport_contract(spark, sf_dir):
+    """Broker-backed transport contract: when KAFKA_BOOTSTRAP points at
+    a live broker (and the spark-sql-kafka connector is on the
+    classpath), the topic-fed lifecycle must converge to the scripted
+    feed's state — Spark itself is both producer (batch kafka sink) and
+    consumer, so no extra client library is needed. Without a broker
+    the test SKIPS with setup instructions: neither a broker nor the
+    connector jar ships in this container (README transport matrix)."""
+    import os
+    import time as _time
+
+    import pytest
+
+    from task_hive_spark.streaming.events import events_df
+    from task_hive_spark.streaming.socketfeed import start_lifecycle_kafka
+
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip(
+            "no Kafka broker: export KAFKA_BOOTSTRAP=host:port and launch "
+            "Spark with --packages org.apache.spark:spark-sql-kafka-0-10_2.13 "
+            "(this container ships neither a broker nor the connector jar)"
+        )
+    topic = os.environ.get("KAFKA_TOPIC", f"th-events-{int(_time.time())}")
+
+    oracle = L.converged_state(spark, sf_dir)
+    task_cols = spark.read.parquet(oracle["tasks"]).columns
+    want_tasks = _rows(spark, oracle["tasks"], task_cols)
+
+    # produce the change-feed into the topic with Spark's batch sink
+    (
+        events_df(spark, sf_dir)
+        .select(
+            F.to_json(
+                F.struct("event_s", "op", "task_id", "worker_id", "task_json")
+            ).alias("value")
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+
+    work_dir = tempfile.mkdtemp(prefix="kafkalife_", dir=L._scratch_root())
+    q, paths = start_lifecycle_kafka(
+        spark, work_dir, bootstrap, topic, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    assert _rows(spark, dict(paths)["tasks"], task_cols) == want_tasks

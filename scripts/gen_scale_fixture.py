@@ -10,12 +10,18 @@ geometry the bounds act on scale the way the real generator's would,
 rather than some arbitrary synthetic's. Everything is seeded and
 deterministic.
 
-Output: /root/repo/.scratch/sf1_synth/{documents,embeddings}.parquet at
-10x sf0.1 cardinality, plus the other eight fixture tables copied from
-sf0.001 (fixture-view registration reads all ten; the dd_/sim_/txt_
-probe queries never touch the copies).
+Output: /root/repo/.scratch/sf1_synth/{documents,embeddings,events,
+lineitem}.parquet at 10x sf0.1 cardinality, plus the other six fixture
+tables copied from sf0.001 (fixture-view registration reads all ten;
+the probe queries never touch the copies). events scales the USER
+domain 10x too (resampled rows with fresh user draws over a 10x id
+range, timestamps uniform over the observed span) so distinct-count
+sketches face genuinely larger cardinalities; lineitem resamples rows
+with ±5% price jitter so the quantile histogram is not just ten copies
+of the sf0.1 bucket set.
 
-Usage: python scripts/gen_scale_fixture.py  (idempotent; ~seconds)
+Usage: python scripts/gen_scale_fixture.py  (idempotent per
+FIXTURE_VERSION; ~seconds)
 """
 
 from __future__ import annotations
@@ -37,8 +43,13 @@ SCALE = 10  # sf0.1 -> sf1
 SEED = 20260814
 
 _COPY_TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events",
+    "region", "nation", "customer", "supplier", "part", "orders",
 ]
+
+# bump when the generated artifact set changes; a dir stamped with an
+# older version is wiped and fully regenerated (same seeds → the
+# previously-generated tables come back byte-identical)
+FIXTURE_VERSION = 2  # v2: synthesized 10x events + lineitem (r9 sketch gate)
 
 
 def _gen_documents(rng: np.random.Generator) -> None:
@@ -112,19 +123,76 @@ def _gen_embeddings(rng: np.random.Generator) -> None:
     pq.write_table(table, os.path.join(OUT_DIR, "embeddings.parquet"))
 
 
+def _gen_events(rng: np.random.Generator) -> None:
+    """10x sf0.1 events: resampled rows (types/values/props keep their
+    empirical joint), user_id redrawn over a 10x domain (distinct-user
+    cardinality actually grows — the quantity the KMV/HLL/theta gates
+    estimate), ts uniform over the observed span (same day set for the
+    daily-HLL grouping)."""
+    t = pq.read_table(os.path.join(SRC_SF, "events.parquet"))
+    n_src = t.num_rows
+    n = n_src * SCALE
+    tt = t.take(pa.array(rng.integers(0, n_src, size=n), type=pa.int64()))
+
+    users = t.column("user_id").to_numpy()
+    out_user = rng.integers(0, (int(users.max()) + 1) * SCALE, size=n)
+    ts_ns = t.column("ts").cast(pa.int64()).to_numpy()
+    out_ts = rng.integers(int(ts_ns.min()), int(ts_ns.max()) + 1, size=n)
+
+    def put(name: str, arr: pa.Array) -> None:
+        nonlocal tt
+        tt = tt.set_column(tt.schema.get_field_index(name), name, arr)
+
+    put("event_id", pa.array(range(n), type=pa.int64()))
+    put("user_id", pa.array(out_user, type=pa.int64()))
+    put(
+        "ts",
+        pa.array(out_ts, type=pa.int64()).cast(t.schema.field("ts").type),
+    )
+    pq.write_table(tt, os.path.join(OUT_DIR, "events.parquet"))
+
+
+def _gen_lineitem(rng: np.random.Generator) -> None:
+    """10x sf0.1 lineitem: row resample with ±5% l_extendedprice jitter
+    (rounded back to cents) so the log-linear quantile histogram meets
+    fresh bucket populations, not ten copies of the sf0.1 grid."""
+    t = pq.read_table(os.path.join(SRC_SF, "lineitem.parquet"))
+    n_src = t.num_rows
+    n = n_src * SCALE
+    tt = t.take(pa.array(rng.integers(0, n_src, size=n), type=pa.int64()))
+    price = tt.column("l_extendedprice").to_numpy()
+    jittered = np.round(price * rng.uniform(0.95, 1.05, size=n), 2)
+    tt = tt.set_column(
+        tt.schema.get_field_index("l_extendedprice"),
+        "l_extendedprice",
+        pa.array(jittered, type=pa.float64()),
+    )
+    pq.write_table(tt, os.path.join(OUT_DIR, "lineitem.parquet"))
+
+
 def main() -> int:
-    if os.path.exists(os.path.join(OUT_DIR, "documents.parquet")):
-        print(OUT_DIR)  # idempotent: already generated
+    ver_file = os.path.join(OUT_DIR, "VERSION")
+    if (
+        os.path.isfile(ver_file)
+        and open(ver_file).read().strip() == str(FIXTURE_VERSION)
+    ):
+        print(OUT_DIR)  # idempotent: already generated at this version
         return 0
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
     os.makedirs(OUT_DIR, exist_ok=True)
     rng = np.random.default_rng(SEED)
     _gen_documents(rng)
     _gen_embeddings(rng)
+    # independent streams so adding tables never perturbs earlier ones
+    _gen_events(np.random.default_rng(SEED + 1))
+    _gen_lineitem(np.random.default_rng(SEED + 2))
     for name in _COPY_TABLES:
         shutil.copy(
             os.path.join(SMALL_SF, f"{name}.parquet"),
             os.path.join(OUT_DIR, f"{name}.parquet"),
         )
+    with open(ver_file, "w") as f:
+        f.write(str(FIXTURE_VERSION))
     print(OUT_DIR)
     return 0
 

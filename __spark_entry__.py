@@ -13,79 +13,79 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Round-8 front-50 (policy: scripts/evidence_age.py derives and asserts
+# Round-9 front-50 (policy: scripts/evidence_age.py derives and asserts
 # it from the CORRECTNESS_r0*.json ledgers):
-#   1. the 14 never-graded round-8 additions (seven sk_* sketches,
-#      st_hll_incremental, st_kmv_incremental, st_cms_incremental,
-#      dd_split_leakage, sim_topk_pq_refined, txt_stratified_split,
-#      txt_tokenized_dataset);
-#   2. ALL 20 queries whose latest driver grade is r4 (age 4, the
-#      ledger's stalest: the th_* batch surface + st_session_windows /
-#      st_stream_dedup_bounded);
-#   3. 16 of the 32 r5-evidence queries, code-adjacent first. The 16
-#      left back (the seven untouched-module fillers mm_catalog_stats,
-#      mm_decode_features, src_{csv,jsonl,orc}_roundtrip,
-#      xp_taskgen_summary, th_stats; plus the nine displaced by
-#      late-round additions: txt_importance_sample, txt_sentiment,
-#      txt_bm25_topk, th_api_json, th_snapshot_merge,
-#      th_unknown_type_failed, th_list_by_status, th_list_all_union,
-#      th_point_get — these last nine sit in otherwise-touched modules
-#      but their own functions are unchanged) remain hash-checked at
+#   1. the 4 never-graded round-9 additions (sk_quantiles,
+#      st_quantiles_incremental, sim_topk_pq_served, mm_decode_real);
+#   2. ALL 16 queries whose latest driver grade is r5 (age 4, the
+#      structural bound — named for the r9 front by the r8 verdict);
+#   3. 30 of the 50 r6-evidence queries, code-adjacent first: the full
+#      dd_* family (dedup.py restructured this round: LSH pair index,
+#      split-leakage rewrite), the three sim_* r6 queries
+#      (similarity.py refactored: shared ADC/refine kernels), the ten
+#      st_* lifecycle-family queries (lifecycle/socketfeed gained the
+#      failover + Kafka paths), and six heavy text/relational headliners
+#      (BPE pair, quality classifier, corpus profile, training mix,
+#      rel_q1). The 20 left back (gr_pagerank, rel_q{3,5,6,7,8,9,10,22},
+#      rel_unpivot_status, txt_{bigram_lm_score,dsir_sample,
+#      filter_pipeline,fingerprints,length_histogram,mix_rebalance,
+#      quality_scores,repetition_filter,temperature_mix,tfidf_topterms})
+#      sit in modules untouched this round, remain hash-checked at
 #      sf0.001 on every pytest run and at sf0.01/sf0.1 by verify_local,
-#      and form the r9 front core.
-# Counts are asserted by scripts/evidence_age.py — derive the r9 front
+#      and form the r10 front core (they reach the age-4 bound there).
+# Counts are asserted by scripts/evidence_age.py — derive the r10 front
 # from the script, not this comment.
-_FRONT_R8 = [
-    "sk_kmv_distinct",
-    "sk_hll_distinct",
-    "sk_hll_daily",
-    "sk_hll_union",
-    "sk_theta_intersect",
-    "sk_cms_heavy_hitters",
-    "sk_bloom_semi_join",
-    "st_hll_incremental",
-    "st_kmv_incremental",
-    "st_cms_incremental",
-    "dd_split_leakage",
-    "sim_topk_pq_refined",
-    "txt_stratified_split",
-    "txt_tokenized_dataset",
-    "st_session_windows",
-    "st_stream_dedup_bounded",
-    "th_assign_banded",
-    "th_assign_least_tasks",
-    "th_assign_random",
-    "th_assign_round_robin",
-    "th_assignment_load",
-    "th_backoff_schedule",
-    "th_composite_keys",
-    "th_eligible_workers",
-    "th_id_functions",
-    "th_latest_event_per_user",
-    "th_least_tasks_worker",
-    "th_payload_parse",
-    "th_pending_count",
-    "th_spider_ingest",
-    "th_status_enum_roundtrip",
-    "th_top10_pending",
-    "th_worker_inbox",
-    "th_workers_liveness",
-    "dd_minhash_signatures",
-    "rel_q2_min_cost_supplier",
-    "rel_q4_order_priority",
-    "rel_q11_important_stock",
-    "rel_q12_late_lines",
-    "rel_q13_custdist",
-    "rel_q16_supplier_part_count",
-    "rel_q18_large_orders",
-    "rel_q21_waiting_suppliers",
-    "sim_topk_brute",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "st_stream_dedup",
-    "st_worker_counter_stateful",
-    "txt_decontaminate",
-    "txt_sequence_pack",
+_FRONT_R9 = [
+    "sk_quantiles",
+    "st_quantiles_incremental",
+    "sim_topk_pq_served",
+    "mm_decode_real",
+    "txt_importance_sample",
+    "txt_sentiment",
+    "txt_bm25_topk",
+    "th_api_json",
+    "th_snapshot_merge",
+    "th_unknown_type_failed",
+    "th_list_by_status",
+    "th_list_all_union",
+    "th_point_get",
+    "mm_catalog_stats",
+    "mm_decode_features",
+    "src_csv_roundtrip",
+    "src_jsonl_roundtrip",
+    "src_orc_roundtrip",
+    "xp_taskgen_summary",
+    "th_stats",
+    "dd_chunk_dedup",
+    "dd_dup_rate_by_source",
+    "dd_duplicate_clusters",
+    "dd_duplicate_spans",
+    "dd_exact_groups",
+    "dd_exact_keep_list",
+    "dd_minhash_lsh_pairs",
+    "dd_ngram_jaccard_pairs",
+    "dd_semdedup",
+    "dd_simhash",
+    "dd_simhash_near_pairs",
+    "sim_kmeans_step",
+    "sim_pq_codes",
+    "sim_topk_ivf_pq",
+    "st_dispatch_assignments",
+    "st_final_tasks",
+    "st_minhash_incremental",
+    "st_requeued_pending",
+    "st_retry_backoff",
+    "st_status_counts",
+    "st_timer_requeue",
+    "st_unmatched_submits",
+    "st_windowed_throughput",
+    "st_worker_state",
+    "txt_bpe_merges",
+    "txt_bpe_tokenize",
+    "txt_quality_classifier",
+    "txt_corpus_profile",
+    "txt_training_mix",
+    "rel_q1_pricing_summary",
 ]
 
 # The driver's grading window; the front set must fill it exactly so no
@@ -142,7 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         timers,
     )
 
-    # Register evidence-first (see _FRONT_R8): queries whose driver
+    # Register evidence-first (see _FRONT_R9): queries whose driver
     # evidence is stalest fill the 50 graded slots; the freshly-graded
     # set rotates to the back.
     out: dict[str, Callable] = {}
@@ -168,16 +168,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sketches.QUERIES)
     out.update(sketchstream.QUERIES)
 
-    missing = [k for k in _FRONT_R8 if k not in out]
+    missing = [k for k in _FRONT_R9 if k not in out]
     assert not missing, f"front names not registered: {missing}"
     # distinct-count, not list-length: a pasted duplicate would pass a
     # len() check while silently shrinking the graded front below the
     # window (review finding r7)
-    assert len(set(_FRONT_R8)) == len(_FRONT_R8) == GRADING_WINDOW, (
+    assert len(set(_FRONT_R9)) == len(_FRONT_R9) == GRADING_WINDOW, (
         f"front set must fill the driver's grading window exactly: "
-        f"{len(set(_FRONT_R8))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R8"
+        f"{len(set(_FRONT_R9))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R9"
     )
-    front = {k: out[k] for k in _FRONT_R8}
+    front = {k: out[k] for k in _FRONT_R9}
     back = {k: v for k, v in out.items() if k not in front}
     ordered = {**front, **back}
 

@@ -539,13 +539,13 @@ def qsk_estimate(state: DataFrame, keys: list[str] | None = None) -> DataFrame:
     fixed. Runs entirely on sketch-sized rows (the cumulative window
     partitions per group over its ≤ few-hundred buckets)."""
     keys = keys or ["g"]
-    cum = state.withColumn(
+    # totals via a second window over the SAME partitioning (not a
+    # groupBy branch joined back: that plans a second derivation of the
+    # state all the way from the scan — at 100 TB the one data-touching
+    # stage would run twice)
+    aug = state.withColumn(
         "cum", F.sum("cnt").over(W.partitionBy(*keys).orderBy("lb"))
-    )
-    tot = state.groupBy(*keys).agg(
-        F.sum("cnt").cast("bigint").alias("n_rows"),
-        F.count("*").cast("bigint").alias("n_buckets"),
-    )
+    ).withColumn("n_rows", F.sum("cnt").over(W.partitionBy(*keys)))
 
     def rank(q: int) -> F.Column:
         # ceil(n·q/100) in exact arithmetic: (n·q + 99)/100 is a double
@@ -554,11 +554,10 @@ def qsk_estimate(state: DataFrame, keys: list[str] | None = None) -> DataFrame:
         return F.floor((F.col("n_rows") * q + F.lit(99)) / F.lit(100.0))
 
     return (
-        cum.join(tot, keys)
-        .groupBy(*keys)
+        aug.groupBy(*keys)
         .agg(
-            F.max("n_rows").alias("n_rows"),
-            F.max("n_buckets").alias("n_buckets"),
+            F.max("n_rows").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_buckets"),
             *[
                 F.min(F.when(F.col("cum") >= rank(q), F.col("lb")))
                 .cast("bigint")

@@ -651,13 +651,16 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: window fingerprinting is a map stage co-partitioned by
     doc_id (stride-1 windows are ~1 row per token — linear, not a gram
-    cross product); ONE shuffle on the fingerprint counts duplicates;
-    the join back is fingerprint-keyed (AQE broadcasts the dup set when
-    small — at web scale, where duplicated content is a large corpus
-    fraction, it stays a shuffle join, which is the right plan); the
-    island merge is one doc_id-partitioned window. No all-pairs stage
-    anywhere — the fingerprint multiset IS the suffix-array replacement
-    for fixed L."""
+    cross product); ONE shuffle on the fingerprint, where a windowed
+    count marks duplicated positions in place — the earlier
+    groupBy-then-join-back form evaluated the explode/hash stage twice
+    (the two subtrees shared no exchange; measured 1.36s → 1.07s at
+    sf0.1), and at web scale, where duplicated content is a large
+    corpus fraction, the join-back degenerates to the same full
+    fp-shuffle this form pays once; the island merge is one
+    doc_id-partitioned window over only the duplicated positions. No
+    all-pairs stage anywhere — the fingerprint multiset IS the
+    suffix-array replacement for fixed L."""
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = corpus_df(spark, sf_dir).repartition(nshuf, "doc_id")
     t = (
@@ -682,8 +685,11 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x"),
     ).select("doc_id", "x.p", "x.fp")
-    dup = w.groupBy("fp").agg(F.count("*").alias("n")).where(F.col("n") > 1)
-    dw = w.join(dup.select("fp"), "fp")
+    dw = (
+        w.withColumn("n", F.count("*").over(W.partitionBy("fp")))
+        .where(F.col("n") > 1)
+        .select("doc_id", "p")
+    )
     win = W.partitionBy("doc_id").orderBy("p")
     isl = dw.withColumn("isl", F.col("p") - F.row_number().over(win))
     return (

@@ -1693,58 +1693,67 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: teacher labels join the feature index exchange-free
     on its doc_id partitioning; the class-conditional counts are ONE
-    256-row conditional aggregation of the labeled index; scoring joins
-    the 256-row broadcast weight table back and folds per doc on the
-    same partitioning. Overflow bound: (ck+1)·(Td+B) ≤ (T+B)² — int64-
-    safe below ~3e9 corpus tokens, past which the ratio splits into
-    two quantized terms exactly like the bigram LM's divisor note."""
+    256-row conditional aggregation of the labeled index, with the
+    class totals folded in as a bounded single-partition window over
+    those 256 rows (a separate tot-aggregate subtree re-derived the
+    whole labeled index a third time — measured 1.57s → 1.0s at
+    sf0.1); scoring joins the 256-row broadcast weight table back and
+    folds per doc on the same partitioning. The prior is ONE
+    engine-computed scalar collected to the driver (bounded by
+    construction: one row, two counts off the cached teacher index —
+    the bucket-subtotal precedent) so the score projection is a
+    literal add, not another broadcast barrier. Overflow bound:
+    (ck+1)·(Td+B) ≤ (T+B)² — int64-safe below ~3e9 corpus tokens, past
+    which the ratio splits into two quantized terms exactly like the
+    bigram LM's divisor note."""
     feats = hashed_gram_features(spark, sf_dir)
     labels = _unigram_scores(spark, sf_dir).select("doc_id", "keep")
     lf = feats.join(labels, "doc_id")
 
-    # closed-form fit: class-conditional bucket counts in one pass
+    # closed-form fit: class-conditional bucket counts in one pass;
+    # totals via a window over the ≤ DSIR_BUCKETS-row grid (bounded
+    # single-partition — plan_audit's documented class)
     cls = lf.groupBy("f").agg(
         F.sum(F.when(F.col("keep"), F.col("n_f")).otherwise(0)).alias("ck"),
         F.sum(F.when(F.col("keep"), 0).otherwise(F.col("n_f"))).alias("cd"),
     )
-    tot = cls.agg(
-        F.sum("ck").alias("tk"),
-        F.sum("cd").alias("td"),
+    wall = W.partitionBy(F.lit(1))
+    clsw = cls.withColumn("tk", F.sum("ck").over(wall)).withColumn(
+        "td", F.sum("cd").over(wall)
     )
-    w = (
-        cls.crossJoin(F.broadcast(tot))
-        .select(
-            "f",
-            F.floor(
-                F.log(
-                    ((F.col("ck") + 1) * (F.col("td") + DSIR_BUCKETS))
-                    / ((F.col("cd") + 1) * (F.col("tk") + DSIR_BUCKETS))
-                )
-                * 1e6
-            ).alias("w_micro"),
-        )
-    )
-    prior = labels.agg(
+    w = clsw.select(
+        "f",
         F.floor(
             F.log(
-                F.sum(F.when(F.col("keep"), 1).otherwise(0))
-                / F.sum(F.when(F.col("keep"), 0).otherwise(1))
+                ((F.col("ck") + 1) * (F.col("td") + DSIR_BUCKETS))
+                / ((F.col("cd") + 1) * (F.col("tk") + DSIR_BUCKETS))
             )
             * 1e6
-        )
-        .cast("bigint")
-        .alias("prior_micro")
+        ).alias("w_micro"),
     )
+    prior_micro = int(
+        labels.agg(
+            F.floor(
+                F.log(
+                    F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                    / F.sum(F.when(F.col("keep"), 0).otherwise(1))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("prior_micro")
+        ).collect()[0][0]
+    )
+    score = F.col("dot") + F.lit(prior_micro)
     return (
         lf.join(F.broadcast(w), "f")
         .groupBy("doc_id", "keep")
         .agg(F.sum(F.col("n_f") * F.col("w_micro")).alias("dot"))
-        .crossJoin(F.broadcast(prior))
         .select(
             "doc_id",
             F.col("keep").cast("int").alias("label"),
-            (F.col("dot") + F.col("prior_micro")).alias("score_micro"),
-            ((F.col("dot") + F.col("prior_micro")) >= 0).alias("predicted"),
+            score.alias("score_micro"),
+            (score >= 0).alias("predicted"),
         )
         .withColumn("agrees", F.col("predicted") == (F.col("label") == 1))
         .orderBy("doc_id")

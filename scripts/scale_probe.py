@@ -414,8 +414,13 @@ def sketch_probe() -> int:
         qsk_rows = qsk_state(qsk_lineitem_vals(li)).count()
         secs = round(time.perf_counter() - t0, 3)
         bloom_bound = min(BLOOM_M, BLOOM_K * n_build)
-        # log-linear grid: ≤ (63 − S) octaves × 2^S sub-buckets per group
-        qsk_bound = (63 - QSK_SUB_BITS) * (1 << QSK_SUB_BITS) * li_groups
+        # log-linear grid per group: the exp=0 region holds every value
+        # below 2^(S+1) exactly (2^(S+1) single-value buckets), plus
+        # (62 − S) higher octaves of 2^S sub-buckets each
+        qsk_bound = (
+            (1 << (QSK_SUB_BITS + 1))
+            + (62 - QSK_SUB_BITS) * (1 << QSK_SUB_BITS)
+        ) * li_groups
         ok = (
             kmv_rows <= KMV_K * n_groups
             and hll_rows <= HLL_M * n_groups

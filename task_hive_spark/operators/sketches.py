@@ -573,11 +573,14 @@ def qsk_lineitem_vals(li: DataFrame) -> DataFrame:
     """The quantile-sketch update stream from a lineitem projection:
     (g = l_returnflag, v = exact integer cents of l_extendedprice) —
     shared by batch and streaming so the measure derivation can't
-    drift. Cents via the relational suite's (x·100 + 0.5) truncation
-    (exact for the non-negative TPC-H money domain)."""
+    drift. Cents via the relational suite's OWN `_cents` (one
+    engine-side half of the cents↔ROUND(x·100) cross-engine contract,
+    not a second copy of it)."""
+    from task_hive_spark.operators.relational import _cents
+
     return li.select(
         F.col("l_returnflag").alias("g"),
-        (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        _cents("l_extendedprice").alias("v"),
     )
 
 

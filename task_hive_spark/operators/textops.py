@@ -1731,19 +1731,27 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1e6
         ).alias("w_micro"),
     )
-    prior_micro = int(
-        labels.agg(
-            F.floor(
-                F.log(
-                    F.sum(F.when(F.col("keep"), 1).otherwise(0))
-                    / F.sum(F.when(F.col("keep"), 0).otherwise(1))
-                )
-                * 1e6
+    pr = labels.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("nk"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("nd"),
+        F.floor(
+            F.log(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                / F.sum(F.when(F.col("keep"), 0).otherwise(1))
             )
-            .cast("bigint")
-            .alias("prior_micro")
-        ).collect()[0][0]
-    )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("prior_micro"),
+    ).collect()[0]
+    if not pr["nk"] or not pr["nd"]:
+        # single-class teacher: the NB prior (and any classifier) is
+        # undefined — fail loudly instead of int(None) at plan build
+        raise ValueError(
+            f"teacher labels are single-class (keep={pr['nk']}, "
+            f"drop={pr['nd']}); the NB prior log-odds is undefined"
+        )
+    prior_micro = int(pr["prior_micro"])
     score = F.col("dot") + F.lit(prior_micro)
     return (
         lf.join(F.broadcast(w), "f")

@@ -210,11 +210,17 @@ def test_failover_second_driver_takes_over_after_kill(spark, sf_dir):
         "q.awaitTermination()\n"
     )
     log = open(os.path.join(work, "victim.log"), "wb")
+    # own session/process group: the SIGKILL below must take the
+    # py4j-spawned Spark JVM down WITH the Python driver — killing only
+    # the driver leaves the JVM finishing an in-flight checkpoint or
+    # state write asynchronously while the takeover is already
+    # rmtree-ing the same ckpt dir (review finding: flaky race)
     proc = subprocess.Popen(
         [sys.executable, "-c", script],
         cwd="/root/repo",
         stdout=log,
         stderr=subprocess.STDOUT,
+        start_new_session=True,
     )
     state_dir = os.path.join(work, "state")
     try:
@@ -237,7 +243,14 @@ def test_failover_second_driver_takes_over_after_kill(spark, sf_dir):
             time.sleep(0.2)
         assert progressed, "victim never committed 2 state versions"
     finally:
-        proc.kill()  # SIGKILL: the leader dies mid-feed, no cleanup
+        import signal
+
+        # SIGKILL the whole group: the leader (driver + JVM) dies
+        # mid-feed with no cleanup and, crucially, no lingering JVM
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
         proc.wait()
         log.close()
 

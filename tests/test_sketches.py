@@ -362,3 +362,102 @@ def test_shared_cell_helpers_are_single_source(spark):
     # the helpers are that single source — pin their shape
     assert len(cms_cells(F.lit("x"))) == CMS_D
     assert len(bloom_positions(F.lit("x"))) == BLOOM_K
+
+
+def test_incremental_sketch_checkpoint_resumes_across_jvms(
+    spark, sf_dir, tmp_path
+):
+    """TRUE checkpoint RESUME — the complement of the lifecycle's
+    redo-from-feed takeover (tests/test_lifecycle.py): the sketchstream
+    drain keeps its checkpoint across runs and its batch-scoped state
+    is replay-idempotent, so after the driving JVM is SIGKILLed
+    mid-drain a SECOND JVM opening the same work dir must CONTINUE from
+    the last committed offset (replaying at most the in-flight batch,
+    which overwrites rather than adds) and converge to exactly the
+    whole-corpus sketch."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from task_hive_spark.operators.sketches import qsk_lineitem_vals, qsk_state
+    from task_hive_spark.streaming.sketchstream import (
+        _latest_batch_dir,
+        _write_chunks,
+        run_qsk_stream,
+    )
+
+    work = str(tmp_path / "qsk_failover")
+    feed = os.path.join(work, "feed")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    _write_chunks(li, "l_orderkey", feed, 4)
+
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from task_hive_spark.session import get_spark\n"
+        "from task_hive_spark.streaming.sketchstream import run_qsk_stream\n"
+        "spark = get_spark('qsk_victim')\n"
+        f"run_qsk_stream(spark, {work!r}, {feed!r})\n"
+    )
+    log = open(os.path.join(work, "victim.log"), "wb")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        cwd="/root/repo",
+        stdout=log,
+        stderr=subprocess.STDOUT,
+        start_new_session=True,  # killpg takes the JVM down too
+    )
+    state_root = os.path.join(work, "qsk_state")
+
+    def _bids() -> list[int]:
+        if not os.path.isdir(state_root):
+            return []
+        return [
+            int(m.group(1))
+            for d in os.listdir(state_root)
+            if (m := re.fullmatch(r"batch=(\d+)", d))
+        ]
+
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            b = _bids()
+            if b and max(b) >= 1:
+                break  # ≥2 of 4 batches committed, the next in flight
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "victim exited before committing 2 batches — see "
+                    + log.name
+                )
+            time.sleep(0.02)
+        else:
+            raise AssertionError("victim never committed a second batch")
+    finally:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+        log.close()
+    at_kill = _bids()
+    assert max(at_kill) < 3, (
+        f"victim had already drained every batch ({at_kill}) — the kill "
+        "was not mid-drain; widen the feed or tighten the poll"
+    )
+
+    # a second driver (this JVM) RESUMES the same checkpoint + feed
+    run_qsk_stream(spark, work, feed)
+    assert max(_bids()) == 3, "resume did not process the remaining batches"
+    got = {
+        (r["g"], r["lb"]): r["cnt"]
+        for r in spark.read.parquet(_latest_batch_dir(state_root)).collect()
+    }
+    want = {
+        (r["g"], r["lb"]): r["cnt"]
+        for r in qsk_state(qsk_lineitem_vals(li)).collect()
+    }
+    assert got == want, "resumed fold diverged from the whole-corpus sketch"

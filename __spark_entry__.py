@@ -15,28 +15,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Round-9 front-50 (policy: scripts/evidence_age.py derives and asserts
 # it from the CORRECTNESS_r0*.json ledgers):
-#   1. the 4 never-graded round-9 additions (sk_quantiles,
-#      st_quantiles_incremental, sim_topk_pq_served, mm_decode_real);
+#   1. the 5 never-graded round-9 additions (sk_quantiles,
+#      sk_quantiles_merged, st_quantiles_incremental, sim_topk_pq_served,
+#      mm_decode_real);
 #   2. ALL 16 queries whose latest driver grade is r5 (age 4, the
 #      structural bound — named for the r9 front by the r8 verdict);
-#   3. 30 of the 50 r6-evidence queries, code-adjacent first: the full
+#   3. 29 of the 50 r6-evidence queries, code-adjacent first: the full
 #      dd_* family (dedup.py restructured this round: LSH pair index,
 #      split-leakage rewrite), the three sim_* r6 queries
 #      (similarity.py refactored: shared ADC/refine kernels), the ten
 #      st_* lifecycle-family queries (lifecycle/socketfeed gained the
-#      failover + Kafka paths), and six heavy text/relational headliners
-#      (BPE pair, quality classifier, corpus profile, training mix,
-#      rel_q1). The 20 left back (gr_pagerank, rel_q{3,5,6,7,8,9,10,22},
-#      rel_unpivot_status, txt_{bigram_lm_score,dsir_sample,
-#      filter_pipeline,fingerprints,length_histogram,mix_rebalance,
-#      quality_scores,repetition_filter,temperature_mix,tfidf_topterms})
-#      sit in modules untouched this round, remain hash-checked at
-#      sf0.001 on every pytest run and at sf0.01/sf0.1 by verify_local,
-#      and form the r10 front core (they reach the age-4 bound there).
+#      failover + Kafka paths), and five heavy text headliners (BPE
+#      pair, quality classifier, corpus profile, training mix). The 21
+#      left back (gr_pagerank, rel_q1_pricing_summary — benched every
+#      round and hash-checked by verify_local regardless —
+#      rel_q{3,5,6,7,8,9,10,22}, rel_unpivot_status,
+#      txt_{bigram_lm_score,dsir_sample,filter_pipeline,fingerprints,
+#      length_histogram,mix_rebalance,quality_scores,repetition_filter,
+#      temperature_mix,tfidf_topterms}) sit in modules untouched this
+#      round, remain hash-checked at sf0.001 on every pytest run and at
+#      sf0.01/sf0.1 by verify_local, and form the r10 front core (they
+#      reach the age-4 bound there).
 # Counts are asserted by scripts/evidence_age.py — derive the r10 front
 # from the script, not this comment.
 _FRONT_R9 = [
     "sk_quantiles",
+    "sk_quantiles_merged",
     "st_quantiles_incremental",
     "sim_topk_pq_served",
     "mm_decode_real",
@@ -85,7 +89,6 @@ _FRONT_R9 = [
     "txt_quality_classifier",
     "txt_corpus_profile",
     "txt_training_mix",
-    "rel_q1_pricing_summary",
 ]
 
 # The driver's grading window; the front set must fill it exactly so no

@@ -67,8 +67,9 @@ HEADLINE = [
     "sk_theta_intersect",
     "sk_cms_heavy_hitters",
     "sk_bloom_semi_join",
-    # round-9 addition: the quantile member completing the sketch tier
+    # round-9 additions: the quantile members completing the sketch tier
     "sk_quantiles",
+    "sk_quantiles_merged",
     "txt_stratified_split",
     "txt_tokenized_dataset",
     "dd_split_leakage",

@@ -569,18 +569,19 @@ def qsk_estimate(state: DataFrame, keys: list[str] | None = None) -> DataFrame:
     )
 
 
-def qsk_lineitem_vals(li: DataFrame) -> DataFrame:
+def qsk_lineitem_vals(li: DataFrame, *extra: F.Column) -> DataFrame:
     """The quantile-sketch update stream from a lineitem projection:
-    (g = l_returnflag, v = exact integer cents of l_extendedprice) —
-    shared by batch and streaming so the measure derivation can't
-    drift. Cents via the relational suite's OWN `_cents` (one
-    engine-side half of the cents↔ROUND(x·100) cross-engine contract,
-    not a second copy of it)."""
+    (g = l_returnflag, v = exact integer cents of l_extendedprice,
+    *extra) — shared by batch, merged-rollup and streaming so the
+    measure derivation can't drift. Cents via the relational suite's
+    OWN `_cents` (one engine-side half of the cents↔ROUND(x·100)
+    cross-engine contract, not a second copy of it)."""
     from task_hive_spark.operators.relational import _cents
 
     return li.select(
         F.col("l_returnflag").alias("g"),
         _cents("l_extendedprice").alias("v"),
+        *extra,
     )
 
 
@@ -606,6 +607,46 @@ def sk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sk_quantiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles answered by MERGING per-month histogram sketches
+    (bucket-wise SUM) instead of scanning the data — the production
+    rollup pattern: partial sketches are built per ingest window and
+    any date-range percentile is answered by adding the relevant
+    months' counter maps. Unlike HLL union (lossy register max, see
+    sk_hll_union's union ≠ sum row), the additive histogram merge is
+    EXACT: merging all months reproduces sk_quantiles' answer
+    bit-for-bit (pinned in tests), which is the property that lets a
+    100 TB store keep only monthly sketches and discard nothing.
+
+    Shape: still ONE data-touching stage (groupBy(g, month, lb) with
+    map-side combine); the merge and estimate run on sketch-sized rows;
+    n_part_sketches rides a window over the same partitioning so no
+    second scan is planned."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_extendedprice"
+    )
+    vals = qsk_lineitem_vals(
+        li, F.trunc(F.to_date("l_shipdate"), "month").alias("m")
+    )
+    monthly = qsk_state(vals, ["g", "m"])
+    # months-per-group via a window (constant per g, so adding it to
+    # the estimate's grouping keys changes nothing but the output)
+    aug = monthly.withColumn(
+        "n_parts",
+        F.size(F.collect_set("m").over(W.partitionBy("g"))).cast("bigint"),
+    )
+    merged = aug.groupBy("g", "n_parts", "lb").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    return qsk_estimate(merged, ["g", "n_parts"]).select(
+        F.col("g").alias("l_returnflag"),
+        "n_parts",
+        "n_rows",
+        "n_buckets",
+        *[f"p{q}_cents" for q in QSK_QS],
+    )
+
+
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_hll_distinct": sk_hll_distinct,
@@ -615,6 +656,7 @@ QUERIES = {
     "sk_cms_heavy_hitters": sk_cms_heavy_hitters,
     "sk_bloom_semi_join": sk_bloom_semi_join,
     "sk_quantiles": sk_quantiles,
+    "sk_quantiles_merged": sk_quantiles_merged,
 }
 
 # --- DuckDB oracles ------------------------------------------------------
@@ -764,8 +806,48 @@ def _bloom_hash(key_sql: str, k: int) -> str:
     )
 
 
+_QSK_MERGED_SQL = f"""
+        WITH vals AS (
+          SELECT l_returnflag AS g,
+                 CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem
+        ),
+        mstate AS (
+          SELECT g, m, lb, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT g, m, {_qsk_bucket_sql("v")} AS lb FROM vals)
+          GROUP BY 1, 2, 3
+        ),
+        parts AS (
+          SELECT g, CAST(COUNT(DISTINCT m) AS BIGINT) AS n_parts
+          FROM mstate GROUP BY g
+        ),
+        state AS (
+          SELECT g, lb, CAST(SUM(cnt) AS BIGINT) AS cnt
+          FROM mstate GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT g, lb, cnt,
+                 SUM(cnt) OVER (PARTITION BY g ORDER BY lb) AS cum
+          FROM state
+        ),
+        tot AS (
+          SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_buckets
+          FROM state GROUP BY g
+        )
+        SELECT c.g AS l_returnflag,
+               MAX(p.n_parts) AS n_parts,
+               MAX(t.n_rows) AS n_rows,
+               MAX(t.n_buckets) AS n_buckets,
+               {_QSK_RANK_MINS}
+        FROM cum c JOIN tot t USING (g) JOIN parts p USING (g)
+        GROUP BY 1 ORDER BY 1
+        """
+
 ORACLES = {
     "sk_quantiles": _QSK_SQL,
+    "sk_quantiles_merged": _QSK_MERGED_SQL,
     "sk_kmv_distinct": f"""
         WITH h AS (
           SELECT DISTINCT event_type, {_KMV_HASH} AS h FROM events

@@ -461,3 +461,25 @@ def test_incremental_sketch_checkpoint_resumes_across_jvms(
         for r in qsk_state(qsk_lineitem_vals(li)).collect()
     }
     assert got == want, "resumed fold diverged from the whole-corpus sketch"
+
+
+def test_quantile_merge_of_monthly_sketches_is_exact(spark, sf_dir):
+    """Additive-histogram mergeability: the union of per-month partial
+    sketches must reproduce the whole-corpus percentile report EXACTLY
+    (the property sk_hll_union can only approximate — register max is
+    lossy, counter addition is not)."""
+    from task_hive_spark.operators.sketches import (
+        sk_quantiles,
+        sk_quantiles_merged,
+    )
+
+    direct = {r["l_returnflag"]: r for r in sk_quantiles(spark, sf_dir).collect()}
+    merged = {
+        r["l_returnflag"]: r for r in sk_quantiles_merged(spark, sf_dir).collect()
+    }
+    assert set(direct) == set(merged)
+    for g, d in direct.items():
+        m = merged[g]
+        assert m["n_parts"] >= 2, "fixture must span several months"
+        for col in ("n_rows", "n_buckets", "p50_cents", "p90_cents", "p99_cents"):
+            assert m[col] == d[col], (g, col, m[col], d[col])

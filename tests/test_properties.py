@@ -298,3 +298,78 @@ def test_bpe_greedy_fold_matches_python_reference(spark, words, lft, rgt):
     got = [r.m for r in df.select(F.expr(_greedy_merge_expr(lft, rgt)).alias("m")).collect()]
     want = [py_greedy(c) for c in cases]
     assert got == want
+
+
+def _model_qsk_bucket(v: int, s: int = 5) -> int:
+    """Clean-room log-linear bucket lower bound: top s+1 significant
+    bits (independent of the engine formulas — pins both of them)."""
+    exp = max(v.bit_length() - (s + 1), 0)
+    return (v >> exp) << exp
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=300),
+    st.sampled_from([50, 90, 99]),
+)
+@settings(max_examples=40, deadline=None)
+def test_quantile_bucket_arithmetic_matches_model(vals, q):
+    """The oracle's bucket/rank SQL (one DuckDB batch per example — no
+    Spark job; the engine side is pinned to the same SQL by the hash
+    gate) must agree with a clean-room Python model: every value lands
+    in a bucket that contains it with relative width ≤ 2^-S, and the
+    percentile readout is the lower bound of the bucket holding the
+    true rank-ceil(n·q/100) element."""
+    import duckdb
+
+    from task_hive_spark.operators.sketches import (
+        QSK_SUB_BITS,
+        _qsk_bucket_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got = dict(
+        con.sql(f"SELECT v, {_qsk_bucket_sql('v')} AS lb FROM t").fetchall()
+    )
+    for v in vals:
+        lb = got[v]
+        assert lb == _model_qsk_bucket(v, QSK_SUB_BITS), (v, lb)
+        assert lb <= v
+        width = max(lb >> QSK_SUB_BITS, 1)
+        assert v <= lb + width or lb < (1 << (QSK_SUB_BITS + 1)), (v, lb)
+
+    # percentile readout: min lb whose cumulative count reaches rank
+    n = len(vals)
+    rank = -(-n * q // 100)
+    true_val = sorted(vals)[rank - 1]
+    (est,) = con.sql(
+        f"""
+        WITH state AS (
+          SELECT lb, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT {_qsk_bucket_sql('v')} AS lb FROM t) GROUP BY 1
+        ),
+        cum AS (SELECT lb, SUM(cnt) OVER (ORDER BY lb) AS cum FROM state)
+        SELECT CAST(MIN(CASE WHEN cum >= FLOOR(({n} * {q} + 99) / 100.0)
+                        THEN lb END) AS BIGINT) FROM cum
+        """
+    ).fetchone()
+    assert est == _model_qsk_bucket(true_val, QSK_SUB_BITS), (
+        est,
+        true_val,
+        rank,
+    )
+
+    # additive mergeability: bucket counts of a split stream sum to the
+    # whole-stream state (the sk_quantiles_merged property)
+    half = len(vals) // 2
+    whole: dict[int, int] = {}
+    for v in vals:
+        lb = _model_qsk_bucket(v, QSK_SUB_BITS)
+        whole[lb] = whole.get(lb, 0) + 1
+    merged: dict[int, int] = {}
+    for part in (vals[:half], vals[half:]):
+        for v in part:
+            lb = _model_qsk_bucket(v, QSK_SUB_BITS)
+            merged[lb] = merged.get(lb, 0) + 1
+    assert merged == whole

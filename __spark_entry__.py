@@ -15,21 +15,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Round-9 front-50 (policy: scripts/evidence_age.py derives and asserts
 # it from the CORRECTNESS_r0*.json ledgers):
-#   1. the 5 never-graded round-9 additions (sk_quantiles,
+#   1. the 6 never-graded round-9 additions (sk_quantiles,
 #      sk_quantiles_merged, st_quantiles_incremental, sim_topk_pq_served,
-#      mm_decode_real);
+#      mm_decode_real, src_xml_roundtrip);
 #   2. ALL 16 queries whose latest driver grade is r5 (age 4, the
 #      structural bound — named for the r9 front by the r8 verdict);
-#   3. 29 of the 50 r6-evidence queries, code-adjacent first: the full
+#   3. 28 of the 50 r6-evidence queries, code-adjacent first: the full
 #      dd_* family (dedup.py restructured this round: LSH pair index,
 #      split-leakage rewrite), the three sim_* r6 queries
 #      (similarity.py refactored: shared ADC/refine kernels), the ten
 #      st_* lifecycle-family queries (lifecycle/socketfeed gained the
-#      failover + Kafka paths), and five heavy text headliners (BPE
-#      pair, quality classifier, corpus profile, training mix). The 21
-#      left back (gr_pagerank, rel_q1_pricing_summary — benched every
-#      round and hash-checked by verify_local regardless —
-#      rel_q{3,5,6,7,8,9,10,22}, rel_unpivot_status,
+#      failover + Kafka paths), and four heavy text headliners (BPE
+#      pair, quality classifier, training mix). The 22 left back
+#      (gr_pagerank; rel_q1_pricing_summary and txt_corpus_profile —
+#      both benched every round and hash-checked by verify_local
+#      regardless — rel_q{3,5,6,7,8,9,10,22}, rel_unpivot_status,
 #      txt_{bigram_lm_score,dsir_sample,filter_pipeline,fingerprints,
 #      length_histogram,mix_rebalance,quality_scores,repetition_filter,
 #      temperature_mix,tfidf_topterms}) sit in modules untouched this
@@ -44,6 +44,7 @@ _FRONT_R9 = [
     "st_quantiles_incremental",
     "sim_topk_pq_served",
     "mm_decode_real",
+    "src_xml_roundtrip",
     "txt_importance_sample",
     "txt_sentiment",
     "txt_bm25_topk",
@@ -87,7 +88,6 @@ _FRONT_R9 = [
     "txt_bpe_merges",
     "txt_bpe_tokenize",
     "txt_quality_classifier",
-    "txt_corpus_profile",
     "txt_training_mix",
 ]
 

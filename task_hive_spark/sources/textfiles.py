@@ -132,10 +132,65 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _profile(d)
 
 
+# XML gets its own derivation: the markup-hostile characters ( & < > ",
+# plus an entity-looking token) live in a separate tail so the three
+# existing formats' graded hashes stay untouched. No single quotes, so
+# the oracle's SQL literal is the string as-is.
+_XML_TAIL = 'x & y <angle> "attr" &amp; entity end'
+_XML_SCHEMA = "doc_id BIGINT, lang STRING, text STRING"
+
+
+def _xml_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _XML_TAIL)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest (Spark 4's NATIVE xml data source — no external
+    package): distributed write with rowTag elements → schema'd
+    FAILFAST read → profile. The derivation injects raw ``& < >``,
+    double quotes and an entity-shaped token into every 5th doc, so a
+    green hash proves the writer entity-escapes and the reader
+    un-escapes byte-losslessly — the classic XML corruption class.
+    Same scale shape as the other sources: both directions
+    distributed, one small group-by."""
+    key = (spark.sparkContext.applicationId, sf_dir, "xml")
+    if key not in _WRITTEN:
+        out = tempfile.mkdtemp(prefix="ingest_xml_", dir=_scratch_root())
+        shutil.rmtree(out)  # let Spark create it
+        (
+            _xml_derived(spark, sf_dir)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "docs")
+            .option("rowTag", "doc")
+            .save(out)
+        )
+        _WRITTEN[key] = out
+    d = (
+        spark.read.format("xml")
+        .schema(_XML_SCHEMA)
+        .option("rowTag", "doc")
+        .option("mode", "FAILFAST")
+        .load(_WRITTEN[key])
+    )
+    return _profile(d)
+
+
 QUERIES = {
     "src_jsonl_roundtrip": src_jsonl_roundtrip,
     "src_csv_roundtrip": src_csv_roundtrip,
     "src_orc_roundtrip": src_orc_roundtrip,
+    "src_xml_roundtrip": src_xml_roundtrip,
 }
 
 _PROFILE_SQL = f"""
@@ -148,8 +203,24 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM derived GROUP BY lang ORDER BY lang
 """
 
+_XML_PROFILE_SQL = f"""
+WITH derived AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' ' || '{_XML_TAIL}'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+       CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS sum_h32,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM derived GROUP BY lang ORDER BY lang
+"""
+
 ORACLES = {
     "src_jsonl_roundtrip": _PROFILE_SQL,
     "src_csv_roundtrip": _PROFILE_SQL,
     "src_orc_roundtrip": _PROFILE_SQL,
+    "src_xml_roundtrip": _XML_PROFILE_SQL,
 }

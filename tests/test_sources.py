@@ -121,3 +121,41 @@ def test_sheet0_target_resolves_absolute_opc_paths(tmp_path):
             "</sheetData></worksheet>",
         )
     assert sheet_matrix(str(path)) == [["hello", "7"]]
+
+
+def test_xml_roundtrip_lossless(spark, sf_dir):
+    """The native-XML connector must round-trip the markup-hostile
+    derivation byte-losslessly: raw & < > and quotes written as
+    entities must read back as the original characters, row-for-row."""
+    from task_hive_spark.sources import textfiles
+
+    want = {
+        r["doc_id"]: r["text"]
+        for r in textfiles._xml_derived(spark, sf_dir).collect()
+    }
+    assert any("<angle>" in t for t in want.values())
+    # force the write, then read raw bytes: the file must NOT contain
+    # the raw markup-hostile tail (it must be entity-escaped on disk)
+    textfiles.src_xml_roundtrip(spark, sf_dir).collect()
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir, "xml")
+    path = textfiles._WRITTEN[key]
+    raw = b"".join(
+        open(os.path.join(path, f), "rb").read()
+        for f in os.listdir(path)
+        if f.endswith(".xml")
+    )
+    assert b"<angle>" not in raw, "raw markup leaked into the XML payload"
+    # '<' and '&' MUST be entity-escaped; '>' may legally stay literal
+    assert b"&lt;angle" in raw
+    assert b"x &amp; y" in raw
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.format("xml")
+        .schema(textfiles._XML_SCHEMA)
+        .option("rowTag", "doc")
+        .load(path)
+        .collect()
+    }
+    assert got == want

@@ -373,3 +373,78 @@ def test_quantile_bucket_arithmetic_matches_model(vals, q):
             lb = _model_qsk_bucket(v, QSK_SUB_BITS)
             merged[lb] = merged.get(lb, 0) + 1
     assert merged == whole
+
+
+def _model_hll_register(x: str) -> tuple[int, int]:
+    """Clean-room HLL (register j, rank r) from the portable hash of x
+    (seed 'hll-'): independent md5/bit arithmetic pinning BOTH engines'
+    formulas (they are pinned to each other by the hash gate)."""
+    h = int(hashlib.md5(("hll-" + x).encode()).hexdigest()[:15], 16)
+    W = 52
+    j = h >> W
+    w = h & ((1 << W) - 1)
+    r = W + 1 if w == 0 else W + 1 - w.bit_length()
+    return j, r
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200))
+@settings(max_examples=40, deadline=None)
+def test_hll_register_arithmetic_matches_model(user_ids):
+    """The oracle's register build (one DuckDB batch per example — no
+    Spark job) must agree with the clean-room model on (j, max rank)
+    for arbitrary ids, and the exact-integer Σ2^(53−M) fold must equal
+    the model's integer sum — the quantity whose float form would be
+    engine-summation-order-dependent."""
+    import duckdb
+
+    from task_hive_spark.operators.sketches import HLL_M, HLL_W
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(user_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in user_ids])
+    got = dict(
+        con.sql(
+            f"""
+        WITH h AS (
+          SELECT CAST(concat('0x', substr(md5('hll-' || CAST(user_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS h
+          FROM t
+        )
+        SELECT h >> {HLL_W} AS j,
+               MAX(CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
+                        ELSE {HLL_W + 1} - length(bin(h & {(1 << HLL_W) - 1}))
+                   END) AS m
+        FROM h GROUP BY 1
+        """
+        ).fetchall()
+    )
+    regs: dict[int, int] = {}
+    for u in user_ids:
+        j, r = _model_hll_register(str(u))
+        regs[j] = max(regs.get(j, 0), r)
+    assert got == regs
+    assert all(0 <= j < HLL_M for j in regs)
+    # the exact-integer fold (zero registers contribute 2^53 each)
+    model_sum = sum(1 << (53 - regs.get(j, 0)) for j in range(HLL_M))
+    (duck_sum,) = con.sql(
+        f"""
+        WITH h AS (
+          SELECT CAST(concat('0x', substr(md5('hll-' || CAST(user_id AS VARCHAR)),
+               1, 15)) AS BIGINT) AS h
+          FROM t
+        ),
+        regs AS (
+          SELECT h >> {HLL_W} AS j,
+                 MAX(CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
+                          ELSE {HLL_W + 1} - length(bin(h & {(1 << HLL_W) - 1}))
+                     END) AS m
+          FROM h GROUP BY 1
+        ),
+        filled AS (
+          SELECT g.range AS j, COALESCE(regs.m, 0) AS m
+          FROM range({HLL_M}) g LEFT JOIN regs ON regs.j = g.range
+        )
+        SELECT CAST(SUM(CAST(power(2.0, 53 - m) AS BIGINT)) AS BIGINT) FROM filled
+        """
+    ).fetchone()
+    assert duck_sum == model_sum

@@ -1032,7 +1032,9 @@ def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return _ANN_IDX_RAN[key]
 
 
-def sim_topk_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_topk_pq_served(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
     """IVF-PQ + refine answered ENTIRELY from the persisted index
     artifacts (materialize_ann_index): probe vectors come from the flat
     refine store, coarse routing from centroids/, candidates from
@@ -1045,10 +1047,15 @@ def sim_topk_pq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the session-index path (broadcast dims,
     sketch-sized LUTs, REFINE_R·|probes| exact math) — the difference
     is operational: build once, serve forever, rebuild only on corpus
-    change."""
+    change.
+
+    ``index_dir``: serve from an index the caller already persisted
+    with materialize_ann_index (the quickstart's build-once path);
+    default (the driver-contract signature) materializes into — and
+    reuses — a session-scoped scratch index."""
     import os as _os
 
-    idx = _ann_index_dir(spark, sf_dir)
+    idx = index_dir if index_dir is not None else _ann_index_dir(spark, sf_dir)
     read = lambda name: spark.read.parquet(_os.path.join(idx, name))  # noqa: E731
     vecs = read("vectors")
     cent = read("centroids")

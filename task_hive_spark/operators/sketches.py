@@ -762,17 +762,14 @@ _QSK_RANK_MINS = ",\n               ".join(
     for q in QSK_QS
 )
 
-_QSK_SQL = f"""
-        WITH vals AS (
-          SELECT l_returnflag AS g,
-                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
-          FROM lineitem
-        ),
-        state AS (
-          SELECT g, lb, CAST(COUNT(*) AS BIGINT) AS cnt
-          FROM (SELECT g, {_qsk_bucket_sql("v")} AS lb FROM vals)
-          GROUP BY 1, 2
-        ),
+
+def _qsk_est_sql(head_ctes: str, extra_sel: str = "", extra_join: str = "") -> str:
+    """The shared state→cum→tot→ranked-SELECT scaffold over a
+    ``state(g, lb, cnt)`` CTE supplied by ``head_ctes`` — ONE copy of
+    the rank/readout arithmetic for the direct and merged oracles (the
+    HLL-fragment discipline; two transcriptions could drift)."""
+    return f"""
+        WITH {head_ctes},
         cum AS (
           SELECT g, lb, cnt,
                  SUM(cnt) OVER (PARTITION BY g ORDER BY lb) AS cum
@@ -784,12 +781,26 @@ _QSK_SQL = f"""
           FROM state GROUP BY g
         )
         SELECT c.g AS l_returnflag,
-               MAX(t.n_rows) AS n_rows,
+               {extra_sel}MAX(t.n_rows) AS n_rows,
                MAX(t.n_buckets) AS n_buckets,
                {_QSK_RANK_MINS}
-        FROM cum c JOIN tot t USING (g)
+        FROM cum c JOIN tot t USING (g){extra_join}
         GROUP BY 1 ORDER BY 1
         """
+
+
+_QSK_SQL = _qsk_est_sql(
+    f"""vals AS (
+          SELECT l_returnflag AS g,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem
+        ),
+        state AS (
+          SELECT g, lb, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT g, {_qsk_bucket_sql("v")} AS lb FROM vals)
+          GROUP BY 1, 2
+        )"""
+)
 
 
 def _cms_hash(item_sql: str) -> str:
@@ -806,8 +817,8 @@ def _bloom_hash(key_sql: str, k: int) -> str:
     )
 
 
-_QSK_MERGED_SQL = f"""
-        WITH vals AS (
+_QSK_MERGED_SQL = _qsk_est_sql(
+    f"""vals AS (
           SELECT l_returnflag AS g,
                  CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
@@ -825,25 +836,10 @@ _QSK_MERGED_SQL = f"""
         state AS (
           SELECT g, lb, CAST(SUM(cnt) AS BIGINT) AS cnt
           FROM mstate GROUP BY 1, 2
-        ),
-        cum AS (
-          SELECT g, lb, cnt,
-                 SUM(cnt) OVER (PARTITION BY g ORDER BY lb) AS cum
-          FROM state
-        ),
-        tot AS (
-          SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_rows,
-                 CAST(COUNT(*) AS BIGINT) AS n_buckets
-          FROM state GROUP BY g
-        )
-        SELECT c.g AS l_returnflag,
-               MAX(p.n_parts) AS n_parts,
-               MAX(t.n_rows) AS n_rows,
-               MAX(t.n_buckets) AS n_buckets,
-               {_QSK_RANK_MINS}
-        FROM cum c JOIN tot t USING (g) JOIN parts p USING (g)
-        GROUP BY 1 ORDER BY 1
-        """
+        )""",
+    extra_sel="MAX(p.n_parts) AS n_parts,\n               ",
+    extra_join=" JOIN parts p USING (g)",
+)
 
 ORACLES = {
     "sk_quantiles": _QSK_SQL,

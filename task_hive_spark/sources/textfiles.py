@@ -36,25 +36,25 @@ from task_hive_spark.streaming.lifecycle import _scratch_root
 # escaping). No single quotes, so the SQL literal is the string as-is
 # (DuckDB treats backslash literally inside '...').
 _TAIL = 'tail,"quoted" back\\slash end'
-_DERIVED_SQL = f"""
-SELECT doc_id, lang,
-       CASE WHEN doc_id % 5 = 0 THEN text || ' ' || '{_TAIL}'
-            ELSE text END AS text
-FROM documents
-"""
+# XML gets a markup-hostile tail instead (raw & < > ", plus an
+# entity-looking token) so entity escaping is what rides the hash path;
+# the three text-format queries keep their original tail (and therefore
+# their graded hashes). ONE derivation/profile definition, tail
+# parameterized — the module's one-source-of-truth contract.
+_XML_TAIL = 'x & y <angle> "attr" &amp; entity end'
 
 _SCHEMA = "doc_id BIGINT, lang STRING, text STRING"
 
 _WRITTEN: dict[tuple[str, str, str], str] = {}
 
 
-def _derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derived(spark: SparkSession, sf_dir: str, tail: str = _TAIL) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         "lang",
         F.when(
-            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + _TAIL))
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + tail))
         )
         .otherwise(F.col("text"))
         .alias("text"),
@@ -68,11 +68,14 @@ def _ingest_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     if key not in _WRITTEN:
         out = tempfile.mkdtemp(prefix=f"ingest_{fmt}_", dir=_scratch_root())
         shutil.rmtree(out)  # let Spark create it
-        w = _derived(spark, sf_dir).write.mode("overwrite")
+        tail = _XML_TAIL if fmt == "xml" else _TAIL
+        w = _derived(spark, sf_dir, tail).write.mode("overwrite")
         if fmt == "json":
             w.json(out)
         elif fmt == "orc":
             w.orc(out)
+        elif fmt == "xml":
+            w.format("xml").option("rootTag", "docs").option("rowTag", "doc").save(out)
         else:
             w.option("header", True).option("quote", '"').option("escape", '"').csv(out)
         _WRITTEN[key] = out
@@ -132,28 +135,6 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _profile(d)
 
 
-# XML gets its own derivation: the markup-hostile characters ( & < > ",
-# plus an entity-looking token) live in a separate tail so the three
-# existing formats' graded hashes stay untouched. No single quotes, so
-# the oracle's SQL literal is the string as-is.
-_XML_TAIL = 'x & y <angle> "attr" &amp; entity end'
-_XML_SCHEMA = "doc_id BIGINT, lang STRING, text STRING"
-
-
-def _xml_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        "lang",
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(F.col("text"), F.lit(" " + _XML_TAIL)),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-
-
 def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML ingest (Spark 4's NATIVE xml data source — no external
     package): distributed write with rowTag elements → schema'd
@@ -161,27 +142,21 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     double quotes and an entity-shaped token into every 5th doc, so a
     green hash proves the writer entity-escapes and the reader
     un-escapes byte-losslessly — the classic XML corruption class.
-    Same scale shape as the other sources: both directions
-    distributed, one small group-by."""
-    key = (spark.sparkContext.applicationId, sf_dir, "xml")
-    if key not in _WRITTEN:
-        out = tempfile.mkdtemp(prefix="ingest_xml_", dir=_scratch_root())
-        shutil.rmtree(out)  # let Spark create it
-        (
-            _xml_derived(spark, sf_dir)
-            .write.mode("overwrite")
-            .format("xml")
-            .option("rootTag", "docs")
-            .option("rowTag", "doc")
-            .save(out)
-        )
-        _WRITTEN[key] = out
+    ``ignoreSurroundingSpaces`` is forced OFF: the reader trims
+    element whitespace by default, which would silently corrupt any
+    text with leading/trailing spaces (empirically confirmed) — the
+    fixtures happen to contain none, so only the option keeps the
+    lossless claim true rather than accidentally true. Same scale
+    shape as the other sources: both directions distributed, one small
+    group-by."""
+    path = _ingest_dir(spark, sf_dir, "xml")
     d = (
         spark.read.format("xml")
-        .schema(_XML_SCHEMA)
+        .schema(_SCHEMA)
         .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
         .option("mode", "FAILFAST")
-        .load(_WRITTEN[key])
+        .load(path)
     )
     return _profile(d)
 
@@ -193,20 +168,13 @@ QUERIES = {
     "src_xml_roundtrip": src_xml_roundtrip,
 }
 
-_PROFILE_SQL = f"""
-WITH derived AS ({_DERIVED_SQL})
-SELECT lang, COUNT(*) AS n_docs,
-       CAST(SUM(length(text)) AS BIGINT) AS sum_len,
-       CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
-         AS sum_h32,
-       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-FROM derived GROUP BY lang ORDER BY lang
-"""
-
-_XML_PROFILE_SQL = f"""
+def _profile_sql(tail: str) -> str:
+    """The oracle mirror of _derived(tail) → _profile — ONE SQL
+    definition, tail parameterized like the Spark side."""
+    return f"""
 WITH derived AS (
   SELECT doc_id, lang,
-         CASE WHEN doc_id % 5 = 0 THEN text || ' ' || '{_XML_TAIL}'
+         CASE WHEN doc_id % 5 = 0 THEN text || ' ' || '{tail}'
               ELSE text END AS text
   FROM documents
 )
@@ -218,9 +186,12 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM derived GROUP BY lang ORDER BY lang
 """
 
+
+_PROFILE_SQL = _profile_sql(_TAIL)
+
 ORACLES = {
     "src_jsonl_roundtrip": _PROFILE_SQL,
     "src_csv_roundtrip": _PROFILE_SQL,
     "src_orc_roundtrip": _PROFILE_SQL,
-    "src_xml_roundtrip": _XML_PROFILE_SQL,
+    "src_xml_roundtrip": _profile_sql(_XML_TAIL),
 }

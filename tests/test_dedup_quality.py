@@ -255,7 +255,6 @@ def test_served_index_answers_equal_refined_and_never_touch_embeddings(
     import os
 
     from task_hive_spark.operators.similarity import (
-        _ANN_IDX_RAN,
         materialize_ann_index,
         sim_topk_pq_refined,
         sim_topk_pq_served,
@@ -263,16 +262,16 @@ def test_served_index_answers_equal_refined_and_never_touch_embeddings(
 
     out = str(tmp_path / "annidx")
     summary = materialize_ann_index(spark, sf_dir, out)
-    # serve from THE index just built and validated (pre-seeding the
-    # memo also spares a second full artifact write into .scratch)
-    _ANN_IDX_RAN[(spark.sparkContext.applicationId, sf_dir)] = out
     for name in ("centroids", "cells", "codes", "codebook", "vectors"):
         assert summary[name] > 0
         assert os.path.isdir(os.path.join(out, name))
     assert summary["cells"] == summary["vectors"]  # one cell per vector
     assert os.path.isfile(os.path.join(out, "summary.json"))
 
-    served = sim_topk_pq_served(spark, sf_dir)
+    # serve from THE index just built and validated (the explicit
+    # index_dir path the quickstart documents; also spares a second
+    # full artifact write into .scratch)
+    served = sim_topk_pq_served(spark, sf_dir, index_dir=out)
     refined = sim_topk_pq_refined(spark, sf_dir)
     assert served.collect() == refined.collect()
     scans = served.inputFiles()

@@ -183,76 +183,50 @@ def test_failover_second_driver_takes_over_after_kill(spark, sf_dir):
     fold over the same durable feed; determinism of the fold is what
     makes the takeover exact.
 
-    Sequence: a victim JVM (subprocess, per-pid Derby isolation from
-    r7) runs the lifecycle LIVE over an 8-chunk feed; once it has
-    committed ≥2 state versions it is SIGKILLed mid-feed; this test's
-    JVM then takes over the same work_dir + feed and must converge to
-    exactly the uninterrupted run's task state."""
+    Sequence: a victim JVM (conftest.VictimJVM — own process group,
+    per-pid Derby isolation from r7) runs the lifecycle LIVE over an
+    8-chunk feed; once it has committed ≥2 state versions it is
+    SIGKILLed mid-feed; this test's JVM then takes over the same
+    work_dir + feed and must converge to exactly the uninterrupted
+    run's task state."""
     import os
     import re
-    import subprocess
-    import sys
-    import time
 
+    from tests.conftest import VictimJVM
     from task_hive_spark.streaming.lifecycle import _write_chunks
 
     work = tempfile.mkdtemp(prefix="lc_failover_", dir=_scratch_root())
     feed = os.path.join(work, "feed")
     _write_chunks(spark, sf_dir, feed, 8)
 
-    script = (
-        "import sys; sys.path.insert(0, '/root/repo')\n"
+    victim = VictimJVM(
         "from task_hive_spark.session import get_spark\n"
         "from task_hive_spark.streaming.lifecycle import start_lifecycle\n"
         "spark = get_spark('failover_victim')\n"
         f"q, paths = start_lifecycle(spark, {work!r}, {feed!r},"
         " trigger={'processingTime': '100 milliseconds'})\n"
-        "q.awaitTermination()\n"
-    )
-    log = open(os.path.join(work, "victim.log"), "wb")
-    # own session/process group: the SIGKILL below must take the
-    # py4j-spawned Spark JVM down WITH the Python driver — killing only
-    # the driver leaves the JVM finishing an in-flight checkpoint or
-    # state write asynchronously while the takeover is already
-    # rmtree-ing the same ckpt dir (review finding: flaky race)
-    proc = subprocess.Popen(
-        [sys.executable, "-c", script],
-        cwd="/root/repo",
-        stdout=log,
-        stderr=subprocess.STDOUT,
-        start_new_session=True,
+        "q.awaitTermination()\n",
+        os.path.join(work, "victim.log"),
     )
     state_dir = os.path.join(work, "state")
-    try:
-        deadline = time.time() + 180
-        progressed = False
-        while time.time() < deadline:
-            if os.path.isdir(state_dir):
-                versions = [
-                    int(m.group(1))
-                    for d in os.listdir(state_dir)
-                    if (m := re.fullmatch(r"tasks_v(\d+)", d))
-                ]
-                if versions and max(versions) >= 2:
-                    progressed = True
-                    break
-            if proc.poll() is not None:
-                raise AssertionError(
-                    "victim driver exited early — see " + log.name
-                )
-            time.sleep(0.2)
-        assert progressed, "victim never committed 2 state versions"
-    finally:
-        import signal
 
+    def _committed_two() -> bool:
+        if not os.path.isdir(state_dir):
+            return False
+        versions = [
+            int(m.group(1))
+            for d in os.listdir(state_dir)
+            if (m := re.fullmatch(r"tasks_v(\d+)", d))
+        ]
+        return bool(versions) and max(versions) >= 2
+
+    try:
+        victim.poll_until(_committed_two, "2 committed state versions",
+                          interval_s=0.2)
+    finally:
         # SIGKILL the whole group: the leader (driver + JVM) dies
         # mid-feed with no cleanup and, crucially, no lingering JVM
-        try:
-            os.killpg(proc.pid, signal.SIGKILL)
-        except ProcessLookupError:
-            pass
-        proc.wait()
-        log.close()
+        victim.kill()
 
     # takeover in THIS JVM: same work_dir, same feed
     paths = run_lifecycle(spark, sf_dir, work, feed_dir=feed)

@@ -390,33 +390,28 @@ def _model_hll_register(x: str) -> tuple[int, int]:
 @given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=200))
 @settings(max_examples=40, deadline=None)
 def test_hll_register_arithmetic_matches_model(user_ids):
-    """The oracle's register build (one DuckDB batch per example — no
-    Spark job) must agree with the clean-room model on (j, max rank)
-    for arbitrary ids, and the exact-integer Σ2^(53−M) fold must equal
-    the model's integer sum — the quantity whose float form would be
-    engine-summation-order-dependent."""
+    """The ACTUAL oracle fragments (_hll_regs_ctes / _hll_est_tail —
+    the ONE SQL definition every HLL oracle composes; not a second
+    transcription that could drift) run against a synthetic DuckDB
+    `events` table must agree with the clean-room model on every
+    (register, max rank) and on the exact-integer Σ2^(53−M) fold — the
+    quantity whose float form would be engine-summation-order
+    dependent. One DuckDB batch per example, no Spark job."""
     import duckdb
 
-    from task_hive_spark.operators.sketches import HLL_M, HLL_W
+    from task_hive_spark.operators.sketches import (
+        HLL_M,
+        _hll_est_tail,
+        _hll_regs_ctes,
+    )
 
     con = duckdb.connect()
-    con.execute("CREATE TABLE t(user_id BIGINT)")
-    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in user_ids])
+    con.execute("CREATE TABLE events(event_type VARCHAR, user_id BIGINT)")
+    con.executemany(
+        "INSERT INTO events VALUES ('e', ?)", [(u,) for u in user_ids]
+    )
     got = dict(
-        con.sql(
-            f"""
-        WITH h AS (
-          SELECT CAST(concat('0x', substr(md5('hll-' || CAST(user_id AS VARCHAR)),
-               1, 15)) AS BIGINT) AS h
-          FROM t
-        )
-        SELECT h >> {HLL_W} AS j,
-               MAX(CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
-                        ELSE {HLL_W + 1} - length(bin(h & {(1 << HLL_W) - 1}))
-                   END) AS m
-        FROM h GROUP BY 1
-        """
-        ).fetchall()
+        con.sql(f"WITH {_hll_regs_ctes()} SELECT j, m FROM regs").fetchall()
     )
     regs: dict[int, int] = {}
     for u in user_ids:
@@ -427,24 +422,7 @@ def test_hll_register_arithmetic_matches_model(user_ids):
     # the exact-integer fold (zero registers contribute 2^53 each)
     model_sum = sum(1 << (53 - regs.get(j, 0)) for j in range(HLL_M))
     (duck_sum,) = con.sql(
-        f"""
-        WITH h AS (
-          SELECT CAST(concat('0x', substr(md5('hll-' || CAST(user_id AS VARCHAR)),
-               1, 15)) AS BIGINT) AS h
-          FROM t
-        ),
-        regs AS (
-          SELECT h >> {HLL_W} AS j,
-                 MAX(CASE WHEN (h & {(1 << HLL_W) - 1}) = 0 THEN {HLL_W + 1}
-                          ELSE {HLL_W + 1} - length(bin(h & {(1 << HLL_W) - 1}))
-                     END) AS m
-          FROM h GROUP BY 1
-        ),
-        filled AS (
-          SELECT g.range AS j, COALESCE(regs.m, 0) AS m
-          FROM range({HLL_M}) g LEFT JOIN regs ON regs.j = g.range
-        )
-        SELECT CAST(SUM(CAST(power(2.0, 53 - m) AS BIGINT)) AS BIGINT) FROM filled
-        """
+        f"""WITH {_hll_regs_ctes()},{_hll_est_tail("regs", "events")}
+        SELECT sum_scaled FROM agg_regs"""
     ).fetchone()
     assert duck_sum == model_sum

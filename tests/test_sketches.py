@@ -377,11 +377,8 @@ def test_incremental_sketch_checkpoint_resumes_across_jvms(
     whole-corpus sketch."""
     import os
     import re
-    import signal
-    import subprocess
-    import sys
-    import time
 
+    from tests.conftest import VictimJVM
     from task_hive_spark.operators.sketches import qsk_lineitem_vals, qsk_state
     from task_hive_spark.streaming.sketchstream import (
         _latest_batch_dir,
@@ -394,22 +391,15 @@ def test_incremental_sketch_checkpoint_resumes_across_jvms(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
+    os.makedirs(work, exist_ok=True)
     _write_chunks(li, "l_orderkey", feed, 4)
 
-    script = (
-        "import sys; sys.path.insert(0, '/root/repo')\n"
+    victim = VictimJVM(
         "from task_hive_spark.session import get_spark\n"
         "from task_hive_spark.streaming.sketchstream import run_qsk_stream\n"
         "spark = get_spark('qsk_victim')\n"
-        f"run_qsk_stream(spark, {work!r}, {feed!r})\n"
-    )
-    log = open(os.path.join(work, "victim.log"), "wb")
-    proc = subprocess.Popen(
-        [sys.executable, "-c", script],
-        cwd="/root/repo",
-        stdout=log,
-        stderr=subprocess.STDOUT,
-        start_new_session=True,  # killpg takes the JVM down too
+        f"run_qsk_stream(spark, {work!r}, {feed!r})\n",
+        os.path.join(work, "victim.log"),
     )
     state_root = os.path.join(work, "qsk_state")
 
@@ -423,26 +413,12 @@ def test_incremental_sketch_checkpoint_resumes_across_jvms(
         ]
 
     try:
-        deadline = time.time() + 180
-        while time.time() < deadline:
-            b = _bids()
-            if b and max(b) >= 1:
-                break  # ≥2 of 4 batches committed, the next in flight
-            if proc.poll() is not None:
-                raise AssertionError(
-                    "victim exited before committing 2 batches — see "
-                    + log.name
-                )
-            time.sleep(0.02)
-        else:
-            raise AssertionError("victim never committed a second batch")
+        # ≥2 of 4 batches committed, the next in flight
+        victim.poll_until(
+            lambda: (b := _bids()) and max(b) >= 1, "a second committed batch"
+        )
     finally:
-        try:
-            os.killpg(proc.pid, signal.SIGKILL)
-        except ProcessLookupError:
-            pass
-        proc.wait()
-        log.close()
+        victim.kill()
     at_kill = _bids()
     assert max(at_kill) < 3, (
         f"victim had already drained every batch ({at_kill}) — the kill "

@@ -131,7 +131,7 @@ def test_xml_roundtrip_lossless(spark, sf_dir):
 
     want = {
         r["doc_id"]: r["text"]
-        for r in textfiles._xml_derived(spark, sf_dir).collect()
+        for r in textfiles._derived(spark, sf_dir, textfiles._XML_TAIL).collect()
     }
     assert any("<angle>" in t for t in want.values())
     # force the write, then read raw bytes: the file must NOT contain
@@ -153,9 +153,36 @@ def test_xml_roundtrip_lossless(spark, sf_dir):
     got = {
         r["doc_id"]: r["text"]
         for r in spark.read.format("xml")
-        .schema(textfiles._XML_SCHEMA)
+        .schema(textfiles._SCHEMA)
         .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
         .load(path)
         .collect()
     }
     assert got == want
+
+    # surrounding-whitespace regression: the reader TRIMS element
+    # whitespace unless ignoreSurroundingSpaces=false — the fixtures
+    # contain no padded texts, so pin the hazard directly
+    import shutil
+    import tempfile
+
+    one = spark.createDataFrame([(1, "en", "  padded  ")], textfiles._SCHEMA)
+    out2 = tempfile.mkdtemp()
+    shutil.rmtree(out2)
+    (
+        one.write.format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(out2)
+    )
+    back = (
+        spark.read.format("xml")
+        .schema(textfiles._SCHEMA)
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .load(out2)
+        .collect()[0]["text"]
+    )
+    assert back == "  padded  "
+    shutil.rmtree(out2, ignore_errors=True)

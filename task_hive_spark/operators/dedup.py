@@ -116,6 +116,7 @@ HAMMING_THRESHOLD = 3
 # is nowhere near overflow.
 DUP_OFFSET = 1_000_000_000  # exact-duplicate copies
 NEAR_OFFSET = 2_000_000_000  # near-duplicate (mutated) copies
+NEW_OFFSET = 3_000_000_000  # "new crawl batch" ids (served-dedup probe set)
 CORPUS_SQL = f"""
 SELECT doc_id, text FROM documents
 UNION ALL
@@ -123,6 +124,18 @@ SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 7 = 0
 UNION ALL
 SELECT doc_id + {NEAR_OFFSET} AS doc_id, text || ' zq extra trailing token' AS text
 FROM documents WHERE doc_id % 11 = 0
+"""
+
+# The derived "new crawl batch" for the served cross-snapshot dedup
+# (dd_dedup_served): every 13th base doc re-crawled — half verbatim
+# (exact dup of history), half with a trailing mutation (near dup).
+# Same shared-SQL discipline as CORPUS_SQL: one source of truth for
+# Spark and the oracle, ids offset past the augmented-corpus domain.
+NEW_BATCH_SQL = f"""
+SELECT doc_id + {NEW_OFFSET} AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN text || ' zq crawl batch token'
+            ELSE text END AS text
+FROM documents WHERE doc_id % 13 = 0
 """
 
 
@@ -463,6 +476,118 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs_index(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
+# --- served cross-snapshot dedup (persisted MinHash/LSH index) ------------
+
+
+def new_batch_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_fixture_views(spark, sf_dir)
+    return spark.sql(NEW_BATCH_SQL)
+
+
+def materialize_dedup_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """WRITE the MinHash/LSH dedup index as parquet artifacts — the
+    cross-snapshot production layout (each new crawl batch is deduped
+    against ALL prior dumps without re-reading their text; the
+    materialize_ann_index companion on the dedup side):
+
+      signatures/  (doc_id, sig ARRAY<BIGINT>[K])   [N rows, fixed width]
+      buckets/     (doc_id, bucket) LSH band rows   [N·LSH_BANDS rows]
+      summary.json row counts per artifact
+
+    After this runs, dedup of a new batch touches only the artifacts:
+    the historical TEXT (and the gram explosion under it) is never
+    scanned again. At cluster scale buckets/ is written bucketed by
+    ``bucket`` so a probe prunes to colliding files; the flat layout
+    here keeps the fixture write cheap while the probe plan is already
+    the broadcast-new-side shape that never shuffles history."""
+    import json as _json
+    import os as _os
+
+    sigs = _minhash_sig_array(spark, sf_dir)
+    sigs.write.mode("overwrite").parquet(_os.path.join(out_dir, "signatures"))
+    band_buckets_of(sigs).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "buckets")
+    )
+    # materializer-reads-back discipline (similarity.materialize_ann_index)
+    summary = {
+        name: spark.read.parquet(_os.path.join(out_dir, name)).count()
+        for name in ("signatures", "buckets")
+    }
+    with open(_os.path.join(out_dir, "summary.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    return summary
+
+
+_DD_IDX_RAN: dict[tuple[str, str], str] = {}
+
+
+def _dedup_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the on-disk dedup index once per (session, sf_dir)."""
+    import tempfile
+
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DD_IDX_RAN:
+        out = tempfile.mkdtemp(prefix="ddidx_", dir=_scratch_root())
+        materialize_dedup_index(spark, sf_dir, out)
+        _DD_IDX_RAN[key] = out
+    return _DD_IDX_RAN[key]
+
+
+def dd_dedup_served(
+    spark: SparkSession, sf_dir: str, index_dir: str | None = None
+) -> DataFrame:
+    """Cross-snapshot dedup served from the persisted index: signature
+    the NEW batch only, probe its band rows into the STORED buckets,
+    and score candidates against the STORED signatures — the most
+    common production dedup workflow (today's crawl vs all prior
+    dumps). Historical text is never re-read: the only documents scan
+    in the plan is the new batch itself (tests pin this), and the
+    history side enters through two index-artifact scans.
+
+    Scale shape: new batch ≪ accumulated history, so the new-side band
+    rows and candidate pairs are BROADCAST — history's buckets/ and
+    signatures/ stream through map-side joins, never shuffle. Output:
+    every (new_doc_id, hist_doc_id) LSH candidate with its MinHash
+    Jaccard estimate; a pipeline drops new docs with any
+    est_jaccard ≥ threshold partner."""
+    import os as _os
+
+    idx = index_dir if index_dir is not None else _dedup_index_dir(spark, sf_dir)
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # the probe signatures feed TWO consumers (banding, scoring) —
+    # without materialization Spark re-runs the new-batch gram→md5→argmin
+    # pipeline under each (no exchange reuse across a broadcast), so the
+    # new text would be scanned and signatured twice per call. The frame
+    # is |new batch| fixed-width rows — bounded, and paid INSIDE the
+    # call so the measured cost of serving stays honest (this is per-call
+    # data, not a session index: each crawl batch is new).
+    new_sigs = minhash_sigs_of(
+        new_batch_df(spark, sf_dir).repartition(nshuf, "doc_id")
+    ).localCheckpoint()
+    hist_buckets = spark.read.parquet(_os.path.join(idx, "buckets"))
+    hist_sigs = spark.read.parquet(_os.path.join(idx, "signatures"))
+    cands = (
+        F.broadcast(
+            band_buckets_of(new_sigs).withColumnRenamed("doc_id", "new_doc_id")
+        )
+        .join(hist_buckets.withColumnRenamed("doc_id", "hist_doc_id"), "bucket")
+        .select("new_doc_id", "hist_doc_id")
+        .distinct()
+    )
+    sa = new_sigs.select(F.col("doc_id").alias("new_doc_id"), F.col("sig").alias("sig_a"))
+    sb = hist_sigs.select(
+        F.col("doc_id").alias("hist_doc_id"), F.col("sig").alias("sig_b")
+    )
+    return (
+        F.broadcast(cands.join(F.broadcast(sa), "new_doc_id"))
+        .join(sb, "hist_doc_id")
+        .select("new_doc_id", "hist_doc_id", est_jaccard_col().alias("est_jaccard"))
+        .orderBy("new_doc_id", "hist_doc_id")
+    )
+
+
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) signature column, materialized once per
     (session, sf_dir): near-pair bucketing and duplicate clustering
@@ -646,6 +771,36 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_L = 16  # minimum duplicated-span length in tokens
 
 
+def _span_windows_of(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """(doc_id, p, fp) for every stride-1 SPAN_L-token window of a
+    (doc_id, text) frame — the shared front of both span detectors.
+
+    Window fp = xxhash64 over the token-slice ARRAY (length-prefixed
+    per element): an 8-byte shuffle key instead of a 32-char md5 over
+    the rebuilt window string — no string materialization per window
+    and 4× less dup-count shuffle. The fp never reaches any output
+    (only positions do), so the oracle is free to fingerprint its own
+    way; a 2^-64 collision could only conjoin or invent a span, the
+    same trade the hashed-n-gram decontamination documents."""
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    t = (
+        d.repartition(nshuf, "doc_id")
+        .select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
+        .withColumn("ntok", F.size("toks"))
+        .where(F.col("ntok") >= SPAN_L)
+    )
+    return t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, ntok - {SPAN_L}),"
+                f" i -> struct(CAST(i AS INT) AS p,"
+                f" xxhash64(slice(toks, i + 1, {SPAN_L})) AS fp))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.p", "x.fp")
+
+
 def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated token spans per document: (doc_id,
     span_start, span_end, span_len, n_dup_windows), 0-based token
@@ -667,30 +822,7 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-partitioned window over only the duplicated positions. No
     all-pairs stage anywhere — the fingerprint multiset IS the
     suffix-array replacement for fixed L."""
-    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    d = corpus_df(spark, sf_dir).repartition(nshuf, "doc_id")
-    t = (
-        d.select("doc_id", ws_tokens(F.lower("text")).alias("toks"))
-        .withColumn("ntok", F.size("toks"))
-        .where(F.col("ntok") >= SPAN_L)
-    )
-    # window fp = xxhash64 over the token-slice ARRAY (length-prefixed
-    # per element): an 8-byte shuffle key instead of a 32-char md5 over
-    # the rebuilt window string — no string materialization per window
-    # and 4× less dup-count shuffle. The fp never reaches the output
-    # (only positions do), so the oracle is free to fingerprint its own
-    # way; a 2^-64 collision could only conjoin two spans, the same
-    # trade the hashed-n-gram decontamination documents.
-    w = t.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, ntok - {SPAN_L}),"
-                f" i -> struct(CAST(i AS INT) AS p,"
-                f" xxhash64(slice(toks, i + 1, {SPAN_L})) AS fp))"
-            )
-        ).alias("x"),
-    ).select("doc_id", "x.p", "x.fp")
+    w = _span_windows_of(corpus_df(spark, sf_dir), spark)
     dw = (
         w.withColumn("n", F.count("*").over(W.partitionBy("fp")))
         .where(F.col("n") > 1)
@@ -714,6 +846,72 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "span_start")
     )
+
+
+# A window fingerprint occurring in more windows than this is dropped
+# from the PAIRWISE span detector — the posting-list cap of the Jaccard
+# index applied to the fp self-join (a boilerplate window appearing in
+# millions of docs would otherwise fan out quadratically; its spans are
+# exactly what a pipeline excises wholesale via dd_duplicate_spans, so
+# the pairwise report loses nothing actionable).
+MAX_WINDOW_DF = 50
+
+
+def max_dup_spans_of(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """Variable-length MAXIMAL duplicate spans between doc pairs over a
+    (doc_id, text) frame — the pairwise core of dd_max_dup_spans,
+    exposed so the property test can run it on tiny synthetic frames
+    against a clean-room O(n²) model."""
+    w = _span_windows_of(d, spark)
+    dw = (
+        w.withColumn("n", F.count("*").over(W.partitionBy("fp")))
+        .where((F.col("n") > 1) & (F.col("n") <= MAX_WINDOW_DF))
+        .select("doc_id", "p", "fp")
+    )
+    a, b = dw.alias("a"), dw.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.p").alias("pa"),
+        F.col("b.p").alias("pb"),
+        (F.col("a.p") - F.col("b.p")).alias("diag"),
+    )
+    win = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = pr.withColumn("isl", F.col("pa") - F.row_number().over(win))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pa").cast("int").alias("a_start"),
+            F.min("pb").cast("int").alias("b_start"),
+            (F.max("pa") - F.min("pa") + F.lit(SPAN_L)).cast("int").alias("span_len"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_len", "n_windows")
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    )
+
+
+def dd_max_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length maximal duplicate spans PER DOC PAIR — the
+    pairwise sharpening of dd_duplicate_spans: where the fixed-L
+    detector reports which positions of ONE doc are duplicated
+    somewhere, this reports, for each pair of documents, every maximal
+    common token span of length ≥ SPAN_L with exact start offsets and
+    exact length (Lee et al.'s suffix-array maximal matches, re-derived
+    distributively: a maximal common substring of length SPAN_L + k is
+    exactly a maximal run of k+1 consecutive matching fixed-L windows
+    along one diagonal pa − pb, so gaps-and-islands over (doc_a, doc_b,
+    diagonal) recovers every maximal span with its true length).
+
+    Scale shape: the window stage is the shared linear map
+    (_span_windows_of); the fp self-join is capped by MAX_WINDOW_DF
+    (postings-list discipline — no quadratic fan-out on boilerplate);
+    the islands window partitions by (doc_a, doc_b, diag) — match-pair
+    sized, never corpus sized."""
+    return max_dup_spans_of(corpus_df(spark, sf_dir), spark)
 
 
 def dd_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,11 +1016,13 @@ QUERIES = {
     "dd_ngram_jaccard_pairs": dd_ngram_jaccard_pairs,
     "dd_minhash_signatures": dd_minhash_signatures,
     "dd_minhash_lsh_pairs": dd_minhash_lsh_pairs,
+    "dd_dedup_served": dd_dedup_served,
     "dd_simhash": dd_simhash,
     "dd_simhash_near_pairs": dd_simhash_near_pairs,
     "dd_duplicate_clusters": dd_duplicate_clusters,
     "dd_chunk_dedup": dd_chunk_dedup,
     "dd_duplicate_spans": dd_duplicate_spans,
+    "dd_max_dup_spans": dd_max_dup_spans,
     "dd_dup_rate_by_source": dd_dup_rate_by_source,
     "dd_split_leakage": dd_split_leakage,
 }
@@ -836,15 +1036,19 @@ from task_hive_spark.operators.textops import (  # noqa: E402
 
 _FP = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 
-# distinct 3-gram shingles per doc (mirrors functions.text.shingles)
-_GRAMS_CTE = """
-grams AS (
+# distinct 3-gram shingles per doc (mirrors functions.text.shingles);
+# parameterized over the source relation so the served-dedup oracle can
+# signature the new batch with the SAME fragment (no second copy to
+# drift)
+def _grams_cte_sql(src: str = "corpus", name: str = "grams") -> str:
+    return f"""
+{name} AS (
   SELECT doc_id, gram FROM (
     SELECT DISTINCT doc_id,
            array_to_string(toks[i : i + 2], ' ') AS gram
     FROM (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-      FROM corpus
+      FROM {src}
     ) t,
     LATERAL (SELECT unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i) s
   ) g
@@ -852,18 +1056,31 @@ grams AS (
 """
 
 
+_GRAMS_CTE = _grams_cte_sql()
+
+
 # Universal-hash lanes (mirrors _minhash_sig_array): one md5 per gram
 # split into four 32-bit lanes reduced mod P; hash i = (A_i·x_{i%4} +
 # B_i) mod P with the same pinned constants — identical BIGINT
 # arithmetic in both engines.
-_LANES_CTE = "lanes AS (\n  SELECT doc_id,\n" + ",\n".join(
-    f"         CAST(concat('0x', substr(hx, {1 + 8 * j}, 8)) AS BIGINT) % {_MH_P} AS x{j}"
-    for j in range(4)
-) + "\n  FROM (SELECT doc_id, md5('mh-' || gram) AS hx FROM grams) h\n)"
+def _sigs_cte_sql(
+    grams: str = "grams", name: str = "sigs", lanes: str = "lanes"
+) -> str:
+    lanes_cte = (
+        f"{lanes} AS (\n  SELECT doc_id,\n"
+        + ",\n".join(
+            f"         CAST(concat('0x', substr(hx, {1 + 8 * j}, 8)) AS BIGINT) % {_MH_P} AS x{j}"
+            for j in range(4)
+        )
+        + f"\n  FROM (SELECT doc_id, md5('mh-' || gram) AS hx FROM {grams}) h\n)"
+    )
+    return f"{lanes_cte}, {name} AS (SELECT doc_id, {_SIG_COLS} FROM {lanes} GROUP BY doc_id)"
+
+
 _SIG_COLS = ", ".join(
     f"MIN(({_MH_A[i]} * x{i % 4} + {_MH_B[i]}) % {_MH_P}) AS h{i}" for i in range(MINHASH_K)
 )
-_SIGS_CTE = f"{_LANES_CTE}, sigs AS (SELECT doc_id, {_SIG_COLS} FROM lanes GROUP BY doc_id)"
+_SIGS_CTE = _sigs_cte_sql()
 
 _ROWS_PER_BAND = MINHASH_K // LSH_BANDS
 _BAND_EXPRS = ", ".join(
@@ -1038,7 +1255,77 @@ _RAW_ORACLES["dd_duplicate_spans"] = f"""
     FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start
     """
 
+_RAW_ORACLES["dd_max_dup_spans"] = f"""
+    WITH tt AS (
+      SELECT doc_id, toks, len(toks) AS n
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM corpus WHERE length(trim(text)) > 0) t0
+      WHERE len(toks) >= {SPAN_L}
+    ),
+    w AS (
+      SELECT doc_id, CAST(i AS INT) AS p,
+             md5(array_to_string(toks[CAST(i AS INT) + 1 : CAST(i AS INT) + {SPAN_L}], ' ')) AS fp
+      FROM tt, LATERAL (SELECT unnest(generate_series(0, n - {SPAN_L})) AS i) s
+    ),
+    wc AS (SELECT fp FROM w GROUP BY fp
+           HAVING COUNT(*) > 1 AND COUNT(*) <= {MAX_WINDOW_DF}),
+    dw AS (SELECT doc_id, p, fp FROM w JOIN wc USING (fp)),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.p AS pa, b.p AS pb, a.p - b.p AS diag
+      FROM dw a JOIN dw b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS g
+      FROM pr
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pa) AS INT) AS a_start,
+           CAST(MIN(pb) AS INT) AS b_start,
+           CAST(MAX(pa) - MIN(pa) + {SPAN_L} AS INT) AS span_len,
+           COUNT(*) AS n_windows
+    FROM isl GROUP BY doc_a, doc_b, diag, g
+    ORDER BY doc_a, doc_b, a_start, b_start
+    """
+
 ORACLES = {k: corpus_cte(v) for k, v in _RAW_ORACLES.items()}
+
+# served cross-snapshot dedup: the oracle signatures BOTH relations with
+# the same parameterized fragments the batch oracles use (history =
+# corpus, probe set = the new batch), bands each side identically, and
+# joins new band rows into historical ones — the SQL statement of "probe
+# stored buckets with new signatures". Bucket encodings differ (Spark:
+# xxhash64 of the band tuple; SQL: the band tuple string) but their
+# collision classes are the same band tuples, so the candidate SETS
+# agree (the dd_minhash_lsh_pairs argument).
+ORACLES["dd_dedup_served"] = f"""
+WITH corpus AS ({CORPUS_SQL}),
+{_GRAMS_CTE}, {_SIGS_CTE},
+newb AS ({NEW_BATCH_SQL}),
+{_grams_cte_sql("newb", "ngrams")},
+{_sigs_cte_sql("ngrams", "nsigs", "nlanes")},
+hb AS (
+  SELECT doc_id, unnest([{', '.join(f'band{bi}' for bi in range(LSH_BANDS))}]) AS bucket
+  FROM (SELECT doc_id, {_BAND_EXPRS} FROM sigs) b
+),
+nb AS (
+  SELECT doc_id, unnest([{', '.join(f'band{bi}' for bi in range(LSH_BANDS))}]) AS bucket
+  FROM (SELECT doc_id, {_BAND_EXPRS} FROM nsigs) b
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, h.doc_id AS hist_doc_id
+  FROM nb n JOIN hb h ON n.bucket = h.bucket
+)
+SELECT new_doc_id, hist_doc_id,
+       ROUND(list_sum([{', '.join(f'CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END' for i in range(MINHASH_K))}])
+             / {float(MINHASH_K)}, 6) AS est_jaccard
+FROM cands
+JOIN nsigs sa ON sa.doc_id = new_doc_id
+JOIN sigs sb ON sb.doc_id = hist_doc_id
+ORDER BY new_doc_id, hist_doc_id
+"""
 
 # Connected components need WITH RECURSIVE, which must lead the whole
 # CTE list — composed here instead of through corpus_cte. The recursive

@@ -84,12 +84,15 @@ def _oracle_assets_cte(body_sql: str) -> str:
 def decode_asset_real(kind: str, content: bytes, fmt: str | None = None):
     """The production decode stage: image → pixel array (PIL), audio →
     waveform, video → frame iterator. WAV is decoded for REAL with the
-    pure-stdlib RIFF/PCM parser below (mm_decode_real); the other
+    pure-stdlib RIFF/PCM parser below (mm_decode_real) and PPM images
+    with the pure-stdlib P6 parser (mm_decode_image_real); the remaining
     formats need codec libraries absent from this container and stay
     stubbed — the deterministic fake decode exercises their identical
     Spark plumbing."""
     if kind == "audio" and fmt == "wav":
         return decode_wav(content)
+    if kind == "image" and fmt == "ppm":
+        return decode_ppm(content)
     try:  # pragma: no cover
         if kind == "image":
             import PIL.Image  # noqa: F401
@@ -219,6 +222,122 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         _wav_encode_batches, schema="asset_id bigint, content binary"
     )
     decoded = encoded.mapInPandas(_wav_decode_batches, schema=_WAV_DECODE_SCHEMA)
+    return decoded.orderBy("asset_id")
+
+
+# --- REAL image decode (pure stdlib: P6 PPM header + RGB payload) ---------
+# Same recipe as the WAV pipeline: the ENCODE stage writes real binary
+# P6 PPM images (magic + ASCII dims/maxval header + packed RGB bytes)
+# around a deterministic pixel ramp, and the DECODE stage genuinely
+# parses them — dimensions from the header, channel stats from the
+# interleaved payload. The oracle rebuilds every stat from the ramp
+# formula, so a decoder that misreads the header grammar, channel
+# interleave, or payload offset hash-fails.
+
+
+def _ppm_dims(asset_id: int) -> tuple[int, int]:
+    """(width, height) of an asset's synthetic image — the deterministic
+    geometry shared by the encoder and the oracle."""
+    return 4 + asset_id % 12, 3 + asset_id % 10
+
+
+def _ppm_byte(asset_id: int, j: int) -> int:
+    """Byte j of the asset's interleaved RGB ramp — exact integer
+    arithmetic both the encoder and the SQL oracle reproduce."""
+    return (asset_id * 7 + j * 13) % 256
+
+
+def synth_ppm_bytes(asset_id: int) -> bytes:
+    """A real binary P6 PPM (magic, ASCII ``width height``, maxval 255,
+    packed RGB payload) holding the asset's deterministic ramp."""
+    w, h = _ppm_dims(asset_id)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + bytes(_ppm_byte(asset_id, j) for j in range(3 * w * h))
+
+
+def decode_ppm(content: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """REAL P6 decode, stdlib only: parse the whitespace-separated
+    header tokens (magic, width, height, maxval — the PPM grammar), then
+    the packed RGB payload. Returns (width, height, maxval, n_pixels,
+    sum_r, sum_g, sum_b)."""
+    if content[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM: {content[:2]!r}")
+    # header = 4 whitespace-separated tokens; payload starts after the
+    # single whitespace byte following maxval
+    tokens, pos, tok = [], 2, b""
+    while len(tokens) < 3:
+        c = content[pos : pos + 1]
+        pos += 1
+        if c.isspace():
+            if tok:
+                tokens.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+    w, h, maxval = tokens
+    payload = content[pos : pos + 3 * w * h]
+    if len(payload) != 3 * w * h:
+        raise ValueError(f"truncated payload: {len(payload)} != {3 * w * h}")
+    return (
+        w,
+        h,
+        maxval,
+        w * h,
+        sum(payload[0::3]),
+        sum(payload[1::3]),
+        sum(payload[2::3]),
+    )
+
+
+def _ppm_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "content": pdf["asset_id"].map(lambda a: synth_ppm_bytes(int(a))),
+            }
+        )
+
+
+def _ppm_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        dec = pdf["content"].map(decode_ppm)
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "width": dec.map(lambda t: t[0]),
+                "height": dec.map(lambda t: t[1]),
+                "maxval": dec.map(lambda t: t[2]),
+                "n_pixels": dec.map(lambda t: t[3]),
+                "sum_r": dec.map(lambda t: t[4]),
+                "sum_g": dec.map(lambda t: t[5]),
+                "sum_b": dec.map(lambda t: t[6]),
+            }
+        )
+
+
+_PPM_DECODE_SCHEMA = (
+    "asset_id bigint, width int, height int, maxval int, "
+    "n_pixels int, sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def mm_decode_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the image assets: encode genuine P6
+    PPM containers, then decode them with the stdlib parser and report
+    header fields + exact per-channel pixel sums. Both stages are the
+    bounded mapInPandas shape of mm_decode_real — embarrassingly
+    parallel, no shuffle, Arrow-batched; per-asset payloads are ≤ 540
+    bytes so batches stay flat. The fake codec now remains only for
+    video."""
+    register_fixture_views(spark, sf_dir)
+    img_ids = spark.sql(ASSETS_SQL).where(
+        (F.col("kind") == "image") & F.col("content").isNotNull()
+    ).select("asset_id")
+    encoded = img_ids.mapInPandas(
+        _ppm_encode_batches, schema="asset_id bigint, content binary"
+    )
+    decoded = encoded.mapInPandas(_ppm_decode_batches, schema=_PPM_DECODE_SCHEMA)
     return decoded.orderBy("asset_id")
 
 
@@ -420,6 +539,7 @@ QUERIES = {
     "mm_catalog_stats": mm_catalog_stats,
     "mm_decode_features": mm_decode_features,
     "mm_decode_real": mm_decode_real,
+    "mm_decode_image_real": mm_decode_image_real,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_segments": mm_audio_segments,
 }
@@ -524,6 +644,33 @@ ORACLES["mm_decode_real"] = _oracle_assets_cte(
            CAST(MIN(v) AS INT) AS min_pcm,
            CAST(MAX(v) AS INT) AS max_pcm
     FROM pcm GROUP BY asset_id, n, rate ORDER BY asset_id
+    """
+)
+
+# mm_decode_image_real: every decoded stat rebuilt from the synth
+# geometry (_ppm_dims / _ppm_byte) — header fields (w, h, maxval=255)
+# plus exact-integer per-channel sums over the interleaved RGB ramp
+# (channel c pixels are payload bytes 3p+c)
+ORACLES["mm_decode_image_real"] = _oracle_assets_cte(
+    """
+    , img AS (
+      SELECT asset_id,
+             4 + asset_id % 12 AS w,
+             3 + asset_id % 10 AS h
+      FROM assets WHERE kind = 'image' AND content IS NOT NULL
+    )
+    SELECT asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(255 AS INT) AS maxval,
+           CAST(w * h AS INT) AS n_pixels,
+           CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                p -> (asset_id * 7 + (3 * p) * 13) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                p -> (asset_id * 7 + (3 * p + 1) * 13) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                p -> (asset_id * 7 + (3 * p + 2) * 13) % 256)) AS BIGINT) AS sum_b
+    FROM img ORDER BY asset_id
     """
 )
 

@@ -277,3 +277,59 @@ def test_served_index_answers_equal_refined_and_never_touch_embeddings(
     scans = served.inputFiles()
     assert scans, "served plan must read the index artifacts"
     assert all("embeddings.parquet" not in f for f in scans), scans
+
+
+def test_dedup_served_probes_index_without_rescanning_history(spark, sf_dir, tmp_path):
+    """The cross-snapshot served dedup must (a) write both artifacts,
+    (b) find every exact re-crawl at est_jaccard = 1.0 and every mutated
+    re-crawl as a near candidate, and (c) scan the documents parquet
+    exactly once — the NEW batch; history enters only through the index
+    artifacts (the production pattern: today's crawl vs all prior dumps
+    without re-reading historical text)."""
+    import os
+
+    from task_hive_spark.operators.dedup import (
+        NEW_OFFSET,
+        dd_dedup_served,
+        materialize_dedup_index,
+    )
+
+    out = str(tmp_path / "ddidx")
+    summary = materialize_dedup_index(spark, sf_dir, out)
+    assert summary["signatures"] > 0
+    assert summary["buckets"] == summary["signatures"] * 32  # LSH_BANDS rows/doc
+    assert os.path.isfile(os.path.join(out, "summary.json"))
+
+    served = dd_dedup_served(spark, sf_dir, index_dir=out)
+    rows = served.collect()
+    assert rows, "re-crawled batch must collide with history"
+    by_new: dict[int, list] = {}
+    for r in rows:
+        assert r["new_doc_id"] >= NEW_OFFSET
+        assert r["hist_doc_id"] < NEW_OFFSET
+        by_new.setdefault(r["new_doc_id"], []).append(r)
+    # verbatim re-crawls (odd base ids: doc_id % 2 != 0) carry identical
+    # text, hence identical signatures — their base doc must surface at
+    # est_jaccard exactly 1.0
+    exact_new = [nid for nid in by_new if (nid - NEW_OFFSET) % 2 != 0]
+    assert exact_new
+    for nid in exact_new:
+        partners = {r["hist_doc_id"]: r["est_jaccard"] for r in by_new[nid]}
+        assert partners[nid - NEW_OFFSET] == 1.0
+    # mutated re-crawls still land near their base (banding recall)
+    mutated_hits = [
+        nid for nid in by_new
+        if (nid - NEW_OFFSET) % 2 == 0
+        and any(r["hist_doc_id"] == nid - NEW_OFFSET for r in by_new[nid])
+    ]
+    assert mutated_hits, "mutated re-crawls must still collide in some band"
+
+    # plan shape: history text is never re-scanned — the only text read
+    # is the new batch, materialized ONCE behind the probe-signature
+    # checkpoint, so the final plan holds ZERO documents scans and both
+    # index artifacts
+    scans = served.inputFiles()
+    assert scans, "served plan must read the index artifacts"
+    assert all(out in f for f in scans), scans  # index files ONLY — no text
+    for artifact in ("buckets", "signatures"):
+        assert any(os.path.join(out, artifact) in f for f in scans), artifact

@@ -478,3 +478,47 @@ def test_wav_decoder_parses_a_genuine_riff_container():
     # non-wav formats remain stubbed in this container
     with pytest.raises(NotImplementedError):
         decode_asset_real("image", b"\x89PNG", "png")
+
+
+def test_ppm_decoder_parses_a_genuine_p6_container():
+    """decode_ppm must be a REAL parser: hand it a foreign P6 (comment-
+    free but with multi-space/newline-mixed header whitespace and dims
+    the synth path never produces) and require header fields and channel
+    sums to come back exactly — plus the encode→decode round trip of the
+    synth geometry, and decode_asset_real routing ppm to the real
+    decoder while png/jpeg stay stubbed."""
+    import pytest
+
+    from task_hive_spark.operators.multimodal import (
+        _ppm_byte,
+        _ppm_dims,
+        decode_asset_real,
+        decode_ppm,
+        synth_ppm_bytes,
+    )
+
+    # foreign container: 2x2, maxval 200, mixed header whitespace
+    payload = bytes(range(12))  # RGB RGB / RGB RGB
+    foreign = b"P6 2\n2  200\n" + payload
+    w, h, maxval, npix, sr, sg, sb = decode_ppm(foreign)
+    assert (w, h, maxval, npix) == (2, 2, 200, 4)
+    assert (sr, sg, sb) == (0 + 3 + 6 + 9, 1 + 4 + 7 + 10, 2 + 5 + 8 + 11)
+
+    # synth round trip: header + every channel sum matches the ramp
+    aid = 12345  # % 3 == 0 (image)
+    wd, ht = _ppm_dims(aid)
+    ramp = [_ppm_byte(aid, j) for j in range(3 * wd * ht)]
+    got = decode_asset_real("image", synth_ppm_bytes(aid), "ppm")
+    assert got == (
+        wd, ht, 255, wd * ht, sum(ramp[0::3]), sum(ramp[1::3]), sum(ramp[2::3])
+    )
+
+    # truncated payload and wrong magic must fail loudly, not mis-decode
+    with pytest.raises(ValueError):
+        decode_ppm(synth_ppm_bytes(aid)[:-1])
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5 2 2 255 " + payload)
+
+    # png/jpeg (and video) remain stubbed in this container
+    with pytest.raises(NotImplementedError):
+        decode_asset_real("image", b"\x89PNG", "png")

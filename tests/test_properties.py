@@ -426,3 +426,80 @@ def test_hll_register_arithmetic_matches_model(user_ids):
         SELECT sum_scaled FROM agg_regs"""
     ).fetchone()
     assert duck_sum == model_sum
+
+
+# --- variable-length maximal duplicate spans vs O(n²) model ---------------
+
+from task_hive_spark.operators.dedup import SPAN_L  # noqa: E402
+
+
+def _model_max_spans(docs: dict[int, list[str]], L: int) -> list[tuple]:
+    """Clean-room O(n²) maximal-common-substring model: for every doc
+    pair and every alignment diagonal, walk the token sequences and
+    emit each maximal run of matching L-token windows as
+    (doc_a, doc_b, a_start, b_start, span_len, n_windows)."""
+    out = []
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ta, tb = docs[a], docs[b]
+            for diag in range(-(len(tb) - L), len(ta) - L + 1):
+                run_start, run_len = None, 0
+                pa_lo = max(0, diag)
+                pa_hi = min(len(ta) - L, diag + len(tb) - L)
+                for pa in range(pa_lo, pa_hi + 1):
+                    pb = pa - diag
+                    if ta[pa : pa + L] == tb[pb : pb + L]:
+                        if run_start is None:
+                            run_start = pa
+                        run_len += 1
+                    elif run_start is not None:
+                        out.append(
+                            (a, b, run_start, run_start - diag,
+                             run_len + L - 1, run_len)
+                        )
+                        run_start, run_len = None, 0
+                if run_start is not None:
+                    out.append(
+                        (a, b, run_start, run_start - diag, run_len + L - 1, run_len)
+                    )
+    return sorted(out)
+
+
+@st.composite
+def _span_corpora(draw):
+    """Docs built as slices of one shared source sequence wrapped in
+    per-doc unique junk — overlapping slices force long (variable-
+    length!) shared spans whose extents the model recovers exactly."""
+    vocab = [f"w{i}" for i in range(8)]
+    source = draw(st.lists(st.sampled_from(vocab), min_size=40, max_size=80))
+    n_docs = draw(st.integers(min_value=2, max_value=5))
+    docs = {}
+    for d in range(n_docs):
+        start = draw(st.integers(min_value=0, max_value=max(0, len(source) - SPAN_L)))
+        length = draw(st.integers(min_value=SPAN_L, max_value=len(source) - start))
+        pre = draw(st.integers(min_value=0, max_value=3))
+        post = draw(st.integers(min_value=0, max_value=3))
+        toks = (
+            [f"j{d}pre{i}" for i in range(pre)]
+            + source[start : start + length]
+            + [f"j{d}post{i}" for i in range(post)]
+        )
+        docs[d] = toks
+    return docs
+
+
+@settings(max_examples=8, deadline=None)
+@given(_span_corpora())
+def test_max_dup_spans_match_quadratic_model(spark, docs):
+    from task_hive_spark.operators.dedup import max_dup_spans_of
+
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()], "doc_id long, text string"
+    )
+    got = [
+        (r["doc_a"], r["doc_b"], r["a_start"], r["b_start"],
+         r["span_len"], r["n_windows"])
+        for r in max_dup_spans_of(df, spark).collect()
+    ]
+    assert sorted(got) == _model_max_spans(docs, SPAN_L)

@@ -13,82 +13,81 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Round-9 front-50 (policy: scripts/evidence_age.py derives and asserts
+# Round-10 front-50 (policy: scripts/evidence_age.py derives and asserts
 # it from the CORRECTNESS_r0*.json ledgers):
-#   1. the 6 never-graded round-9 additions (sk_quantiles,
-#      sk_quantiles_merged, st_quantiles_incremental, sim_topk_pq_served,
-#      mm_decode_real, src_xml_roundtrip);
-#   2. ALL 16 queries whose latest driver grade is r5 (age 4, the
-#      structural bound — named for the r9 front by the r8 verdict);
-#   3. 28 of the 50 r6-evidence queries, code-adjacent first: the full
-#      dd_* family (dedup.py restructured this round: LSH pair index,
-#      split-leakage rewrite), the three sim_* r6 queries
-#      (similarity.py refactored: shared ADC/refine kernels), the ten
-#      st_* lifecycle-family queries (lifecycle/socketfeed gained the
-#      failover + Kafka paths), and four heavy text headliners (BPE
-#      pair, quality classifier, training mix). The 22 left back
-#      (gr_pagerank; rel_q1_pricing_summary and txt_corpus_profile —
-#      both benched every round and hash-checked by verify_local
-#      regardless — rel_q{3,5,6,7,8,9,10,22}, rel_unpivot_status,
-#      txt_{bigram_lm_score,dsir_sample,filter_pipeline,fingerprints,
-#      length_histogram,mix_rebalance,quality_scores,repetition_filter,
-#      temperature_mix,tfidf_topterms}) sit in modules untouched this
-#      round, remain hash-checked at sf0.001 on every pytest run and at
-#      sf0.01/sf0.1 by verify_local, and form the r10 front core (they
-#      reach the age-4 bound there).
-# Counts are asserted by scripts/evidence_age.py — derive the r10 front
+#   1. ALL 22 queries whose latest driver grade is r6 (age 4, the
+#      structural bound — named for the r10 front by the r9 verdict);
+#   2. the 4 never-graded round-10 additions (dd_dedup_served,
+#      dd_max_dup_spans, mm_decode_image_real, cat_compaction_stats);
+#   3. 24 of the 50 r7-evidence queries, code-adjacent first: the two
+#      remaining mm_* queries (multimodal.py gained the real PPM
+#      decoder), both cat_* queries (catalog.py gained the compaction
+#      tier), dd_embedding_cosine_pairs (the dedup family grew the
+#      served path), then the window/rollup/join-shape rel_* block, the
+#      dispatch-results processor query, and three text staples. The 26
+#      left back (rel_case_null_logic, rel_correlated_above_avg,
+#      rel_distinct_aggs, rel_lag_lead_delta, rel_outer_join_nulls,
+#      rel_q{14,15,17,19,20}, rel_scalar_{datetime,math,string},
+#      rel_self_join_prev_order, sim_{label_centroids,prototypes_prune,
+#      quantize_int8}, st_{dispatch_latency,snapshot_merge},
+#      txt_{chunks,clean_corpus,clean_corpus_stats,hash_sample,
+#      unigram_lm_fertility,unigram_lm_vocab,unigram_logprob}) sit in
+#      modules untouched this round, remain hash-checked at sf0.001 on
+#      every pytest run and at sf0.01/sf0.1 by verify_local, and form
+#      the r11 front core (they reach the age-4 bound there).
+# Counts are asserted by scripts/evidence_age.py — derive the r11 front
 # from the script, not this comment.
-_FRONT_R9 = [
-    "sk_quantiles",
-    "sk_quantiles_merged",
-    "st_quantiles_incremental",
-    "sim_topk_pq_served",
-    "mm_decode_real",
-    "src_xml_roundtrip",
-    "txt_importance_sample",
-    "txt_sentiment",
-    "txt_bm25_topk",
-    "th_api_json",
-    "th_snapshot_merge",
-    "th_unknown_type_failed",
-    "th_list_by_status",
-    "th_list_all_union",
-    "th_point_get",
-    "mm_catalog_stats",
-    "mm_decode_features",
-    "src_csv_roundtrip",
-    "src_jsonl_roundtrip",
-    "src_orc_roundtrip",
-    "xp_taskgen_summary",
-    "th_stats",
-    "dd_chunk_dedup",
-    "dd_dup_rate_by_source",
-    "dd_duplicate_clusters",
-    "dd_duplicate_spans",
-    "dd_exact_groups",
-    "dd_exact_keep_list",
-    "dd_minhash_lsh_pairs",
-    "dd_ngram_jaccard_pairs",
-    "dd_semdedup",
-    "dd_simhash",
-    "dd_simhash_near_pairs",
-    "sim_kmeans_step",
-    "sim_pq_codes",
-    "sim_topk_ivf_pq",
-    "st_dispatch_assignments",
-    "st_final_tasks",
-    "st_minhash_incremental",
-    "st_requeued_pending",
-    "st_retry_backoff",
-    "st_status_counts",
-    "st_timer_requeue",
-    "st_unmatched_submits",
-    "st_windowed_throughput",
-    "st_worker_state",
-    "txt_bpe_merges",
-    "txt_bpe_tokenize",
-    "txt_quality_classifier",
-    "txt_training_mix",
+_FRONT_R10 = [
+    "gr_pagerank",
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_regional_revenue",
+    "rel_q6_forecast_revenue",
+    "rel_q7_volume",
+    "rel_q8_market_share",
+    "rel_q9_product_profit",
+    "rel_q10_returned_revenue",
+    "rel_q22_global_sales_opportunity",
+    "rel_unpivot_status",
+    "txt_bigram_lm_score",
+    "txt_corpus_profile",
+    "txt_dsir_sample",
+    "txt_filter_pipeline",
+    "txt_fingerprints",
+    "txt_length_histogram",
+    "txt_mix_rebalance",
+    "txt_quality_scores",
+    "txt_repetition_filter",
+    "txt_temperature_mix",
+    "txt_tfidf_topterms",
+    "dd_dedup_served",
+    "dd_max_dup_spans",
+    "mm_decode_image_real",
+    "cat_compaction_stats",
+    "mm_audio_segments",
+    "mm_frame_sample",
+    "cat_bucketed_join_stats",
+    "cat_pending_by_type",
+    "dd_embedding_cosine_pairs",
+    "xp_dispatch_results",
+    "rel_asof_join",
+    "rel_range_join",
+    "rel_sessionize",
+    "rel_topk_per_group",
+    "rel_window_frames",
+    "rel_window_ranks",
+    "rel_window_running",
+    "rel_rollup_orders",
+    "rel_cube_part",
+    "rel_grouping_sets_events",
+    "rel_pivot_status",
+    "rel_percentiles",
+    "rel_approx_distinct",
+    "rel_set_ops",
+    "rel_semi_anti_join",
+    "txt_language_id",
+    "txt_token_stats",
+    "txt_pii_scrub",
 ]
 
 # The driver's grading window; the front set must fill it exactly so no
@@ -145,7 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         timers,
     )
 
-    # Register evidence-first (see _FRONT_R9): queries whose driver
+    # Register evidence-first (see _FRONT_R10): queries whose driver
     # evidence is stalest fill the 50 graded slots; the freshly-graded
     # set rotates to the back.
     out: dict[str, Callable] = {}
@@ -171,16 +170,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sketches.QUERIES)
     out.update(sketchstream.QUERIES)
 
-    missing = [k for k in _FRONT_R9 if k not in out]
+    missing = [k for k in _FRONT_R10 if k not in out]
     assert not missing, f"front names not registered: {missing}"
     # distinct-count, not list-length: a pasted duplicate would pass a
     # len() check while silently shrinking the graded front below the
     # window (review finding r7)
-    assert len(set(_FRONT_R9)) == len(_FRONT_R9) == GRADING_WINDOW, (
+    assert len(set(_FRONT_R10)) == len(_FRONT_R10) == GRADING_WINDOW, (
         f"front set must fill the driver's grading window exactly: "
-        f"{len(set(_FRONT_R9))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R9"
+        f"{len(set(_FRONT_R10))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R10"
     )
-    front = {k: out[k] for k in _FRONT_R9}
+    front = {k: out[k] for k in _FRONT_R10}
     back = {k: v for k, v in out.items() if k not in front}
     ordered = {**front, **back}
 

@@ -52,14 +52,71 @@ def audit(spark, name: str, fn) -> dict | None:
     }
 
 
+def check_window_bounds(spark) -> list[dict]:
+    """Assert the row-bound invariants of the three DOCUMENTED
+    single-partition windows (the benign WindowExec warnings in the
+    bench tail). Each check measures the ACTUAL frame the operator
+    feeds into its global window and compares against the documented
+    bound — a refactor that silently unbounds one fails the audit exit
+    code, not just a comment.
+
+      1. sketch bottom-K merge  (sketches._bottom_k_hashes): the global
+         window input is the salted partial stage's survivors,
+         ≤ k·KMV_SALTS per side.
+      2. DSIR top-K rank window (textops.txt_dsir_sample): the window
+         input sits behind a LIMIT DSIR_K node; the result can never
+         exceed DSIR_K rows.
+      3. worker slot window     (assign._worker_slots): spans the
+         worker REGISTRY (control-plane sized), never a data table.
+    """
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators import assign, sketches, textops
+    from task_hive_spark.sources.fixtures import load_table
+
+    out = []
+    ev = load_table(spark, SF_DIR, "events")
+    for side in (sketches.THETA_SIDE_A, sketches.THETA_SIDE_B):
+        n = sketches._bottom_k_partial(
+            sketches._theta_side_hashes(ev, side), sketches.THETA_K
+        ).count()
+        out.append(
+            {
+                "window": f"sketches.bottom_k[{side}]",
+                "rows": n,
+                "bound": sketches.THETA_K * sketches.KMV_SALTS,
+            }
+        )
+    out.append(
+        {
+            "window": "textops.dsir_rank",
+            "rows": textops.txt_dsir_sample(spark, SF_DIR).count(),
+            "bound": textops.DSIR_K,
+        }
+    )
+    out.append(
+        {
+            "window": "assign.worker_slots",
+            "rows": assign._eligible_workers(spark, SF_DIR).count(),
+            "bound": assign.WORKER_REGISTRY_MAX,
+        }
+    )
+    for r in out:
+        r["ok"] = r["rows"] <= r["bound"]
+    return out
+
+
 def main() -> int:
     from task_hive_spark.session import get_spark
     import __spark_entry__ as entrymod
 
     spark = get_spark("plan_audit")
+    bounds = check_window_bounds(spark)
+    for r in bounds:
+        print(json.dumps({"window_bound": r}))
     qs = entrymod.queries()
     only = sys.argv[1:] or list(qs)
-    bad = 0
+    bad = 0 if all(r["ok"] for r in bounds) else 1
     singles = 0
     for name in only:
         try:

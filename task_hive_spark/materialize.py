@@ -35,6 +35,22 @@ def register_aux_cache(cache: dict) -> None:
     _AUX_CACHES.append(cache)
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Explicitly free a localCheckpoint's RDD blocks. ``df.unpersist()``
+    clears only the CacheManager layer; a checkpoint RDD underneath
+    (plan = LogicalRDD) is otherwise released by the ContextCleaner only
+    after the Python reference is GC'd — so a dropped-and-rebuilt index
+    (bench.py re-times builders this way) would transiently hold two
+    copies of its checkpoint storage. Unpersisting a never-persisted RDD
+    is a no-op, so probing every dropped frame is safe."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # session stopped / non-JVM frame — nothing to release
+
+
 def _unpersist_value(val: object) -> None:
     items = val if isinstance(val, (list, tuple)) else (val,)
     for item in items:
@@ -43,6 +59,7 @@ def _unpersist_value(val: object) -> None:
                 item.unpersist()
             except Exception:
                 pass  # session already stopped — nothing to unpersist
+            _release_checkpoint(item)
 
 
 def _evict_dead_sessions() -> None:
@@ -73,6 +90,7 @@ def clear_indexes(spark: SparkSession | None = None) -> None:
                 df.unpersist()
             except Exception:
                 pass  # session already stopped — nothing to unpersist
+            _release_checkpoint(df)
     for aux in _AUX_CACHES:
         for key in list(aux):
             if app is None or key[0] == app:
@@ -91,6 +109,7 @@ def drop_index(spark: SparkSession, sf_dir: str, name: str) -> None:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to unpersist
+        _release_checkpoint(df)
 
 
 def session_index(

@@ -25,6 +25,14 @@ from task_hive_spark.operators.taskmodel import oracle_cte, register_task_views
 
 STRATEGIES = ("least_tasks", "round_robin", "random")
 
+# The worker REGISTRY is control-plane sized (the reference's etcd
+# /workers/ prefix — machines, not data rows); _worker_slots' global
+# window is bounded by it. plan_audit.check_window_bounds asserts the
+# actual registry count stays under this at audit scale, so a refactor
+# that ever routed a data-plane table through the slot window fails the
+# audit gate instead of silently unbounding the window.
+WORKER_REGISTRY_MAX = 100_000
+
 
 def _eligible_workers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capacity gate P2 (dispatcher.go:542-544) + clamp P6."""

@@ -256,18 +256,42 @@ THETA_SIDE_A = "click"
 THETA_SIDE_B = "purchase"
 
 
+def _bottom_k_partial(distinct_h: DataFrame, k: int) -> DataFrame:
+    """The salted partial stage of the two-level bottom-K merge: at most
+    k survivors per salt, so the frame this RETURNS — the input of the
+    global single-partition window below — is ≤ k·KMV_SALTS rows. The
+    bound is asserted at audit time (scripts/plan_audit.py
+    check_window_bounds), so a refactor that unbounds it fails the
+    audit gate, not just a comment."""
+    partial = W.partitionBy(F.pmod("h", F.lit(KMV_SALTS))).orderBy("h")
+    return distinct_h.withColumn("rn", F.row_number().over(partial)).where(
+        F.col("rn") <= k
+    )
+
+
 def _bottom_k_hashes(distinct_h: DataFrame, k: int) -> DataFrame:
     """Global bottom-K of a single-column distinct hash frame via the
     salted two-level merge; the final unpartitioned window sees only
     ≤ k·KMV_SALTS survivors (one of plan_audit's documented bounded
     single-partition cases)."""
-    partial = W.partitionBy(F.pmod("h", F.lit(KMV_SALTS))).orderBy("h")
     merged = W.orderBy("h")
     return (
-        distinct_h.withColumn("rn", F.row_number().over(partial))
-        .where(F.col("rn") <= k)
+        _bottom_k_partial(distinct_h, k)
         .withColumn("rn", F.row_number().over(merged))
         .where(F.col("rn") <= k)
+    )
+
+
+def _theta_side_hashes(ev: DataFrame, event_type: str) -> DataFrame:
+    """Distinct user hashes of one theta side — factored so the audit
+    (plan_audit.check_window_bounds) measures the exact frame the
+    operator feeds into the bounded bottom-K."""
+    return (
+        ev.where(F.col("event_type") == event_type)
+        .select(
+            portable_hash64(F.col("user_id").cast("string"), seed="kmv-").alias("h")
+        )
+        .distinct()
     )
 
 
@@ -279,16 +303,7 @@ def sk_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     def side(event_type: str) -> DataFrame:
-        hashes = (
-            ev.where(F.col("event_type") == event_type)
-            .select(
-                portable_hash64(
-                    F.col("user_id").cast("string"), seed="kmv-"
-                ).alias("h")
-            )
-            .distinct()
-        )
-        return _bottom_k_hashes(hashes, THETA_K)
+        return _bottom_k_hashes(_theta_side_hashes(ev, event_type), THETA_K)
 
     sa, sb = side(THETA_SIDE_A), side(THETA_SIDE_B)
     stats = (
@@ -548,10 +563,12 @@ def qsk_estimate(state: DataFrame, keys: list[str] | None = None) -> DataFrame:
     ).withColumn("n_rows", F.sum("cnt").over(W.partitionBy(*keys)))
 
     def rank(q: int) -> F.Column:
-        # ceil(n·q/100) in exact arithmetic: (n·q + 99)/100 is a double
-        # division whose true value, when integral, is exactly
-        # representable — floor is then exact in both engines
-        return F.floor((F.col("n_rows") * q + F.lit(99)) / F.lit(100.0))
+        # ceil(n·q/100) in exact INTEGER arithmetic: int64 `div` both
+        # engines (the earlier double-division form was exact only while
+        # n·q + 99 < 2^53 ≈ 9.1e13 rows at q=99 — comfortably past
+        # 100 TB, but integer div removes the bound entirely up to the
+        # int64 domain)
+        return F.expr(f"(n_rows * {q} + 99) div 100")
 
     return (
         aug.groupBy(*keys)
@@ -756,8 +773,9 @@ def _qsk_bucket_sql(v_sql: str) -> str:
     return f"CAST(FLOOR({v_sql} / {p}) AS BIGINT) * {p}"
 
 
+# integer `//` mirrors the Spark side's int64 `div` (same exactness note)
 _QSK_RANK_MINS = ",\n               ".join(
-    f"CAST(MIN(CASE WHEN c.cum >= FLOOR((t.n_rows * {q} + 99) / 100.0)"
+    f"CAST(MIN(CASE WHEN c.cum >= (t.n_rows * {q} + 99) // 100"
     f" THEN c.lb END) AS BIGINT) AS p{q}_cents"
     for q in QSK_QS
 )

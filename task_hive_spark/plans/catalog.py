@@ -166,9 +166,126 @@ def cat_bucketed_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- table maintenance: small-file compaction ------------------------------
+# A 100 TB status-partitioned tasks table accretes small files from
+# streaming appends (every micro-batch writes ≥1 file per touched
+# partition); scan cost then degrades to file-open overhead. compact_table
+# is the maintenance pass: per partition, bin-pack the small files into
+# TARGET_FILE_BYTES outputs and rewrite — shuffle-FREE (coalesce merges
+# whole input files; rows never leave their partition), deterministic
+# (name-sorted file list → size-threshold bins), and content-invariant
+# (the oracle + test pin it). A production variant additionally skips
+# partitions already at target (n_files ≤ n_bins short-circuits here).
+
+TARGET_FILE_BYTES = 1 << 20  # 1 MiB target per output file at fixture scale
+FRAGMENT_PARTS = 48  # small-file fan-out simulating streaming appends
+
+
+def compact_table(
+    spark: SparkSession, in_dir: str, out_dir: str, target_bytes: int = TARGET_FILE_BYTES
+) -> dict:
+    """Bin-packed compaction of a hive-partitioned parquet directory:
+    for each partition, group its (name-sorted) data files into
+    ceil(partition_bytes / target_bytes) bins and rewrite each bin as
+    one file via coalesce — no shuffle anywhere: coalesce only
+    concatenates whole input splits, and rows never cross partitions.
+    Returns the per-partition plan
+    {partition: {files_before, bytes, n_bins, files_after}}."""
+    import math
+
+    plan: dict[str, dict] = {}
+    parts = sorted(
+        d for d in os.listdir(in_dir)
+        if "=" in d and os.path.isdir(os.path.join(in_dir, d))
+    )
+    for part in parts:
+        src = os.path.join(in_dir, part)
+        files = sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        total = sum(os.path.getsize(f) for f in files)
+        n_bins = max(1, math.ceil(total / target_bytes))
+        dst = os.path.join(out_dir, part)
+        if len(files) <= n_bins:
+            # already compact: pass the files through untouched (the
+            # production skip path — no rewrite amplification)
+            import shutil
+
+            os.makedirs(dst, exist_ok=True)
+            for f in files:
+                shutil.copy2(f, dst)
+        else:
+            (
+                spark.read.parquet(*files)
+                .coalesce(n_bins)
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
+        plan[part] = {
+            "files_before": len(files),
+            "bytes": total,
+            "n_bins": n_bins,
+            "files_after": sum(
+                1 for f in os.listdir(dst) if f.endswith(".parquet")
+            ),
+        }
+    return plan
+
+
+_COMPACTED: dict[tuple[str, str], tuple[str, dict]] = {}
+
+
+def compacted_tasks_dir(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Once per (session, sf_dir): write the tasks table FRAGMENTED
+    (FRAGMENT_PARTS files per status partition — the streaming-append
+    pathology), compact it, and return (compacted_dir, plan)."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _COMPACTED:
+        return _COMPACTED[key]
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    root = tempfile.mkdtemp(prefix="compact_", dir=_scratch_root())
+    frag, comp = os.path.join(root, "fragmented"), os.path.join(root, "compacted")
+    (
+        tasks_df(spark, sf_dir)
+        .repartition(FRAGMENT_PARTS)
+        .write.partitionBy("status")
+        .parquet(frag)
+    )
+    plan = compact_table(spark, frag, comp)
+    _COMPACTED[key] = (comp, plan)
+    return _COMPACTED[key]
+
+
+def cat_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog maintenance report read FROM THE COMPACTED table: per
+    status, row count, id range, and payload byte total. Matching the
+    DuckDB oracle (which reads the original tasks) IS the
+    content-invariance proof — a compaction that dropped, duplicated, or
+    mangled any row hash-fails; the file-count bound (files_after ≤
+    n_bins ≪ files_before) is asserted in tests/test_catalog.py."""
+    from pyspark.sql import functions as F
+
+    comp, _ = compacted_tasks_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(comp)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_tasks"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.sum(F.length("payload")).cast("long").alias("total_payload_bytes"),
+        )
+        .orderBy("status")
+    )
+
+
 QUERIES = {
     "cat_pending_by_type": cat_pending_by_type,
     "cat_bucketed_join_stats": cat_bucketed_join_stats,
+    "cat_compaction_stats": cat_compaction_stats,
 }
 
 ORACLES = {
@@ -184,6 +301,17 @@ ORACLES = {
     "cat_bucketed_join_stats": oracle_cte(
         """
         SELECT status, COUNT(*) AS n_tasks,
+               CAST(SUM(LENGTH(payload)) AS BIGINT) AS total_payload_bytes
+        FROM tasks
+        GROUP BY status ORDER BY status
+        """
+    ),
+    # reads the ORIGINAL tasks — equality with the Spark side (which
+    # reads the compacted rewrite) is the content-invariance gate
+    "cat_compaction_stats": oracle_cte(
+        """
+        SELECT status, COUNT(*) AS n_tasks,
+               MIN(id) AS min_id, MAX(id) AS max_id,
                CAST(SUM(LENGTH(payload)) AS BIGINT) AS total_payload_bytes
         FROM tasks
         GROUP BY status ORDER BY status

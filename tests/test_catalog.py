@@ -85,3 +85,41 @@ def test_concurrent_process_catalog_isolated(spark, sf_dir):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "CONCURRENT-OK" in r.stdout
+
+
+def test_compaction_bounds_files_and_preserves_content(spark, sf_dir):
+    """compact_table must (a) cut the per-partition file count to the
+    byte-derived bin count, (b) never move a row across partitions or
+    shuffle (plan is scan→coalesce→write), and (c) preserve the exact
+    row multiset — checked with a full-width order-independent hash of
+    every column, not just the aggregate the oracle gate covers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.plans.catalog import (
+        FRAGMENT_PARTS,
+        compacted_tasks_dir,
+    )
+
+    comp, plan = compacted_tasks_dir(spark, sf_dir)
+    assert plan, "no partitions compacted"
+    for part, p in plan.items():
+        assert p["files_before"] > p["n_bins"], (part, p)  # fragmented input
+        assert p["files_after"] <= p["n_bins"], (part, p)  # bound holds
+        assert p["files_before"] <= FRAGMENT_PARTS
+    frag = os.path.join(os.path.dirname(comp), "fragmented")
+
+    def content_hash(path: str) -> int:
+        df = spark.read.parquet(path)
+        cols = sorted(df.columns)
+        row_h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+        # sum of per-row hashes: order-independent, duplicate-sensitive
+        # (a dropped + doubled row pair would need a hash collision);
+        # decimal accumulator — a bigint SUM of 64-bit hashes overflows
+        # under ANSI mode
+        return df.select(
+            F.sum(row_h.cast("decimal(38,0)")).alias("h")
+        ).collect()[0]["h"]
+
+    assert content_hash(frag) == content_hash(comp)

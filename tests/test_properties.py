@@ -350,7 +350,7 @@ def test_quantile_bucket_arithmetic_matches_model(vals, q):
           FROM (SELECT {_qsk_bucket_sql('v')} AS lb FROM t) GROUP BY 1
         ),
         cum AS (SELECT lb, SUM(cnt) OVER (ORDER BY lb) AS cum FROM state)
-        SELECT CAST(MIN(CASE WHEN cum >= FLOOR(({n} * {q} + 99) / 100.0)
+        SELECT CAST(MIN(CASE WHEN cum >= ({n} * {q} + 99) // 100
                         THEN lb END) AS BIGINT) FROM cum
         """
     ).fetchone()

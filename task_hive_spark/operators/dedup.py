@@ -518,6 +518,37 @@ def materialize_dedup_index(spark: SparkSession, sf_dir: str, out_dir: str) -> d
     return summary
 
 
+def update_dedup_index(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> dict:
+    """APPEND a batch's signatures + band rows to a persisted dedup
+    index — the write half of the cross-snapshot loop: probe today's
+    crawl with dd_dedup_served, keep the novel docs, fold exactly those
+    back in so tomorrow's batch dedups against them too. Pure parquet
+    appends (no rewrite of historical artifacts — the index grows by
+    |batch| fixed-width rows); the caller passes only the docs it KEPT.
+    Returns the refreshed summary (re-counted from disk, the
+    materializer-reads-back discipline)."""
+    import json as _json
+    import os as _os
+
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # one materialization feeds both appends (the dd_dedup_served
+    # probe-signature rationale)
+    sigs = minhash_sigs_of(new_docs.repartition(nshuf, "doc_id")).localCheckpoint()
+    sigs.write.mode("append").parquet(_os.path.join(index_dir, "signatures"))
+    band_buckets_of(sigs).write.mode("append").parquet(
+        _os.path.join(index_dir, "buckets")
+    )
+    summary = {
+        name: spark.read.parquet(_os.path.join(index_dir, name)).count()
+        for name in ("signatures", "buckets")
+    }
+    with open(_os.path.join(index_dir, "summary.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    return summary
+
+
 _DD_IDX_RAN: dict[tuple[str, str], str] = {}
 
 
@@ -552,9 +583,18 @@ def dd_dedup_served(
     every (new_doc_id, hist_doc_id) LSH candidate with its MinHash
     Jaccard estimate; a pipeline drops new docs with any
     est_jaccard ≥ threshold partner."""
+    idx = index_dir if index_dir is not None else _dedup_index_dir(spark, sf_dir)
+    return dedup_served_of(spark, idx, new_batch_df(spark, sf_dir))
+
+
+def dedup_served_of(
+    spark: SparkSession, index_dir: str, batch: DataFrame
+) -> DataFrame:
+    """The serve core over an arbitrary (doc_id, text) batch — shared by
+    the driver-contract query and the update-loop test so the probe
+    plan cannot drift between them."""
     import os as _os
 
-    idx = index_dir if index_dir is not None else _dedup_index_dir(spark, sf_dir)
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # the probe signatures feed TWO consumers (banding, scoring) —
     # without materialization Spark re-runs the new-batch gram→md5→argmin
@@ -563,11 +603,9 @@ def dd_dedup_served(
     # is |new batch| fixed-width rows — bounded, and paid INSIDE the
     # call so the measured cost of serving stays honest (this is per-call
     # data, not a session index: each crawl batch is new).
-    new_sigs = minhash_sigs_of(
-        new_batch_df(spark, sf_dir).repartition(nshuf, "doc_id")
-    ).localCheckpoint()
-    hist_buckets = spark.read.parquet(_os.path.join(idx, "buckets"))
-    hist_sigs = spark.read.parquet(_os.path.join(idx, "signatures"))
+    new_sigs = minhash_sigs_of(batch.repartition(nshuf, "doc_id")).localCheckpoint()
+    hist_buckets = spark.read.parquet(_os.path.join(index_dir, "buckets"))
+    hist_sigs = spark.read.parquet(_os.path.join(index_dir, "signatures"))
     cands = (
         F.broadcast(
             band_buckets_of(new_sigs).withColumnRenamed("doc_id", "new_doc_id")

@@ -333,3 +333,65 @@ def test_dedup_served_probes_index_without_rescanning_history(spark, sf_dir, tmp
     assert all(out in f for f in scans), scans  # index files ONLY — no text
     for artifact in ("buckets", "signatures"):
         assert any(os.path.join(out, artifact) in f for f in scans), artifact
+
+
+def test_dedup_index_update_completes_the_cross_snapshot_loop(spark, sf_dir, tmp_path):
+    """The full production loop: probe batch 1 against the historical
+    index, keep only the NOVEL docs, fold exactly those back in
+    (update_dedup_index), then probe batch 2 — re-crawls of batch-1
+    docs must now hit their batch-1 ids at est_jaccard 1.0 (the index
+    grew), while the historical artifacts were appended, never
+    rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        NEW_OFFSET,
+        dedup_served_of,
+        materialize_dedup_index,
+        new_batch_df,
+        update_dedup_index,
+    )
+
+    out = str(tmp_path / "ddidx")
+    base = materialize_dedup_index(spark, sf_dir, out)
+    hist_files = set(os.listdir(os.path.join(out, "signatures")))
+
+    # batch 1 = the derived re-crawls (all near/exact dups of history)
+    # plus genuinely novel docs (unique token streams — no shared
+    # shingles with anything)
+    fresh = spark.createDataFrame(
+        [
+            (NEW_OFFSET + 10_000_000 + d, " ".join(f"novtok{d}x{i}" for i in range(24)))
+            for d in range(5)
+        ],
+        "doc_id long, text string",
+    )
+    batch1 = new_batch_df(spark, sf_dir).unionByName(fresh)
+    hits = (
+        dedup_served_of(spark, out, batch1)
+        .where(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("new_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    novel = batch1.join(hits, "doc_id", "left_anti")
+    n_novel = novel.count()
+    assert 0 < n_novel < batch1.count()  # some dups found, some novel
+    assert n_novel >= 5  # at least the synthetic fresh docs survive
+
+    updated = update_dedup_index(spark, out, novel)
+    assert updated["signatures"] == base["signatures"] + n_novel
+    assert updated["buckets"] == base["buckets"] + n_novel * 32
+    # append-only: every original signature file still present untouched
+    assert hist_files <= set(os.listdir(os.path.join(out, "signatures")))
+
+    # batch 2: exact re-crawls of the NOVEL batch-1 docs under fresh ids
+    batch2 = novel.select(
+        (F.col("doc_id") + NEW_OFFSET).alias("doc_id"), "text"
+    )
+    rows = dedup_served_of(spark, out, batch2).collect()
+    partners = {(r["new_doc_id"], r["hist_doc_id"]): r["est_jaccard"] for r in rows}
+    for nid in [r["doc_id"] for r in novel.select("doc_id").collect()]:
+        assert partners.get((nid + NEW_OFFSET, nid)) == 1.0, nid

@@ -457,6 +457,59 @@ def sketch_probe() -> int:
     return 1 if bad else 0
 
 
+def served_probe() -> int:
+    """--served: the cross-snapshot served dedup's scale CLAIM is that
+    candidates (and therefore the scoring work) grow with the BATCH and
+    its true duplicate partners — never with |batch|·|history| — and
+    the serve pass never re-reads historical text. Verified across the
+    100x fixture span plus synthetic sf1: per sf, build the on-disk
+    index once, then time the warm SERVE (new-batch signatures + banded
+    probe + score) and bound candidates at a small multiple of the
+    batch size. Exits non-zero if the candidate bound breaks — the
+    banding-degeneration signal (round 2's correlated family would have
+    tripped this)."""
+    import tempfile
+
+    from task_hive_spark.session import get_spark
+    from task_hive_spark.operators.dedup import (
+        dedup_served_of,
+        materialize_dedup_index,
+        new_batch_df,
+    )
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    sf1_dir = _gen_sf1_dir()
+    spark = get_spark("scale_probe_served")
+    bad = 0
+    for d in ["/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1_dir]:
+        out = tempfile.mkdtemp(prefix="servedidx_", dir=_scratch_root())
+        t0 = time.perf_counter()
+        summary = materialize_dedup_index(spark, d, out)
+        build_s = round(time.perf_counter() - t0, 3)
+        batch = new_batch_df(spark, d)
+        n_batch = batch.count()
+        served = lambda: dedup_served_of(spark, out, batch)  # noqa: E731
+        served().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        n_cands = served().count()
+        serve_s = round(time.perf_counter() - t0, 3)
+        # every re-crawled doc meets its base + the base's augmented
+        # copies (≤ 3 true partners at any sf) plus banding noise; 8x
+        # batch is the generous ceiling under which growth is linear-
+        # in-batch, nowhere near |batch|·|history|
+        ok = n_cands <= 8 * n_batch
+        bad += 0 if ok else 1
+        print(json.dumps({
+            "probe": "dedup_served", "sf_dir": d,
+            "index_docs": summary["signatures"],
+            "batch_docs": n_batch, "candidates": n_cands,
+            "cand_bound": 8 * n_batch,
+            "build_seconds": build_s, "serve_seconds": serve_s,
+            "bounds_ok": ok,
+        }))
+    return 1 if bad else 0
+
+
 def main() -> int:
     from task_hive_spark.session import get_spark
 
@@ -468,6 +521,8 @@ def main() -> int:
         return sketch_probe()
     if sys.argv[1:2] == ["--sf1"]:
         return sf1_probe()
+    if sys.argv[1:2] == ["--served"]:
+        return served_probe()
     if sys.argv[1:2] == ["--semdedup"]:
         return semdedup_probe()
     if sys.argv[1:2] == ["--lm"]:

@@ -618,8 +618,14 @@ def dedup_served_of(
     sb = hist_sigs.select(
         F.col("doc_id").alias("hist_doc_id"), F.col("sig").alias("sig_b")
     )
+    # only the BATCH-sized side is force-broadcast (sa — bounded by the
+    # crawl batch); the candidate→historical-signature fetch is left to
+    # AQE like the ANN refine fetch (_refine_rerank): at fixture scale
+    # it broadcasts anyway, at cluster scale an oversized candidate set
+    # degrades gracefully to a shuffle join instead of OOMing a forced
+    # broadcast
     return (
-        F.broadcast(cands.join(F.broadcast(sa), "new_doc_id"))
+        cands.join(F.broadcast(sa), "new_doc_id")
         .join(sb, "hist_doc_id")
         .select("new_doc_id", "hist_doc_id", est_jaccard_col().alias("est_jaccard"))
         .orderBy("new_doc_id", "hist_doc_id")

@@ -1015,6 +1015,45 @@ def materialize_ann_index(
     return summary
 
 
+def update_ann_index(
+    spark: SparkSession, index_dir: str, new_vecs: DataFrame
+) -> dict:
+    """APPEND new vectors to a persisted IVF-PQ index WITHOUT
+    retraining — the serving-tier ingestion path (FAISS's add()): route
+    each new vector to its nearest EXISTING centroid, PQ-encode it
+    against the EXISTING codebook, and append to cells/, codes/ and the
+    flat refine store. centroids/ and codebook/ stay frozen — quantizer
+    drift is a periodic-rebuild decision, not an ingest-time one — and
+    historical artifacts are never rewritten (pure parquet appends, the
+    update_dedup_index discipline). ``new_vecs``: (vec_id, embedding).
+    Returns the refreshed read-back summary."""
+    import json as _json
+    import os as _os
+
+    read = lambda name: spark.read.parquet(_os.path.join(index_dir, name))  # noqa: E731
+    # one materialization feeds three appends (assign, encode, store)
+    vecs = new_vecs.select("vec_id", "embedding").localCheckpoint()
+    cells = (
+        _assign_cells(vecs, read("centroids"))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    best = _pq_dist_table(spark, vecs, book=read("codebook")).groupBy(
+        "vec_id", "sub"
+    ).agg(F.min(F.struct(F.round("d2", 6).alias("d2r"), "code")).alias("b"))
+    codes = best.select("vec_id", "sub", F.col("b.code").alias("code"))
+    cells.write.mode("append").parquet(_os.path.join(index_dir, "cells"))
+    codes.write.mode("append").parquet(_os.path.join(index_dir, "codes"))
+    vecs.write.mode("append").parquet(_os.path.join(index_dir, "vectors"))
+    summary = {
+        name: spark.read.parquet(_os.path.join(index_dir, name)).count()
+        for name in ("centroids", "cells", "codes", "codebook", "vectors")
+    }
+    with open(_os.path.join(index_dir, "summary.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    return summary
+
+
 _ANN_IDX_RAN: dict[tuple[str, str], str] = {}
 
 

@@ -395,3 +395,72 @@ def test_dedup_index_update_completes_the_cross_snapshot_loop(spark, sf_dir, tmp
     partners = {(r["new_doc_id"], r["hist_doc_id"]): r["est_jaccard"] for r in rows}
     for nid in [r["doc_id"] for r in novel.select("doc_id").collect()]:
         assert partners.get((nid + NEW_OFFSET, nid)) == 1.0, nid
+
+
+def test_ann_index_update_routes_and_encodes_against_frozen_artifacts(
+    spark, sf_dir, tmp_path
+):
+    """update_ann_index must append WITHOUT retraining: exact copies of
+    existing vectors under fresh ids route to the SAME cell and encode
+    to the SAME PQ codes as their originals (frozen centroids/codebook
+    arithmetic), counts grow by exactly the batch, and the historical
+    artifact files are untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.similarity import (
+        PQ_M,
+        materialize_ann_index,
+        update_ann_index,
+    )
+    from task_hive_spark.sources.fixtures import load_table
+
+    out = str(tmp_path / "annidx")
+    base = materialize_ann_index(spark, sf_dir, out)
+    pre_files = {
+        a: set(os.listdir(os.path.join(out, a))) for a in ("cells", "codes", "vectors")
+    }
+    orig_cells = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(os.path.join(out, "cells")).collect()
+    }
+    orig_codes = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in spark.read.parquet(os.path.join(out, "codes")).collect()
+    }
+
+    OFF = 10_000_000
+    sample = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 17 == 0
+    )
+    n_new = sample.count()
+    assert n_new > 0
+    new_vecs = sample.select((F.col("vec_id") + OFF).alias("vec_id"), "embedding")
+
+    summary = update_ann_index(spark, out, new_vecs)
+    assert summary["cells"] == base["cells"] + n_new
+    assert summary["codes"] == base["codes"] + n_new * PQ_M
+    assert summary["vectors"] == base["vectors"] + n_new
+    assert summary["centroids"] == base["centroids"]  # frozen
+    assert summary["codebook"] == base["codebook"]  # frozen
+    for a, files in pre_files.items():
+        assert files <= set(os.listdir(os.path.join(out, a))), a  # append-only
+
+    new_cells = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(os.path.join(out, "cells"))
+        .where(F.col("vec_id") >= OFF)
+        .collect()
+    }
+    new_codes = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in spark.read.parquet(os.path.join(out, "codes"))
+        .where(F.col("vec_id") >= OFF)
+        .collect()
+    }
+    assert len(new_cells) == n_new
+    for nid, cell in new_cells.items():
+        assert cell == orig_cells[nid - OFF], nid
+    for (nid, sub), code in new_codes.items():
+        assert code == orig_codes[(nid - OFF, sub)], (nid, sub)

@@ -907,21 +907,35 @@ def max_dup_spans_of(d: DataFrame, spark: SparkSession) -> DataFrame:
     exposed so the property test can run it on tiny synthetic frames
     against a clean-room O(n²) model."""
     w = _span_windows_of(d, spark)
+    # pairs are emitted INSIDE each fp's occurrence list (the
+    # dd_ngram_jaccard_pairs postings discipline), not via an fp
+    # self-join: a self-join would evaluate the whole corpus-scan →
+    # window-explode → hash pipeline twice (the two aliases share no
+    # exchange), and here the list is bounded at MAX_WINDOW_DF rows by
+    # the windowed count that ALSO sits on the fp partitioning — so the
+    # collect_list aggregates exchange-free on top of the same shuffle
+    # that counted.
     dw = (
         w.withColumn("n", F.count("*").over(W.partitionBy("fp")))
         .where((F.col("n") > 1) & (F.col("n") <= MAX_WINDOW_DF))
         .select("doc_id", "p", "fp")
     )
-    a, b = dw.alias("a"), dw.alias("b")
-    pr = a.join(
-        b,
-        (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.p").alias("pa"),
-        F.col("b.p").alias("pb"),
-        (F.col("a.p") - F.col("b.p")).alias("diag"),
+    occ = dw.groupBy("fp").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "p"))).alias("occ")
+    )
+    pr = (
+        occ.select(F.posexplode("occ").alias("i", "a"), "occ")
+        .select(
+            "a", F.explode(F.slice("occ", F.col("i") + 2, F.size("occ"))).alias("b")
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
+            (F.col("a.p") - F.col("b.p")).alias("diag"),
+        )
     )
     win = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     isl = pr.withColumn("isl", F.col("pa") - F.row_number().over(win))

@@ -175,46 +175,57 @@ def _doc_shingles_of(d: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# The K-wide stages are built as SQL TEXT parsed JVM-side in one call,
+# not as K separate Column objects: constructing 128 aggregate Columns
+# costs ~1,000 py4j round trips ≈ 1.2 s of pure driver time PER CALL —
+# measured as the dominant cost of the served-dedup probe (the data
+# work on a 385-doc batch is milliseconds). The parsed expression trees
+# are identical (SQL `a[i]` is the same 0-based GetArrayItem as
+# Column.getItem; integer literals type the same), so values and
+# oracles are unchanged — only the construction path moves JVM-side.
+_SIG_AGG_SQL = (
+    "array("
+    + ", ".join(
+        f"min(({_MH_A[i]} * x{i % 4} + {_MH_B[i]}) % {_MH_P})"
+        for i in range(MINHASH_K)
+    )
+    + ") AS sig"
+)
+_LANES_SQL = [
+    f"CAST(conv(substring(hx, {1 + 8 * j}, 8), 16, 10) AS BIGINT) % {_MH_P} AS x{j}"
+    for j in range(4)
+]
+_BANDS_SQL = (
+    "explode(array("
+    + ", ".join(
+        "xxhash64({bi}, {items})".format(
+            bi=bi,
+            items=", ".join(
+                f"sig[{bi * (MINHASH_K // LSH_BANDS) + r}]"
+                for r in range(MINHASH_K // LSH_BANDS)
+            ),
+        )
+        for bi in range(LSH_BANDS)
+    )
+    + ")) AS bucket"
+)
+
+
 def minhash_sigs_of(d: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[K]) signatures for a (doc_id, text)
     frame — the un-memoized form of _minhash_sig_array, shared with the
     streaming indexer. Identical arithmetic to the session index."""
     grams = _doc_shingles_of(d, n)
     hx = grams.select("doc_id", F.md5(F.concat(F.lit("mh-"), "gram")).alias("hx"))
-    lanes = hx.select(
-        "doc_id",
-        *[
-            (
-                F.conv(F.substring("hx", 1 + 8 * j, 8), 16, 10).cast("bigint") % _MH_P
-            ).alias(f"x{j}")
-            for j in range(4)
-        ],
-    )
-    agg = lanes.groupBy("doc_id").agg(
-        *[
-            F.min((_MH_A[i] * F.col(f"x{i % 4}") + _MH_B[i]) % _MH_P).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias("sig")
-    )
+    lanes = hx.selectExpr("doc_id", *_LANES_SQL)
+    return lanes.groupBy("doc_id").agg(F.expr(_SIG_AGG_SQL))
 
 
 def band_buckets_of(sigs: DataFrame) -> DataFrame:
     """(doc_id, bucket) band rows for a (doc_id, sig) frame: one 64-bit
     xxhash bucket per LSH band (see dd_minhash_lsh_pairs for why the
     join key is the hash, not the band tuple)."""
-    rows_per_band = MINHASH_K // LSH_BANDS
-    sig = F.col("sig")
-    bands = [
-        F.xxhash64(
-            F.lit(bi),
-            *[sig.getItem(bi * rows_per_band + r) for r in range(rows_per_band)],
-        )
-        for bi in range(LSH_BANDS)
-    ]
-    return sigs.select("doc_id", F.explode(F.array(*bands)).alias("bucket"))
+    return sigs.selectExpr("doc_id", _BANDS_SQL)
 
 
 def est_jaccard_col() -> F.Column:
@@ -392,10 +403,11 @@ def _minhash_sig_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix (the LSH input), fully deterministic."""
-    sig = F.col("sig")
-    return _minhash_sig_array(spark, sf_dir).select(
-        "doc_id", *[sig.getItem(i).alias(f"h{i}") for i in range(MINHASH_K)]
-    ).orderBy("doc_id")
+    return (
+        _minhash_sig_array(spark, sf_dir)
+        .selectExpr("doc_id", *[f"sig[{i}] AS h{i}" for i in range(MINHASH_K)])
+        .orderBy("doc_id")
+    )
 
 
 def _lsh_pairs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,13 +585,16 @@ def dd_dedup_served(
     the NEW batch only, probe its band rows into the STORED buckets,
     and score candidates against the STORED signatures — the most
     common production dedup workflow (today's crawl vs all prior
-    dumps). Historical text is never re-read: the only documents scan
-    in the plan is the new batch itself (tests pin this), and the
-    history side enters through two index-artifact scans.
+    dumps). Historical text is never re-read: the only text scanned is
+    the new batch, materialized once behind the probe-signature
+    checkpoint, so the served plan reads index artifacts ONLY (tests
+    pin inputFiles() to the index dir).
 
     Scale shape: new batch ≪ accumulated history, so the new-side band
-    rows and candidate pairs are BROADCAST — history's buckets/ and
-    signatures/ stream through map-side joins, never shuffle. Output:
+    rows and probe signatures are BROADCAST — history's buckets/
+    streams through a map-side join, never shuffles; the
+    candidate→stored-signature fetch is AQE-planned (broadcast when
+    small, graceful shuffle fallback when not). Output:
     every (new_doc_id, hist_doc_id) LSH candidate with its MinHash
     Jaccard estimate; a pipeline drops new docs with any
     est_jaccard ≥ threshold partner."""

@@ -63,9 +63,11 @@ def check_window_bounds(spark) -> list[dict]:
       1. sketch bottom-K merge  (sketches._bottom_k_hashes): the global
          window input is the salted partial stage's survivors,
          ≤ k·KMV_SALTS per side.
-      2. DSIR top-K rank window (textops.txt_dsir_sample): the window
-         input sits behind a LIMIT DSIR_K node; the result can never
-         exceed DSIR_K rows.
+      2. DSIR top-K rank window (textops.txt_dsir_sample): the ACTUAL
+         frame feeding the rank window (captured at plan-build time —
+         textops._dsir_topk_input), which sits behind a LIMIT DSIR_K
+         node; counting the query output instead would stay bounded
+         even with the window lifted above the limit.
       3. worker slot window     (assign._worker_slots): spans the
          worker REGISTRY (control-plane sized), never a data table.
     """
@@ -90,7 +92,7 @@ def check_window_bounds(spark) -> list[dict]:
     out.append(
         {
             "window": "textops.dsir_rank",
-            "rows": textops.txt_dsir_sample(spark, SF_DIR).count(),
+            "rows": textops._dsir_topk_input(spark, SF_DIR).count(),
             "bound": textops.DSIR_K,
         }
     )

@@ -30,6 +30,7 @@ DEFAULT = [
     "dd_embedding_cosine_pairs",
     "dd_duplicate_clusters",  # iterative: round count must stay flat (diameter, not size)
     "dd_chunk_dedup",  # chunk-fp groups: linear in corpus, one shuffle
+    "dd_max_dup_spans",  # pairwise maximal spans: in-list emission capped by MAX_WINDOW_DF — pair rows must track true dup mass, not corpus²
     "sim_topk_lsh",
     "txt_chunks",
     "txt_repetition_filter",  # 2-gram explode co-partitioned by doc — linear

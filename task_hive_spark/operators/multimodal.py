@@ -266,6 +266,8 @@ def decode_ppm(content: bytes) -> tuple[int, int, int, int, int, int, int]:
     # single whitespace byte following maxval
     tokens, pos, tok = [], 2, b""
     while len(tokens) < 3:
+        if pos >= len(content):
+            raise ValueError("truncated header: EOF before width/height/maxval")
         c = content[pos : pos + 1]
         pos += 1
         if c.isspace():
@@ -275,6 +277,10 @@ def decode_ppm(content: bytes) -> tuple[int, int, int, int, int, int, int]:
         else:
             tok += c
     w, h, maxval = tokens
+    if not (0 < maxval <= 255):
+        # maxval > 255 means 2-byte big-endian samples (legal PPM) —
+        # reject loudly rather than mis-slice the interleave
+        raise ValueError(f"unsupported maxval {maxval} (only 1-byte samples)")
     payload = content[pos : pos + 3 * w * h]
     if len(payload) != 3 * w * h:
         raise ValueError(f"truncated payload: {len(payload)} != {3 * w * h}")

@@ -1649,7 +1649,10 @@ def txt_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr_micro"),
         )
     )
-    return (
+    # the LIMIT sits BELOW the global rank window — the bound the audit
+    # measures (see _dsir_topk_input); a refactor that lifts the window
+    # above the limit turns it corpus-wide and fails the audit gate
+    sel = (
         feats.join(F.broadcast(lr), "f")
         .groupBy("doc_id", "lang")
         .agg(
@@ -1658,7 +1661,10 @@ def txt_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("weight_micro"), "doc_id")
         .limit(DSIR_K)
-        .select(
+    )
+    _DSIR_TOPK_INPUT[0] = sel
+    return (
+        sel.select(
             F.row_number()
             .over(W.orderBy(F.desc("weight_micro"), "doc_id"))
             .cast("int")
@@ -1670,6 +1676,19 @@ def txt_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# The exact frame txt_dsir_sample feeds into its single-partition rank
+# window, captured at plan-build time so plan_audit.check_window_bounds
+# measures the REAL window input (counting the query's post-window
+# output would stay <= DSIR_K even if a refactor lifted the window above
+# the LIMIT — the precise failure mode the audit exists to catch).
+_DSIR_TOPK_INPUT: list = [None]
+
+
+def _dsir_topk_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txt_dsir_sample(spark, sf_dir)
+    return _DSIR_TOPK_INPUT[0]
 
 
 def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

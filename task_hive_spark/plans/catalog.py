@@ -184,12 +184,21 @@ FRAGMENT_PARTS = 48  # small-file fan-out simulating streaming appends
 def compact_table(
     spark: SparkSession, in_dir: str, out_dir: str, target_bytes: int = TARGET_FILE_BYTES
 ) -> dict:
-    """Bin-packed compaction of a hive-partitioned parquet directory:
-    for each partition, group its (name-sorted) data files into
-    ceil(partition_bytes / target_bytes) bins and rewrite each bin as
-    one file via coalesce — no shuffle anywhere: coalesce only
-    concatenates whole input splits, and rows never cross partitions.
-    Returns the per-partition plan
+    """Compaction of a hive-partitioned parquet directory: for each
+    partition, derive the bin count ceil(partition_bytes / target_bytes)
+    from the measured file bytes and rewrite the partition through
+    coalesce(n_bins) — no shuffle anywhere (coalesce only concatenates
+    whole input splits, and rows never cross partitions).
+
+    The DETERMINISTIC part of the contract is the bin COUNT (pure byte
+    arithmetic), the file-count bound (files_after ≤ n_bins), and
+    content invariance (oracle + multiset-hash tested). Which file
+    lands in which bin is delegated to Spark's scan packing + coalesce
+    index ranges — so per-file sizes are approximate (a bin can exceed
+    target_bytes when large inputs pack together); a variant needing
+    byte-exact bins would read each name-sorted first-fit bin
+    separately and coalesce(1) per bin, at the cost of one job per
+    bin. Returns the per-partition plan
     {partition: {files_before, bytes, n_bins, files_after}}."""
     import math
 

@@ -289,6 +289,7 @@ def test_dedup_served_probes_index_without_rescanning_history(spark, sf_dir, tmp
     import os
 
     from task_hive_spark.operators.dedup import (
+        LSH_BANDS,
         NEW_OFFSET,
         dd_dedup_served,
         materialize_dedup_index,
@@ -297,7 +298,7 @@ def test_dedup_served_probes_index_without_rescanning_history(spark, sf_dir, tmp
     out = str(tmp_path / "ddidx")
     summary = materialize_dedup_index(spark, sf_dir, out)
     assert summary["signatures"] > 0
-    assert summary["buckets"] == summary["signatures"] * 32  # LSH_BANDS rows/doc
+    assert summary["buckets"] == summary["signatures"] * LSH_BANDS  # rows/doc
     assert os.path.isfile(os.path.join(out, "summary.json"))
 
     served = dd_dedup_served(spark, sf_dir, index_dir=out)
@@ -348,6 +349,7 @@ def test_dedup_index_update_completes_the_cross_snapshot_loop(spark, sf_dir, tmp
 
     from task_hive_spark.operators.dedup import (
         JACCARD_THRESHOLD,
+        LSH_BANDS,
         NEW_OFFSET,
         dedup_served_of,
         materialize_dedup_index,
@@ -383,7 +385,7 @@ def test_dedup_index_update_completes_the_cross_snapshot_loop(spark, sf_dir, tmp
 
     updated = update_dedup_index(spark, out, novel)
     assert updated["signatures"] == base["signatures"] + n_novel
-    assert updated["buckets"] == base["buckets"] + n_novel * 32
+    assert updated["buckets"] == base["buckets"] + n_novel * LSH_BANDS
     # append-only: every original signature file still present untouched
     assert hist_files <= set(os.listdir(os.path.join(out, "signatures")))
 

@@ -522,3 +522,20 @@ def test_ppm_decoder_parses_a_genuine_p6_container():
     # png/jpeg (and video) remain stubbed in this container
     with pytest.raises(NotImplementedError):
         decode_asset_real("image", b"\x89PNG", "png")
+
+
+def test_ppm_decoder_rejects_truncated_header_and_wide_maxval():
+    """Review finding r10: a header cut before three tokens must raise
+    (not spin at EOF), and maxval > 255 (legal 2-byte-per-sample P6)
+    must be rejected loudly rather than mis-sliced as 1-byte samples."""
+    import pytest
+
+    from task_hive_spark.operators.multimodal import decode_ppm
+
+    for bad in (b"P6", b"P6\n", b"P6\n4 3\n255", b"P6 4"):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n0\n" + bytes(12))

@@ -3,11 +3,15 @@
 North-star requirement: treat image/audio/video as opaque ``binary``
 columns plus a typed metadata struct, with decode / feature-extract /
 resize / frame-sample as Arrow-batched Python stages over
-``mapInPandas``. The container has no codec libraries, so the *real*
-decode is stubbed behind ``NotImplementedError`` (clearly marked), and a
-deterministic fake decode exercises the full Spark-side plumbing —
-schema, partitioning, UDF signature, batch shape — against a DuckDB
-oracle that recomputes the same bytes arithmetically.
+``mapInPandas``. Every asset kind has a REAL pure-stdlib decode path —
+WAV/RIFF audio (mm_decode_real), P6 PPM images (mm_decode_image_real),
+YUV4MPEG2 video (mm_decode_video_real) — each an encode→decode round
+trip over genuine containers whose stats an arithmetic DuckDB oracle
+reproduces. The container ships no codec libraries, so COMPRESSED
+formats (png/jpeg/mp3/mp4) stay stubbed behind ``NotImplementedError``
+(clearly marked), with a deterministic fake decode exercising their
+identical Spark-side plumbing — schema, partitioning, UDF signature,
+batch shape — against the same oracle discipline.
 
 The ``assets`` table is derived deterministically from ``part`` with SQL
 text that parses identically in Spark SQL and DuckDB (same pattern as
@@ -84,15 +88,18 @@ def _oracle_assets_cte(body_sql: str) -> str:
 def decode_asset_real(kind: str, content: bytes, fmt: str | None = None):
     """The production decode stage: image → pixel array (PIL), audio →
     waveform, video → frame iterator. WAV is decoded for REAL with the
-    pure-stdlib RIFF/PCM parser below (mm_decode_real) and PPM images
-    with the pure-stdlib P6 parser (mm_decode_image_real); the remaining
-    formats need codec libraries absent from this container and stay
-    stubbed — the deterministic fake decode exercises their identical
-    Spark plumbing."""
+    pure-stdlib RIFF/PCM parser below (mm_decode_real), PPM images with
+    the pure-stdlib P6 parser (mm_decode_image_real), and Y4M video
+    with the pure-stdlib YUV4MPEG2 parser (mm_decode_video_real); the
+    COMPRESSED formats need codec libraries absent from this container
+    and stay stubbed — the deterministic fake decode exercises their
+    identical Spark plumbing."""
     if kind == "audio" and fmt == "wav":
         return decode_wav(content)
     if kind == "image" and fmt == "ppm":
         return decode_ppm(content)
+    if kind == "video" and fmt == "y4m":
+        return decode_y4m(content)
     try:  # pragma: no cover
         if kind == "image":
             import PIL.Image  # noqa: F401
@@ -334,8 +341,7 @@ def mm_decode_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     header fields + exact per-channel pixel sums. Both stages are the
     bounded mapInPandas shape of mm_decode_real — embarrassingly
     parallel, no shuffle, Arrow-batched; per-asset payloads are ≤ 540
-    bytes so batches stay flat. The fake codec now remains only for
-    video."""
+    bytes so batches stay flat."""
     register_fixture_views(spark, sf_dir)
     img_ids = spark.sql(ASSETS_SQL).where(
         (F.col("kind") == "image") & F.col("content").isNotNull()
@@ -344,6 +350,144 @@ def mm_decode_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ppm_encode_batches, schema="asset_id bigint, content binary"
     )
     decoded = encoded.mapInPandas(_ppm_decode_batches, schema=_PPM_DECODE_SCHEMA)
+    return decoded.orderBy("asset_id")
+
+
+# --- REAL video decode (pure stdlib: YUV4MPEG2 header + raw planes) -------
+# The video twin of the WAV/PPM recipe. Y4M is a REAL video container
+# (mjpegtools/ffmpeg's uncompressed interchange format): an ASCII
+# header line "YUV4MPEG2 W<w> H<h> F<num>:<den> ... C444\n", then one
+# "FRAME\n" marker + raw Y, U, V planes per frame. The ENCODE stage
+# writes genuine containers around a deterministic per-plane ramp; the
+# DECODE stage genuinely parses the header grammar, walks the frame
+# markers and slices the planes. The oracle rebuilds every stat from
+# the ramp formula, so a decoder that misreads dimensions, frame
+# markers, or plane order hash-fails.
+
+
+def _y4m_geometry(asset_id: int) -> tuple[int, int, int, int, int]:
+    """(width, height, fps_num, fps_den, n_frames) — deterministic
+    synth geometry shared by the encoder and the oracle."""
+    return (
+        4 + (asset_id % 4) * 2,
+        2 + asset_id % 5,
+        24 + asset_id % 3,
+        1,
+        2 + asset_id % 4,
+    )
+
+
+def _y4m_byte(asset_id: int, k: int, plane: int, i: int) -> int:
+    """Byte i of plane (0=Y, 1=U, 2=V) in frame k — exact integer
+    arithmetic both the encoder and the SQL oracle reproduce."""
+    return (asset_id * 11 + k * 7 + plane * 3 + i * 5) % 256
+
+
+def synth_y4m_bytes(asset_id: int) -> bytes:
+    """A real YUV4MPEG2 stream (C444 — no chroma subsampling, so every
+    plane is w·h bytes) holding the asset's deterministic ramps."""
+    w, h, fn, fd, n = _y4m_geometry(asset_id)
+    out = [f"YUV4MPEG2 W{w} H{h} F{fn}:{fd} Ip A1:1 C444\n".encode()]
+    for k in range(n):
+        out.append(b"FRAME\n")
+        for plane in range(3):
+            out.append(bytes(_y4m_byte(asset_id, k, plane, i) for i in range(w * h)))
+    return b"".join(out)
+
+
+def decode_y4m(content: bytes) -> tuple[int, int, int, int, int, int, int, int]:
+    """REAL Y4M decode, stdlib only: parse the stream-header parameter
+    tokens (W/H/F per the YUV4MPEG2 grammar; only C444 planes are
+    supported — anything else raises), then walk FRAME markers slicing
+    the three w·h planes. Returns (width, height, fps_num, fps_den,
+    n_frames, sum_y, sum_u, sum_v)."""
+    nl = content.find(b"\n")
+    if nl < 0 or not content.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"not a YUV4MPEG2 stream: {content[:9]!r}")
+    w = h = fn = fd = None
+    colorspace = "C420jpeg"  # the format's default when no C tag
+    for tok in content[:nl].decode("ascii").split()[1:]:
+        tag, val = tok[0], tok[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            fn, fd = (int(x) for x in val.split(":"))
+        elif tag == "C":
+            colorspace = tok
+    if w is None or h is None or fn is None:
+        raise ValueError("missing W/H/F header parameters")
+    if colorspace != "C444":
+        raise ValueError(f"unsupported colorspace {colorspace} (only C444)")
+    plane = w * h
+    pos, n_frames = nl + 1, 0
+    sums = [0, 0, 0]
+    while pos < len(content):
+        fnl = content.find(b"\n", pos)
+        if fnl < 0 or content[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = fnl + 1
+        if pos + 3 * plane > len(content):
+            raise ValueError("truncated frame payload")
+        for p in range(3):
+            sums[p] += sum(content[pos : pos + plane])
+            pos += plane
+        n_frames += 1
+    return w, h, fn, fd, n_frames, sums[0], sums[1], sums[2]
+
+
+def _y4m_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "content": pdf["asset_id"].map(lambda a: synth_y4m_bytes(int(a))),
+            }
+        )
+
+
+def _y4m_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        dec = pdf["content"].map(decode_y4m)
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "width": dec.map(lambda t: t[0]),
+                "height": dec.map(lambda t: t[1]),
+                "fps_num": dec.map(lambda t: t[2]),
+                "fps_den": dec.map(lambda t: t[3]),
+                "n_frames": dec.map(lambda t: t[4]),
+                "sum_y": dec.map(lambda t: t[5]),
+                "sum_u": dec.map(lambda t: t[6]),
+                "sum_v": dec.map(lambda t: t[7]),
+            }
+        )
+
+
+_Y4M_DECODE_SCHEMA = (
+    "asset_id bigint, width int, height int, fps_num int, fps_den int, "
+    "n_frames int, sum_y bigint, sum_u bigint, sum_v bigint"
+)
+
+
+def mm_decode_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip for the video assets: encode genuine
+    YUV4MPEG2 streams, then decode them with the stdlib parser and
+    report header fields + exact per-plane byte sums. Same bounded
+    mapInPandas shape as the WAV/PPM pipelines; per-asset payloads are
+    ≤ ~900 bytes. With this, every asset kind has a REAL decode path —
+    the deterministic fake codec remains only as the
+    compressed-format stand-in (png/jpeg/mp3/mp4 need codec libs this
+    container lacks)."""
+    register_fixture_views(spark, sf_dir)
+    vid_ids = spark.sql(ASSETS_SQL).where(
+        (F.col("kind") == "video") & F.col("content").isNotNull()
+    ).select("asset_id")
+    encoded = vid_ids.mapInPandas(
+        _y4m_encode_batches, schema="asset_id bigint, content binary"
+    )
+    decoded = encoded.mapInPandas(_y4m_decode_batches, schema=_Y4M_DECODE_SCHEMA)
     return decoded.orderBy("asset_id")
 
 
@@ -546,6 +690,7 @@ QUERIES = {
     "mm_decode_features": mm_decode_features,
     "mm_decode_real": mm_decode_real,
     "mm_decode_image_real": mm_decode_image_real,
+    "mm_decode_video_real": mm_decode_video_real,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_segments": mm_audio_segments,
 }
@@ -677,6 +822,39 @@ ORACLES["mm_decode_image_real"] = _oracle_assets_cte(
            CAST(list_sum(list_transform(generate_series(0, w * h - 1),
                 p -> (asset_id * 7 + (3 * p + 2) * 13) % 256)) AS BIGINT) AS sum_b
     FROM img ORDER BY asset_id
+    """
+)
+
+# mm_decode_video_real: every decoded stat rebuilt from the synth
+# geometry (_y4m_geometry / _y4m_byte) — header fields plus exact
+# per-plane byte sums; flattened index j over (frame k, plane offset i):
+# k = j // (w·h), i = j % (w·h)
+ORACLES["mm_decode_video_real"] = _oracle_assets_cte(
+    """
+    , vid AS (
+      SELECT asset_id,
+             4 + (asset_id % 4) * 2 AS w,
+             2 + asset_id % 5 AS h,
+             24 + asset_id % 3 AS fn,
+             2 + asset_id % 4 AS nf
+      FROM assets WHERE kind = 'video' AND content IS NOT NULL
+    )
+    SELECT asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(fn AS INT) AS fps_num,
+           CAST(1 AS INT) AS fps_den,
+           CAST(nf AS INT) AS n_frames,
+           CAST(list_sum(list_transform(generate_series(0, nf * w * h - 1),
+                j -> (asset_id * 11 + (j // (w * h)) * 7 + (j % (w * h)) * 5) % 256))
+                AS BIGINT) AS sum_y,
+           CAST(list_sum(list_transform(generate_series(0, nf * w * h - 1),
+                j -> (asset_id * 11 + (j // (w * h)) * 7 + 3 + (j % (w * h)) * 5) % 256))
+                AS BIGINT) AS sum_u,
+           CAST(list_sum(list_transform(generate_series(0, nf * w * h - 1),
+                j -> (asset_id * 11 + (j // (w * h)) * 7 + 6 + (j % (w * h)) * 5) % 256))
+                AS BIGINT) AS sum_v
+    FROM vid ORDER BY asset_id
     """
 )
 

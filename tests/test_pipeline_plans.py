@@ -539,3 +539,53 @@ def test_ppm_decoder_rejects_truncated_header_and_wide_maxval():
         decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n2 2\n0\n" + bytes(12))
+
+
+def test_y4m_decoder_parses_a_genuine_stream():
+    """decode_y4m must be a REAL parser: a foreign C444 stream (dims,
+    frame rate, and extra header tags the synth path never produces)
+    comes back exactly; the synth round trip matches the ramp formula;
+    subsampled colorspaces, bad magic, bad FRAME markers, and truncated
+    planes fail loudly; decode_asset_real routes y4m to the real
+    decoder."""
+    import pytest
+
+    from task_hive_spark.operators.multimodal import (
+        _y4m_byte,
+        _y4m_geometry,
+        decode_asset_real,
+        decode_y4m,
+        synth_y4m_bytes,
+    )
+
+    # foreign stream: 3x2 C444, 30000:1001 fps, interlace/aspect tags,
+    # 2 frames with hand-laid plane bytes
+    y = bytes(range(6))
+    u = bytes(range(10, 16))
+    v = bytes(range(20, 26))
+    frame = b"FRAME\n" + y + u + v
+    foreign = b"YUV4MPEG2 W3 H2 F30000:1001 It A4:3 C444\n" + frame + frame
+    assert decode_y4m(foreign) == (
+        3, 2, 30000, 1001, 2, 2 * sum(y), 2 * sum(u), 2 * sum(v)
+    )
+
+    # synth round trip: header + every plane sum matches the ramp
+    aid = 12347  # % 3 == 2 (video)
+    w, h, fn, fd, n = _y4m_geometry(aid)
+    sums = [
+        sum(_y4m_byte(aid, k, p, i) for k in range(n) for i in range(w * h))
+        for p in range(3)
+    ]
+    got = decode_asset_real("video", synth_y4m_bytes(aid), "y4m")
+    assert got == (w, h, fn, fd, n, sums[0], sums[1], sums[2])
+
+    for bad in (
+        b"JUNK W2 H2 F1:1 C444\n",
+        b"YUV4MPEG2 W2 H2 F1:1\n" + b"FRAME\n" + bytes(12),  # default C420 → reject
+        b"YUV4MPEG2 W2 H2 F1:1 C420\n" + b"FRAME\n" + bytes(6),
+        b"YUV4MPEG2 W2 H2 F1:1 C444\n" + b"XRAME\n" + bytes(12),
+        b"YUV4MPEG2 W2 H2 F1:1 C444\n" + b"FRAME\n" + bytes(11),  # truncated
+        b"YUV4MPEG2 W2 H2 C444\n" + b"FRAME\n" + bytes(12),  # missing F
+    ):
+        with pytest.raises(ValueError):
+            decode_y4m(bad)

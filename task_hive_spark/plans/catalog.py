@@ -181,24 +181,53 @@ TARGET_FILE_BYTES = 1 << 20  # 1 MiB target per output file at fixture scale
 FRAGMENT_PARTS = 48  # small-file fan-out simulating streaming appends
 
 
+def pack_bins(sizes: list[int], target_bytes: int) -> list[list[int]]:
+    """Deterministic bin-packing of file indexes: name-order first-fit
+    with a byte threshold — a new bin opens when adding the next file
+    would cross target_bytes (a single over-target file gets its own
+    bin). Pure arithmetic over the (name-sorted) size list, so the
+    file→bin mapping is reproducible from the directory listing alone;
+    unit-pinned in tests/test_catalog.py."""
+    bins: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for i, sz in enumerate(sizes):
+        if cur and cur_bytes + sz > target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(i)
+        cur_bytes += sz
+    if cur:
+        bins.append(cur)
+    return bins
+
+
 def compact_table(
-    spark: SparkSession, in_dir: str, out_dir: str, target_bytes: int = TARGET_FILE_BYTES
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = TARGET_FILE_BYTES,
+    exact_bins: bool = False,
 ) -> dict:
     """Compaction of a hive-partitioned parquet directory: for each
     partition, derive the bin count ceil(partition_bytes / target_bytes)
-    from the measured file bytes and rewrite the partition through
-    coalesce(n_bins) — no shuffle anywhere (coalesce only concatenates
-    whole input splits, and rows never cross partitions).
+    from the measured file bytes and rewrite the partition — no shuffle
+    anywhere (whole input files merge; rows never cross partitions).
 
-    The DETERMINISTIC part of the contract is the bin COUNT (pure byte
-    arithmetic), the file-count bound (files_after ≤ n_bins), and
-    content invariance (oracle + multiset-hash tested). Which file
-    lands in which bin is delegated to Spark's scan packing + coalesce
-    index ranges — so per-file sizes are approximate (a bin can exceed
-    target_bytes when large inputs pack together); a variant needing
-    byte-exact bins would read each name-sorted first-fit bin
-    separately and coalesce(1) per bin, at the cost of one job per
-    bin. Returns the per-partition plan
+    Two packing modes:
+    - default: ONE coalesce(n_bins) job per partition. The
+      DETERMINISTIC contract is the bin COUNT (pure byte arithmetic),
+      the file-count bound (files_after ≤ n_bins) and content
+      invariance (oracle + multiset-hash tested); which file lands in
+      which bin is delegated to Spark's scan packing + coalesce index
+      ranges, so per-file sizes are approximate.
+    - exact_bins=True: name-sorted first-fit byte-threshold bins
+      (pack_bins) with one coalesce(1) write per bin — the file→bin
+      mapping itself is deterministic and each output file holds
+      exactly its bin's rows, at the cost of one job per bin (use when
+      reproducible file layouts matter more than job count).
+
+    Returns the per-partition plan
     {partition: {files_before, bytes, n_bins, files_after}}."""
     import math
 
@@ -223,6 +252,16 @@ def compact_table(
             os.makedirs(dst, exist_ok=True)
             for f in files:
                 shutil.copy2(f, dst)
+        elif exact_bins:
+            bins = pack_bins([os.path.getsize(f) for f in files], target_bytes)
+            for bi, idxs in enumerate(bins):
+                (
+                    spark.read.parquet(*[files[i] for i in idxs])
+                    .coalesce(1)
+                    .write.mode("append" if bi else "overwrite")
+                    .parquet(dst)
+                )
+            n_bins = len(bins)
         else:
             (
                 spark.read.parquet(*files)

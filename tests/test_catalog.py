@@ -123,3 +123,44 @@ def test_compaction_bounds_files_and_preserves_content(spark, sf_dir):
         ).collect()[0]["h"]
 
     assert content_hash(frag) == content_hash(comp)
+
+
+def test_pack_bins_and_exact_compaction_mode(spark, tmp_path):
+    """pack_bins: name-order first-fit, threshold semantics, oversize
+    file isolated, total preserved. exact_bins mode: one file per bin,
+    deterministic plan, content preserved."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.plans.catalog import compact_table, pack_bins
+
+    # unit: threshold opens a new bin; an over-target file sits alone
+    assert pack_bins([10, 10, 10], 25) == [[0, 1], [2]]
+    assert pack_bins([30, 10, 10], 25) == [[0], [1, 2]]
+    assert pack_bins([10, 30, 10], 25) == [[0], [1], [2]]
+    assert pack_bins([], 25) == []
+    bins = pack_bins([7] * 10, 21)
+    assert [len(b) for b in bins] == [3, 3, 3, 1]
+    assert sorted(i for b in bins for i in b) == list(range(10))
+
+    # end-to-end exact mode over a deliberately fragmented table
+    frag = str(tmp_path / "frag")
+    comp = str(tmp_path / "comp")
+    df = spark.range(2000).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("part"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(16).write.partitionBy("part").parquet(frag)
+    plan = compact_table(spark, frag, comp, target_bytes=64 * 1024, exact_bins=True)
+    for part, p in plan.items():
+        assert p["files_after"] == p["n_bins"], (part, p)  # one file per bin
+        assert p["files_after"] < p["files_before"], (part, p)
+    # determinism of the plan: recompacting the same input reproduces it
+    comp2 = str(tmp_path / "comp2")
+    assert compact_table(spark, frag, comp2, 64 * 1024, exact_bins=True) == plan
+    # content invariance
+    a = sorted(r["id"] for r in spark.read.parquet(frag).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(comp).collect())
+    assert a == b == list(range(2000))

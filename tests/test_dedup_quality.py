@@ -466,3 +466,39 @@ def test_ann_index_update_routes_and_encodes_against_frozen_artifacts(
         assert cell == orig_cells[nid - OFF], nid
     for (nid, sub), code in new_codes.items():
         assert code == orig_codes[(nid - OFF, sub)], (nid, sub)
+
+
+def test_stream_built_index_is_servable(spark, sf_dir, tmp_path):
+    """The online indexer's on-disk artifacts ARE a servable dedup
+    index: probing a new batch against the stream-accumulated
+    signatures/buckets (dedup_served_of over the streamed dirs) returns
+    exactly the answer the batch-built index gives — continuous
+    ingestion and cross-snapshot serving are one storage format, not
+    two."""
+    import os
+
+    from task_hive_spark.operators.dedup import (
+        dedup_served_of,
+        materialize_dedup_index,
+        new_batch_df,
+    )
+    from task_hive_spark.streaming.minhashstream import run_once
+
+    work = str(tmp_path / "mh")
+    run_once(spark, sf_dir, work)  # stream the corpus through the indexer
+
+    # map the streamed artifact layout onto the serve layout (the
+    # batch= partition column is dropped by dedup_served_of's column
+    # selection, so the partitioned dirs read directly)
+    idx = tmp_path / "served_view"
+    idx.mkdir()
+    os.symlink(os.path.join(work, "index_buckets"), str(idx / "buckets"))
+    os.symlink(os.path.join(work, "index_sigs"), str(idx / "signatures"))
+
+    batch = new_batch_df(spark, sf_dir)
+    from_stream = dedup_served_of(spark, str(idx), batch).collect()
+
+    out = str(tmp_path / "batchidx")
+    materialize_dedup_index(spark, sf_dir, out)
+    from_batch = dedup_served_of(spark, out, batch).collect()
+    assert from_stream == from_batch and from_stream

@@ -177,33 +177,48 @@ def decode_wav(content: bytes) -> tuple[int, int, int, int, int, int, int]:
     return nch, 8 * sw, rate, nf, sum(vals), min(vals), max(vals)
 
 
-def _wav_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "asset_id": pdf["asset_id"],
-                "content": pdf["asset_id"].map(lambda a: synth_wav_bytes(int(a))),
-            }
-        )
+# ONE round-trip scaffold for all three real codecs (the dedupe-the-
+# scaffolds discipline): encode stage synthesizes genuine containers
+# per asset id, decode stage genuinely parses them, both as the bounded
+# mapInPandas shape of the fake-decode pipeline — embarrassingly
+# parallel, no shuffle, Arrow-batched; per-asset payloads are ≤ ~1 KB
+# so batches stay flat. A plumbing fix (batch shape, empty-batch
+# dtypes) lands once, not per codec.
+def _codec_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    where: F.Column,
+    synth_fn,
+    decode_fn,
+    fields: list[str],
+    schema: str,
+) -> DataFrame:
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "content": pdf["asset_id"].map(lambda a: synth_fn(int(a))),
+                }
+            )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            d = pdf["content"].map(decode_fn)
+            out = {"asset_id": pdf["asset_id"]}
+            for ix, name in enumerate(fields):
+                out[name] = d.map(lambda t, ix=ix: t[ix])
+            yield pd.DataFrame(out)
+
+    register_fixture_views(spark, sf_dir)
+    ids = spark.sql(ASSETS_SQL).where(where).select("asset_id")
+    encoded = ids.mapInPandas(enc, schema="asset_id bigint, content binary")
+    return encoded.mapInPandas(dec, schema=schema).orderBy("asset_id")
 
 
-def _wav_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        dec = pdf["content"].map(decode_wav)
-        yield pd.DataFrame(
-            {
-                "asset_id": pdf["asset_id"],
-                "n_channels": dec.map(lambda t: t[0]),
-                "bits": dec.map(lambda t: t[1]),
-                "sample_rate": dec.map(lambda t: t[2]),
-                "n_samples": dec.map(lambda t: t[3]),
-                "sum_pcm": dec.map(lambda t: t[4]),
-                "min_pcm": dec.map(lambda t: t[5]),
-                "max_pcm": dec.map(lambda t: t[6]),
-            }
-        )
-
-
+_WAV_FIELDS = [
+    "n_channels", "bits", "sample_rate", "n_samples", "sum_pcm", "min_pcm", "max_pcm",
+]
 _WAV_DECODE_SCHEMA = (
     "asset_id bigint, n_channels int, bits int, sample_rate int, "
     "n_samples int, sum_pcm bigint, min_pcm int, max_pcm int"
@@ -213,23 +228,21 @@ _WAV_DECODE_SCHEMA = (
 def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip for the wav assets: encode genuine RIFF
     containers, then decode them with the stdlib parser and report
-    header fields + exact PCM stats. Both stages are the bounded
-    mapInPandas shape of the fake-decode pipeline — embarrassingly
-    parallel, no shuffle, Arrow-batched; per-asset payloads are
-    ≤ 192 samples so batches stay flat. The oracle rebuilds every stat
-    from the ramp formula: a decoder misreading channel count, sample
-    width, byte order, or frame count cannot hash-match."""
-    register_fixture_views(spark, sf_dir)
-    wav_ids = spark.sql(ASSETS_SQL).where(
+    header fields + exact PCM stats (_codec_roundtrip shape; per-asset
+    payloads ≤ 192 samples). The oracle rebuilds every stat from the
+    ramp formula: a decoder misreading channel count, sample width,
+    byte order, or frame count cannot hash-match."""
+    return _codec_roundtrip(
+        spark,
+        sf_dir,
         (F.col("kind") == "audio")
         & (F.col("format") == "wav")
-        & F.col("content").isNotNull()
-    ).select("asset_id")
-    encoded = wav_ids.mapInPandas(
-        _wav_encode_batches, schema="asset_id bigint, content binary"
+        & F.col("content").isNotNull(),
+        synth_wav_bytes,
+        decode_wav,
+        _WAV_FIELDS,
+        _WAV_DECODE_SCHEMA,
     )
-    decoded = encoded.mapInPandas(_wav_decode_batches, schema=_WAV_DECODE_SCHEMA)
-    return decoded.orderBy("asset_id")
 
 
 # --- REAL image decode (pure stdlib: P6 PPM header + RGB payload) ---------
@@ -302,33 +315,7 @@ def decode_ppm(content: bytes) -> tuple[int, int, int, int, int, int, int]:
     )
 
 
-def _ppm_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "asset_id": pdf["asset_id"],
-                "content": pdf["asset_id"].map(lambda a: synth_ppm_bytes(int(a))),
-            }
-        )
-
-
-def _ppm_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        dec = pdf["content"].map(decode_ppm)
-        yield pd.DataFrame(
-            {
-                "asset_id": pdf["asset_id"],
-                "width": dec.map(lambda t: t[0]),
-                "height": dec.map(lambda t: t[1]),
-                "maxval": dec.map(lambda t: t[2]),
-                "n_pixels": dec.map(lambda t: t[3]),
-                "sum_r": dec.map(lambda t: t[4]),
-                "sum_g": dec.map(lambda t: t[5]),
-                "sum_b": dec.map(lambda t: t[6]),
-            }
-        )
-
-
+_PPM_FIELDS = ["width", "height", "maxval", "n_pixels", "sum_r", "sum_g", "sum_b"]
 _PPM_DECODE_SCHEMA = (
     "asset_id bigint, width int, height int, maxval int, "
     "n_pixels int, sum_r bigint, sum_g bigint, sum_b bigint"
@@ -338,19 +325,17 @@ _PPM_DECODE_SCHEMA = (
 def mm_decode_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip for the image assets: encode genuine P6
     PPM containers, then decode them with the stdlib parser and report
-    header fields + exact per-channel pixel sums. Both stages are the
-    bounded mapInPandas shape of mm_decode_real — embarrassingly
-    parallel, no shuffle, Arrow-batched; per-asset payloads are ≤ 540
-    bytes so batches stay flat."""
-    register_fixture_views(spark, sf_dir)
-    img_ids = spark.sql(ASSETS_SQL).where(
-        (F.col("kind") == "image") & F.col("content").isNotNull()
-    ).select("asset_id")
-    encoded = img_ids.mapInPandas(
-        _ppm_encode_batches, schema="asset_id bigint, content binary"
+    header fields + exact per-channel pixel sums (_codec_roundtrip
+    shape; per-asset payloads ≤ 540 bytes)."""
+    return _codec_roundtrip(
+        spark,
+        sf_dir,
+        (F.col("kind") == "image") & F.col("content").isNotNull(),
+        synth_ppm_bytes,
+        decode_ppm,
+        _PPM_FIELDS,
+        _PPM_DECODE_SCHEMA,
     )
-    decoded = encoded.mapInPandas(_ppm_decode_batches, schema=_PPM_DECODE_SCHEMA)
-    return decoded.orderBy("asset_id")
 
 
 # --- REAL video decode (pure stdlib: YUV4MPEG2 header + raw planes) -------
@@ -418,6 +403,10 @@ def decode_y4m(content: bytes) -> tuple[int, int, int, int, int, int, int, int]:
             colorspace = tok
     if w is None or h is None or fn is None:
         raise ValueError("missing W/H/F header parameters")
+    if w <= 0 or h <= 0 or fn <= 0 or fd <= 0:
+        # a negative width would make the plane size negative and walk
+        # the frame cursor BACKWARD — loud failure, not a spin
+        raise ValueError(f"invalid geometry W{w} H{h} F{fn}:{fd}")
     if colorspace != "C444":
         raise ValueError(f"unsupported colorspace {colorspace} (only C444)")
     plane = w * h
@@ -425,8 +414,14 @@ def decode_y4m(content: bytes) -> tuple[int, int, int, int, int, int, int, int]:
     sums = [0, 0, 0]
     while pos < len(content):
         fnl = content.find(b"\n", pos)
-        if fnl < 0 or content[pos : pos + 5] != b"FRAME":
-            raise ValueError(f"bad FRAME marker at byte {pos}")
+        if fnl < 0:
+            raise ValueError(f"unterminated FRAME marker at byte {pos}")
+        line = content[pos:fnl]
+        # the grammar is FRAME optionally followed by space-separated
+        # parameter tags — 'FRAMES' or any other prefix-sharing
+        # corruption must fail, not decode plausible-but-wrong stats
+        if line != b"FRAME" and not line.startswith(b"FRAME "):
+            raise ValueError(f"bad FRAME marker at byte {pos}: {line[:16]!r}")
         pos = fnl + 1
         if pos + 3 * plane > len(content):
             raise ValueError("truncated frame payload")
@@ -437,34 +432,9 @@ def decode_y4m(content: bytes) -> tuple[int, int, int, int, int, int, int, int]:
     return w, h, fn, fd, n_frames, sums[0], sums[1], sums[2]
 
 
-def _y4m_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "asset_id": pdf["asset_id"],
-                "content": pdf["asset_id"].map(lambda a: synth_y4m_bytes(int(a))),
-            }
-        )
-
-
-def _y4m_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        dec = pdf["content"].map(decode_y4m)
-        yield pd.DataFrame(
-            {
-                "asset_id": pdf["asset_id"],
-                "width": dec.map(lambda t: t[0]),
-                "height": dec.map(lambda t: t[1]),
-                "fps_num": dec.map(lambda t: t[2]),
-                "fps_den": dec.map(lambda t: t[3]),
-                "n_frames": dec.map(lambda t: t[4]),
-                "sum_y": dec.map(lambda t: t[5]),
-                "sum_u": dec.map(lambda t: t[6]),
-                "sum_v": dec.map(lambda t: t[7]),
-            }
-        )
-
-
+_Y4M_FIELDS = [
+    "width", "height", "fps_num", "fps_den", "n_frames", "sum_y", "sum_u", "sum_v",
+]
 _Y4M_DECODE_SCHEMA = (
     "asset_id bigint, width int, height int, fps_num int, fps_den int, "
     "n_frames int, sum_y bigint, sum_u bigint, sum_v bigint"
@@ -474,21 +444,20 @@ _Y4M_DECODE_SCHEMA = (
 def mm_decode_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec round-trip for the video assets: encode genuine
     YUV4MPEG2 streams, then decode them with the stdlib parser and
-    report header fields + exact per-plane byte sums. Same bounded
-    mapInPandas shape as the WAV/PPM pipelines; per-asset payloads are
-    ≤ ~900 bytes. With this, every asset kind has a REAL decode path —
-    the deterministic fake codec remains only as the
-    compressed-format stand-in (png/jpeg/mp3/mp4 need codec libs this
-    container lacks)."""
-    register_fixture_views(spark, sf_dir)
-    vid_ids = spark.sql(ASSETS_SQL).where(
-        (F.col("kind") == "video") & F.col("content").isNotNull()
-    ).select("asset_id")
-    encoded = vid_ids.mapInPandas(
-        _y4m_encode_batches, schema="asset_id bigint, content binary"
+    report header fields + exact per-plane byte sums (_codec_roundtrip
+    shape; per-asset payloads ≤ ~900 bytes). With this, every asset
+    kind has a REAL decode path — the deterministic fake codec remains
+    only as the compressed-format stand-in (png/jpeg/mp3/mp4 need
+    codec libs this container lacks)."""
+    return _codec_roundtrip(
+        spark,
+        sf_dir,
+        (F.col("kind") == "video") & F.col("content").isNotNull(),
+        synth_y4m_bytes,
+        decode_y4m,
+        _Y4M_FIELDS,
+        _Y4M_DECODE_SCHEMA,
     )
-    decoded = encoded.mapInPandas(_y4m_decode_batches, schema=_Y4M_DECODE_SCHEMA)
-    return decoded.orderBy("asset_id")
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, int]:

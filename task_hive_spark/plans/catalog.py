@@ -182,23 +182,25 @@ FRAGMENT_PARTS = 48  # small-file fan-out simulating streaming appends
 
 
 def pack_bins(sizes: list[int], target_bytes: int) -> list[list[int]]:
-    """Deterministic bin-packing of file indexes: name-order first-fit
-    with a byte threshold — a new bin opens when adding the next file
-    would cross target_bytes (a single over-target file gets its own
-    bin). Pure arithmetic over the (name-sorted) size list, so the
-    file→bin mapping is reproducible from the directory listing alone;
-    unit-pinned in tests/test_catalog.py."""
+    """Deterministic FIRST-FIT bin-packing of file indexes in name
+    order: each file goes into the earliest existing bin it fits
+    (load + size ≤ target_bytes), else opens a new bin — so an
+    over-target file sits alone, and an alternating big/small listing
+    cannot degenerate into one bin per file the way a never-revisit
+    next-fit would. Pure arithmetic over the (name-sorted) size list:
+    the file→bin mapping is reproducible from the directory listing
+    alone; unit-pinned in tests/test_catalog.py."""
     bins: list[list[int]] = []
-    cur: list[int] = []
-    cur_bytes = 0
+    loads: list[int] = []
     for i, sz in enumerate(sizes):
-        if cur and cur_bytes + sz > target_bytes:
-            bins.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append(i)
-        cur_bytes += sz
-    if cur:
-        bins.append(cur)
+        for b in range(len(bins)):
+            if loads[b] + sz <= target_bytes:
+                bins[b].append(i)
+                loads[b] += sz
+                break
+        else:
+            bins.append([i])
+            loads.append(sz)
     return bins
 
 

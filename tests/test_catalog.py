@@ -135,10 +135,13 @@ def test_pack_bins_and_exact_compaction_mode(spark, tmp_path):
 
     from task_hive_spark.plans.catalog import compact_table, pack_bins
 
-    # unit: threshold opens a new bin; an over-target file sits alone
+    # unit: first-fit semantics — earliest bin with room wins, an
+    # over-target file sits alone, and an alternating big/small listing
+    # still packs the smalls together (the next-fit pathology)
     assert pack_bins([10, 10, 10], 25) == [[0, 1], [2]]
     assert pack_bins([30, 10, 10], 25) == [[0], [1, 2]]
-    assert pack_bins([10, 30, 10], 25) == [[0], [1], [2]]
+    assert pack_bins([10, 30, 10], 25) == [[0, 2], [1]]
+    assert pack_bins([60, 5, 60, 5], 64) == [[0], [1, 3], [2]]
     assert pack_bins([], 25) == []
     bins = pack_bins([7] * 10, 21)
     assert [len(b) for b in bins] == [3, 3, 3, 1]

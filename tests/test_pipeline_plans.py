@@ -586,6 +586,9 @@ def test_y4m_decoder_parses_a_genuine_stream():
         b"YUV4MPEG2 W2 H2 F1:1 C444\n" + b"XRAME\n" + bytes(12),
         b"YUV4MPEG2 W2 H2 F1:1 C444\n" + b"FRAME\n" + bytes(11),  # truncated
         b"YUV4MPEG2 W2 H2 C444\n" + b"FRAME\n" + bytes(12),  # missing F
+        b"YUV4MPEG2 W-2 H3 F1:1 C444\n" + b"FRAME\n" + bytes(12),  # neg width
+        b"YUV4MPEG2 W0 H2 F1:1 C444\n" + b"FRAME\n",  # zero width
+        b"YUV4MPEG2 W2 H2 F1:1 C444\n" + b"FRAMES\n" + bytes(12),  # corrupt marker
     ):
         with pytest.raises(ValueError):
             decode_y4m(bad)

@@ -645,7 +645,14 @@ def sk_quantiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = qsk_lineitem_vals(
         li, F.trunc(F.to_date("l_shipdate"), "month").alias("m")
     )
-    monthly = qsk_state(vals, ["g", "m"])
+    return _merged_quantile_estimate(qsk_state(vals, ["g", "m"]))
+
+
+def _merged_quantile_estimate(monthly: DataFrame) -> DataFrame:
+    """The merge-and-read-out tail over a (g, m, lb, cnt) monthly-
+    partial frame — shared by the scan-built form (sk_quantiles_merged)
+    and the store-served form (sk_quantiles_served) so the rollup
+    arithmetic cannot drift between them."""
     # months-per-group via a window (constant per g, so adding it to
     # the estimate's grouping keys changes nothing but the output)
     aug = monthly.withColumn(
@@ -664,6 +671,76 @@ def sk_quantiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- persisted sketch store + serving path --------------------------------
+
+
+def materialize_sketch_store(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """WRITE the monthly quantile-sketch partials as parquet — the
+    sketch STORE a 100 TB retention tier keeps after discarding (or
+    archiving) the raw fact rows: one additive counter map
+    (g, m, lb, cnt) per ingest month, from which any date-range
+    percentile is answered exactly by bucket-wise addition. The
+    serving-tier companion of materialize_dedup_index /
+    materialize_ann_index; returns the read-back summary."""
+    import json as _json
+    import os as _os
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_extendedprice"
+    )
+    vals = qsk_lineitem_vals(
+        li, F.trunc(F.to_date("l_shipdate"), "month").alias("m")
+    )
+    qsk_state(vals, ["g", "m"]).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "quantiles_monthly")
+    )
+    summary = {
+        "quantiles_monthly": spark.read.parquet(
+            _os.path.join(out_dir, "quantiles_monthly")
+        ).count()
+    }
+    with open(_os.path.join(out_dir, "summary.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    return summary
+
+
+_SK_STORE_RAN: dict[tuple[str, str], str] = {}
+
+
+def _sketch_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the on-disk sketch store once per (session, sf_dir)."""
+    import tempfile
+
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SK_STORE_RAN:
+        out = tempfile.mkdtemp(prefix="skstore_", dir=_scratch_root())
+        materialize_sketch_store(spark, sf_dir, out)
+        _SK_STORE_RAN[key] = out
+    return _SK_STORE_RAN[key]
+
+
+def sk_quantiles_served(
+    spark: SparkSession, sf_dir: str, store_dir: str | None = None
+) -> DataFrame:
+    """Percentiles answered ENTIRELY from the persisted monthly sketch
+    store — the lineitem table is not in the plan (tests pin
+    inputFiles() to the store dir): read the (g, m, lb, cnt) partials,
+    merge bucket-wise, read out ranks. Because the histogram merge is
+    exactly additive, the answer is bit-for-bit sk_quantiles_merged's
+    (shared _merged_quantile_estimate tail, shared oracle) — the
+    dashboard-tier pattern where only sketches are retained and every
+    query is sketch-sized."""
+    import os as _os
+
+    store = store_dir if store_dir is not None else _sketch_store_dir(spark, sf_dir)
+    monthly = spark.read.parquet(_os.path.join(store, "quantiles_monthly")).select(
+        "g", "m", "lb", "cnt"
+    )
+    return _merged_quantile_estimate(monthly)
+
+
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_hll_distinct": sk_hll_distinct,
@@ -674,6 +751,7 @@ QUERIES = {
     "sk_bloom_semi_join": sk_bloom_semi_join,
     "sk_quantiles": sk_quantiles,
     "sk_quantiles_merged": sk_quantiles_merged,
+    "sk_quantiles_served": sk_quantiles_served,
 }
 
 # --- DuckDB oracles ------------------------------------------------------
@@ -862,6 +940,11 @@ _QSK_MERGED_SQL = _qsk_est_sql(
 ORACLES = {
     "sk_quantiles": _QSK_SQL,
     "sk_quantiles_merged": _QSK_MERGED_SQL,
+    # the served form answers from persisted partials whose additive
+    # merge is exactly the whole-corpus sketch, so the oracle is the
+    # merged query's own SQL — the strongest statement that store-
+    # served and scan-built answers agree
+    "sk_quantiles_served": _QSK_MERGED_SQL,
     "sk_kmv_distinct": f"""
         WITH h AS (
           SELECT DISTINCT event_type, {_KMV_HASH} AS h FROM events

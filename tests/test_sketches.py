@@ -459,3 +459,28 @@ def test_quantile_merge_of_monthly_sketches_is_exact(spark, sf_dir):
         assert m["n_parts"] >= 2, "fixture must span several months"
         for col in ("n_rows", "n_buckets", "p50_cents", "p90_cents", "p99_cents"):
             assert m[col] == d[col], (g, col, m[col], d[col])
+
+
+def test_sketch_store_serves_percentiles_without_the_fact_table(spark, sf_dir, tmp_path):
+    """The persisted monthly sketch store must answer percentiles
+    byte-identically to the scan-built rollup while planning ONLY over
+    the store artifacts — lineitem is absent from the served query's
+    scan set (the retention-tier pattern: raw rows discarded, sketches
+    kept, answers exact)."""
+    import os
+
+    from task_hive_spark.operators.sketches import (
+        materialize_sketch_store,
+        sk_quantiles_merged,
+        sk_quantiles_served,
+    )
+
+    out = str(tmp_path / "skstore")
+    summary = materialize_sketch_store(spark, sf_dir, out)
+    assert summary["quantiles_monthly"] > 0
+    assert os.path.isfile(os.path.join(out, "summary.json"))
+
+    served = sk_quantiles_served(spark, sf_dir, store_dir=out)
+    assert served.collect() == sk_quantiles_merged(spark, sf_dir).collect()
+    scans = served.inputFiles()
+    assert scans and all(out in f for f in scans), scans

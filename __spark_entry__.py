@@ -17,17 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 # it from the CORRECTNESS_r0*.json ledgers):
 #   1. ALL 22 queries whose latest driver grade is r6 (age 4, the
 #      structural bound — named for the r10 front by the r9 verdict);
-#   2. the 6 never-graded round-10 additions (dd_dedup_served,
+#   2. the 7 never-graded round-10 additions (dd_dedup_served,
 #      dd_max_dup_spans, mm_decode_image_real, mm_decode_video_real,
-#      cat_compaction_stats, sk_quantiles_served);
-#   3. 22 of the 50 r7-evidence queries, code-adjacent first: the two
+#      cat_compaction_stats, sk_quantiles_served, sk_hll_daily_served);
+#   3. 21 of the 50 r7-evidence queries, code-adjacent first: the two
 #      remaining mm_* queries (multimodal.py gained the real PPM
 #      decoder), both cat_* queries (catalog.py gained the compaction
 #      tier), dd_embedding_cosine_pairs (the dedup family grew the
 #      served path), then the window/rollup/join-shape rel_* block, the
-#      dispatch-results processor query, and two text staples. The 28
-#      left back (txt_pii_scrub, txt_token_stats, rel_case_null_logic,
-#      rel_correlated_above_avg,
+#      dispatch-results processor query, and one text staple. The 29
+#      left back (txt_pii_scrub, txt_token_stats, txt_language_id,
+#      rel_case_null_logic, rel_correlated_above_avg,
 #      rel_distinct_aggs, rel_lag_lead_delta, rel_outer_join_nulls,
 #      rel_q{14,15,17,19,20}, rel_scalar_{datetime,math,string},
 #      rel_self_join_prev_order, sim_{label_centroids,prototypes_prune,
@@ -87,7 +87,7 @@ _FRONT_R10 = [
     "rel_approx_distinct",
     "rel_set_ops",
     "rel_semi_anti_join",
-    "txt_language_id",
+    "sk_hll_daily_served",
     "sk_quantiles_served",
     "mm_decode_video_real",
 ]

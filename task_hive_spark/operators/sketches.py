@@ -675,12 +675,18 @@ def _merged_quantile_estimate(monthly: DataFrame) -> DataFrame:
 
 
 def materialize_sketch_store(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """WRITE the monthly quantile-sketch partials as parquet — the
-    sketch STORE a 100 TB retention tier keeps after discarding (or
-    archiving) the raw fact rows: one additive counter map
-    (g, m, lb, cnt) per ingest month, from which any date-range
-    percentile is answered exactly by bucket-wise addition. The
-    serving-tier companion of materialize_dedup_index /
+    """WRITE the mergeable sketch states as parquet — the sketch STORE
+    a 100 TB retention tier keeps after discarding (or archiving) the
+    raw fact rows:
+
+      quantiles_monthly/    (g, m, lb, cnt) — one additive counter map
+                            per ingest month; any date-range percentile
+                            is answered exactly by bucket-wise addition
+      hll_daily_registers/  (day, event_type, j, m) — sparse HLL
+                            register state; any date-range distinct is
+                            answered by register MAX over the days
+
+    The serving-tier companion of materialize_dedup_index /
     materialize_ann_index; returns the read-back summary."""
     import json as _json
     import os as _os
@@ -694,10 +700,15 @@ def materialize_sketch_store(spark: SparkSession, sf_dir: str, out_dir: str) -> 
     qsk_state(vals, ["g", "m"]).write.mode("overwrite").parquet(
         _os.path.join(out_dir, "quantiles_monthly")
     )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    hll_registers(ev, ["day", "event_type"]).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "hll_daily_registers")
+    )
     summary = {
-        "quantiles_monthly": spark.read.parquet(
-            _os.path.join(out_dir, "quantiles_monthly")
-        ).count()
+        name: spark.read.parquet(_os.path.join(out_dir, name)).count()
+        for name in ("quantiles_monthly", "hll_daily_registers")
     }
     with open(_os.path.join(out_dir, "summary.json"), "w") as f:
         _json.dump(summary, f, indent=2)
@@ -741,6 +752,24 @@ def sk_quantiles_served(
     return _merged_quantile_estimate(monthly)
 
 
+def sk_hll_daily_served(
+    spark: SparkSession, sf_dir: str, store_dir: str | None = None
+) -> DataFrame:
+    """Daily distinct-user estimates answered ENTIRELY from the
+    persisted HLL register store — the events table is not in the plan:
+    read the sparse (day, event_type, j, m) state and run the shared
+    estimate readout. Register state is idempotent-max, so the stored
+    sketch IS the computed sketch and the served answer equals
+    sk_hll_daily's exactly (shared hll_estimate, shared oracle)."""
+    import os as _os
+
+    store = store_dir if store_dir is not None else _sketch_store_dir(spark, sf_dir)
+    regs = spark.read.parquet(
+        _os.path.join(store, "hll_daily_registers")
+    ).select("day", "event_type", "j", "m")
+    return hll_estimate(spark, regs, ["day", "event_type"])
+
+
 QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_hll_distinct": sk_hll_distinct,
@@ -752,6 +781,7 @@ QUERIES = {
     "sk_quantiles": sk_quantiles,
     "sk_quantiles_merged": sk_quantiles_merged,
     "sk_quantiles_served": sk_quantiles_served,
+    "sk_hll_daily_served": sk_hll_daily_served,
 }
 
 # --- DuckDB oracles ------------------------------------------------------
@@ -1098,3 +1128,8 @@ ORACLES = {
                  JOIN bad b ON h.o_custkey = b.c_custkey) AS n_false_pos
         """,
 }
+
+# idempotent-max register state: stored sketch == computed sketch, so
+# the served daily estimates share the daily query's oracle — the
+# strongest statement that store-served and scan-built answers agree
+ORACLES["sk_hll_daily_served"] = ORACLES["sk_hll_daily"]

@@ -478,9 +478,20 @@ def test_sketch_store_serves_percentiles_without_the_fact_table(spark, sf_dir, t
     out = str(tmp_path / "skstore")
     summary = materialize_sketch_store(spark, sf_dir, out)
     assert summary["quantiles_monthly"] > 0
+    assert summary["hll_daily_registers"] > 0
     assert os.path.isfile(os.path.join(out, "summary.json"))
 
     served = sk_quantiles_served(spark, sf_dir, store_dir=out)
     assert served.collect() == sk_quantiles_merged(spark, sf_dir).collect()
     scans = served.inputFiles()
     assert scans and all(out in f for f in scans), scans
+
+    # HLL member: register state is idempotent-max, so the stored
+    # sketch IS the computed sketch — served daily estimates equal the
+    # scan-built query's exactly, with events absent from the plan
+    from task_hive_spark.operators.sketches import sk_hll_daily, sk_hll_daily_served
+
+    hserved = sk_hll_daily_served(spark, sf_dir, store_dir=out)
+    assert hserved.collect() == sk_hll_daily(spark, sf_dir).collect()
+    hscans = hserved.inputFiles()
+    assert hscans and all(out in f for f in hscans), hscans

@@ -503,3 +503,59 @@ def test_max_dup_spans_match_quadratic_model(spark, docs):
         for r in max_dup_spans_of(df, spark).collect()
     ]
     assert sorted(got) == _model_max_spans(docs, SPAN_L)
+
+
+# --- pack_bins first-fit properties (pure Python, no Spark) ----------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=200), max_size=40),
+    st.integers(min_value=1, max_value=250),
+)
+def test_pack_bins_first_fit_invariants(sizes, target):
+    from task_hive_spark.plans.catalog import pack_bins
+
+    bins = pack_bins(sizes, target)
+    flat = [i for b in bins for i in b]
+    # partition of the index range, each bin in name order
+    assert sorted(flat) == list(range(len(sizes)))
+    for b in bins:
+        assert b == sorted(b)
+        # byte threshold: only a singleton may exceed the target
+        if len(b) > 1:
+            assert sum(sizes[i] for i in b) <= target
+    # first-fit canonical property: a file never fit in any EARLIER bin
+    # at the moment it was placed (replay the loads incrementally)
+    loads = [0] * len(bins)
+    placed_bin = {}
+    for bi, b in enumerate(bins):
+        for i in b:
+            placed_bin[i] = bi
+    for i in sorted(placed_bin):
+        bi = placed_bin[i]
+        for earlier in range(bi):
+            assert loads[earlier] + sizes[i] > target, (i, earlier)
+        loads[bi] += sizes[i]
+
+
+# --- Y4M round-trip fuzz (pure Python, no Spark) ---------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=10**7))
+def test_y4m_round_trip_matches_geometry_for_any_asset(asset_id):
+    from task_hive_spark.operators.multimodal import (
+        _y4m_byte,
+        _y4m_geometry,
+        decode_y4m,
+        synth_y4m_bytes,
+    )
+
+    w, h, fn, fd, n = _y4m_geometry(asset_id)
+    got = decode_y4m(synth_y4m_bytes(asset_id))
+    sums = tuple(
+        sum(_y4m_byte(asset_id, k, p, i) for k in range(n) for i in range(w * h))
+        for p in range(3)
+    )
+    assert got == (w, h, fn, fd, n, *sums)

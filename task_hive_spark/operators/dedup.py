@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from task_hive_spark.functions.components import min_label_components
 from task_hive_spark.functions.text import fingerprint, portable_hash64, ws_tokens
-from task_hive_spark.materialize import session_index
+from task_hive_spark.materialize import register_aux_cache, session_index
 from task_hive_spark.sources.fixtures import load_table, register_fixture_views
 
 # K=128 / 32 bands / r=4 rows-per-band — the production family (the
@@ -556,12 +556,28 @@ def update_dedup_index(
         name: spark.read.parquet(_os.path.join(index_dir, name)).count()
         for name in ("signatures", "buckets")
     }
+    # the two appends are not transactional: a failure between them
+    # would leave docs with signatures but no band rows — silently
+    # unfindable by every future probe. The read-back counts make the
+    # invariant checkable for free, so enforce it before publishing the
+    # summary (a skewed index must fail loudly, not dedup partially).
+    if summary["buckets"] != summary["signatures"] * LSH_BANDS:
+        raise RuntimeError(
+            f"dedup index skewed after append: {summary['buckets']} bucket "
+            f"rows != {summary['signatures']} signatures x {LSH_BANDS} bands "
+            f"— rebuild the index at {index_dir}"
+        )
     with open(_os.path.join(index_dir, "summary.json"), "w") as f:
         _json.dump(summary, f, indent=2)
     return summary
 
 
+# registered with the shared eviction machinery so dead-session entries
+# are reclaimed like every other per-session cache (values are scratch
+# paths, not DataFrames — _unpersist_value ignores them; the dirs
+# themselves live under _scratch_root and die with the process)
 _DD_IDX_RAN: dict[tuple[str, str], str] = {}
+register_aux_cache(_DD_IDX_RAN)
 
 
 def _dedup_index_dir(spark: SparkSession, sf_dir: str) -> str:

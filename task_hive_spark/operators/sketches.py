@@ -716,6 +716,11 @@ def materialize_sketch_store(spark: SparkSession, sf_dir: str, out_dir: str) -> 
 
 
 _SK_STORE_RAN: dict[tuple[str, str], str] = {}
+# dead-session eviction via the shared registry (values are scratch
+# paths; _unpersist_value ignores non-DataFrames)
+from task_hive_spark.materialize import register_aux_cache  # noqa: E402
+
+register_aux_cache(_SK_STORE_RAN)
 
 
 def _sketch_store_dir(spark: SparkSession, sf_dir: str) -> str:

@@ -248,9 +248,14 @@ def compact_table(
         dst = os.path.join(out_dir, part)
         if len(files) <= n_bins:
             # already compact: pass the files through untouched (the
-            # production skip path — no rewrite amplification)
+            # production skip path — no rewrite amplification). Clear
+            # dst first so this branch shares the overwrite semantics of
+            # the rewrite branches — a rerun into a non-empty out_dir
+            # must not leave stale files beside the copies.
             import shutil
 
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
             os.makedirs(dst, exist_ok=True)
             for f in files:
                 shutil.copy2(f, dst)
@@ -283,6 +288,11 @@ def compact_table(
 
 
 _COMPACTED: dict[tuple[str, str], tuple[str, dict]] = {}
+# dead-session eviction via the shared registry (values are
+# (path, plan-dict) tuples; _unpersist_value ignores non-DataFrames)
+from task_hive_spark.materialize import register_aux_cache  # noqa: E402
+
+register_aux_cache(_COMPACTED)
 
 
 def compacted_tasks_dir(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:

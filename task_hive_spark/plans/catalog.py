@@ -210,6 +210,7 @@ def compact_table(
     out_dir: str,
     target_bytes: int = TARGET_FILE_BYTES,
     exact_bins: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """Compaction of a hive-partitioned parquet directory: for each
     partition, derive the bin count ceil(partition_bytes / target_bytes)
@@ -228,25 +229,48 @@ def compact_table(
       mapping itself is deterministic and each output file holds
       exactly its bin's rows, at the cost of one job per bin (use when
       reproducible file layouts matter more than job count).
+    - cluster_by=[cols]: sort-CLUSTERED rewrite (Delta ``OPTIMIZE ...
+      ZORDER``'s single-dimension analogue): each partition is
+      ``repartitionByRange(n_bins, cols)`` + ``sortWithinPartitions``
+      so every output file holds a contiguous, disjoint range of the
+      cluster key and its parquet footer min/max is TIGHT. This is the
+      one mode that shuffles (one range exchange per partition) —
+      deliberately: at 100 TB you pay the shuffle once at maintenance
+      time to let every future range scan prune files via
+      ``file_column_stats`` + ``prune_files`` below. The skip path is
+      disabled (files at target size may still be unclustered).
+
+    Unpartitioned inputs (no ``k=v`` subdirectories) are treated as a
+    single root partition keyed ``""``.
 
     Returns the per-partition plan
     {partition: {files_before, bytes, n_bins, files_after}}."""
     import math
 
+    if exact_bins and cluster_by:
+        raise ValueError("exact_bins and cluster_by are mutually exclusive")
     plan: dict[str, dict] = {}
     parts = sorted(
         d for d in os.listdir(in_dir)
         if "=" in d and os.path.isdir(os.path.join(in_dir, d))
-    )
+    ) or [""]
     for part in parts:
-        src = os.path.join(in_dir, part)
+        src = os.path.join(in_dir, part) if part else in_dir
         files = sorted(
             os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
         )
         total = sum(os.path.getsize(f) for f in files)
         n_bins = max(1, math.ceil(total / target_bytes))
-        dst = os.path.join(out_dir, part)
-        if len(files) <= n_bins:
+        dst = os.path.join(out_dir, part) if part else out_dir
+        if cluster_by:
+            (
+                spark.read.parquet(*files)
+                .repartitionByRange(n_bins, *cluster_by)
+                .sortWithinPartitions(*cluster_by)
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
+        elif len(files) <= n_bins:
             # already compact: pass the files through untouched (the
             # production skip path — no rewrite amplification). Clear
             # dst first so this branch shares the overwrite semantics of
@@ -342,10 +366,171 @@ def cat_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- data-skipping: per-file min/max manifest + pruned range scan ----------
+# The 100 TB payoff of clustered compaction. A lakehouse table keeps
+# per-file column min/max in its manifest (Delta checkpoint / Iceberg
+# manifest files); the planner intersects a range predicate with those
+# stats and hands the engine only the overlapping files — the direct
+# heir of the reference's prefix scan (common/constants.go:7-12: read
+# only the keyspace you need), generalized from a 5-value enum prefix
+# to any sort-clustered column. Here the manifest is built from parquet
+# FOOTERS alone (no data read) and consulted driver-side before the
+# scan; at cluster scale the manifest itself is a parquet table and the
+# intersect is a metadata-only Spark job.
+
+
+def file_column_stats(table_dir: str, col: str) -> list[dict]:
+    """Per-file (path, num_rows, min, max) for ``col``, read from
+    parquet footer statistics only. Files whose footer lacks min/max
+    for the column get ``None`` bounds — ``prune_files`` keeps them
+    conservatively (a manifest may never cause a false negative)."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for root, _dirs, fnames in os.walk(table_dir):
+        for fname in sorted(fnames):
+            if not fname.endswith(".parquet"):
+                continue
+            path = os.path.join(root, fname)
+            md = pq.ParquetFile(path).metadata
+            lo = hi = None
+            seen = False
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    cm = md.row_group(rg).column(ci)
+                    if cm.path_in_schema != col:
+                        continue
+                    st = cm.statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        seen = False
+                        break
+                    lo = st.min if not seen else min(lo, st.min)
+                    hi = st.max if not seen else max(hi, st.max)
+                    seen = True
+                else:
+                    continue
+                break
+            out.append(
+                {
+                    "path": path,
+                    "num_rows": md.num_rows,
+                    "min": lo if seen else None,
+                    "max": hi if seen else None,
+                }
+            )
+    return out
+
+
+def prune_files(stats: list[dict], lo, hi) -> tuple[list[str], int]:
+    """Intersect ``[lo, hi]`` with the manifest: keep files whose
+    [min, max] overlaps the window (or whose stats are missing —
+    conservative). Returns (kept paths, total files)."""
+
+    def _naive(v):
+        return v.replace(tzinfo=None) if hasattr(v, "tzinfo") and v.tzinfo else v
+
+    kept = [
+        s["path"]
+        for s in stats
+        if s["min"] is None
+        or not (_naive(s["max"]) < lo or _naive(s["min"]) > hi)
+    ]
+    return kept, len(stats)
+
+
+CLUSTER_TARGET_BYTES = 64 << 10  # force multi-file clustering at fixture scale
+CLUSTER_COL = "create_time"
+
+_CLUSTERED: dict[tuple[str, str], tuple[str, str, list[dict]]] = {}
+register_aux_cache(_CLUSTERED)
+
+
+def clustered_tasks_dir(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str, list[dict]]:
+    """Once per (session, sf_dir): write the tasks table FRAGMENTED and
+    unclustered (every file spans the full create_time range — nothing
+    prunable), rewrite it sort-clustered on create_time, and build the
+    footer manifest. Returns (fragmented_dir, clustered_dir, stats)."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CLUSTERED:
+        return _CLUSTERED[key]
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    root = tempfile.mkdtemp(prefix="cluster_", dir=_scratch_root())
+    frag = os.path.join(root, "fragmented")
+    clus = os.path.join(root, "clustered")
+    # round-robin repartition scatters rows across files — the
+    # streaming-append pathology where every file's [min, max] covers
+    # the whole key range and no manifest can prune anything
+    tasks_df(spark, sf_dir).repartition(FRAGMENT_PARTS).write.parquet(frag)
+    compact_table(
+        spark,
+        frag,
+        clus,
+        target_bytes=CLUSTER_TARGET_BYTES,
+        cluster_by=[CLUSTER_COL],
+    )
+    stats = file_column_stats(clus, CLUSTER_COL)
+    _CLUSTERED[key] = (frag, clus, stats)
+    return _CLUSTERED[key]
+
+
+# the demo range window: one year out of the ~7 the fixture spans, so a
+# clustered layout should skip the large majority of files
+PRUNE_LO = "1995-01-01 00:00:00"
+PRUNE_HI = "1995-12-31 23:59:59"
+
+
+def pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pruned read of the clustered tasks table for the demo
+    window: only files whose footer [min, max] overlaps are handed to
+    Spark (tests pin inputFiles() ⊂ the table's files), then the exact
+    predicate runs as the residual filter — pruning can drop whole
+    files, never rows."""
+    import datetime as _dt
+
+    _, clus, stats = clustered_tasks_dir(spark, sf_dir)
+    lo = _dt.datetime.fromisoformat(PRUNE_LO)
+    hi = _dt.datetime.fromisoformat(PRUNE_HI)
+    kept, _total = prune_files(stats, lo, hi)
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(*kept).where(
+        F.col(CLUSTER_COL).between(F.lit(PRUNE_LO), F.lit(PRUNE_HI))
+    )
+
+
+def cat_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-window task profile served by the manifest-pruned scan.
+    Matching the DuckDB oracle (which reads ALL tasks and filters) is
+    the no-false-negative proof: if pruning dropped a file containing
+    any in-window row, the hash fails. The pruning RATIO (files read <
+    total files, and the fragmented layout pruning nothing) is pinned
+    in tests/test_catalog.py."""
+    from pyspark.sql import functions as F
+
+    return (
+        pruned_range_scan(spark, sf_dir)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_tasks"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.sum("priority").cast("long").alias("sum_priority"),
+        )
+        .orderBy("status")
+    )
+
+
 QUERIES = {
     "cat_pending_by_type": cat_pending_by_type,
     "cat_bucketed_join_stats": cat_bucketed_join_stats,
     "cat_compaction_stats": cat_compaction_stats,
+    "cat_clustered_prune": cat_clustered_prune,
 }
 
 ORACLES = {
@@ -374,6 +559,20 @@ ORACLES = {
                MIN(id) AS min_id, MAX(id) AS max_id,
                CAST(SUM(LENGTH(payload)) AS BIGINT) AS total_payload_bytes
         FROM tasks
+        GROUP BY status ORDER BY status
+        """
+    ),
+    # reads ALL tasks and filters — equality with the Spark side (which
+    # reads only manifest-overlapping files) proves pruning dropped no
+    # in-window row
+    "cat_clustered_prune": oracle_cte(
+        f"""
+        SELECT status, COUNT(*) AS n_tasks,
+               MIN(id) AS min_id, MAX(id) AS max_id,
+               CAST(SUM(priority) AS BIGINT) AS sum_priority
+        FROM tasks
+        WHERE create_time BETWEEN TIMESTAMP '{PRUNE_LO}'
+                              AND TIMESTAMP '{PRUNE_HI}'
         GROUP BY status ORDER BY status
         """
     ),

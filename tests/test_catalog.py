@@ -167,3 +167,77 @@ def test_pack_bins_and_exact_compaction_mode(spark, tmp_path):
     a = sorted(r["id"] for r in spark.read.parquet(frag).collect())
     b = sorted(r["id"] for r in spark.read.parquet(comp).collect())
     assert a == b == list(range(2000))
+
+def test_clustered_prune_reads_fewer_files(spark, sf_dir):
+    """The data-skipping contract: (a) the clustered layout's manifest
+    prunes the demo window to a strict minority of files and the
+    executed scan reads exactly those; (b) the UNclustered fragmented
+    layout prunes nothing (every file spans the full key range); (c)
+    pruning is lossless — the pruned scan's rows equal a full-scan
+    filter's, row for row."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.plans.catalog import (
+        CLUSTER_COL,
+        PRUNE_HI,
+        PRUNE_LO,
+        clustered_tasks_dir,
+        file_column_stats,
+        prune_files,
+        pruned_range_scan,
+    )
+
+    frag, clus, stats = clustered_tasks_dir(spark, sf_dir)
+    lo = dt.datetime.fromisoformat(PRUNE_LO)
+    hi = dt.datetime.fromisoformat(PRUNE_HI)
+    kept, total = prune_files(stats, lo, hi)
+    assert total > 1, "clustered rewrite produced a single file — no demo"
+    assert len(kept) < total, (len(kept), total)  # pruning actually prunes
+    assert len(kept) <= -(-total // 2), (len(kept), total)  # strict minority
+
+    scan = pruned_range_scan(spark, sf_dir)
+    assert sorted(scan.inputFiles()) == sorted(
+        f"file://{p}" if not p.startswith("file:") else p for p in kept
+    )
+
+    # the fragmented layout cannot prune: every file overlaps the window
+    fstats = file_column_stats(frag, CLUSTER_COL)
+    fkept, ftotal = prune_files(fstats, lo, hi)
+    assert len(fkept) == ftotal > 1
+
+    # losslessness beyond the aggregate oracle: full row-set equality
+    want = (
+        spark.read.parquet(clus)
+        .where(F.col(CLUSTER_COL).between(F.lit(PRUNE_LO), F.lit(PRUNE_HI)))
+    )
+    assert scan.count() == want.count() > 0
+    assert scan.exceptAll(want).count() == 0
+    assert want.exceptAll(scan).count() == 0
+
+
+def test_compact_table_unpartitioned_and_mode_guard(spark, tmp_path):
+    """Flat (non-hive) input dirs compact as a single root partition;
+    exact_bins + cluster_by is rejected."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.plans.catalog import compact_table
+
+    frag = str(tmp_path / "flat_frag")
+    comp = str(tmp_path / "flat_comp")
+    spark.range(5000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    ).repartition(12).write.parquet(frag)
+    plan = compact_table(spark, frag, comp, target_bytes=1 << 20)
+    assert list(plan) == [""]
+    assert plan[""]["files_before"] == 12
+    assert plan[""]["files_after"] <= plan[""]["n_bins"] < 12
+    a = sorted(r["id"] for r in spark.read.parquet(comp).collect())
+    assert a == list(range(5000))
+
+    with _pytest.raises(ValueError):
+        compact_table(spark, frag, str(tmp_path / "x"), exact_bins=True,
+                      cluster_by=["id"])

@@ -5,10 +5,12 @@ columns plus a typed metadata struct, with decode / feature-extract /
 resize / frame-sample as Arrow-batched Python stages over
 ``mapInPandas``. Every asset kind has a REAL pure-stdlib decode path —
 WAV/RIFF audio (mm_decode_real), P6 PPM images (mm_decode_image_real),
-YUV4MPEG2 video (mm_decode_video_real) — each an encode→decode round
-trip over genuine containers whose stats an arithmetic DuckDB oracle
-reproduces. The container ships no codec libraries, so COMPRESSED
-formats (png/jpeg/mp3/mp4) stay stubbed behind ``NotImplementedError``
+YUV4MPEG2 video (mm_decode_video_real), and — the first COMPRESSED
+format — PNG (mm_decode_png_real: zlib inflate + five-way scanline
+unfilter, all stdlib) — each an encode→decode round trip over genuine
+containers whose stats an arithmetic DuckDB oracle reproduces. The
+container ships no codec libraries, so the remaining compressed
+formats (jpeg/mp3/mp4) stay stubbed behind ``NotImplementedError``
 (clearly marked), with a deterministic fake decode exercising their
 identical Spark-side plumbing — schema, partitioning, UDF signature,
 batch shape — against the same oracle discipline.
@@ -89,15 +91,19 @@ def decode_asset_real(kind: str, content: bytes, fmt: str | None = None):
     """The production decode stage: image → pixel array (PIL), audio →
     waveform, video → frame iterator. WAV is decoded for REAL with the
     pure-stdlib RIFF/PCM parser below (mm_decode_real), PPM images with
-    the pure-stdlib P6 parser (mm_decode_image_real), and Y4M video
-    with the pure-stdlib YUV4MPEG2 parser (mm_decode_video_real); the
-    COMPRESSED formats need codec libraries absent from this container
-    and stay stubbed — the deterministic fake decode exercises their
+    the pure-stdlib P6 parser (mm_decode_image_real), PNG images with
+    the pure-stdlib zlib-inflate/unfilter parser (mm_decode_png_real),
+    and Y4M video with the pure-stdlib YUV4MPEG2 parser
+    (mm_decode_video_real); the remaining COMPRESSED formats
+    (jpeg/mp3/mp4) need codec libraries absent from this container and
+    stay stubbed — the deterministic fake decode exercises their
     identical Spark plumbing."""
     if kind == "audio" and fmt == "wav":
         return decode_wav(content)
     if kind == "image" and fmt == "ppm":
         return decode_ppm(content)
+    if kind == "image" and fmt == "png":
+        return decode_png(content)
     if kind == "video" and fmt == "y4m":
         return decode_y4m(content)
     try:  # pragma: no cover
@@ -335,6 +341,204 @@ def mm_decode_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_ppm,
         _PPM_FIELDS,
         _PPM_DECODE_SCHEMA,
+    )
+
+
+# --- REAL PNG decode (pure stdlib: chunk walk + zlib inflate + unfilter) --
+# The first COMPRESSED format decoded for real — PNG needs no codec
+# library: the container is chunked (length, type, data, crc32), and
+# the pixel stream is zlib-DEFLATE over per-scanline-filtered RGB —
+# all stdlib (``zlib``, ``struct``). The ENCODE stage writes genuine
+# PNGs around the deterministic RGB ramp: signature, IHDR, the IDAT
+# stream split across TWO chunks (legal per the spec — forces the
+# decoder to concatenate before inflating), IEND, every chunk CRC'd —
+# and cycles ALL FIVE scanline filters (row r uses type r % 5), so the
+# None/Sub/Up/Average/Paeth reconstruction paths are each exercised on
+# real data. The DECODE stage genuinely parses: chunk walk with crc32
+# verification, IHDR grammar, inflate, per-row unfilter. The oracle
+# rebuilds the stats from the RAW ramp, so a decoder mis-implementing
+# any filter's reconstruction (or the chunk/CRC grammar) hash-fails.
+
+
+def _png_dims(asset_id: int) -> tuple[int, int]:
+    """(width, height); height ≥ 5 so every filter type appears."""
+    return 4 + asset_id % 11, 5 + asset_id % 9
+
+
+def _png_byte(asset_id: int, j: int) -> int:
+    """Byte j of the RAW (unfiltered) row-major RGB image — exact
+    integer arithmetic both the encoder and the SQL oracle reproduce."""
+    return (asset_id * 13 + j * 23) % 256
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_predict(ft: int, left: int, up: int, upleft: int) -> int:
+    """Filter-type prediction shared by the filter (encode) and
+    reconstruction (decode) directions."""
+    if ft == 0:
+        return 0
+    if ft == 1:
+        return left
+    if ft == 2:
+        return up
+    if ft == 3:
+        return (left + up) // 2
+    return _paeth(left, up, upleft)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png_bytes(asset_id: int) -> bytes:
+    """A genuine 8-bit RGB PNG holding the asset's deterministic ramp,
+    filters cycling 0..4 by row, IDAT split in two chunks."""
+    import struct
+    import zlib
+
+    w, h = _png_dims(asset_id)
+    stride = 3 * w
+    raw = bytes(_png_byte(asset_id, j) for j in range(h * stride))
+    lines = bytearray()
+    prior = bytes(stride)
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        ft = r % 5
+        lines.append(ft)
+        for x in range(stride):
+            left = row[x - 3] if x >= 3 else 0
+            upleft = prior[x - 3] if x >= 3 else 0
+            lines.append((row[x] - _png_predict(ft, left, prior[x], upleft)) % 256)
+        prior = row
+    comp = zlib.compress(bytes(lines), 6)
+    cut = len(comp) // 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:cut])
+        + _png_chunk(b"IDAT", comp[cut:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> tuple[int, int, int, int, int, int, int, int]:
+    """REAL PNG decode, stdlib only: signature check, chunk walk with
+    crc32 verification, IHDR grammar, IDAT concatenation + inflate,
+    per-scanline unfilter (None/Sub/Up/Average/Paeth). Supports the
+    8-bit truecolor non-interlaced profile and rejects everything else
+    loudly. Returns (width, height, bit_depth, color_type, n_pixels,
+    sum_r, sum_g, sum_b)."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"not a PNG: {content[:8]!r}")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos < len(content):
+        if pos + 8 > len(content):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(content):
+            raise ValueError(f"truncated {ctype!r} chunk")
+        (crc,) = struct.unpack(">I", content[pos + 8 + length : pos + 12 + length])
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp_m, filt_m, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color_type, comp_m, filt_m, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG profile: depth={depth} color={color_type} "
+                    f"compression={comp_m} filter={filt_m} interlace={interlace} "
+                    "(only 8-bit truecolor, non-interlaced)"
+                )
+            ihdr = (w, h, depth, color_type)
+        elif ctype == b"IDAT":
+            if ihdr is None:
+                raise ValueError("IDAT before IHDR")
+            idat += data
+        elif ctype == b"IEND":
+            ended = True
+            break
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR or IEND chunk")
+    w, h, depth, color_type = ihdr
+    stride = 3 * w
+    plain = zlib.decompress(bytes(idat))
+    if len(plain) != h * (1 + stride):
+        raise ValueError(
+            f"inflated size {len(plain)} != {h} x (1 + {stride}) scanlines"
+        )
+    out = bytearray()
+    prior = bytes(stride)
+    for r in range(h):
+        ft = plain[r * (1 + stride)]
+        if ft > 4:
+            raise ValueError(f"unknown filter type {ft} on row {r}")
+        row = bytearray(plain[r * (1 + stride) + 1 : (r + 1) * (1 + stride)])
+        for x in range(stride):
+            left = row[x - 3] if x >= 3 else 0
+            upleft = prior[x - 3] if x >= 3 else 0
+            row[x] = (row[x] + _png_predict(ft, left, prior[x], upleft)) % 256
+        out += row
+        prior = bytes(row)
+    return (
+        w,
+        h,
+        depth,
+        color_type,
+        w * h,
+        sum(out[0::3]),
+        sum(out[1::3]),
+        sum(out[2::3]),
+    )
+
+
+_PNG_FIELDS = [
+    "width", "height", "bit_depth", "color_type", "n_pixels",
+    "sum_r", "sum_g", "sum_b",
+]
+_PNG_DECODE_SCHEMA = (
+    "asset_id bigint, width int, height int, bit_depth int, color_type int, "
+    "n_pixels int, sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def mm_decode_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec round-trip for the png-format image assets:
+    encode genuine PNGs (zlib-deflated, filter-cycled, CRC'd), then
+    decode them with the stdlib parser (_codec_roundtrip shape)."""
+    return _codec_roundtrip(
+        spark,
+        sf_dir,
+        (F.col("kind") == "image")
+        & (F.col("format") == "png")
+        & F.col("content").isNotNull(),
+        synth_png_bytes,
+        decode_png,
+        _PNG_FIELDS,
+        _PNG_DECODE_SCHEMA,
     )
 
 
@@ -659,6 +863,7 @@ QUERIES = {
     "mm_decode_features": mm_decode_features,
     "mm_decode_real": mm_decode_real,
     "mm_decode_image_real": mm_decode_image_real,
+    "mm_decode_png_real": mm_decode_png_real,
     "mm_decode_video_real": mm_decode_video_real,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_segments": mm_audio_segments,
@@ -790,6 +995,36 @@ ORACLES["mm_decode_image_real"] = _oracle_assets_cte(
                 p -> (asset_id * 7 + (3 * p + 1) * 13) % 256)) AS BIGINT) AS sum_g,
            CAST(list_sum(list_transform(generate_series(0, w * h - 1),
                 p -> (asset_id * 7 + (3 * p + 2) * 13) % 256)) AS BIGINT) AS sum_b
+    FROM img ORDER BY asset_id
+    """
+)
+
+# mm_decode_png_real: every decoded stat rebuilt from the synth
+# geometry (_png_dims / _png_byte). The oracle models the RAW image —
+# the zlib deflate and the five scanline filters are encoding artifacts
+# the decoder must exactly invert to reach these sums (channel c of
+# pixel p is raw byte 3p + c).
+ORACLES["mm_decode_png_real"] = _oracle_assets_cte(
+    """
+    , img AS (
+      SELECT asset_id,
+             4 + asset_id % 11 AS w,
+             5 + asset_id % 9 AS h
+      FROM assets
+      WHERE kind = 'image' AND format = 'png' AND content IS NOT NULL
+    )
+    SELECT asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(2 AS INT) AS color_type,
+           CAST(w * h AS INT) AS n_pixels,
+           CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                p -> (asset_id * 13 + (3 * p) * 23) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                p -> (asset_id * 13 + (3 * p + 1) * 23) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                p -> (asset_id * 13 + (3 * p + 2) * 23) % 256)) AS BIGINT) AS sum_b
     FROM img ORDER BY asset_id
     """
 )

@@ -475,9 +475,9 @@ def test_wav_decoder_parses_a_genuine_riff_container():
     got = decode_asset_real("audio", synth_wav_bytes(aid), "wav")
     assert got == (1, 16, srate, n, sum(samples), min(samples), max(samples))
 
-    # non-wav formats remain stubbed in this container
+    # jpeg remains stubbed in this container (png is now real)
     with pytest.raises(NotImplementedError):
-        decode_asset_real("image", b"\x89PNG", "png")
+        decode_asset_real("image", b"\xff\xd8\xff", "jpeg")
 
 
 def test_ppm_decoder_parses_a_genuine_p6_container():
@@ -519,8 +519,11 @@ def test_ppm_decoder_parses_a_genuine_p6_container():
     with pytest.raises(ValueError):
         decode_ppm(b"P5 2 2 255 " + payload)
 
-    # png/jpeg (and video) remain stubbed in this container
+    # jpeg remains stubbed in this container; png now routes to the
+    # real decoder (a bare signature is a truncated container)
     with pytest.raises(NotImplementedError):
+        decode_asset_real("image", b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(ValueError):
         decode_asset_real("image", b"\x89PNG", "png")
 
 
@@ -592,3 +595,84 @@ def test_y4m_decoder_parses_a_genuine_stream():
     ):
         with pytest.raises(ValueError):
             decode_y4m(bad)
+
+
+def test_png_decoder_parses_a_genuine_container():
+    """decode_png must be a REAL parser: a foreign PNG the synth path
+    never produces (single IDAT, uniform Up filter, an ancillary tEXt
+    chunk the walker must skip-but-CRC-check) decodes exactly; the
+    synth round trip matches the raw ramp; bad CRC, truncation, foreign
+    magic, unsupported profiles, and an unknown filter type fail
+    loudly; decode_asset_real routes png to the real decoder."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from task_hive_spark.operators.multimodal import (
+        _png_byte,
+        _png_chunk,
+        _png_dims,
+        decode_asset_real,
+        decode_png,
+        synth_png_bytes,
+        synth_ppm_bytes,
+    )
+
+    # foreign container: 2x3 RGB, every row filter 2 (Up), one IDAT,
+    # plus a tEXt ancillary chunk between IDAT and IEND
+    w, h = 2, 3
+    raw = [[(10 * r + x) for x in range(3 * w)] for r in range(h)]
+    lines = bytearray()
+    prior = [0] * (3 * w)
+    for r in range(h):
+        lines.append(2)
+        lines.extend((raw[r][x] - prior[x]) % 256 for x in range(3 * w))
+        prior = raw[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    foreign = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"tEXt", b"Comment\x00not from the synth path")
+        + _png_chunk(b"IEND", b"")
+    )
+    flat = [v for row in raw for v in row]
+    assert decode_png(foreign) == (
+        2, 3, 8, 2, 6, sum(flat[0::3]), sum(flat[1::3]), sum(flat[2::3])
+    )
+
+    # synth round trip via the dispatcher
+    aid = 10**6 + 3
+    wd, ht = _png_dims(aid)
+    ramp = [_png_byte(aid, j) for j in range(3 * wd * ht)]
+    assert decode_asset_real("image", synth_png_bytes(aid), "png") == (
+        wd, ht, 8, 2, wd * ht, sum(ramp[0::3]), sum(ramp[1::3]), sum(ramp[2::3])
+    )
+
+    # corrupted payload byte -> CRC failure, not a silent mis-decode
+    good = synth_png_bytes(aid)
+    bad = bytearray(good)
+    bad[len(good) // 2] ^= 0x55
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    for broken in (good[:-1], good[:20], synth_ppm_bytes(aid), b""):
+        with pytest.raises(ValueError):
+            decode_png(broken)
+    # unsupported profile: 16-bit depth
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(deep)
+    # unknown filter type on a row
+    badfilter = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes([7] + [0] * (3 * w)) * h))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(badfilter)

@@ -559,3 +559,26 @@ def test_y4m_round_trip_matches_geometry_for_any_asset(asset_id):
         for p in range(3)
     )
     assert got == (w, h, fn, fd, n, *sums)
+
+
+# --- PNG round-trip fuzz (pure Python, no Spark) ---------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=10**7))
+def test_png_round_trip_matches_ramp_for_any_asset(asset_id):
+    """Every synth PNG (which cycles all five scanline filters) must
+    decode back to the raw ramp's exact stats — deflate and filtering
+    are invertible artifacts, never data."""
+    from task_hive_spark.operators.multimodal import (
+        _png_byte,
+        _png_dims,
+        decode_png,
+        synth_png_bytes,
+    )
+
+    w, h = _png_dims(asset_id)
+    ramp = [_png_byte(asset_id, j) for j in range(3 * w * h)]
+    assert decode_png(synth_png_bytes(asset_id)) == (
+        w, h, 8, 2, w * h, sum(ramp[0::3]), sum(ramp[1::3]), sum(ramp[2::3])
+    )

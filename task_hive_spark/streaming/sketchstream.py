@@ -41,10 +41,11 @@ from task_hive_spark.operators.sketches import (
     hll_estimate,
     hll_registers,
 )
+from task_hive_spark.materialize import register_aux_cache
 from task_hive_spark.sources.fixtures import load_table
 from task_hive_spark.streaming.lifecycle import _scratch_root
 
-_EVENT_SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING"
+_EVENT_SCHEMA = "event_id BIGINT, user_id BIGINT, event_type STRING, day DATE"
 _DOC_SCHEMA = "doc_id BIGINT, text STRING"
 N_EVENT_CHUNKS = 4
 N_DOC_CHUNKS = 4
@@ -116,8 +117,10 @@ def _drain(
 def _event_feed(spark: SparkSession, sf_dir: str, work: str, n_chunks: int) -> str:
     """Write (or reuse) the chunked events feed under ``work``."""
     feed = os.path.join(work, "feed")
+    # day rides the feed so the register state keeps the store's grain
+    # (day, event_type) — the coarse per-type estimate coarsens from it
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type"
+        "event_id", "user_id", "event_type", F.to_date("ts").alias("day")
     )
     _write_chunks(ev, "event_id", feed, n_chunks)
     return feed
@@ -142,13 +145,19 @@ def run_stream(spark: SparkSession, work: str, feed: str) -> str:
     state_root = os.path.join(work, "hll_state")
 
     def fold(batch_df: DataFrame, bid: int) -> None:
-        merged = hll_registers(batch_df)
+        # store-grain state (day, event_type, j, m): the same fold
+        # serves both the live per-type estimate (coarsened by max —
+        # exact, since register max commutes with grouping) and the
+        # persisted daily store (stream_store_dir)
+        merged = hll_registers(batch_df, ["day", "event_type"])
         prior_dir = _latest_batch_dir(state_root, below=bid)
         if prior_dir is not None:
-            prior = spark.read.parquet(prior_dir).select("event_type", "j", "m")
+            prior = spark.read.parquet(prior_dir).select(
+                "day", "event_type", "j", "m"
+            )
             merged = (
                 prior.unionByName(merged)
-                .groupBy("event_type", "j")
+                .groupBy("day", "event_type", "j")
                 .agg(F.max("m").alias("m"))
             )
         # full merged state into this batch's subdir: a checkpoint
@@ -163,7 +172,7 @@ def run_stream(spark: SparkSession, work: str, feed: str) -> str:
 
 def latest_state(spark: SparkSession, state_root: str) -> DataFrame:
     return spark.read.parquet(_latest_batch_dir(state_root)).select(
-        "event_type", "j", "m"
+        "day", "event_type", "j", "m"
     )
 
 
@@ -180,9 +189,17 @@ def _ensure_run(spark: SparkSession, sf_dir: str) -> str:
 def st_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The live cardinality estimates after the whole feed has folded —
     converged, the register state (and therefore every output column)
-    equals the batch sk_hll_distinct answer exactly (shared oracle)."""
+    equals the batch sk_hll_distinct answer exactly (shared oracle).
+    The daily-grain state coarsens to per-type registers by MAX —
+    idempotent, so this is exactly the registers a day-free fold would
+    have built."""
     state_root = _ensure_run(spark, sf_dir)
-    return hll_estimate(spark, latest_state(spark, state_root))
+    regs = (
+        latest_state(spark, state_root)
+        .groupBy("event_type", "j")
+        .agg(F.max("m").alias("m"))
+    )
+    return hll_estimate(spark, regs)
 
 
 # --- incremental KMV over the event stream -------------------------------
@@ -317,7 +334,7 @@ def st_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QSK_RAN: dict[tuple[str, str], str] = {}
 _LINEITEM_SCHEMA = (
-    "l_orderkey BIGINT, l_returnflag STRING, l_extendedprice DOUBLE"
+    "l_orderkey BIGINT, l_returnflag STRING, l_extendedprice DOUBLE, m DATE"
 )
 N_LINEITEM_CHUNKS = 4
 
@@ -333,13 +350,19 @@ def run_qsk_stream(spark: SparkSession, work: str, feed: str) -> str:
     state_root = os.path.join(work, "qsk_state")
 
     def fold(batch_df: DataFrame, bid: int) -> None:
-        merged = qsk_state(qsk_lineitem_vals(batch_df))
+        # store-grain state (g, m, lb, cnt): the additive merge is
+        # exact at any grouping, so one monthly-partial fold serves
+        # both the live per-flag estimate (coarsened by sum) and the
+        # persisted monthly store (stream_store_dir)
+        merged = qsk_state(
+            qsk_lineitem_vals(batch_df, F.col("m")), ["g", "m"]
+        )
         prior_dir = _latest_batch_dir(state_root, below=bid)
         if prior_dir is not None:
-            prior = spark.read.parquet(prior_dir).select("g", "lb", "cnt")
+            prior = spark.read.parquet(prior_dir).select("g", "m", "lb", "cnt")
             merged = (
                 prior.unionByName(merged)
-                .groupBy("g", "lb")
+                .groupBy("g", "m", "lb")
                 .agg(F.sum("cnt").cast("bigint").alias("cnt"))
             )
         merged.write.mode("overwrite").parquet(
@@ -354,8 +377,13 @@ def run_qsk_once(
     spark: SparkSession, sf_dir: str, work: str, n_chunks: int = N_LINEITEM_CHUNKS
 ) -> str:
     feed = os.path.join(work, "feed")
+    # the ingest month rides the feed so the histogram state keeps the
+    # store's (g, m) grain
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_returnflag", "l_extendedprice"
+        "l_orderkey",
+        "l_returnflag",
+        "l_extendedprice",
+        F.trunc(F.to_date("l_shipdate"), "month").alias("m"),
     )
     _write_chunks(li, "l_orderkey", feed, n_chunks)
     return run_qsk_stream(spark, work, feed)
@@ -372,8 +400,10 @@ def st_quantiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from task_hive_spark.operators.sketches import QSK_QS, qsk_estimate
 
     state_root = _ensure_qsk_run(spark, sf_dir)
-    state = spark.read.parquet(_latest_batch_dir(state_root)).select(
-        "g", "lb", "cnt"
+    state = (
+        spark.read.parquet(_latest_batch_dir(state_root))
+        .groupBy("g", "lb")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     return qsk_estimate(state, ["g"]).select(
         F.col("g").alias("l_returnflag"),
@@ -383,18 +413,81 @@ def st_quantiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- the sketch store assembled from STREAM artifacts ---------------------
+# The build-once/serve-forever closure the dedup index got in r10
+# (minhashstream → dedup_served_of), now for sketches: the converged
+# incremental states are written into the batch store's exact layout
+# (quantiles_monthly / hll_daily_registers) and the SAME serving
+# queries (sketches.sk_quantiles_served / sk_hll_daily_served) answer
+# from them. Because the quantile merge is exactly additive and the
+# register merge idempotent-max, the stream-built store is
+# bit-identical to the batch-built one (pinned in tests) — so at 100 TB
+# the retention tier can be fed by ingest-time folds and never needs a
+# batch rebuild pass over the facts.
+
+_STREAM_STORE_RAN: dict[tuple[str, str], str] = {}
+register_aux_cache(_STREAM_STORE_RAN)
+
+
+def stream_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Assemble (once per session × sf_dir) a sketch store from the
+    converged STREAM states — no fact table is read here: both inputs
+    are the incremental runs' checkpointed state files."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _STREAM_STORE_RAN:
+        return _STREAM_STORE_RAN[key]
+    store = tempfile.mkdtemp(prefix="skstream_store_", dir=_scratch_root())
+    hll_root = _ensure_run(spark, sf_dir)
+    latest_state(spark, hll_root).write.mode("overwrite").parquet(
+        os.path.join(store, "hll_daily_registers")
+    )
+    qsk_root = _ensure_qsk_run(spark, sf_dir)
+    spark.read.parquet(_latest_batch_dir(qsk_root)).select(
+        "g", "m", "lb", "cnt"
+    ).write.mode("overwrite").parquet(os.path.join(store, "quantiles_monthly"))
+    _STREAM_STORE_RAN[key] = store
+    return store
+
+
+def sk_quantiles_stream_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sk_quantiles_served answered from the STREAM-built store: the
+    monthly histogram partials accumulated by st_quantiles_incremental,
+    served by the shared batch serving path."""
+    from task_hive_spark.operators.sketches import sk_quantiles_served
+
+    return sk_quantiles_served(
+        spark, sf_dir, store_dir=stream_store_dir(spark, sf_dir)
+    )
+
+
+def sk_hll_daily_stream_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sk_hll_daily_served answered from the STREAM-built store: the
+    daily register state accumulated by st_hll_incremental, served by
+    the shared batch serving path."""
+    from task_hive_spark.operators.sketches import sk_hll_daily_served
+
+    return sk_hll_daily_served(
+        spark, sf_dir, store_dir=stream_store_dir(spark, sf_dir)
+    )
+
+
 QUERIES = {
     "st_hll_incremental": st_hll_incremental,
     "st_kmv_incremental": st_kmv_incremental,
     "st_cms_incremental": st_cms_incremental,
     "st_quantiles_incremental": st_quantiles_incremental,
+    "sk_quantiles_stream_served": sk_quantiles_stream_served,
+    "sk_hll_daily_stream_served": sk_hll_daily_stream_served,
 }
 
 # converged state == the whole-corpus sketch: the batch queries' own
-# SQL are the oracles
+# SQL are the oracles (the stream-served pair answers the SERVED
+# queries' questions, so it shares their oracles)
 ORACLES = {
     "st_hll_incremental": _SK_ORACLES["sk_hll_distinct"],
     "st_kmv_incremental": _SK_ORACLES["sk_kmv_distinct"],
     "st_cms_incremental": _SK_ORACLES["sk_cms_heavy_hitters"],
     "st_quantiles_incremental": _SK_ORACLES["sk_quantiles"],
+    "sk_quantiles_stream_served": _SK_ORACLES["sk_quantiles_served"],
+    "sk_hll_daily_stream_served": _SK_ORACLES["sk_hll_daily_served"],
 }

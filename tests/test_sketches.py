@@ -164,7 +164,14 @@ def test_incremental_hll_converges_to_batch_and_is_chunk_invariant(
     outs = []
     for n_chunks in (2, 4):
         root = run_once(spark, sf_dir, str(tmp_path / f"c{n_chunks}"), n_chunks)
-        outs.append(hll_estimate(spark, latest_state(spark, root)).collect())
+        # state is day-grained (the store's grain); coarsen by max —
+        # idempotent, so this IS the per-type register state
+        regs = (
+            latest_state(spark, root)
+            .groupBy("event_type", "j")
+            .agg(F.max("m").alias("m"))
+        )
+        outs.append(hll_estimate(spark, regs).collect())
     # max-monoid state: ANY batching folds to the whole-corpus sketch
     assert outs[0] == outs[1] == batch
 
@@ -339,21 +346,24 @@ def test_incremental_qsk_converges_and_never_double_counts(
         (r["g"], r["lb"]): r["cnt"]
         for r in qsk_state(qsk_lineitem_vals(li)).collect()
     }
+    def coarse_grid(root):
+        # state is (g, m, lb, cnt) — the store's monthly grain; the
+        # additive merge is exact at any grouping, so summing over m
+        # reproduces the per-flag grid
+        out: dict = {}
+        for r in spark.read.parquet(_latest_batch_dir(root)).collect():
+            k = (r["g"], r["lb"])
+            out[k] = out.get(k, 0) + r["cnt"]
+        return out
+
     states = []
     for n_chunks in (2, 4):
         work = str(tmp_path / f"q{n_chunks}")
         root = run_qsk_once(spark, sf_dir, work, n_chunks)
-        got = {
-            (r["g"], r["lb"]): r["cnt"]
-            for r in spark.read.parquet(_latest_batch_dir(root)).collect()
-        }
+        got = coarse_grid(root)
         states.append(got)
         run_qsk_stream(spark, work, os.path.join(work, "feed"))
-        again = {
-            (r["g"], r["lb"]): r["cnt"]
-            for r in spark.read.parquet(_latest_batch_dir(root)).collect()
-        }
-        assert again == got
+        assert coarse_grid(root) == got
     assert states[0] == states[1] == batch_grid
 
 
@@ -495,3 +505,30 @@ def test_sketch_store_serves_percentiles_without_the_fact_table(spark, sf_dir, t
     assert hserved.collect() == sk_hll_daily(spark, sf_dir).collect()
     hscans = hserved.inputFiles()
     assert hscans and all(out in f for f in hscans), hscans
+
+
+def test_stream_built_store_serves_bit_identical_to_batch(spark, sf_dir):
+    """The r11 closure: a store assembled purely from the incremental
+    runs' converged state files must serve the SAME answers as the
+    batch-built store, row for row — additive histogram merge and
+    idempotent register max make the two stores equal by construction,
+    and this pins it. Both serves must also read only their store
+    (no fact table in the scan set)."""
+    from task_hive_spark.operators.sketches import (
+        sk_hll_daily_served,
+        sk_quantiles_served,
+    )
+    from task_hive_spark.streaming.sketchstream import (
+        sk_hll_daily_stream_served,
+        sk_quantiles_stream_served,
+        stream_store_dir,
+    )
+
+    store = stream_store_dir(spark, sf_dir)
+    q_stream = sk_quantiles_stream_served(spark, sf_dir)
+    assert q_stream.collect() == sk_quantiles_served(spark, sf_dir).collect()
+    h_stream = sk_hll_daily_stream_served(spark, sf_dir)
+    assert h_stream.collect() == sk_hll_daily_served(spark, sf_dir).collect()
+    for df in (q_stream, h_stream):
+        scans = df.inputFiles()
+        assert scans and all(store in f for f in scans), scans

@@ -368,11 +368,24 @@ CMS_PHI_INV = 50  # heavy hitter ⇔ est ≥ stream_length / 50 (φ = 2%)
 
 def cms_cells(item: F.Column, width: int = CMS_W) -> list[F.Column]:
     """The D (row, col) cells an item updates — shared by build and
-    probe so the two sides can never drift."""
+    probe so the two sides can never drift.
+
+    All D rows derive from ONE md5 of the item: row d reads hex digits
+    [8d, 8d+8) of the 32-digit digest — four disjoint 32-bit fields of
+    a uniform 128-bit hash, so the rows stay independent while the
+    per-occurrence hashing cost drops 4× (this was the dominant cost of
+    the grid build: one md5 per (occurrence, row) at D=4 doubled the
+    whole query's runtime). Spark's whole-stage codegen subexpression
+    elimination evaluates the shared md5 once per row; the DuckDB
+    oracle mirrors the same digest-slice arithmetic (_cms_hash)."""
+    digest = F.md5(F.concat(F.lit("cms-"), item))
     return [
         F.struct(
             F.lit(d).alias("d"),
-            (portable_hash32(item, seed=f"cms{d}-") % width).cast("int").alias("col"),
+            (
+                F.conv(F.substring(digest, 8 * d + 1, 8), 16, 10).cast("long")
+                % width
+            ).cast("int").alias("col"),
         )
         for d in range(CMS_D)
     ]
@@ -419,21 +432,41 @@ def cms_heavy_hitters_from(sketch: DataFrame, candidates: DataFrame) -> DataFram
     )
 
 
+def cms_grid_weighted(counts: DataFrame) -> DataFrame:
+    """The CMS grid as the count-weighted fold of a (tok, cnt)
+    dictionary: Σ over tokens of cnt into each of the token's D cells.
+    Bit-identical to cms_grid over the raw occurrence stream (additive
+    grid, grouping commutes — pinned in tests), but hashes each token
+    ONCE instead of once per occurrence."""
+    return (
+        counts.select(
+            F.explode(F.array(*cms_cells(F.col("tok")))).alias("cell"), "cnt"
+        )
+        .groupBy("cell.d", "cell.col")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+    )
+
+
 def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter tokens of the corpus token stream via CMS.
 
-    The update stream (every token occurrence × D cells) folds to the
-    D×W grid in one groupBy — partial aggregation means each map task
-    emits ≤ D·W rows no matter how many tokens it saw, which is the
-    entire point: hot-key detection WITHOUT a per-key shuffle. The
-    stream length is one sketch row-sum (any row sums to N). Candidates
-    here are the distinct tokens (fixture-complete); a production run
-    feeds candidates from a dictionary or a sample — the sketch probe
-    (broadcast join on D·W rows) is the same either way."""
-    from task_hive_spark.operators.textops import token_index
+    Grid build: the count-weighted fold of the corpus dictionary
+    (unigram_vocab — the shared bag-of-words session index whose
+    tokenization is pinned to token_index's), which is exactly the
+    occurrence-stream grid (additive fold commutes with pre-grouping;
+    cms_grid_weighted's equality with cms_grid is pinned in tests) at
+    one hash per DISTINCT token instead of one per occurrence — the
+    same one-corpus-pass-feeds-every-consumer design as the BPE
+    trainer. The true streaming form — folding the raw occurrence
+    stream with NO per-key state, each map task emitting ≤ D·W partial
+    rows — is cms_grid, exercised by st_cms_incremental where data
+    arrives incrementally and no dictionary exists yet. Candidates come
+    from the same dictionary (the production shape: probe a sketch with
+    a vocabulary); the stream length is one sketch row-sum."""
+    from task_hive_spark.operators.textops import unigram_vocab
 
-    occ = token_index(spark, sf_dir).select(F.explode("toks").alias("tok"))
-    return cms_heavy_hitters_from(cms_grid(occ), occ.distinct())
+    vocab = unigram_vocab(spark, sf_dir)
+    return cms_heavy_hitters_from(cms_grid_weighted(vocab), vocab.select("tok"))
 
 
 # --- Bloom-filter semi-join pre-filter ----------------------------------
@@ -935,9 +968,10 @@ _QSK_SQL = _qsk_est_sql(
 
 
 def _cms_hash(item_sql: str) -> str:
+    # row d = digest hex slice [8d+1, 8] of ONE md5 (cms_cells mirror)
     return (
-        f"CAST(concat('0x', substr(md5('cms' || CAST(s.d AS VARCHAR) || '-' || "
-        f"{item_sql}), 1, 8)) AS BIGINT) % {CMS_W}"
+        f"CAST(concat('0x', substr(md5('cms-' || {item_sql}), "
+        f"8 * s.d + 1, 8)) AS BIGINT) % {CMS_W}"
     )
 
 

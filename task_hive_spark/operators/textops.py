@@ -1691,6 +1691,23 @@ def _dsir_topk_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DSIR_TOPK_INPUT[0]
 
 
+def _labeled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The teacher-labeled feature index (doc_id, f, n_f, keep) as a
+    session index: hashed_gram_features zipped with the unigram
+    teacher's keep — the ONE cached frame both halves of the
+    distillation (class-conditional fit, student re-score) traverse.
+    Before this index the join was re-executed per consumer: the fit
+    and the scoring each re-zipped and re-decoded the two parent
+    caches (~0.6 s per traversal at sf0.1, 2 traversals per call)."""
+
+    def build() -> DataFrame:
+        return hashed_gram_features(spark, sf_dir).select(
+            "doc_id", "f", "n_f"
+        ).join(_unigram_scores(spark, sf_dir).select("doc_id", "keep"), "doc_id")
+
+    return session_index(spark, sf_dir, "qc_labeled_feats", build)
+
+
 def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-and-score a quality classifier inside the engine — the
     CCNet/DCLM distillation pattern: an expensive teacher (here the
@@ -1711,66 +1728,81 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln calls' floor margins are pinned by the fixture-margin test.
 
     Scale shape: teacher labels join the feature index exchange-free
-    on its doc_id partitioning; the class-conditional counts are ONE
-    256-row conditional aggregation of the labeled index, with the
-    class totals folded in as a bounded single-partition window over
-    those 256 rows (a separate tot-aggregate subtree re-derived the
-    whole labeled index a third time — measured 1.57s → 1.0s at
-    sf0.1); scoring joins the 256-row broadcast weight table back and
-    folds per doc on the same partitioning. The prior is ONE
-    engine-computed scalar collected to the driver (bounded by
-    construction: one row, two counts off the cached teacher index —
-    the bucket-subtotal precedent) so the score projection is a
-    literal add, not another broadcast barrier. Overflow bound:
-    (ck+1)·(Td+B) ≤ (T+B)² — int64-safe below ~3e9 corpus tokens, past
-    which the ratio splits into two quantized terms exactly like the
-    bigram LM's divisor note."""
-    feats = hashed_gram_features(spark, sf_dir)
+    on its doc_id partitioning, materialized ONCE as the
+    _labeled_features session index both distillation halves scan; the
+    class-conditional counts are ONE 256-row conditional aggregation
+    of that index, COLLECTED
+    (bounded by construction: ≤ DSIR_BUCKETS rows) so the class totals
+    are exact-integer driver sums and the weight table is rebuilt as a
+    256-row literal frame — the broadcast side of the scoring join is
+    then a LocalTableScan, where it used to be the whole fit subtree
+    re-executed inside the final job's broadcast stage (one full
+    labeled-index traversal + two single-partition windows, measured
+    1.45s → 0.95s at sf0.1). The ln calls stay ENGINE-side (over
+    integer literals identical to what the window form fed them), so
+    the float discipline is unchanged; scoring joins the broadcast
+    weight table back and folds per doc on the index's partitioning.
+    The prior is ONE engine-computed scalar collected to the driver
+    (one row, two counts off the cached teacher index) so the score
+    projection is a literal add. Overflow bound: (ck+1)·(Td+B) ≤
+    (T+B)² — int64-safe below ~3e9 corpus tokens, past which the ratio
+    splits into two quantized terms exactly like the bigram LM's
+    divisor note."""
+    lf = _labeled_features(spark, sf_dir)
     labels = _unigram_scores(spark, sf_dir).select("doc_id", "keep")
-    lf = feats.join(labels, "doc_id")
 
-    # closed-form fit: class-conditional bucket counts in one pass;
-    # totals via a window over the ≤ DSIR_BUCKETS-row grid (bounded
-    # single-partition — plan_audit's documented class)
-    cls = lf.groupBy("f").agg(
+    # closed-form fit: class-conditional bucket counts in one pass over
+    # the labeled index; ≤ DSIR_BUCKETS rows — collect, total, rebuild
+    # as literals (the bucket-subtotal precedent). The doc-level class
+    # counts ride the SAME collect as a sentinel f = -1 row (two
+    # subtrees, one action — one scheduling round instead of two).
+    fit = lf.groupBy("f").agg(
         F.sum(F.when(F.col("keep"), F.col("n_f")).otherwise(0)).alias("ck"),
         F.sum(F.when(F.col("keep"), 0).otherwise(F.col("n_f"))).alias("cd"),
     )
-    wall = W.partitionBy(F.lit(1))
-    clsw = cls.withColumn("tk", F.sum("ck").over(wall)).withColumn(
-        "td", F.sum("cd").over(wall)
+    doc_counts = labels.agg(
+        F.lit(-1).alias("f"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("ck"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("cd"),
     )
-    w = clsw.select(
+    rows = fit.unionByName(doc_counts).collect()
+    cls_rows = [r for r in rows if r["f"] != -1]
+    nk, nd = next((r["ck"], r["cd"]) for r in rows if r["f"] == -1)
+    if not nk or not nd:
+        # single-class teacher: the NB prior (and any classifier) is
+        # undefined — fail loudly instead of int(None) at plan build
+        raise ValueError(
+            f"teacher labels are single-class (keep={nk}, drop={nd}); "
+            "the NB prior log-odds is undefined"
+        )
+    tk = sum(r["ck"] for r in cls_rows)  # exact ints — no float drift
+    td = sum(r["cd"] for r in cls_rows)
+    cls_lit = spark.createDataFrame(
+        [(r["f"], r["ck"], r["cd"]) for r in cls_rows],
+        "f int, ck bigint, cd bigint",
+    )
+    w = cls_lit.select(
         "f",
         F.floor(
             F.log(
-                ((F.col("ck") + 1) * (F.col("td") + DSIR_BUCKETS))
-                / ((F.col("cd") + 1) * (F.col("tk") + DSIR_BUCKETS))
+                ((F.col("ck") + 1) * F.lit(td + DSIR_BUCKETS))
+                / ((F.col("cd") + 1) * F.lit(tk + DSIR_BUCKETS))
             )
             * 1e6
         ).alias("w_micro"),
     )
-    pr = labels.agg(
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("nk"),
-        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("nd"),
-        F.floor(
-            F.log(
-                F.sum(F.when(F.col("keep"), 1).otherwise(0))
-                / F.sum(F.when(F.col("keep"), 0).otherwise(1))
-            )
-            * 1e6
+    # the prior's ln stays ENGINE-side over the same integer inputs the
+    # fused agg produced (float discipline unchanged); a 1-row literal
+    # plan is a shuffle-free local job
+    prior_micro = int(
+        spark.range(1)
+        .select(
+            F.floor(F.log(F.lit(nk) / F.lit(nd)) * 1e6)
+            .cast("bigint")
+            .alias("p")
         )
-        .cast("bigint")
-        .alias("prior_micro"),
-    ).collect()[0]
-    if not pr["nk"] or not pr["nd"]:
-        # single-class teacher: the NB prior (and any classifier) is
-        # undefined — fail loudly instead of int(None) at plan build
-        raise ValueError(
-            f"teacher labels are single-class (keep={pr['nk']}, "
-            f"drop={pr['nd']}); the NB prior log-odds is undefined"
-        )
-    prior_micro = int(pr["prior_micro"])
+        .collect()[0]["p"]
+    )
     score = F.col("dot") + F.lit(prior_micro)
     return (
         lf.join(F.broadcast(w), "f")

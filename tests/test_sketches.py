@@ -532,3 +532,22 @@ def test_stream_built_store_serves_bit_identical_to_batch(spark, sf_dir):
     for df in (q_stream, h_stream):
         scans = df.inputFiles()
         assert scans and all(store in f for f in scans), scans
+
+
+def test_weighted_cms_grid_equals_occurrence_stream_grid(spark, sf_dir):
+    """sk_cms_heavy_hitters builds its grid as the count-weighted fold
+    of the dictionary; the additive fold must commute — the weighted
+    grid is bit-identical to cms_grid over the raw occurrence stream
+    (the streaming form), or the batch and incremental answers drift."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.sketches import cms_grid, cms_grid_weighted
+    from task_hive_spark.operators.textops import token_index, unigram_vocab
+
+    occ = token_index(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    a = {(r["d"], r["col"]): r["c"] for r in cms_grid(occ).collect()}
+    b = {
+        (r["d"], r["col"]): r["c"]
+        for r in cms_grid_weighted(unigram_vocab(spark, sf_dir)).collect()
+    }
+    assert a == b and a

@@ -178,10 +178,41 @@ def main() -> int:
                 "queries": timings,
                 "sf": _sf_of(sf_dir),
                 "sim_dispatch_tasks_per_s": round(n_tasks / dispatch_s, 1),
+                "calibration_s": _calibrate(spark),
             }
         )
     )
     return 0
+
+
+def _calibrate(spark) -> float:
+    """Fixed-work box-speed probe: best-of-3 warm sum over a 100M-int
+    range — pure codegen arithmetic, zero I/O, identical work every
+    round, so cross-round query-time comparisons can be normalized by
+    it (r10's uniform ~1.32x drift vs r9 across untouched modules was
+    otherwise uninterpretable box tenancy). Divide a query's seconds by
+    (calibration_s of its round / reference calibration) before calling
+    a cross-round delta a regression; same-round Spark-vs-DuckDB ratios
+    need no normalization (paired on one box)."""
+    # md5 over 6M ids: hash-dominated like the engine's dedup/sketch
+    # hot loops, ~0.4 s warm — large enough that the job-launch floor
+    # is noise, small enough to stay a probe. A FRESH plan per run is
+    # load-bearing: re-collecting one DataFrame object reuses the
+    # partial-agg stage's shuffle files (measured 2.6 s → 0.07 s), so a
+    # shared plan would calibrate the scheduler, not the box.
+    def probe():
+        return spark.range(6_000_000).selectExpr(
+            "sum(CAST(conv(substr(md5(CAST(id AS STRING)), 1, 8), 16, 10) "
+            "AS BIGINT)) AS s"
+        )
+
+    probe().collect()  # compile + JIT outside the timed runs
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe().collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 if __name__ == "__main__":

@@ -968,19 +968,63 @@ def max_dup_spans_of(d: DataFrame, spark: SparkSession) -> DataFrame:
             (F.col("a.p") - F.col("b.p")).alias("diag"),
         )
     )
-    win = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    isl = pr.withColumn("isl", F.col("pa") - F.row_number().over(win))
+    # FUSED islands: one aggregation per diagonal (collect the sorted
+    # (pa, pb) list, recover maximal runs with an aggregate() fold)
+    # instead of the gaps-and-islands window + second groupBy — both
+    # rode the same (doc_a, doc_b, diag) partitioning, but the window
+    # added a full sort + second aggregation pass over the pair stream
+    # (measured 1.82 → 1.37 s at sf0.1, value-identical; the r10
+    # fixed-L fusion attempt was neutral because THAT shape had no pair
+    # explosion between the stages). Diagonal lists are bounded by the
+    # doc's window count — pair-sized state, never corpus-sized.
+    diag = pr.groupBy("doc_a", "doc_b", "diag").agg(
+        F.sort_array(F.collect_list(F.struct("pa", "pb"))).alias("ps")
+    )
     return (
-        isl.groupBy("doc_a", "doc_b", "diag", "isl")
-        .agg(
-            F.min("pa").cast("int").alias("a_start"),
-            F.min("pb").cast("int").alias("b_start"),
-            (F.max("pa") - F.min("pa") + F.lit(SPAN_L)).cast("int").alias("span_len"),
-            F.count("*").alias("n_windows"),
+        diag.select("doc_a", "doc_b", F.explode(F.expr(_SPANS_FOLD)).alias("s"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("s.a_start").alias("a_start"),
+            F.col("s.b_start").alias("b_start"),
+            F.col("s.span_len").alias("span_len"),
+            F.col("s.n_windows").alias("n_windows"),
         )
-        .select("doc_a", "doc_b", "a_start", "b_start", "span_len", "n_windows")
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
     )
+
+
+# The run-recovery fold over one diagonal's position-sorted (pa, pb)
+# list: consecutive pa values extend the open span, a gap closes it;
+# the finisher closes the last. Emitted span_len = prev − sa + SPAN_L
+# (k+1 consecutive windows ⇔ one maximal span of SPAN_L + k tokens).
+_SPANS_FOLD = f"""
+    aggregate(
+      ps,
+      struct(cast(array() as array<struct<a_start:int,b_start:int,
+                                          span_len:int,n_windows:bigint>>) as spans,
+             cast(null as int) as sa, cast(null as int) as sb,
+             cast(null as int) as prev, cast(0 as bigint) as cnt),
+      (acc, x) -> CASE
+        WHEN acc.prev IS NULL THEN
+          struct(acc.spans as spans, cast(x.pa as int) as sa,
+                 cast(x.pb as int) as sb, cast(x.pa as int) as prev,
+                 cast(1 as bigint) as cnt)
+        WHEN x.pa = acc.prev + 1 THEN
+          struct(acc.spans as spans, acc.sa as sa, acc.sb as sb,
+                 cast(x.pa as int) as prev, acc.cnt + 1 as cnt)
+        ELSE
+          struct((acc.spans || array(struct(acc.sa as a_start,
+                   acc.sb as b_start,
+                   cast(acc.prev - acc.sa + {SPAN_L} as int) as span_len,
+                   acc.cnt as n_windows))) as spans,
+                 cast(x.pa as int) as sa, cast(x.pb as int) as sb,
+                 cast(x.pa as int) as prev, cast(1 as bigint) as cnt)
+      END,
+      acc -> acc.spans || array(struct(acc.sa as a_start, acc.sb as b_start,
+               cast(acc.prev - acc.sa + {SPAN_L} as int) as span_len,
+               acc.cnt as n_windows))
+    )"""
 
 
 def dd_max_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

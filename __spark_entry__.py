@@ -13,83 +13,84 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Round-10 front-50 (policy: scripts/evidence_age.py derives and asserts
+# Round-11 front-50 (policy: scripts/evidence_age.py derives and asserts
 # it from the CORRECTNESS_r0*.json ledgers):
-#   1. ALL 22 queries whose latest driver grade is r6 (age 4, the
-#      structural bound — named for the r10 front by the r9 verdict);
-#   2. the 7 never-graded round-10 additions (dd_dedup_served,
-#      dd_max_dup_spans, mm_decode_image_real, mm_decode_video_real,
-#      cat_compaction_stats, sk_quantiles_served, sk_hll_daily_served);
-#   3. 21 of the 50 r7-evidence queries, code-adjacent first: the two
-#      remaining mm_* queries (multimodal.py gained the real PPM
-#      decoder), both cat_* queries (catalog.py gained the compaction
-#      tier), dd_embedding_cosine_pairs (the dedup family grew the
-#      served path), then the window/rollup/join-shape rel_* block, the
-#      dispatch-results processor query, and one text staple. The 29
-#      left back (txt_pii_scrub, txt_token_stats, txt_language_id,
-#      rel_case_null_logic, rel_correlated_above_avg,
-#      rel_distinct_aggs, rel_lag_lead_delta, rel_outer_join_nulls,
-#      rel_q{14,15,17,19,20}, rel_scalar_{datetime,math,string},
-#      rel_self_join_prev_order, sim_{label_centroids,prototypes_prune,
-#      quantize_int8}, st_{dispatch_latency,snapshot_merge},
-#      txt_{chunks,clean_corpus,clean_corpus_stats,hash_sample,
-#      unigram_lm_fertility,unigram_lm_vocab,unigram_logprob}) sit in
-#      modules untouched this round, remain hash-checked at sf0.001 on
-#      every pytest run and at sf0.01/sf0.1 by verify_local, and form
-#      the r11 front core (they reach the age-4 bound there).
-# Counts are asserted by scripts/evidence_age.py — derive the r11 front
+#   1. ALL 29 queries whose latest driver grade is r7 (age 4, the
+#      structural bound — named for the r11 front by the r10 verdict);
+#   2. the 4 never-graded round-11 additions (cat_clustered_prune,
+#      mm_decode_png_real, sk_quantiles_stream_served,
+#      sk_hll_daily_stream_served);
+#   3. 17 fillers, code-CHANGED first: txt_quality_classifier (age 2
+#      but re-planned this round — labeled-features index, literal
+#      weight table), then the age-3 sketch family (sk_cms_heavy_hitters
+#      rebuilt on the digest-slice cells + weighted grid; the other
+#      sk_* share sketches.py), the three st_*_incremental folds
+#      (store-grain state this round), the two age-3 dd_* queries
+#      (dedup.py gained the append invariant + span fusion), and four
+#      age-3 TPC-H staples. The 34 age-3 queries left back sit in
+#      modules untouched or locally re-verified at both scales every
+#      round, and form the r12 front core (they reach the age-4 bound
+#      there): rel_q{16,18,21}, sim_topk_{brute,ivf,lsh,pq_refined},
+#      sk_hll_daily, st_{session_windows,stream_dedup,
+#      stream_dedup_bounded,worker_counter_stateful}, the 18 th_*
+#      staples, txt_{decontaminate,sequence_pack,stratified_split,
+#      tokenized_dataset}.
+# Counts are asserted by scripts/evidence_age.py — derive the r12 front
 # from the script, not this comment.
-_FRONT_R10 = [
-    "gr_pagerank",
-    "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
-    "rel_q5_regional_revenue",
-    "rel_q6_forecast_revenue",
-    "rel_q7_volume",
-    "rel_q8_market_share",
-    "rel_q9_product_profit",
-    "rel_q10_returned_revenue",
-    "rel_q22_global_sales_opportunity",
-    "rel_unpivot_status",
-    "txt_bigram_lm_score",
-    "txt_corpus_profile",
-    "txt_dsir_sample",
-    "txt_filter_pipeline",
-    "txt_fingerprints",
-    "txt_length_histogram",
-    "txt_mix_rebalance",
-    "txt_quality_scores",
-    "txt_repetition_filter",
-    "txt_temperature_mix",
-    "txt_tfidf_topterms",
-    "dd_dedup_served",
-    "dd_max_dup_spans",
-    "mm_decode_image_real",
-    "cat_compaction_stats",
-    "mm_audio_segments",
-    "mm_frame_sample",
-    "cat_bucketed_join_stats",
-    "cat_pending_by_type",
-    "dd_embedding_cosine_pairs",
-    "xp_dispatch_results",
-    "rel_asof_join",
-    "rel_range_join",
-    "rel_sessionize",
-    "rel_topk_per_group",
-    "rel_window_frames",
-    "rel_window_ranks",
-    "rel_window_running",
-    "rel_rollup_orders",
-    "rel_cube_part",
-    "rel_grouping_sets_events",
-    "rel_pivot_status",
-    "rel_percentiles",
-    "rel_approx_distinct",
-    "rel_set_ops",
-    "rel_semi_anti_join",
-    "sk_hll_daily_served",
-    "sk_quantiles_served",
-    "mm_decode_video_real",
+_FRONT_R11 = [
+    # --- age-4 core (last graded r7) ---
+    "rel_case_null_logic",
+    "rel_correlated_above_avg",
+    "rel_distinct_aggs",
+    "rel_lag_lead_delta",
+    "rel_outer_join_nulls",
+    "rel_q14_promo_effect",
+    "rel_q15_top_supplier",
+    "rel_q17_small_qty_revenue",
+    "rel_q19_disjunctive_join",
+    "rel_q20_excess_stock",
+    "rel_scalar_datetime",
+    "rel_scalar_math",
+    "rel_scalar_string",
+    "rel_self_join_prev_order",
+    "sim_label_centroids",
+    "sim_prototypes_prune",
+    "sim_quantize_int8",
+    "st_dispatch_latency",
+    "st_snapshot_merge",
+    "txt_chunks",
+    "txt_clean_corpus",
+    "txt_clean_corpus_stats",
+    "txt_hash_sample",
+    "txt_language_id",
+    "txt_pii_scrub",
+    "txt_token_stats",
+    "txt_unigram_lm_fertility",
+    "txt_unigram_lm_vocab",
+    "txt_unigram_logprob",
+    # --- never-graded r11 additions ---
+    "cat_clustered_prune",
+    "mm_decode_png_real",
+    "sk_quantiles_stream_served",
+    "sk_hll_daily_stream_served",
+    # --- code-changed / code-adjacent fillers ---
+    "txt_quality_classifier",
+    "sk_cms_heavy_hitters",
+    "sk_bloom_semi_join",
+    "sk_hll_distinct",
+    "sk_hll_union",
+    "sk_kmv_distinct",
+    "sk_theta_intersect",
+    "st_cms_incremental",
+    "st_hll_incremental",
+    "st_kmv_incremental",
+    "dd_minhash_signatures",
+    "dd_split_leakage",
+    "rel_q2_min_cost_supplier",
+    "rel_q4_order_priority",
+    "rel_q11_important_stock",
+    "rel_q12_late_lines",
+    "rel_q13_custdist",
 ]
 
 # The driver's grading window; the front set must fill it exactly so no
@@ -146,7 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         timers,
     )
 
-    # Register evidence-first (see _FRONT_R10): queries whose driver
+    # Register evidence-first (see _FRONT_R11): queries whose driver
     # evidence is stalest fill the 50 graded slots; the freshly-graded
     # set rotates to the back.
     out: dict[str, Callable] = {}
@@ -172,16 +173,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sketches.QUERIES)
     out.update(sketchstream.QUERIES)
 
-    missing = [k for k in _FRONT_R10 if k not in out]
+    missing = [k for k in _FRONT_R11 if k not in out]
     assert not missing, f"front names not registered: {missing}"
     # distinct-count, not list-length: a pasted duplicate would pass a
     # len() check while silently shrinking the graded front below the
     # window (review finding r7)
-    assert len(set(_FRONT_R10)) == len(_FRONT_R10) == GRADING_WINDOW, (
+    assert len(set(_FRONT_R11)) == len(_FRONT_R11) == GRADING_WINDOW, (
         f"front set must fill the driver's grading window exactly: "
-        f"{len(set(_FRONT_R10))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R10"
+        f"{len(set(_FRONT_R11))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R11"
     )
-    front = {k: out[k] for k in _FRONT_R10}
+    front = {k: out[k] for k in _FRONT_R11}
     back = {k: v for k, v in out.items() if k not in front}
     ordered = {**front, **back}
 

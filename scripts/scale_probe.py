@@ -511,6 +511,72 @@ def served_probe() -> int:
     return 1 if bad else 0
 
 
+def prune_probe() -> int:
+    """--prune: the clustered-compaction data-skipping CLAIM is that a
+    range query's file count tracks the WINDOW's share of the key
+    range, not the table size — at 100 TB the scan reads the same
+    ~14% (one year of ~7) of files whether the table has 12 files or
+    12 million, while the unclustered layout always reads 100%.
+    Verified across the 100x fixture span: cluster-compact the tasks
+    table per sf, prune the fixed one-year window against the footer
+    manifest, and bound kept files at the window share plus boundary
+    slack. Exits non-zero if the bound breaks (a rewrite that stopped
+    sorting, or a manifest with loose min/max, trips this)."""
+    import datetime as dt
+    import tempfile
+
+    from task_hive_spark.session import get_spark
+    from task_hive_spark.operators.taskmodel import tasks_df
+    from task_hive_spark.plans.catalog import (
+        CLUSTER_COL,
+        CLUSTER_TARGET_BYTES,
+        FRAGMENT_PARTS,
+        PRUNE_HI,
+        PRUNE_LO,
+        compact_table,
+        file_column_stats,
+        prune_files,
+    )
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    spark = get_spark("scale_probe_prune")
+    lo = dt.datetime.fromisoformat(PRUNE_LO)
+    hi = dt.datetime.fromisoformat(PRUNE_HI)
+    # o_orderdate spans 1992-01-01..1998-08-02 (~6.97 years); the demo
+    # window is one year ≈ 14.4% of the key range
+    window_share = (hi - lo).days / ((dt.datetime(1998, 8, 2) - dt.datetime(1992, 1, 1)).days)
+    bad = 0
+    for d in ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]:
+        root = tempfile.mkdtemp(prefix="pruneprobe_", dir=_scratch_root())
+        frag, clus = os.path.join(root, "frag"), os.path.join(root, "clus")
+        tasks_df(spark, d).repartition(FRAGMENT_PARTS).write.parquet(frag)
+        t0 = time.perf_counter()
+        compact_table(
+            spark, frag, clus,
+            target_bytes=CLUSTER_TARGET_BYTES, cluster_by=[CLUSTER_COL],
+        )
+        cluster_s = round(time.perf_counter() - t0, 3)
+        stats = file_column_stats(clus, CLUSTER_COL)
+        kept, total = prune_files(stats, lo, hi)
+        # window share of files + 2 boundary files (a kept file may
+        # straddle each window edge); degenerate single-file tables
+        # trivially keep their one file
+        bound = max(1, int(window_share * total + 0.5) + 2)
+        fkept, ftotal = prune_files(file_column_stats(frag, CLUSTER_COL), lo, hi)
+        ok = len(kept) <= bound and len(fkept) == ftotal
+        bad += 0 if ok else 1
+        print(json.dumps({
+            "probe": "clustered_prune", "sf_dir": d,
+            "files_total": total, "files_kept": len(kept),
+            "kept_bound": bound,
+            "window_share": round(window_share, 3),
+            "fragmented_kept": f"{len(fkept)}/{ftotal}",
+            "cluster_seconds": cluster_s,
+            "bounds_ok": ok,
+        }))
+    return 1 if bad else 0
+
+
 def main() -> int:
     from task_hive_spark.session import get_spark
 
@@ -518,6 +584,8 @@ def main() -> int:
 
     if sys.argv[1:2] == ["--ivf-recall"]:
         return ivf_recall()
+    if sys.argv[1:2] == ["--prune"]:
+        return prune_probe()
     if sys.argv[1:2] == ["--sketch"]:
         return sketch_probe()
     if sys.argv[1:2] == ["--sf1"]:

@@ -502,3 +502,34 @@ def test_stream_built_index_is_servable(spark, sf_dir, tmp_path):
     materialize_dedup_index(spark, sf_dir, out)
     from_batch = dedup_served_of(spark, out, batch).collect()
     assert from_stream == from_batch and from_stream
+
+
+def test_dedup_index_update_raises_on_append_skew(spark, sf_dir, tmp_path):
+    """The r11 invariant: the two appends (signatures, band buckets) are
+    not transactional, so update_dedup_index re-counts from disk and
+    must REFUSE to publish a summary when buckets != signatures x
+    LSH_BANDS — a half-applied append would otherwise make those docs
+    silently unfindable by every future probe. Simulate the failure by
+    pre-seeding extra signature rows with no band rows."""
+    import os
+
+    import pytest
+
+    from task_hive_spark.operators.dedup import (
+        materialize_dedup_index,
+        update_dedup_index,
+    )
+
+    out = str(tmp_path / "skewidx")
+    materialize_dedup_index(spark, sf_dir, out)
+    # orphan signatures: rows in signatures/ with no buckets/ partner —
+    # exactly what a crash between the two appends leaves behind
+    spark.read.parquet(os.path.join(out, "signatures")).limit(3).write.mode(
+        "append"
+    ).parquet(os.path.join(out, "signatures"))
+
+    from task_hive_spark.operators.dedup import corpus_df
+
+    batch = corpus_df(spark, sf_dir).limit(4)
+    with pytest.raises(RuntimeError, match="skewed"):
+        update_dedup_index(spark, out, batch)

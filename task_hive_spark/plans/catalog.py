@@ -526,11 +526,135 @@ def cat_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- delta appends: serve-correct now, recluster later --------------------
+# The write half of a clustered table's life: daily appends must not
+# rewrite the table (re-clustering 100 TB per batch is absurd), so new
+# data lands as an unclustered DELTA level beside the clustered BASE —
+# the LSM / Delta-Lake compaction-debt pattern. The manifest covers
+# both levels: base files carry tight ranges (pruned hard), delta files
+# carry loose ranges (their footer min/max spans most of the key space,
+# so they are kept conservatively — correct immediately, just not yet
+# cheap). `recluster_table` folds the delta into a fresh clustered base
+# when the debt is worth paying; answers are pinned identical before
+# and after, and pruning tightens back to the window share.
+
+DELTA_MOD = 10  # every DELTA_MOD-th task (by id hash) arrives late
+
+
+def _delta_split(spark: SparkSession, sf_dir: str):
+    """Deterministic base/delta split of the tasks table: ~1/DELTA_MOD
+    of rows (hash-chosen) are the late-arriving append."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.functions.text import portable_hash32
+
+    t = tasks_df(spark, sf_dir)
+    is_delta = portable_hash32(F.col("id"), seed="delta-") % DELTA_MOD == 0
+    return t.where(~is_delta), t.where(is_delta)
+
+
+_DELTA: dict[tuple[str, str], tuple[str, str, list[dict]]] = {}
+register_aux_cache(_DELTA)
+
+
+def delta_table_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str, list[dict]]:
+    """Once per (session, sf_dir): clustered BASE + raw 2-file DELTA,
+    with the manifest built over BOTH levels. Returns
+    (base_dir, delta_dir, stats)."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DELTA:
+        return _DELTA[key]
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    root = tempfile.mkdtemp(prefix="delta_", dir=_scratch_root())
+    base_frag = os.path.join(root, "base_frag")
+    base = os.path.join(root, "base")
+    delta = os.path.join(root, "delta")
+    base_df, delta_df = _delta_split(spark, sf_dir)
+    base_df.repartition(FRAGMENT_PARTS).write.parquet(base_frag)
+    compact_table(
+        spark, base_frag, base,
+        target_bytes=CLUSTER_TARGET_BYTES, cluster_by=[CLUSTER_COL],
+    )
+    # the append path: tiny unclustered files, no rewrite of base
+    delta_df.repartition(2).write.parquet(delta)
+    stats = file_column_stats(base, CLUSTER_COL) + file_column_stats(
+        delta, CLUSTER_COL
+    )
+    _DELTA[key] = (base, delta, stats)
+    return _DELTA[key]
+
+
+def recluster_table(spark: SparkSession, sf_dir: str) -> tuple[str, list[dict]]:
+    """Pay down the compaction debt: fold base + delta into a fresh
+    clustered level and rebuild the manifest. Returns
+    (merged_dir, stats)."""
+    import tempfile
+
+    base, delta, _stats = delta_table_dirs(spark, sf_dir)
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    root = tempfile.mkdtemp(prefix="reclus_", dir=_scratch_root())
+    merged = os.path.join(root, "merged")
+    staged = os.path.join(root, "staged")
+    # stage both levels as one input dir (file moves would do at scale;
+    # a copy keeps the fixture dirs immutable for the session cache)
+    import shutil
+
+    os.makedirs(staged)
+    for src in (base, delta):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy2(os.path.join(src, f), os.path.join(staged, f"{os.path.basename(src)}_{f}"))
+    compact_table(
+        spark, staged, merged,
+        target_bytes=CLUSTER_TARGET_BYTES, cluster_by=[CLUSTER_COL],
+    )
+    return merged, file_column_stats(merged, CLUSTER_COL)
+
+
+def _delta_window_agg(df: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return (
+        df.where(F.col(CLUSTER_COL).between(F.lit(PRUNE_LO), F.lit(PRUNE_HI)))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_tasks"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.sum("priority").cast("long").alias("sum_priority"),
+        )
+        .orderBy("status")
+    )
+
+
+def cat_delta_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demo window answered over BASE + DELTA through one manifest:
+    base files prune to the window share, delta files are kept
+    conservatively (loose footer ranges) — so the answer is correct the
+    moment an append lands, before any recluster. Matching the DuckDB
+    oracle (ALL tasks, filtered) proves the two-level read drops
+    nothing; tests pin that the kept set is all-delta + a base minority,
+    and that recluster_table restores single-level pruning with an
+    identical answer."""
+    import datetime as _dt
+
+    base, delta, stats = delta_table_dirs(spark, sf_dir)
+    lo = _dt.datetime.fromisoformat(PRUNE_LO)
+    hi = _dt.datetime.fromisoformat(PRUNE_HI)
+    kept, _total = prune_files(stats, lo, hi)
+    return _delta_window_agg(spark.read.parquet(*kept))
+
+
 QUERIES = {
     "cat_pending_by_type": cat_pending_by_type,
     "cat_bucketed_join_stats": cat_bucketed_join_stats,
     "cat_compaction_stats": cat_compaction_stats,
     "cat_clustered_prune": cat_clustered_prune,
+    "cat_delta_prune": cat_delta_prune,
 }
 
 ORACLES = {
@@ -559,6 +683,20 @@ ORACLES = {
                MIN(id) AS min_id, MAX(id) AS max_id,
                CAST(SUM(LENGTH(payload)) AS BIGINT) AS total_payload_bytes
         FROM tasks
+        GROUP BY status ORDER BY status
+        """
+    ),
+    # reads ALL tasks and filters — equality with the Spark side (which
+    # reads manifest-overlapping base files + every delta file) proves
+    # the two-level read drops nothing
+    "cat_delta_prune": oracle_cte(
+        f"""
+        SELECT status, COUNT(*) AS n_tasks,
+               MIN(id) AS min_id, MAX(id) AS max_id,
+               CAST(SUM(priority) AS BIGINT) AS sum_priority
+        FROM tasks
+        WHERE create_time BETWEEN TIMESTAMP '{PRUNE_LO}'
+                              AND TIMESTAMP '{PRUNE_HI}'
         GROUP BY status ORDER BY status
         """
     ),

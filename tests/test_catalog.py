@@ -241,3 +241,55 @@ def test_compact_table_unpartitioned_and_mode_guard(spark, tmp_path):
     with _pytest.raises(ValueError):
         compact_table(spark, frag, str(tmp_path / "x"), exact_bins=True,
                       cluster_by=["id"])
+
+
+def test_delta_append_serves_correct_then_recluster_restores_pruning(spark, sf_dir):
+    """The LSM loop: (a) the two-level manifest keeps ALL delta files
+    (loose ranges) plus only a base minority; (b) the two-level answer
+    equals the single-table window aggregate row for row (correct the
+    moment the append lands); (c) recluster_table folds the delta in,
+    the answer is unchanged, and pruning tightens back to a strict
+    minority of the merged files."""
+    import datetime as dt
+    import os
+
+    from task_hive_spark.plans.catalog import (
+        CLUSTER_COL,
+        PRUNE_HI,
+        PRUNE_LO,
+        _delta_window_agg,
+        cat_delta_prune,
+        delta_table_dirs,
+        prune_files,
+        recluster_table,
+    )
+
+    base, delta, stats = delta_table_dirs(spark, sf_dir)
+    lo = dt.datetime.fromisoformat(PRUNE_LO)
+    hi = dt.datetime.fromisoformat(PRUNE_HI)
+    kept, total = prune_files(stats, lo, hi)
+    delta_files = {
+        os.path.join(delta, f) for f in os.listdir(delta) if f.endswith(".parquet")
+    }
+    base_files = {
+        os.path.join(base, f) for f in os.listdir(base) if f.endswith(".parquet")
+    }
+    kept_set = set(kept)
+    # every delta file is kept (conservative), base prunes to a minority
+    assert delta_files <= kept_set
+    kept_base = kept_set & base_files
+    assert len(kept_base) < len(base_files) / 2, (len(kept_base), len(base_files))
+
+    # answer == the full-table window aggregate (nothing dropped)
+    want = _delta_window_agg(
+        spark.read.parquet(base).unionByName(spark.read.parquet(delta))
+    ).collect()
+    got = cat_delta_prune(spark, sf_dir).collect()
+    assert got == want and got
+
+    # recluster: same answer, pruning tight again
+    merged, mstats = recluster_table(spark, sf_dir)
+    mkept, mtotal = prune_files(mstats, lo, hi)
+    assert mtotal > 1 and len(mkept) <= -(-mtotal // 2)
+    after = _delta_window_agg(spark.read.parquet(*mkept)).collect()
+    assert after == want

@@ -293,3 +293,54 @@ def test_delta_append_serves_correct_then_recluster_restores_pruning(spark, sf_d
     assert mtotal > 1 and len(mkept) <= -(-mtotal // 2)
     after = _delta_window_agg(spark.read.parquet(*mkept)).collect()
     assert after == want
+
+
+def test_zorder_prunes_both_dimensions_multiplicatively(spark, sf_dir):
+    """Z-order contract: (a) EACH column's manifest prunes to a strict
+    minority on its own — the property the naive day-major interleave
+    lacked (priority kept 100%); (b) the conjunctive window's kept set
+    (the intersection) is no larger than either single-column set and
+    strictly smaller than the smaller of them at any multi-file scale;
+    (c) the pruned read is lossless vs a full-scan filter."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.plans.catalog import (
+        CLUSTER_COL,
+        PRUNE_HI,
+        PRUNE_LO,
+        ZPRUNE_PRI_HI,
+        ZPRUNE_PRI_LO,
+        cat_zorder_prune,
+        prune_files,
+        zordered_tasks_dir,
+    )
+
+    out, tstats, pstats = zordered_tasks_dir(spark, sf_dir)
+    lo = dt.datetime.fromisoformat(PRUNE_LO)
+    hi = dt.datetime.fromisoformat(PRUNE_HI)
+    kept_t, total = prune_files(tstats, lo, hi)
+    kept_p, _ = prune_files(pstats, ZPRUNE_PRI_LO, ZPRUNE_PRI_HI)
+    both = set(kept_t) & set(kept_p)
+    assert total >= 4
+    assert len(kept_t) < total and len(kept_p) < total  # each dim prunes
+    assert len(both) < min(len(kept_t), len(kept_p))  # conjunction wins
+
+    want = (
+        spark.read.parquet(out)
+        .where(
+            F.col(CLUSTER_COL).between(F.lit(PRUNE_LO), F.lit(PRUNE_HI))
+            & F.col("priority").between(ZPRUNE_PRI_LO, ZPRUNE_PRI_HI)
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_tasks"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.sum("priority").cast("long").alias("sum_priority"),
+        )
+        .orderBy("status")
+        .collect()
+    )
+    assert cat_zorder_prune(spark, sf_dir).collect() == want and want

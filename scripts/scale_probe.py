@@ -574,6 +574,33 @@ def prune_probe() -> int:
             "cluster_seconds": cluster_s,
             "bounds_ok": ok,
         }))
+    # Z-order member: the conjunctive 2D window must beat BOTH
+    # single-column kept sets once the table has enough files for the
+    # curve to matter — the multiplicative-pruning signature
+    from task_hive_spark.plans.catalog import (
+        ZPRUNE_PRI_HI,
+        ZPRUNE_PRI_LO,
+        zordered_tasks_dir,
+    )
+
+    for d in ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]:
+        _out, tstats, pstats = zordered_tasks_dir(spark, d)
+        kt, ztotal = prune_files(tstats, lo, hi)
+        kp, _ = prune_files(pstats, ZPRUNE_PRI_LO, ZPRUNE_PRI_HI)
+        both = set(kt) & set(kp)
+        ok = (
+            len(kt) < ztotal
+            and len(kp) < ztotal
+            and len(both) < min(len(kt), len(kp))
+        )
+        bad += 0 if ok else 1
+        print(json.dumps({
+            "probe": "zorder_prune", "sf_dir": d,
+            "files_total": ztotal,
+            "time_kept": len(kt), "priority_kept": len(kp),
+            "kept_2d": len(both),
+            "bounds_ok": ok,
+        }))
     return 1 if bad else 0
 
 

@@ -542,6 +542,184 @@ def mm_decode_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REAL MP4 container probe (pure stdlib: ISO BMFF box grammar) ---------
+# The lossy codecs (h264/aac inside mp4, mp3) CANNOT be arithmetically
+# oracled — quantized DCT output has no cross-engine SQL model — so
+# their decode stubs are principled, not lazy. What a pipeline runs
+# FIRST on such assets, though, is a metadata PROBE (ffprobe's job):
+# parse the container's box tree for duration, track geometry, and
+# payload size without touching any codec. ISO BMFF (MP4's container,
+# ISO/IEC 14496-12) is a public length-prefixed box grammar — fully
+# parseable stdlib-only and fully oracle-able. The ENCODE stage writes
+# genuine box trees (ftyp, moov[mvhd, trak[tkhd, mdia[mdhd, hdlr]]],
+# a 'free' box the walker must skip by size, and an mdat payload);
+# the PROBE genuinely walks the grammar: size/fourcc framing,
+# container recursion, version-0 field offsets, 16.16 fixed-point
+# track dimensions. The oracle rebuilds every reported field from the
+# synth geometry.
+
+
+def _mp4_geom(asset_id: int) -> tuple[int, int, int, int, int, int]:
+    """(timescale, dur_units, width, height, track_id, n_mdat) — the
+    deterministic synth geometry shared by encoder and oracle."""
+    return (
+        600 * (1 + asset_id % 4),
+        300 + asset_id % 1000,
+        160 + (asset_id % 8) * 16,
+        120 + (asset_id % 6) * 24,
+        1 + asset_id % 3,
+        16 + asset_id % 32,
+    )
+
+
+def _mp4_mdat_byte(asset_id: int, j: int) -> int:
+    return (asset_id * 19 + j * 29) % 256
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def synth_mp4_bytes(asset_id: int) -> bytes:
+    """A genuine minimal ISO BMFF file: ftyp + moov (mvhd, one video
+    trak with tkhd/mdia/mdhd/hdlr) + a free box + mdat."""
+    import struct
+
+    ts, dur, w, h, tid, n_mdat = _mp4_geom(asset_id)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, ts, dur)  # verflags, c/m time, ts, dur
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", tid + 1),  # next_track_ID
+    )
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">IIIIII", 0x000007, 0, 0, tid, 0, dur)
+        + b"\x00" * 8  # reserved
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">IIIII", 0, 0, 0, ts, dur)
+        + struct.pack(">Hh", 0x55C4, 0),  # language 'und', pre_defined
+    )
+    hdlr = _box(
+        b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr))
+    moov = _box(b"moov", mvhd + trak)
+    free = _box(b"free", b"\xde\xad" * 6)  # walker must skip by size
+    mdat = _box(b"mdat", bytes(_mp4_mdat_byte(asset_id, j) for j in range(n_mdat)))
+    return ftyp + moov + free + mdat
+
+
+def probe_mp4(content: bytes):
+    """REAL ISO BMFF probe, stdlib only: walk the length-prefixed box
+    tree (skipping unknown boxes by size), recurse into moov/trak/mdia,
+    parse mvhd/tkhd/mdhd version-0 layouts and the 16.16 fixed-point
+    track dimensions. Returns (major_brand, timescale, duration_ms,
+    n_tracks, track_id, width, height, mdat_bytes, mdat_sum)."""
+    import struct
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError("truncated box header")
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            fourcc = buf[pos + 4 : pos + 8]
+            if size < 8 or pos + size > end:
+                raise ValueError(f"bad box size {size} for {fourcc!r}")
+            yield fourcc, pos + 8, pos + size
+            pos += size
+
+    major = None
+    timescale = dur_units = None
+    n_tracks = 0
+    track_id = width = height = None
+    mdat_bytes = 0
+    mdat_sum = 0
+    for cc, s, e in walk(content, 0, len(content)):
+        if cc == b"ftyp":
+            if e - s < 8:
+                raise ValueError("short ftyp")
+            major = content[s : s + 4].decode("ascii")
+        elif cc == b"mdat":
+            mdat_bytes += e - s
+            mdat_sum += sum(content[s:e])
+        elif cc == b"moov":
+            for cc2, s2, e2 in walk(content, s, e):
+                if cc2 == b"mvhd":
+                    ver = content[s2]
+                    if ver != 0:
+                        raise ValueError("only mvhd version 0 supported")
+                    _, _, _, timescale, dur_units = struct.unpack(
+                        ">IIIII", content[s2 : s2 + 20]
+                    )
+                elif cc2 == b"trak":
+                    n_tracks += 1
+                    for cc3, s3, e3 in walk(content, s2, e2):
+                        if cc3 == b"tkhd":
+                            if content[s3] != 0:
+                                raise ValueError("only tkhd version 0 supported")
+                            track_id = struct.unpack(
+                                ">I", content[s3 + 12 : s3 + 16]
+                            )[0]
+                            w_fp, h_fp = struct.unpack(">II", content[e3 - 8 : e3])
+                            width, height = w_fp >> 16, h_fp >> 16
+    if major is None or timescale is None or not n_tracks:
+        raise ValueError("missing ftyp, mvhd, or trak")
+    duration_ms = dur_units * 1000 // timescale
+    return (
+        major,
+        timescale,
+        duration_ms,
+        n_tracks,
+        track_id,
+        width,
+        height,
+        mdat_bytes,
+        mdat_sum,
+    )
+
+
+_MP4_FIELDS = [
+    "major_brand", "timescale", "duration_ms", "n_tracks", "track_id",
+    "width", "height", "mdat_bytes", "mdat_sum",
+]
+_MP4_PROBE_SCHEMA = (
+    "asset_id bigint, major_brand string, timescale int, duration_ms bigint, "
+    "n_tracks int, track_id int, width int, height int, "
+    "mdat_bytes int, mdat_sum bigint"
+)
+
+
+def mm_probe_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-metadata probe for the mp4-format video assets:
+    encode genuine ISO BMFF box trees, then probe them with the stdlib
+    walker (_codec_roundtrip shape) — the asset-triage pass a pipeline
+    runs before deciding what to hand a codec."""
+    return _codec_roundtrip(
+        spark,
+        sf_dir,
+        (F.col("kind") == "video")
+        & (F.col("format") == "mp4")
+        & F.col("content").isNotNull(),
+        synth_mp4_bytes,
+        probe_mp4,
+        _MP4_FIELDS,
+        _MP4_PROBE_SCHEMA,
+    )
+
+
 # --- REAL video decode (pure stdlib: YUV4MPEG2 header + raw planes) -------
 # The video twin of the WAV/PPM recipe. Y4M is a REAL video container
 # (mjpegtools/ffmpeg's uncompressed interchange format): an ASCII
@@ -865,6 +1043,7 @@ QUERIES = {
     "mm_decode_image_real": mm_decode_image_real,
     "mm_decode_png_real": mm_decode_png_real,
     "mm_decode_video_real": mm_decode_video_real,
+    "mm_probe_mp4": mm_probe_mp4,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_segments": mm_audio_segments,
 }
@@ -1026,6 +1205,38 @@ ORACLES["mm_decode_png_real"] = _oracle_assets_cte(
            CAST(list_sum(list_transform(generate_series(0, w * h - 1),
                 p -> (asset_id * 13 + (3 * p + 2) * 23) % 256)) AS BIGINT) AS sum_b
     FROM img ORDER BY asset_id
+    """
+)
+
+# mm_probe_mp4: every probed field rebuilt from the synth geometry
+# (_mp4_geom / _mp4_mdat_byte) — the box framing, version-0 offsets,
+# and 16.16 fixed-point dims are encoding artifacts the prober must
+# exactly parse to reach these values.
+ORACLES["mm_probe_mp4"] = _oracle_assets_cte(
+    """
+    , vid AS (
+      SELECT asset_id,
+             600 * (1 + asset_id % 4) AS ts,
+             300 + asset_id % 1000 AS dur,
+             160 + (asset_id % 8) * 16 AS w,
+             120 + (asset_id % 6) * 24 AS h,
+             1 + asset_id % 3 AS tid,
+             16 + asset_id % 32 AS n
+      FROM assets
+      WHERE kind = 'video' AND format = 'mp4' AND content IS NOT NULL
+    )
+    SELECT asset_id,
+           'isom' AS major_brand,
+           CAST(ts AS INT) AS timescale,
+           CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+           CAST(1 AS INT) AS n_tracks,
+           CAST(tid AS INT) AS track_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(n AS INT) AS mdat_bytes,
+           CAST(list_sum(list_transform(generate_series(0, n - 1),
+                j -> (asset_id * 19 + j * 29) % 256)) AS BIGINT) AS mdat_sum
+    FROM vid ORDER BY asset_id
     """
 )
 

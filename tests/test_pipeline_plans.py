@@ -676,3 +676,69 @@ def test_png_decoder_parses_a_genuine_container():
     )
     with pytest.raises(ValueError):
         decode_png(badfilter)
+
+
+def test_mp4_probe_parses_a_genuine_box_tree():
+    """probe_mp4 must be a REAL ISO BMFF walker: a foreign tree the
+    synth path never produces (two traks, an unknown 'udta' box to
+    skip, mdat split in two) probes exactly; 64-bit largesize boxes
+    (size == 1) and truncated/oversized boxes fail loudly."""
+    import struct
+
+    import pytest
+
+    from task_hive_spark.operators.multimodal import (
+        _box,
+        _mp4_geom,
+        _mp4_mdat_byte,
+        probe_mp4,
+        synth_mp4_bytes,
+    )
+
+    def tkhd(tid, w, h):
+        return _box(
+            b"tkhd",
+            struct.pack(">IIIIII", 0x7, 0, 0, tid, 0, 500)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, 90000, 4500)
+        + struct.pack(">i", 0x00010000)
+        + struct.pack(">h", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 3),
+    )
+    foreign = (
+        _box(b"ftyp", b"mp42" + struct.pack(">I", 1) + b"mp42")
+        + _box(b"moov", mvhd + _box(b"trak", tkhd(1, 320, 240))
+               + _box(b"trak", tkhd(2, 640, 480))
+               + _box(b"udta", b"ignore me"))
+        + _box(b"mdat", bytes([5, 6]))
+        + _box(b"mdat", bytes([7]))
+    )
+    got = probe_mp4(foreign)
+    # last trak wins the track fields; both counted; mdat accumulates
+    assert got == ("mp42", 90000, 4500 * 1000 // 90000, 2, 2, 640, 480, 3, 18)
+
+    # synth round trip
+    aid = 54321
+    ts, dur, w, h, tid, n = _mp4_geom(aid)
+    assert probe_mp4(synth_mp4_bytes(aid)) == (
+        "isom", ts, dur * 1000 // ts, 1, tid, w, h, n,
+        sum(_mp4_mdat_byte(aid, j) for j in range(n)),
+    )
+
+    # largesize (size == 1) is rejected loudly, not mis-framed
+    large = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16)
+    with pytest.raises(ValueError):
+        probe_mp4(_box(b"ftyp", b"isom" + b"\x00" * 8) + large)
+    for broken in (synth_mp4_bytes(aid)[:-1], b"", b"\x00\x00\x00\x20ftyp"):
+        with pytest.raises(ValueError):
+            probe_mp4(broken)

@@ -17,21 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 # it from the CORRECTNESS_r0*.json ledgers):
 #   1. ALL 29 queries whose latest driver grade is r7 (age 4, the
 #      structural bound — named for the r11 front by the r10 verdict);
-#   2. the 7 never-graded round-11 additions (cat_clustered_prune,
+#   2. the 10 never-graded round-11 additions (cat_clustered_prune,
 #      mm_decode_png_real, sk_quantiles_stream_served,
 #      sk_hll_daily_stream_served, and — in the filler block as late
-#      additions — cat_delta_prune, cat_zorder_prune, mm_probe_mp4);
+#      additions — cat_delta_prune, cat_zorder_prune, and the four
+#      container probes mm_probe_{mp4,jpeg,mp3,webm});
 #   3. 17 fillers, code-CHANGED first: txt_quality_classifier (age 2
 #      but re-planned this round — labeled-features index, literal
 #      weight table), then the age-3 sketch family (sk_cms_heavy_hitters
 #      rebuilt on the digest-slice cells + weighted grid; the other
 #      sk_* share sketches.py), the three st_*_incremental folds
-#      (store-grain state this round), the two age-3 dd_* queries
-#      (dedup.py gained the append invariant + span fusion), and two
-#      age-3 TPC-H staples. The 34 age-3 queries left back sit in
+#      (store-grain state this round), and dd_split_leakage (dedup.py
+#      gained the append invariant + span fusion). The 34 age-3 queries left back sit in
 #      modules untouched or locally re-verified at both scales every
 #      round, and form the r12 front core (they reach the age-4 bound
-#      there): rel_q{11,12,13,16,18,21}, sim_topk_{brute,ivf,lsh,pq_refined},
+#      there): rel_q{2,4,11,12,13,16,18,21}, dd_minhash_signatures,
+#      sim_topk_{brute,ivf,lsh,pq_refined},
 #      sk_hll_daily, st_{session_windows,stream_dedup,
 #      stream_dedup_bounded,worker_counter_stateful}, the 18 th_*
 #      staples, txt_{decontaminate,sequence_pack,stratified_split,
@@ -85,13 +86,13 @@ _FRONT_R11 = [
     "st_cms_incremental",
     "st_hll_incremental",
     "st_kmv_incremental",
-    "dd_minhash_signatures",
     "dd_split_leakage",
-    "rel_q2_min_cost_supplier",
-    "rel_q4_order_priority",
     "cat_delta_prune",
     "cat_zorder_prune",
     "mm_probe_mp4",
+    "mm_probe_jpeg",
+    "mm_probe_mp3",
+    "mm_probe_webm",
 ]
 
 # The driver's grading window; the front set must fill it exactly so no

@@ -720,6 +720,429 @@ def mm_probe_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- REAL JPEG marker probe (pure stdlib: segment grammar to SOF0) --------
+# Same rationale as the MP4 probe: JPEG's entropy-coded payload has no
+# cross-engine oracle, but its MARKER grammar (ITU T.81) is exact —
+# dimensions, precision, and component layout live in SOF0, reachable
+# by a real segment walk that must handle variable-length segments,
+# standalone markers, and the entropy-coded scan (FF00 byte stuffing,
+# terminated by EOI).
+
+
+def _jpeg_geom(asset_id: int) -> tuple[int, int, int]:
+    """(width, height, n_entropy) for the synthetic JPEG."""
+    return 96 + asset_id % 160, 64 + asset_id % 120, 24 + asset_id % 40
+
+
+def _jpeg_entropy_byte(asset_id: int, j: int) -> int:
+    """Entropy-coded ramp byte — mod 255 so 0xFF (which would need
+    stuffing) never appears in the synth payload; the prober handles
+    stuffed FF00 anyway (foreign-container test)."""
+    return (asset_id * 23 + j * 31) % 255
+
+
+def synth_jpeg_bytes(asset_id: int) -> bytes:
+    """A genuine JPEG segment stream: SOI, APP0/JFIF, DQT, SOF0
+    (baseline, 3 components, 8-bit), DHT, SOS + entropy payload, EOI.
+    The DQT/DHT payloads are structurally valid placeholders (the
+    prober never decodes entropy data)."""
+    import struct
+
+    w, h, n_ent = _jpeg_geom(asset_id)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    app0 = seg(
+        0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    dqt = seg(0xDB, bytes([0]) + bytes((i * 7) % 256 for i in range(64)))
+    sof0 = seg(
+        0xC0,
+        bytes([8])  # precision
+        + struct.pack(">HH", h, w)
+        + bytes([3])  # n components
+        + bytes([1, 0x22, 0])  # Y: id, 2x2 sampling, qtable 0
+        + bytes([2, 0x11, 1])  # Cb
+        + bytes([3, 0x11, 1]),  # Cr
+    )
+    dht = seg(0xC4, bytes([0]) + bytes(16) + b"")
+    sos = seg(0xDA, bytes([3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    entropy = bytes(_jpeg_entropy_byte(asset_id, j) for j in range(n_ent))
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+
+
+def probe_jpeg(content: bytes):
+    """REAL JPEG marker walk, stdlib only: SOI, variable-length
+    segments, SOF0 field parse, then the entropy-coded scan skipped
+    with FF00 de-stuffing until EOI. Returns (width, height, precision,
+    n_components, n_segments, entropy_bytes, entropy_sum). Progressive
+    (SOF2) and missing-SOF streams are rejected loudly."""
+    import struct
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG: {content[:2]!r}")
+    pos, n_segments = 2, 0
+    width = height = precision = n_comp = None
+    while True:
+        if pos + 2 > len(content):
+            raise ValueError("truncated before EOI")
+        if content[pos] != 0xFF:
+            raise ValueError(f"marker desync at {pos}")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI with no scan
+            raise ValueError("EOI before SOS — no image data")
+        if marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) unsupported")
+        if pos + 4 > len(content):
+            raise ValueError("truncated segment header")
+        (seglen,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        body = content[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError(f"truncated segment 0x{marker:02x}")
+        n_segments += 1
+        if marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            height, width = struct.unpack(">HH", body[1:5])
+            n_comp = body[5]
+        pos += 2 + seglen
+        if marker == 0xDA:  # SOS: entropy data follows
+            break
+    if width is None:
+        raise ValueError("no SOF0 before SOS")
+    ent_bytes = 0
+    ent_sum = 0
+    while True:
+        if pos >= len(content):
+            raise ValueError("truncated entropy stream (no EOI)")
+        b = content[pos]
+        if b == 0xFF:
+            if pos + 1 >= len(content):
+                raise ValueError("truncated after FF in entropy stream")
+            nxt = content[pos + 1]
+            if nxt == 0xD9:  # EOI
+                break
+            if nxt == 0x00:  # stuffed FF data byte
+                ent_bytes += 1
+                ent_sum += 0xFF
+                pos += 2
+                continue
+            raise ValueError(f"unexpected marker 0x{nxt:02x} in entropy stream")
+        ent_bytes += 1
+        ent_sum += b
+        pos += 1
+    return (width, height, precision, n_comp, n_segments, ent_bytes, ent_sum)
+
+
+# --- REAL MP3 frame-header probe (pure stdlib: MPEG-1 Layer III) ----------
+# The audio twin: MP3's entropy payload is un-oracle-able, but the
+# frame GRID is exact — each 4-byte header encodes bitrate/samplerate,
+# the frame length follows arithmetically (144·bitrate/samplerate),
+# and walking header-to-header yields frame count and duration
+# (1152 samples per MPEG-1 Layer III frame).
+
+_MP3_BITRATE_KBPS = {9: 128, 10: 160, 11: 192}
+_MP3_SAMPLERATE = {0: 44100, 1: 48000, 2: 32000}
+
+
+def _mp3_geom(asset_id: int) -> tuple[int, int, int]:
+    """(bitrate_index, samplerate_index, n_frames)."""
+    return 9 + asset_id % 3, asset_id % 3, 4 + asset_id % 8
+
+
+def _mp3_payload_byte(asset_id: int, j: int) -> int:
+    return (asset_id * 29 + j * 37) % 255  # never 0xFF: no false sync
+
+
+def synth_mp3_bytes(asset_id: int) -> bytes:
+    """A genuine MPEG-1 Layer III frame stream: n_frames frames, each a
+    4-byte header (sync, version 11, layer 01, CRC-free, bitrate and
+    samplerate indexes, padding 0) + the arithmetically exact payload."""
+    bi, si, n_frames = _mp3_geom(asset_id)
+    frame_len = 144 * _MP3_BITRATE_KBPS[bi] * 1000 // _MP3_SAMPLERATE[si]
+    hdr = bytes(
+        [
+            0xFF,
+            0b11111011,  # sync low, MPEG-1 (11), Layer III (01), no CRC (1)
+            (bi << 4) | (si << 2) | 0b00,  # bitrate, samplerate, no padding
+            0b00000000,  # stereo, no flags
+        ]
+    )
+    out = bytearray()
+    j = 0
+    for _ in range(n_frames):
+        out += hdr
+        for _k in range(frame_len - 4):
+            out.append(_mp3_payload_byte(asset_id, j))
+            j += 1
+    return bytes(out)
+
+
+def probe_mp3(content: bytes):
+    """REAL MP3 frame walk, stdlib only: parse each header's bitrate/
+    samplerate/padding bits, step frame-by-frame via the exact length
+    formula, require consistent stream parameters. Returns
+    (bitrate_kbps, sample_rate, n_frames, duration_ms, payload_bytes,
+    payload_sum). Free-format, reserved indexes, and mid-stream
+    parameter changes are rejected loudly."""
+    pos = 0
+    bitrate = samplerate = None
+    n_frames = 0
+    payload_bytes = 0
+    payload_sum = 0
+    if not content:
+        raise ValueError("empty stream")
+    while pos < len(content):
+        if pos + 4 > len(content):
+            raise ValueError("truncated frame header")
+        b0, b1, b2, _b3 = content[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at {pos}")
+        if (b1 & 0x18) >> 3 != 0b11 or (b1 & 0x06) >> 1 != 0b01:
+            raise ValueError("only MPEG-1 Layer III supported")
+        bi, si, padding = (b2 & 0xF0) >> 4, (b2 & 0x0C) >> 2, (b2 & 0x02) >> 1
+        if bi in (0, 15) or si == 3:
+            raise ValueError(f"reserved bitrate/samplerate index at {pos}")
+        if bi not in _MP3_BITRATE_KBPS:
+            raise ValueError(f"bitrate index {bi} outside the probe's table")
+        br, sr = _MP3_BITRATE_KBPS[bi] * 1000, _MP3_SAMPLERATE[si]
+        if bitrate is None:
+            bitrate, samplerate = br, sr
+        elif (br, sr) != (bitrate, samplerate):
+            raise ValueError("mid-stream parameter change")
+        frame_len = 144 * br // sr + padding
+        frame = content[pos : pos + frame_len]
+        if len(frame) != frame_len:
+            raise ValueError(f"truncated frame {n_frames}")
+        n_frames += 1
+        payload_bytes += frame_len - 4
+        payload_sum += sum(frame[4:])
+        pos += frame_len
+    return (
+        bitrate // 1000,
+        samplerate,
+        n_frames,
+        n_frames * 1152 * 1000 // samplerate,
+        payload_bytes,
+        payload_sum,
+    )
+
+
+# --- REAL WebM/Matroska probe (pure stdlib: EBML varint grammar) ----------
+# The second video container: Matroska is an EBML tree — element IDs
+# and sizes are length-prefixed VARINTS (leading-zero count encodes
+# width), so a real walker must implement varint decoding, not offset
+# arithmetic. The probe parses the EBML header's DocType and the
+# Segment's Info (TimestampScale, Duration) and Tracks (TrackNumber,
+# TrackType, PixelWidth/PixelHeight) — ffprobe's first pass on .webm.
+
+
+def _webm_geom(asset_id: int) -> tuple[int, int, int, int]:
+    """(duration_ms, track_number, width, height)."""
+    return (
+        1000 + asset_id % 9000,
+        1 + asset_id % 4,
+        320 + (asset_id % 5) * 64,
+        180 + (asset_id % 7) * 36,
+    )
+
+
+def _ebml_vint(value: int, width: int | None = None) -> bytes:
+    """Encode a size/length varint: marker bit in the leading byte."""
+    if width is None:
+        width = 1
+        while value >= (1 << (7 * width)) - 1:
+            width += 1
+    return ((1 << (7 * width)) | value).to_bytes(width, "big")
+
+
+def _ebml_el(el_id: bytes, payload: bytes) -> bytes:
+    return el_id + _ebml_vint(len(payload)) + payload
+
+
+def synth_webm_bytes(asset_id: int) -> bytes:
+    """A genuine minimal Matroska/WebM tree: EBML header (DocType
+    'webm'), Segment [ Info [TimestampScale, Duration], Tracks
+    [TrackEntry [TrackNumber, TrackType=video, Video [PixelWidth,
+    PixelHeight]]] ]. Duration is the spec's float64 carrying an
+    integer value, so the oracle arithmetic stays exact."""
+    import struct
+
+    dur_ms, tnum, w, h = _webm_geom(asset_id)
+    ebml = _ebml_el(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_el(b"\x42\x86", bytes([1]))  # EBMLVersion
+        + _ebml_el(b"\x42\x82", b"webm"),  # DocType
+    )
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        _ebml_el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))  # TimestampScale
+        + _ebml_el(b"\x44\x89", struct.pack(">d", float(dur_ms))),  # Duration
+    )
+    video = _ebml_el(
+        b"\xe0",
+        _ebml_el(b"\xb0", w.to_bytes(2, "big"))  # PixelWidth
+        + _ebml_el(b"\xba", h.to_bytes(2, "big")),  # PixelHeight
+    )
+    track = _ebml_el(
+        b"\xae",
+        _ebml_el(b"\xd7", bytes([tnum]))  # TrackNumber
+        + _ebml_el(b"\x83", bytes([1]))  # TrackType = video
+        + video,
+    )
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", track)
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks)
+    return ebml + segment
+
+
+def _read_vint(buf: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Decode one EBML varint at pos → (value, next_pos). Element IDs
+    keep the marker bit (IDs are matched with it); sizes strip it."""
+    if pos >= len(buf):
+        raise ValueError("truncated varint")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("invalid varint (no marker in first byte)")
+    width = 1
+    while not first & (0x80 >> (width - 1)):
+        width += 1
+    if pos + width > len(buf):
+        raise ValueError("truncated varint body")
+    raw = int.from_bytes(buf[pos : pos + width], "big")
+    if not keep_marker:
+        raw &= (1 << (7 * width)) - 1
+    return raw, pos + width
+
+
+def probe_webm(content: bytes):
+    """REAL EBML walk, stdlib only: varint IDs and sizes, recursion
+    into Segment/Info/Tracks/TrackEntry/Video. Returns (doctype,
+    timestamp_scale, duration_ms, track_number, track_type, width,
+    height). Non-webm DocTypes are reported, not guessed; truncation
+    and malformed varints fail loudly."""
+    import struct
+
+    def walk(pos: int, end: int):
+        while pos < end:
+            el_id, p = _read_vint(content, pos, keep_marker=True)
+            size, p = _read_vint(content, p, keep_marker=False)
+            if p + size > end:
+                raise ValueError(f"element 0x{el_id:x} overruns its parent")
+            yield el_id, p, p + size
+            pos = p + size
+
+    doctype = None
+    tscale = dur_ms = tnum = ttype = width = height = None
+
+    def uint(s, e):
+        return int.from_bytes(content[s:e], "big")
+
+    for el, s, e in walk(0, len(content)):
+        if el == 0x1A45DFA3:  # EBML header
+            for el2, s2, e2 in walk(s, e):
+                if el2 == 0x4282:
+                    doctype = content[s2:e2].decode("ascii")
+        elif el == 0x18538067:  # Segment
+            for el2, s2, e2 in walk(s, e):
+                if el2 == 0x1549A966:  # Info
+                    for el3, s3, e3 in walk(s2, e2):
+                        if el3 == 0x2AD7B1:
+                            tscale = uint(s3, e3)
+                        elif el3 == 0x4489:
+                            if e3 - s3 != 8:
+                                raise ValueError("Duration must be float64 here")
+                            dur_ms = int(struct.unpack(">d", content[s3:e3])[0])
+                elif el2 == 0x1654AE6B:  # Tracks
+                    for el3, s3, e3 in walk(s2, e2):
+                        if el3 != 0xAE:
+                            continue
+                        for el4, s4, e4 in walk(s3, e3):
+                            if el4 == 0xD7:
+                                tnum = uint(s4, e4)
+                            elif el4 == 0x83:
+                                ttype = uint(s4, e4)
+                            elif el4 == 0xE0:
+                                for el5, s5, e5 in walk(s4, e4):
+                                    if el5 == 0xB0:
+                                        width = uint(s5, e5)
+                                    elif el5 == 0xBA:
+                                        height = uint(s5, e5)
+    if doctype is None or tscale is None or tnum is None:
+        raise ValueError("missing EBML header, Info, or TrackEntry")
+    return (doctype, tscale, dur_ms, tnum, ttype, width, height)
+
+
+_JPEG_FIELDS = [
+    "width", "height", "precision", "n_components", "n_segments",
+    "entropy_bytes", "entropy_sum",
+]
+_JPEG_PROBE_SCHEMA = (
+    "asset_id bigint, width int, height int, precision int, n_components int, "
+    "n_segments int, entropy_bytes int, entropy_sum bigint"
+)
+_MP3_FIELDS = [
+    "bitrate_kbps", "sample_rate", "n_frames", "duration_ms",
+    "payload_bytes", "payload_sum",
+]
+_MP3_PROBE_SCHEMA = (
+    "asset_id bigint, bitrate_kbps int, sample_rate int, n_frames int, "
+    "duration_ms bigint, payload_bytes int, payload_sum bigint"
+)
+_WEBM_FIELDS = [
+    "doctype", "timestamp_scale", "duration_ms", "track_number",
+    "track_type", "width", "height",
+]
+_WEBM_PROBE_SCHEMA = (
+    "asset_id bigint, doctype string, timestamp_scale int, duration_ms bigint, "
+    "track_number int, track_type int, width int, height int"
+)
+
+
+def mm_probe_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL marker-grammar probe for the jpeg-format image assets."""
+    return _codec_roundtrip(
+        spark,
+        sf_dir,
+        (F.col("kind") == "image")
+        & (F.col("format") == "jpeg")
+        & F.col("content").isNotNull(),
+        synth_jpeg_bytes,
+        probe_jpeg,
+        _JPEG_FIELDS,
+        _JPEG_PROBE_SCHEMA,
+    )
+
+
+def mm_probe_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame-grid probe for the mp3-format audio assets."""
+    return _codec_roundtrip(
+        spark,
+        sf_dir,
+        (F.col("kind") == "audio")
+        & (F.col("format") == "mp3")
+        & F.col("content").isNotNull(),
+        synth_mp3_bytes,
+        probe_mp3,
+        _MP3_FIELDS,
+        _MP3_PROBE_SCHEMA,
+    )
+
+
+def mm_probe_webm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EBML-grammar probe for the webm-format video assets."""
+    return _codec_roundtrip(
+        spark,
+        sf_dir,
+        (F.col("kind") == "video")
+        & (F.col("format") == "webm")
+        & F.col("content").isNotNull(),
+        synth_webm_bytes,
+        probe_webm,
+        _WEBM_FIELDS,
+        _WEBM_PROBE_SCHEMA,
+    )
+
+
 # --- REAL video decode (pure stdlib: YUV4MPEG2 header + raw planes) -------
 # The video twin of the WAV/PPM recipe. Y4M is a REAL video container
 # (mjpegtools/ffmpeg's uncompressed interchange format): an ASCII
@@ -1044,6 +1467,9 @@ QUERIES = {
     "mm_decode_png_real": mm_decode_png_real,
     "mm_decode_video_real": mm_decode_video_real,
     "mm_probe_mp4": mm_probe_mp4,
+    "mm_probe_jpeg": mm_probe_jpeg,
+    "mm_probe_mp3": mm_probe_mp3,
+    "mm_probe_webm": mm_probe_webm,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_segments": mm_audio_segments,
 }
@@ -1237,6 +1663,75 @@ ORACLES["mm_probe_mp4"] = _oracle_assets_cte(
            CAST(list_sum(list_transform(generate_series(0, n - 1),
                 j -> (asset_id * 19 + j * 29) % 256)) AS BIGINT) AS mdat_sum
     FROM vid ORDER BY asset_id
+    """
+)
+
+# mm_probe_jpeg / mm_probe_mp3 / mm_probe_webm: every probed field
+# rebuilt from the synth geometry — the marker/frame/varint grammars
+# are encoding artifacts the probers must exactly parse.
+ORACLES["mm_probe_jpeg"] = _oracle_assets_cte(
+    """
+    , img AS (
+      SELECT asset_id,
+             96 + asset_id % 160 AS w,
+             64 + asset_id % 120 AS h,
+             24 + asset_id % 40 AS n
+      FROM assets
+      WHERE kind = 'image' AND format = 'jpeg' AND content IS NOT NULL
+    )
+    SELECT asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(8 AS INT) AS precision,
+           CAST(3 AS INT) AS n_components,
+           CAST(5 AS INT) AS n_segments,
+           CAST(n AS INT) AS entropy_bytes,
+           CAST(list_sum(list_transform(generate_series(0, n - 1),
+                j -> (asset_id * 23 + j * 31) % 255)) AS BIGINT) AS entropy_sum
+    FROM img ORDER BY asset_id
+    """
+)
+
+ORACLES["mm_probe_mp3"] = _oracle_assets_cte(
+    """
+    , aud AS (
+      SELECT asset_id,
+             CASE CAST(asset_id % 3 AS INT)
+                  WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 192 END AS br,
+             CASE CAST(asset_id % 3 AS INT)
+                  WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+             4 + asset_id % 8 AS nf
+      FROM assets
+      WHERE kind = 'audio' AND format = 'mp3' AND content IS NOT NULL
+    ),
+    sized AS (
+      SELECT *, nf * (144 * br * 1000 // sr - 4) AS pb FROM aud
+    )
+    SELECT asset_id,
+           CAST(br AS INT) AS bitrate_kbps,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(nf AS INT) AS n_frames,
+           CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(pb AS INT) AS payload_bytes,
+           CAST(list_sum(list_transform(generate_series(0, pb - 1),
+                j -> (asset_id * 29 + j * 37) % 255)) AS BIGINT) AS payload_sum
+    FROM sized ORDER BY asset_id
+    """
+)
+
+ORACLES["mm_probe_webm"] = _oracle_assets_cte(
+    """
+    SELECT asset_id,
+           'webm' AS doctype,
+           CAST(1000000 AS INT) AS timestamp_scale,
+           CAST(1000 + asset_id % 9000 AS BIGINT) AS duration_ms,
+           CAST(1 + asset_id % 4 AS INT) AS track_number,
+           CAST(1 AS INT) AS track_type,
+           CAST(320 + (asset_id % 5) * 64 AS INT) AS width,
+           CAST(180 + (asset_id % 7) * 36 AS INT) AS height
+    FROM assets
+    WHERE kind = 'video' AND format = 'webm' AND content IS NOT NULL
+    ORDER BY asset_id
     """
 )
 

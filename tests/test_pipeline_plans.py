@@ -742,3 +742,99 @@ def test_mp4_probe_parses_a_genuine_box_tree():
     for broken in (synth_mp4_bytes(aid)[:-1], b"", b"\x00\x00\x00\x20ftyp"):
         with pytest.raises(ValueError):
             probe_mp4(broken)
+
+
+def test_jpeg_mp3_webm_probes_parse_genuine_streams():
+    """The three remaining probes must be REAL parsers, each pinned on
+    a foreign stream its synth path never produces, plus loud failure
+    modes: JPEG — FF00 byte stuffing and a COM segment, progressive
+    SOF2 rejected; MP3 — padded frames (the +1 byte length case) and a
+    mid-stream bitrate change rejected; WebM — a multi-byte varint
+    size (the 1-byte-width shortcut would mis-frame it) and a non-webm
+    DocType reported, truncation rejected."""
+    import struct
+
+    import pytest
+
+    from task_hive_spark.operators.multimodal import (
+        _ebml_el,
+        probe_jpeg,
+        probe_mp3,
+        probe_webm,
+        synth_jpeg_bytes,
+        synth_mp3_bytes,
+        synth_webm_bytes,
+    )
+
+    # --- JPEG foreign: COM segment + stuffed FF in the entropy stream
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    foreign = (
+        b"\xff\xd8"
+        + seg(0xFE, b"comment")
+        + seg(0xC0, bytes([12]) + struct.pack(">HH", 10, 20) + bytes([1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0, 0, 63, 0]))
+        + bytes([1, 2]) + b"\xff\x00" + bytes([3])
+        + b"\xff\xd9"
+    )
+    # 12-bit precision, 1 component, stuffed FF counts as one 0xFF byte
+    assert probe_jpeg(foreign) == (20, 10, 12, 1, 3, 4, 1 + 2 + 0xFF + 3)
+    prog = b"\xff\xd8" + seg(0xC2, bytes(8))
+    with pytest.raises(ValueError):
+        probe_jpeg(prog)
+    with pytest.raises(ValueError):
+        probe_jpeg(synth_jpeg_bytes(7)[:-1])
+    with pytest.raises(ValueError):
+        probe_jpeg(b"\x89PNG")
+
+    # --- MP3 foreign: padding bit set -> frame_len + 1
+    hdr_pad = bytes([0xFF, 0b11111011, (9 << 4) | (0 << 2) | 0b10, 0])
+    flen = 144 * 128000 // 44100 + 1
+    frame = hdr_pad + bytes([7] * (flen - 4))
+    assert probe_mp3(frame * 2) == (
+        128, 44100, 2, 2 * 1152 * 1000 // 44100, 2 * (flen - 4), 2 * 7 * (flen - 4)
+    )
+    hdr_other = bytes([0xFF, 0b11111011, (10 << 4) | (0 << 2) | 0b00, 0])
+    flen2 = 144 * 160000 // 44100
+    with pytest.raises(ValueError):
+        probe_mp3(frame + hdr_other + bytes([0] * (flen2 - 4)))
+    with pytest.raises(ValueError):
+        probe_mp3(synth_mp3_bytes(3)[:-1])
+    with pytest.raises(ValueError):
+        probe_mp3(b"ID3\x04")
+
+    # --- WebM foreign: matroska DocType + a 2-byte varint size
+    big_name = b"x" * 200  # forces a 2-byte size varint on the element
+    ebml = _ebml_el(
+        b"\x1a\x45\xdf\xa3",
+        _ebml_el(b"\x42\x82", b"matroska") + _ebml_el(b"\x42\x85", big_name),
+    )
+    seg_el = _ebml_el(
+        b"\x18\x53\x80\x67",
+        _ebml_el(
+            b"\x15\x49\xa9\x66",
+            _ebml_el(b"\x2a\xd7\xb1", (1000000).to_bytes(3, "big"))
+            + _ebml_el(b"\x44\x89", struct.pack(">d", 2500.0)),
+        )
+        + _ebml_el(
+            b"\x16\x54\xae\x6b",
+            _ebml_el(
+                b"\xae",
+                _ebml_el(b"\xd7", bytes([2]))
+                + _ebml_el(b"\x83", bytes([17]))  # subtitle track type
+                + _ebml_el(
+                    b"\xe0",
+                    _ebml_el(b"\xb0", (1920).to_bytes(2, "big"))
+                    + _ebml_el(b"\xba", (1080).to_bytes(2, "big")),
+                ),
+            ),
+        ),
+    )
+    assert probe_webm(ebml + seg_el) == (
+        "matroska", 1000000, 2500, 2, 17, 1920, 1080
+    )
+    with pytest.raises(ValueError):
+        probe_webm(synth_webm_bytes(9)[:-1])
+    with pytest.raises(ValueError):
+        probe_webm(b"\x00\x00\x00\x00")

@@ -582,3 +582,58 @@ def test_png_round_trip_matches_ramp_for_any_asset(asset_id):
     assert decode_png(synth_png_bytes(asset_id)) == (
         w, h, 8, 2, w * h, sum(ramp[0::3]), sum(ramp[1::3]), sum(ramp[2::3])
     )
+
+
+# --- container-probe round-trip fuzz (pure Python, no Spark) ---------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=10**7))
+def test_container_probes_round_trip_for_any_asset(asset_id):
+    """Every synth container (MP4 box tree, JPEG segment stream, MP3
+    frame grid, WebM EBML tree) must probe back to its exact geometry —
+    the framing grammars are invertible artifacts, never data."""
+    from task_hive_spark.operators.multimodal import (
+        _MP3_BITRATE_KBPS,
+        _MP3_SAMPLERATE,
+        _jpeg_entropy_byte,
+        _jpeg_geom,
+        _mp3_geom,
+        _mp3_payload_byte,
+        _mp4_geom,
+        _mp4_mdat_byte,
+        _webm_geom,
+        probe_jpeg,
+        probe_mp3,
+        probe_mp4,
+        probe_webm,
+        synth_jpeg_bytes,
+        synth_mp3_bytes,
+        synth_mp4_bytes,
+        synth_webm_bytes,
+    )
+
+    ts, dur, w, h, tid, n = _mp4_geom(asset_id)
+    assert probe_mp4(synth_mp4_bytes(asset_id)) == (
+        "isom", ts, dur * 1000 // ts, 1, tid, w, h, n,
+        sum(_mp4_mdat_byte(asset_id, j) for j in range(n)),
+    )
+
+    jw, jh, jn = _jpeg_geom(asset_id)
+    assert probe_jpeg(synth_jpeg_bytes(asset_id)) == (
+        jw, jh, 8, 3, 5, jn,
+        sum(_jpeg_entropy_byte(asset_id, j) for j in range(jn)),
+    )
+
+    bi, si, nf = _mp3_geom(asset_id)
+    br, sr = _MP3_BITRATE_KBPS[bi], _MP3_SAMPLERATE[si]
+    pb = nf * (144 * br * 1000 // sr - 4)
+    assert probe_mp3(synth_mp3_bytes(asset_id)) == (
+        br, sr, nf, nf * 1152 * 1000 // sr, pb,
+        sum(_mp3_payload_byte(asset_id, j) for j in range(pb)),
+    )
+
+    dms, tn, ww, wh = _webm_geom(asset_id)
+    assert probe_webm(synth_webm_bytes(asset_id)) == (
+        "webm", 1_000_000, dms, tn, 1, ww, wh,
+    )

@@ -661,6 +661,8 @@ def probe_mp4(content: bytes):
                     ver = content[s2]
                     if ver != 0:
                         raise ValueError("only mvhd version 0 supported")
+                    if e2 - s2 < 20:
+                        raise ValueError("truncated mvhd payload")
                     _, _, _, timescale, dur_units = struct.unpack(
                         ">IIIII", content[s2 : s2 + 20]
                     )
@@ -668,6 +670,8 @@ def probe_mp4(content: bytes):
                     n_tracks += 1
                     for cc3, s3, e3 in walk(content, s2, e2):
                         if cc3 == b"tkhd":
+                            if e3 - s3 < 84:
+                                raise ValueError("truncated tkhd payload")
                             if content[s3] != 0:
                                 raise ValueError("only tkhd version 0 supported")
                             track_id = struct.unpack(
@@ -826,6 +830,12 @@ def probe_jpeg(content: bytes):
                 ent_bytes += 1
                 ent_sum += 0xFF
                 pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn restart marker (DRI streams)
+                pos += 2
+                continue
+            if nxt == 0xFF:  # FF fill byte before a marker (T.81 B.1.1.2)
+                pos += 1
                 continue
             raise ValueError(f"unexpected marker 0x{nxt:02x} in entropy stream")
         ent_bytes += 1

@@ -249,6 +249,11 @@ def compact_table(
 
     if exact_bins and cluster_by:
         raise ValueError("exact_bins and cluster_by are mutually exclusive")
+    if os.path.realpath(out_dir) == os.path.realpath(in_dir):
+        # In-place compaction would rmtree the destination (== source)
+        # on the skip path before copying — data loss. Require a
+        # separate out_dir; callers swap directories atomically after.
+        raise ValueError("in-place compaction is not supported: out_dir == in_dir")
     plan: dict[str, dict] = {}
     parts = sorted(
         d for d in os.listdir(in_dir)
@@ -427,14 +432,27 @@ def prune_files(stats: list[dict], lo, hi) -> tuple[list[str], int]:
     [min, max] overlaps the window (or whose stats are missing —
     conservative). Returns (kept paths, total files)."""
 
-    def _naive(v):
-        return v.replace(tzinfo=None) if hasattr(v, "tzinfo") and v.tzinfo else v
+    from datetime import datetime, timezone
 
+    def _utc(v):
+        # Parquet footer timestamp stats are UTC instants; naive window
+        # bounds are interpreted as UTC wall-clock (session.py pins
+        # spark.sql.session.timeZone=UTC). Normalize BOTH sides to
+        # naive-UTC explicitly so a non-UTC process timezone can never
+        # shift stats against the window and silently prune a boundary
+        # file (a manifest false negative = dropped rows).
+        if isinstance(v, datetime):
+            if v.tzinfo is not None:
+                return v.astimezone(timezone.utc).replace(tzinfo=None)
+            return v
+        return v
+
+    lo, hi = _utc(lo), _utc(hi)
     kept = [
         s["path"]
         for s in stats
         if s["min"] is None
-        or not (_naive(s["max"]) < lo or _naive(s["min"]) > hi)
+        or not (_utc(s["max"]) < lo or _utc(s["min"]) > hi)
     ]
     return kept, len(stats)
 

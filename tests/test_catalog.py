@@ -241,6 +241,49 @@ def test_compact_table_unpartitioned_and_mode_guard(spark, tmp_path):
     with _pytest.raises(ValueError):
         compact_table(spark, frag, str(tmp_path / "x"), exact_bins=True,
                       cluster_by=["id"])
+    # in-place compaction (out_dir == in_dir) would rmtree the source on
+    # the skip path before copying — must be rejected, source untouched
+    with _pytest.raises(ValueError):
+        compact_table(spark, frag, frag, target_bytes=1 << 30)
+    with _pytest.raises(ValueError):
+        compact_table(spark, frag, str(tmp_path) + "/./flat_frag",
+                      target_bytes=1 << 30)
+    assert spark.read.parquet(frag).count() == 5000
+
+
+def test_prune_files_timezone_aware_stats(tmp_path):
+    """prune_files compares in UTC: tz-aware footer stats against naive
+    (UTC wall-clock) window bounds must not shift — a +14h-zone stat
+    that lies inside the UTC window keeps its file."""
+    from datetime import datetime, timedelta, timezone
+
+    from task_hive_spark.plans.catalog import prune_files
+
+    lo = datetime(2024, 6, 1)
+    hi = datetime(2024, 6, 30, 23, 59)
+    kiri = timezone(timedelta(hours=14))
+    stats = [
+        # naive-UTC stats inside the window
+        {"path": "a", "min": datetime(2024, 6, 10), "max": datetime(2024, 6, 11)},
+        # aware stats: 2024-06-15T02:00+14:00 == 2024-06-14T12:00 UTC (inside);
+        # naive comparison after tz-strip would still keep it, but the
+        # boundary case below is where stripping goes wrong:
+        {"path": "b",
+         "min": datetime(2024, 6, 15, 2, tzinfo=kiri),
+         "max": datetime(2024, 6, 15, 3, tzinfo=kiri)},
+        # 2024-07-01T10:00+14:00 == 2024-06-30T20:00 UTC — INSIDE the
+        # window in UTC; naive tz-strip (July 1) would wrongly prune it
+        {"path": "c",
+         "min": datetime(2024, 7, 1, 9, tzinfo=kiri),
+         "max": datetime(2024, 7, 1, 10, tzinfo=kiri)},
+        # genuinely outside in UTC
+        {"path": "d",
+         "min": datetime(2024, 7, 2, 9, tzinfo=kiri),
+         "max": datetime(2024, 7, 2, 10, tzinfo=kiri)},
+    ]
+    kept, total = prune_files(stats, lo, hi)
+    assert total == 4
+    assert kept == ["a", "b", "c"]
 
 
 def test_delta_append_serves_correct_then_recluster_restores_pruning(spark, sf_dir):

@@ -742,6 +742,20 @@ def test_mp4_probe_parses_a_genuine_box_tree():
     for broken in (synth_mp4_bytes(aid)[:-1], b"", b"\x00\x00\x00\x20ftyp"):
         with pytest.raises(ValueError):
             probe_mp4(broken)
+    # short-but-valid-size mvhd/tkhd payloads reject with ValueError
+    # (the parser family's loud-failure contract), not struct.error
+    short_mvhd = (
+        _box(b"ftyp", b"isom" + b"\x00" * 8)
+        + _box(b"moov", _box(b"mvhd", b"\x00" * 12))
+    )
+    with pytest.raises(ValueError):
+        probe_mp4(short_mvhd)
+    short_tkhd = (
+        _box(b"ftyp", b"isom" + b"\x00" * 8)
+        + _box(b"moov", mvhd + _box(b"trak", _box(b"tkhd", b"\x00" * 16)))
+    )
+    with pytest.raises(ValueError):
+        probe_mp4(short_tkhd)
 
 
 def test_jpeg_mp3_webm_probes_parse_genuine_streams():
@@ -780,6 +794,17 @@ def test_jpeg_mp3_webm_probes_parse_genuine_streams():
     )
     # 12-bit precision, 1 component, stuffed FF counts as one 0xFF byte
     assert probe_jpeg(foreign) == (20, 10, 12, 1, 3, 4, 1 + 2 + 0xFF + 3)
+    # restart markers (DRI streams) and FF fill bytes are legal inside
+    # the entropy stream: RSTn is skipped (not entropy data), a FF fill
+    # byte before a marker is consumed (T.81 B.1.1.2)
+    restarts = (
+        b"\xff\xd8"
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", 10, 20) + bytes([1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0, 0, 63, 0]))
+        + bytes([1, 2]) + b"\xff\xd0" + bytes([3]) + b"\xff\xd7"
+        + bytes([4]) + b"\xff\xff\xd9"
+    )
+    assert probe_jpeg(restarts) == (20, 10, 8, 1, 2, 4, 1 + 2 + 3 + 4)
     prog = b"\xff\xd8" + seg(0xC2, bytes(8))
     with pytest.raises(ValueError):
         probe_jpeg(prog)

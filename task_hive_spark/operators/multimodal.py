@@ -844,6 +844,352 @@ def probe_jpeg(content: bytes):
     return (width, height, precision, n_comp, n_segments, ent_bytes, ent_sum)
 
 
+# --- REAL baseline-JPEG DC decode (pure stdlib: Huffman + DC prediction) --
+# One honest step past the marker probe: the entropy-coded scan of a
+# baseline (SOF0) JPEG is a plain canonical-Huffman bitstream (ITU T.81
+# §F), and the DC coefficients inside it are EXACT integers — category
+# code, difference bits, per-component prediction, dequantization by
+# the DQT step. No IDCT, no float, so a cross-engine arithmetic oracle
+# exists: the ENCODE stage writes genuine scans (real DHT canonical
+# tables, DC-diff + EOB coding, FF00 byte stuffing, 1-fill padding)
+# whose quantized DC coefficients follow a deterministic formula, and
+# the DECODE stage genuinely Huffman-decodes them back — a decoder that
+# misbuilds the canonical tables, mis-extends negative categories,
+# drops the predictor, or reads the wrong component's table desyncs
+# and hash-fails. AC coefficients are all zero in the synth scans
+# (flat 8x8 blocks — a legal baseline JPEG), but the decoder walks the
+# AC run/size grammar generically (EOB/ZRL/run-skip) rather than
+# assuming it.
+
+
+def _jpeg_dc_geom(asset_id: int) -> tuple[int, int]:
+    """(width, height) for the DC-decode synth family — deliberately
+    NOT multiples of 8 so the MCU grid exercises ceil padding."""
+    return 16 + asset_id % 33, 8 + asset_id % 25
+
+
+def _jpeg_dc_qsteps(asset_id: int) -> tuple[int, int]:
+    """(luma DC quant step, chroma DC quant step)."""
+    return 2 + asset_id % 7, 1 + asset_id % 5
+
+
+def _jpeg_dc_coeff(asset_id: int, m: int, c: int) -> int:
+    """Quantized DC coefficient of component ``c`` in MCU ``m`` —
+    the deterministic contract shared by encoder and oracle."""
+    return (asset_id * (7 + 3 * c) + m * (11 + 2 * c)) % 256 - 128
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 Annex C code generation: value -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# Canonical table definitions (BITS counts per length 1..16, HUFFVAL):
+# DC0 — all 9 categories at length 4 (Kraft 9/16, no all-ones code);
+# DC1 — mixed lengths so a decoder that reuses DC0 for chroma desyncs;
+# AC0/AC1 — EOB at different lengths for the same reason.
+_DHT_DC0 = ([0, 0, 0, 9] + [0] * 12, list(range(9)))
+_DHT_DC1 = ([0, 1, 2, 2, 2, 2] + [0] * 10, list(range(9)))
+_DHT_AC0 = ([1] + [0] * 15, [0x00])
+_DHT_AC1 = ([0, 1] + [0] * 14, [0x00])
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def done(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill padding (T.81 F.1.2.3)
+        return bytes(self.buf)
+
+
+def synth_jpeg_dc_bytes(asset_id: int) -> bytes:
+    """A genuine decodable baseline JPEG: SOI, DQT (2 tables), SOF0
+    (3 components, 1x1 sampling), DHT (4 canonical tables), SOS, a real
+    Huffman-coded scan (DC diffs + EOB per block), EOI."""
+    import struct
+
+    w, h = _jpeg_dc_geom(asset_id)
+    q0, q1 = _jpeg_dc_qsteps(asset_id)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    def qtable(tq: int, dc_step: int) -> bytes:
+        # element 0 (zigzag DC) carries the step under test; the other
+        # 63 are arbitrary valid 1..255 entries
+        return bytes([tq]) + bytes([dc_step] + [1 + (i * 5) % 255 for i in range(63)])
+
+    def htable(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    dqt = seg(0xDB, qtable(0, q0) + qtable(1, q1))
+    sof0 = seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3])
+        + bytes([1, 0x11, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    dht = seg(
+        0xC4,
+        htable(0, 0, *_DHT_DC0)
+        + htable(0, 1, *_DHT_DC1)
+        + htable(1, 0, *_DHT_AC0)
+        + htable(1, 1, *_DHT_AC1),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+
+    dc0 = _huff_canonical(*_DHT_DC0)
+    dc1 = _huff_canonical(*_DHT_DC1)
+    ac0 = _huff_canonical(*_DHT_AC0)
+    ac1 = _huff_canonical(*_DHT_AC1)
+    comp_tables = [(dc0, ac0), (dc1, ac1), (dc1, ac1)]
+
+    bw = _BitWriter()
+    n_mcus = ((w + 7) // 8) * ((h + 7) // 8)
+    pred = [0, 0, 0]
+    for m in range(n_mcus):
+        for c in range(3):
+            dct, act = comp_tables[c]
+            diff = _jpeg_dc_coeff(asset_id, m, c) - pred[c]
+            pred[c] += diff
+            s = abs(diff).bit_length()
+            bw.put(*dct[s])
+            if s:
+                v = diff if diff > 0 else diff + (1 << s) - 1
+                bw.put(v, s)
+            bw.put(*act[0x00])  # EOB: all 63 AC coefficients zero
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + bw.done() + b"\xff\xd9"
+
+
+def decode_jpeg_dc(content: bytes):
+    """REAL baseline-JPEG DC decode, stdlib only: marker walk, DQT/DHT
+    table builds (T.81 Annex C canonical generation), SOF0/SOS grammar,
+    then a genuine Huffman walk of the de-stuffed scan — DC category +
+    EXTEND + per-component prediction, generic AC run/size loop (EOB,
+    ZRL, run-skip), dequantization of DC by the component's DQT step.
+    Supports interleaved baseline scans with 1x1 sampling; everything
+    else rejects loudly. Returns (width, height, n_components, n_mcus,
+    n_blocks, dc_sum_c0, dc_sum_c1, dc_sum_c2) with dc_sum_* the
+    DEQUANTIZED exact-integer DC sums (0 for absent components)."""
+    import struct
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG: {content[:2]!r}")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
+    scan: list[tuple[int, int, int]] = []  # (comp index, td, ta)
+    width = height = None
+    while True:
+        if pos + 2 > len(content):
+            raise ValueError("truncated before SOS")
+        if content[pos] != 0xFF:
+            raise ValueError(f"marker desync at {pos}")
+        marker = content[pos + 1]
+        if marker in (0xC2, 0xC1, 0xC3):
+            raise ValueError(f"non-baseline SOF 0x{marker:02x} unsupported")
+        if pos + 4 > len(content):
+            raise ValueError("truncated segment header")
+        (seglen,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        body = content[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError(f"truncated segment 0x{marker:02x}")
+        if marker == 0xDB:  # DQT: one or more (Pq/Tq, 64 entries) tables
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT table")
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT: one or more (Tc/Th, BITS, HUFFVAL)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT header")
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                if i + 17 + nv > len(body):
+                    raise ValueError("truncated DHT values")
+                vals = list(body[i + 17 : i + 17 + nv])
+                # decode map: (code, length) -> value
+                enc = _huff_canonical(bits, vals)
+                htables[(tc, th)] = {cl: v for v, cl in enc.items()}
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            height, width = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                hi, vi = hv >> 4, hv & 0xF
+                if (hi, vi) != (1, 1):
+                    raise ValueError("only 1x1 sampling supported")
+                comps.append((cid, hi, vi, tq))
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for si in range(ns):
+                cid, tt = body[1 + 2 * si : 3 + 2 * si]
+                idx = next(
+                    (i for i, c in enumerate(comps) if c[0] == cid), None
+                )
+                if idx is None:
+                    raise ValueError(f"SOS names unknown component {cid}")
+                scan.append((idx, tt >> 4, tt & 0xF))
+            pos += 2 + seglen
+            break
+        pos += 2 + seglen
+    if width is None or not scan:
+        raise ValueError("no SOF0 before SOS")
+
+    # de-stuff the entropy stream up to EOI
+    data = bytearray()
+    while True:
+        if pos >= len(content):
+            raise ValueError("truncated entropy stream (no EOI)")
+        b = content[pos]
+        if b == 0xFF:
+            if pos + 1 >= len(content):
+                raise ValueError("truncated after FF in entropy stream")
+            nxt = content[pos + 1]
+            if nxt == 0xD9:
+                break
+            if nxt == 0x00:
+                data.append(0xFF)
+                pos += 2
+                continue
+            raise ValueError(f"unexpected marker 0x{nxt:02x} in entropy stream")
+        data.append(b)
+        pos += 1
+
+    bitpos = 0
+    total_bits = 8 * len(data)
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        if bitpos >= total_bits:
+            raise ValueError("entropy stream exhausted mid-decode")
+        b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return b
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def huff_decode(table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | read_bit()
+            ln += 1
+            if (code, ln) in table:
+                return table[(code, ln)]
+        raise ValueError("invalid Huffman code (16 bits, no match)")
+
+    def extend(v: int, s: int) -> int:
+        return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    n_mcus = ((width + 7) // 8) * ((height + 7) // 8)
+    pred = [0] * len(comps)
+    dc_sum = [0, 0, 0]
+    n_blocks = 0
+    for _ in range(n_mcus):
+        for idx, td, ta in scan:
+            dct = htables.get((0, td))
+            act = htables.get((1, ta))
+            if dct is None or act is None:
+                raise ValueError(f"scan references missing table DC{td}/AC{ta}")
+            s = huff_decode(dct)
+            if s > 11:
+                raise ValueError(f"DC category {s} out of baseline range")
+            pred[idx] += extend(read_bits(s), s)
+            qstep = qtables[comps[idx][3]][0]  # zigzag 0 = DC
+            dc_sum[idx] += pred[idx] * qstep
+            n_blocks += 1
+            k = 1  # generic AC walk (all-zero in synth scans)
+            while k <= 63:
+                rs = huff_decode(act)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = rs >> 4, rs & 0xF
+                k += run + 1
+                read_bits(size)
+    # remaining bits must be 1-fill padding within the final byte
+    if total_bits - bitpos >= 8:
+        raise ValueError(f"{total_bits - bitpos} unread bits after last MCU")
+    while bitpos < total_bits:
+        if read_bit() != 1:
+            raise ValueError("non-1 padding bits after last MCU")
+    return (width, height, len(comps), n_mcus, n_blocks, *dc_sum)
+
+
+_JPEG_DC_FIELDS = [
+    "width", "height", "n_components", "n_mcus", "n_blocks",
+    "dc_sum_y", "dc_sum_cb", "dc_sum_cr",
+]
+_JPEG_DC_SCHEMA = (
+    "asset_id bigint, width int, height int, n_components int, n_mcus int, "
+    "n_blocks int, dc_sum_y bigint, dc_sum_cb bigint, dc_sum_cr bigint"
+)
+
+
+def mm_decode_jpeg_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Huffman-decode of genuine baseline-JPEG scans for the
+    jpeg-format image assets: encode real entropy-coded streams, then
+    Huffman-decode the DC coefficients back (_codec_roundtrip shape).
+    The oracle rebuilds the dequantized per-component DC sums from the
+    coefficient formula — a decoder that misreads the canonical tables,
+    the sign extension, the predictor, or the quant step hash-fails."""
+    return _codec_roundtrip(
+        spark,
+        sf_dir,
+        (F.col("kind") == "image")
+        & (F.col("format") == "jpeg")
+        & F.col("content").isNotNull(),
+        synth_jpeg_dc_bytes,
+        decode_jpeg_dc,
+        _JPEG_DC_FIELDS,
+        _JPEG_DC_SCHEMA,
+    )
+
+
 # --- REAL MP3 frame-header probe (pure stdlib: MPEG-1 Layer III) ----------
 # The audio twin: MP3's entropy payload is un-oracle-able, but the
 # frame GRID is exact — each 4-byte header encodes bitrate/samplerate,
@@ -1478,6 +1824,7 @@ QUERIES = {
     "mm_decode_video_real": mm_decode_video_real,
     "mm_probe_mp4": mm_probe_mp4,
     "mm_probe_jpeg": mm_probe_jpeg,
+    "mm_decode_jpeg_dc": mm_decode_jpeg_dc,
     "mm_probe_mp3": mm_probe_mp3,
     "mm_probe_webm": mm_probe_webm,
     "mm_frame_sample": mm_frame_sample,
@@ -1641,6 +1988,41 @@ ORACLES["mm_decode_png_real"] = _oracle_assets_cte(
            CAST(list_sum(list_transform(generate_series(0, w * h - 1),
                 p -> (asset_id * 13 + (3 * p + 2) * 23) % 256)) AS BIGINT) AS sum_b
     FROM img ORDER BY asset_id
+    """
+)
+
+# mm_decode_jpeg_dc: the dequantized DC sums rebuilt from the
+# coefficient formula (_jpeg_dc_coeff) and quant steps — the canonical
+# Huffman tables, category/EXTEND coding, per-component prediction and
+# FF00 stuffing are encoding artifacts the decoder must exactly invert
+# to reach these exact-integer sums.
+ORACLES["mm_decode_jpeg_dc"] = _oracle_assets_cte(
+    """
+    , img AS (
+      SELECT asset_id,
+             16 + asset_id % 33 AS w,
+             8 + asset_id % 25 AS h,
+             2 + asset_id % 7 AS q0,
+             1 + asset_id % 5 AS q1
+      FROM assets
+      WHERE kind = 'image' AND format = 'jpeg' AND content IS NOT NULL
+    ),
+    geo AS (
+      SELECT *, ((w + 7) // 8) * ((h + 7) // 8) AS mc FROM img
+    )
+    SELECT asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_components,
+           CAST(mc AS INT) AS n_mcus,
+           CAST(3 * mc AS INT) AS n_blocks,
+           CAST(q0 * list_sum(list_transform(generate_series(0, mc - 1),
+                m -> (asset_id * 7 + m * 11) % 256 - 128)) AS BIGINT) AS dc_sum_y,
+           CAST(q1 * list_sum(list_transform(generate_series(0, mc - 1),
+                m -> (asset_id * 10 + m * 13) % 256 - 128)) AS BIGINT) AS dc_sum_cb,
+           CAST(q1 * list_sum(list_transform(generate_series(0, mc - 1),
+                m -> (asset_id * 13 + m * 15) % 256 - 128)) AS BIGINT) AS dc_sum_cr
+    FROM geo ORDER BY asset_id
     """
 )
 

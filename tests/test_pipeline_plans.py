@@ -758,6 +758,59 @@ def test_mp4_probe_parses_a_genuine_box_tree():
         probe_mp4(short_tkhd)
 
 
+def test_jpeg_dc_decoder_is_a_generic_baseline_decoder():
+    """decode_jpeg_dc must decode FOREIGN baseline scans, not just the
+    synth encoder's: a hand-built grayscale JPEG with NONZERO AC
+    coefficients (run/size codes, a ZRL, then EOB) and its own Huffman
+    table layout decodes to the right DC sum; malformed streams reject
+    loudly."""
+    import struct
+
+    import pytest
+
+    from task_hive_spark.operators.multimodal import (
+        decode_jpeg_dc,
+        synth_jpeg_dc_bytes,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+    dqt = seg(0xDB, bytes([0, 4]) + bytes(range(1, 64)))  # DC step 4
+    sof0 = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+               + bytes([1, 7, 0x11, 0]))
+    # DC table: cat 0 -> "0", cat 3 -> "10"; AC table: EOB "00",
+    # (0,1) "01", ZRL "10", (2,1) "11"
+    dht = seg(0xC4,
+              bytes([0x00, 1, 1] + [0] * 14) + bytes([0, 3])
+              + bytes([0x10, 0, 4] + [0] * 14) + bytes([0x00, 0x01, 0xF0, 0x21]))
+    sos = seg(0xDA, bytes([1, 7, 0x00, 0, 63, 0]))
+    # scan: DC cat3 "10" + 101 (=+5); AC (0,1)"01"+1, ZRL "10",
+    # (2,1)"11"+0, EOB "00"; 15 bits -> 1-padded to 0xAB 0xB1
+    foreign = (b"\xff\xd8" + dqt + sof0 + dht + sos
+               + bytes([0xAB, 0xB1]) + b"\xff\xd9")
+    assert decode_jpeg_dc(foreign) == (8, 8, 1, 1, 1, 20, 0, 0)
+
+    good = synth_jpeg_dc_bytes(42)
+    # non-baseline SOF, 16-bit DQT, 2x2 sampling, garbage padding
+    with pytest.raises(ValueError):
+        decode_jpeg_dc(b"\xff\xd8" + seg(0xC1, bytes(8)))
+    with pytest.raises(ValueError):
+        decode_jpeg_dc(b"\xff\xd8" + seg(0xDB, bytes([0x10]) + bytes(128)) + good[2:])
+    sof_sub = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 7, 0x22, 0]))
+    with pytest.raises(ValueError):
+        decode_jpeg_dc(b"\xff\xd8" + dqt + sof_sub + dht + sos
+                       + bytes([0xAB, 0xB1]) + b"\xff\xd9")
+    # an extra full byte after the last MCU is not padding
+    with pytest.raises(ValueError):
+        decode_jpeg_dc(b"\xff\xd8" + dqt + sof0 + dht + sos
+                       + bytes([0xAB, 0xB1, 0xEE]) + b"\xff\xd9")
+    # truncated scan exhausts the bit reader loudly
+    with pytest.raises(ValueError):
+        decode_jpeg_dc(b"\xff\xd8" + dqt + sof0 + dht + sos
+                       + bytes([0xAB]) + b"\xff\xd9")
+
+
 def test_jpeg_mp3_webm_probes_parse_genuine_streams():
     """The three remaining probes must be REAL parsers, each pinned on
     a foreign stream its synth path never produces, plus loud failure

@@ -604,6 +604,85 @@ def prune_probe() -> int:
     return 1 if bad else 0
 
 
+def served_pruned_probe() -> int:
+    """--served-pruned: the clustered serving-index CLAIM is that a
+    probe's KEPT-FILE count is bounded by the probe's own key count
+    (LSH_BANDS band buckets per doc; NPROBE cells per vector) at EVERY
+    scale — the index grows 100x in docs and files, the serve scan does
+    not. Verified across sf0.01/sf0.1/sf1 with the file count scaled to
+    the corpus (so a flat-total fixture artifact can't fake the bound).
+    Exits non-zero if kept exceeds the probe bound or the answer
+    diverges from the unpruned serve."""
+    import tempfile
+
+    from task_hive_spark.session import get_spark
+    from task_hive_spark.operators.dedup import (
+        LSH_BANDS,
+        NEW_OFFSET,
+        PROBE_DOC_BASE,
+        dedup_served_of,
+        dedup_served_pruned_of,
+        materialize_dedup_index_clustered,
+        new_batch_df,
+    )
+    from task_hive_spark.operators.similarity import (
+        NPROBE,
+        ann_served_pruned_of,
+        materialize_ann_index_clustered,
+    )
+    from task_hive_spark.plans.catalog import file_column_stats
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    sf1_dir = _gen_sf1_dir()
+    spark = get_spark("scale_probe_served_pruned")
+    bad = 0
+    for d in ["/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1_dir]:
+        out = tempfile.mkdtemp(prefix="ddcidx_probe_", dir=_scratch_root())
+        # grow the file count with the corpus (~50 docs' band rows per
+        # file) so a flat-total artifact can't fake the kept bound
+        from task_hive_spark.operators.dedup import corpus_df
+
+        n_files = max(64, corpus_df(spark, d).count() // 50)
+        summary = materialize_dedup_index_clustered(spark, d, out, n_files=n_files)
+        stats = file_column_stats(os.path.join(out, "buckets"), "bucket")
+        probe = new_batch_df(spark, d).where(
+            f"doc_id = {NEW_OFFSET + PROBE_DOC_BASE}"
+        )
+        t0 = time.perf_counter()
+        served, kept, total = dedup_served_pruned_of(spark, out, stats, probe)
+        rows = served.collect()
+        serve_s = round(time.perf_counter() - t0, 3)
+        ok = (
+            0 < len(kept) <= LSH_BANDS < total
+            and rows == dedup_served_of(spark, out, probe).collect()
+        )
+        bad += 0 if ok else 1
+        print(json.dumps({
+            "probe": "dedup_served_pruned", "sf_dir": d,
+            "index_docs": summary["signatures"],
+            "files_total": total, "files_kept": len(kept),
+            "kept_bound": LSH_BANDS, "serve_seconds": serve_s,
+            "bounds_ok": ok,
+        }))
+        aout = tempfile.mkdtemp(prefix="anncidx_probe_", dir=_scratch_root())
+        asummary = materialize_ann_index_clustered(spark, d, aout)
+        astats = file_column_stats(os.path.join(aout, "cellcodes"), "cell")
+        t0 = time.perf_counter()
+        aserved, akept, atotal = ann_served_pruned_of(spark, aout, astats, n_probes=1)
+        n_ann = aserved.count()
+        aserve_s = round(time.perf_counter() - t0, 3)
+        aok = 0 < len(akept) <= NPROBE < atotal and n_ann > 0
+        bad += 0 if aok else 1
+        print(json.dumps({
+            "probe": "ann_served_pruned", "sf_dir": d,
+            "index_vectors": asummary["vectors"],
+            "files_total": atotal, "files_kept": len(akept),
+            "kept_bound": NPROBE, "serve_seconds": aserve_s,
+            "bounds_ok": aok,
+        }))
+    return 1 if bad else 0
+
+
 def main() -> int:
     from task_hive_spark.session import get_spark
 
@@ -611,6 +690,8 @@ def main() -> int:
 
     if sys.argv[1:2] == ["--ivf-recall"]:
         return ivf_recall()
+    if sys.argv[1:2] == ["--served-pruned"]:
+        return served_pruned_probe()
     if sys.argv[1:2] == ["--prune"]:
         return prune_probe()
     if sys.argv[1:2] == ["--sketch"]:

@@ -637,6 +637,15 @@ def dedup_served_of(
     new_sigs = minhash_sigs_of(batch.repartition(nshuf, "doc_id")).localCheckpoint()
     hist_buckets = spark.read.parquet(_os.path.join(index_dir, "buckets"))
     hist_sigs = spark.read.parquet(_os.path.join(index_dir, "signatures"))
+    return _serve_join(new_sigs, hist_buckets, hist_sigs)
+
+
+def _serve_join(
+    new_sigs: DataFrame, hist_buckets: DataFrame, hist_sigs: DataFrame
+) -> DataFrame:
+    """The candidate-generate + score join shared by the flat and the
+    file-pruned serve paths (identical plan shape either way — the
+    pruned path differs only in WHICH bucket files feed the scan)."""
     cands = (
         F.broadcast(
             band_buckets_of(new_sigs).withColumnRenamed("doc_id", "new_doc_id")
@@ -661,6 +670,132 @@ def dedup_served_of(
         .select("new_doc_id", "hist_doc_id", est_jaccard_col().alias("est_jaccard"))
         .orderBy("new_doc_id", "hist_doc_id")
     )
+
+
+# --- clustered serving index: file-pruned probes -------------------------
+# The layout tier (plans/catalog.py) applied to the serve path itself:
+# the buckets/ artifact is range-CLUSTERED on the 64-bit band bucket
+# (repartitionByRange + sortWithinPartitions, the cluster_by recipe),
+# so every index file carries a tight disjoint bucket range in its
+# parquet footer. A probe then intersects ITS band buckets with the
+# footer manifest (catalog.prune_files_any) and scans only colliding
+# files — kept files scale with the PROBE (≤ |batch|·LSH_BANDS), never
+# with the index, which is where a 100 TB dedup serve actually reads.
+# Mirrors the reference's prefix-scan pruning (common/constants.go:7-12)
+# carried to the columnar index.
+
+DEDUP_INDEX_FILES = 64  # bucket files per index level at fixture scale
+
+
+def materialize_dedup_index_clustered(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = DEDUP_INDEX_FILES
+) -> dict:
+    """materialize_dedup_index with the buckets artifact range-clustered
+    on ``bucket`` into ``n_files`` tight-footer files + the per-file
+    manifest in the summary. At cluster scale n_files derives from
+    bytes/target like compact_table; the fixture pins it so the pruning
+    ratio is deterministic."""
+    import json as _json
+    import os as _os
+
+    sigs = _minhash_sig_array(spark, sf_dir)
+    sigs.write.mode("overwrite").parquet(_os.path.join(out_dir, "signatures"))
+    (
+        band_buckets_of(sigs)
+        .repartitionByRange(n_files, "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .parquet(_os.path.join(out_dir, "buckets"))
+    )
+    summary = {
+        name: spark.read.parquet(_os.path.join(out_dir, name)).count()
+        for name in ("signatures", "buckets")
+    }
+    if summary["buckets"] != summary["signatures"] * LSH_BANDS:
+        raise RuntimeError(
+            f"clustered dedup index skewed: {summary['buckets']} bucket rows "
+            f"!= {summary['signatures']} signatures x {LSH_BANDS} bands"
+        )
+    with open(_os.path.join(out_dir, "summary.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    return summary
+
+
+_DD_CIDX_RAN: dict[tuple[str, str], tuple[str, list[dict]]] = {}
+register_aux_cache(_DD_CIDX_RAN)
+
+
+def _dedup_index_clustered(spark: SparkSession, sf_dir: str) -> tuple[str, list[dict]]:
+    """(index_dir, bucket-file manifest) once per (session, sf_dir) —
+    the manifest is footer stats, read once at materialize time the way
+    a real catalog would cache it."""
+    import tempfile
+
+    from task_hive_spark.plans.catalog import file_column_stats
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DD_CIDX_RAN:
+        out = tempfile.mkdtemp(prefix="ddcidx_", dir=_scratch_root())
+        materialize_dedup_index_clustered(spark, sf_dir, out)
+        import os as _os
+
+        stats = file_column_stats(_os.path.join(out, "buckets"), "bucket")
+        _DD_CIDX_RAN[key] = (out, stats)
+    return _DD_CIDX_RAN[key]
+
+
+def dedup_served_pruned_of(
+    spark: SparkSession,
+    index_dir: str,
+    stats: list[dict],
+    batch: DataFrame,
+) -> tuple[DataFrame, list[str], int]:
+    """File-pruned serve core: signature the batch, intersect its band
+    buckets with the manifest, scan ONLY the colliding bucket files,
+    then the shared candidate/score join. Returns (result, kept files,
+    total files) so callers can pin the pruning ratio. The probe-bucket
+    collect is bounded by |batch| x LSH_BANDS (requests, not tables)."""
+    import os as _os
+
+    from task_hive_spark.plans.catalog import prune_files_any
+
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    new_sigs = minhash_sigs_of(batch.repartition(nshuf, "doc_id")).localCheckpoint()
+    probe_buckets = [
+        r["bucket"]
+        for r in band_buckets_of(new_sigs).select("bucket").distinct().collect()
+    ]
+    kept, total = prune_files_any(stats, probe_buckets)
+    hist_sigs = spark.read.parquet(_os.path.join(index_dir, "signatures"))
+    if not kept:  # no file overlaps any probe bucket: zero candidates
+        hist_buckets = spark.createDataFrame([], "doc_id long, bucket long")
+    else:
+        hist_buckets = spark.read.parquet(*kept)
+    return _serve_join(new_sigs, hist_buckets, hist_sigs), kept, total
+
+
+# The registered pruned-serve probe: ONE verbatim re-crawl (base doc 13
+# — the smallest odd multiple of 13, so its text is unchanged and its
+# history partner is guaranteed). A single-document probe is the
+# trickle-serve shape where file pruning pays: 32 band buckets against
+# DEDUP_INDEX_FILES disjoint ranges keeps ≤ 32 files structurally.
+PROBE_DOC_BASE = 13
+
+
+def dd_dedup_served_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup served from the CLUSTERED index with
+    manifest file pruning: identical answer to dd_dedup_served for the
+    same probe (the oracle hash is the no-false-negative proof), but
+    the bucket scan touches only the ≤ LSH_BANDS files whose footer
+    range collides with the probe's band buckets — the serve path reads
+    O(probe), not O(index)."""
+    idx, stats = _dedup_index_clustered(spark, sf_dir)
+    probe = new_batch_df(spark, sf_dir).where(
+        F.col("doc_id") == NEW_OFFSET + PROBE_DOC_BASE
+    )
+    out, _kept, _total = dedup_served_pruned_of(spark, idx, stats, probe)
+    return out
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,6 +1285,7 @@ QUERIES = {
     "dd_minhash_signatures": dd_minhash_signatures,
     "dd_minhash_lsh_pairs": dd_minhash_lsh_pairs,
     "dd_dedup_served": dd_dedup_served,
+    "dd_dedup_served_pruned": dd_dedup_served_pruned,
     "dd_simhash": dd_simhash,
     "dd_simhash_near_pairs": dd_simhash_near_pairs,
     "dd_duplicate_clusters": dd_duplicate_clusters,
@@ -1433,10 +1569,14 @@ ORACLES = {k: corpus_cte(v) for k, v in _RAW_ORACLES.items()}
 # xxhash64 of the band tuple; SQL: the band tuple string) but their
 # collision classes are the same band tuples, so the candidate SETS
 # agree (the dd_minhash_lsh_pairs argument).
-ORACLES["dd_dedup_served"] = f"""
+def _served_oracle_sql(newb_sql: str) -> str:
+    """The served-dedup oracle parameterized by the probe batch — shared
+    by the flat and the file-pruned serve queries so the no-false-
+    negative proof of pruning IS the hash gate itself."""
+    return f"""
 WITH corpus AS ({CORPUS_SQL}),
 {_GRAMS_CTE}, {_SIGS_CTE},
-newb AS ({NEW_BATCH_SQL}),
+newb AS ({newb_sql}),
 {_grams_cte_sql("newb", "ngrams")},
 {_sigs_cte_sql("ngrams", "nsigs", "nlanes")},
 hb AS (
@@ -1459,6 +1599,13 @@ JOIN nsigs sa ON sa.doc_id = new_doc_id
 JOIN sigs sb ON sb.doc_id = hist_doc_id
 ORDER BY new_doc_id, hist_doc_id
 """
+
+
+ORACLES["dd_dedup_served"] = _served_oracle_sql(NEW_BATCH_SQL)
+ORACLES["dd_dedup_served_pruned"] = _served_oracle_sql(
+    f"SELECT * FROM ({NEW_BATCH_SQL}) nb_all "
+    f"WHERE doc_id = {NEW_OFFSET + PROBE_DOC_BASE}"
+)
 
 # Connected components need WITH RECURSIVE, which must lead the whole
 # CTE list — composed here instead of through corpus_cte. The recursive

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from task_hive_spark.functions.components import min_label_components
 from task_hive_spark.functions.vectors import cosine, dot, norm
-from task_hive_spark.materialize import session_index
+from task_hive_spark.materialize import register_aux_cache, session_index
 from task_hive_spark.sources.fixtures import load_table
 
 DIM = 64
@@ -1121,6 +1121,143 @@ def sim_topk_pq_served(
     )
 
 
+# --- clustered serving index: file-pruned probes ---------------------------
+# The layout tier applied to the ANN serve path — the TRUE IVF layout:
+# in FAISS, PQ codes live INSIDE their cell's inverted list; here that
+# is cellcodes/ = (cell, vec_id, sub, code) range-clustered on cell
+# (tight disjoint footer ranges, one file per cell at fixture scale).
+# A probe intersects its nprobe cells with the footer manifest
+# (catalog.prune_files_any) and ADC-scans ONLY those files: the serve
+# read is O(nprobe · list size), never O(index) — the property that
+# makes a 100 TB vector index answer from a few files.
+
+ANN_CELL_FILES = 16  # ≥ K cells, so range clustering isolates each cell
+
+
+def materialize_ann_index_clustered(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict:
+    """materialize_ann_index with the inverted file stored the FAISS
+    way: cellcodes/ carries each cell's PQ codes contiguously
+    (range-clustered, sorted) so probes prune to their cells' files.
+    centroids/codebook/vectors are unchanged (broadcast-sized or
+    vec_id-keyed)."""
+    import json as _json
+    import os as _os
+
+    _ivf_centroids(spark, sf_dir).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "centroids")
+    )
+    asg = _ivf_assignment(spark, sf_dir).select("vec_id", "cell")
+    codes = _pq_code_index(spark, sf_dir).select("vec_id", "sub", "code")
+    (
+        codes.join(asg, "vec_id")
+        .select("cell", "vec_id", "sub", "code")
+        .repartitionByRange(ANN_CELL_FILES, "cell")
+        .sortWithinPartitions("cell", "vec_id", "sub")
+        .write.mode("overwrite")
+        .parquet(_os.path.join(out_dir, "cellcodes"))
+    )
+    _pq_book_df(spark).write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "codebook")
+    )
+    load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).sort("vec_id").write.mode("overwrite").parquet(
+        _os.path.join(out_dir, "vectors")
+    )
+    summary = {
+        name: spark.read.parquet(_os.path.join(out_dir, name)).count()
+        for name in ("centroids", "cellcodes", "codebook", "vectors")
+    }
+    with open(_os.path.join(out_dir, "summary.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    return summary
+
+
+_ANN_CIDX_RAN: dict[tuple[str, str], tuple[str, list[dict]]] = {}
+register_aux_cache(_ANN_CIDX_RAN)
+
+
+def _ann_index_clustered(spark: SparkSession, sf_dir: str) -> tuple[str, list[dict]]:
+    import tempfile
+
+    from task_hive_spark.plans.catalog import file_column_stats
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_CIDX_RAN:
+        import os as _os
+
+        out = tempfile.mkdtemp(prefix="anncidx_", dir=_scratch_root())
+        materialize_ann_index_clustered(spark, sf_dir, out)
+        stats = file_column_stats(_os.path.join(out, "cellcodes"), "cell")
+        _ANN_CIDX_RAN[key] = (out, stats)
+    return _ANN_CIDX_RAN[key]
+
+
+def ann_served_pruned_of(
+    spark: SparkSession,
+    index_dir: str,
+    stats: list[dict],
+    n_probes: int = 1,
+) -> tuple[DataFrame, list[str], int]:
+    """File-pruned serve core: route the probe(s) through the coarse
+    quantizer, intersect the probed cells with the cellcodes manifest,
+    ADC-score ONLY the kept files, refine exactly. Returns (result,
+    kept, total). The probed-cell collect is ≤ n_probes · NPROBE."""
+    import os as _os
+
+    from task_hive_spark.plans.catalog import prune_files_any
+
+    read = lambda name: spark.read.parquet(_os.path.join(index_dir, name))  # noqa: E731
+    vecs = read("vectors")
+    cent = read("centroids")
+    probe_ids = (
+        vecs.where(F.col("vec_id") % PROBE_MOD == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(n_probes)
+    )
+    probes = vecs.join(F.broadcast(probe_ids), "vec_id")
+    probe_cells = (
+        _assign_cells(probes, cent)
+        .where(F.col("rn") <= NPROBE)
+        .select(F.col("vec_id").alias("probe_id"), "cell")
+    )
+    probed = [r["cell"] for r in probe_cells.select("cell").distinct().collect()]
+    kept, total = prune_files_any(stats, probed)
+    if not kept:
+        cc = spark.createDataFrame([], "cell long, vec_id long, sub int, code int")
+    else:
+        cc = spark.read.parquet(*kept)
+    # cellcodes carries M rows per vector — project the one-row-per-vec
+    # assignment back out for candidate generation (kept files only, so
+    # this distinct is nprobe-list-sized, not index-sized)
+    assigned = cc.select("vec_id", "cell").distinct()
+    codes = cc.select("vec_id", "sub", "code")
+    lut = _adc_lut_of(_pq_dist_table(spark, probes, book=read("codebook")))
+    scored = _adc_score_frames(assigned, codes, lut, probe_cells)
+    out = _refine_rerank(
+        scored,
+        probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")),
+        vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+    )
+    return out, kept, total
+
+
+def sim_topk_pq_served_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + refine for a SINGLE probe served from the clustered
+    index with manifest file pruning — the trickle-serve shape where
+    the layout pays: the ADC scan reads only the ≤ NPROBE cell files
+    the probe routes to (pinned by test), and the answer is identical
+    to the flat serving path for the same probe (the oracle hash is
+    the no-false-negative proof)."""
+    idx, stats = _ann_index_clustered(spark, sf_dir)
+    out, _kept, _total = ann_served_pruned_of(spark, idx, stats, n_probes=1)
+    return out
+
+
 QUERIES = {
     "sim_topk_brute": sim_topk_brute,
     "sim_topk_lsh": sim_topk_lsh,
@@ -1128,6 +1265,7 @@ QUERIES = {
     "sim_topk_ivf_pq": sim_topk_ivf_pq,
     "sim_topk_pq_refined": sim_topk_pq_refined,
     "sim_topk_pq_served": sim_topk_pq_served,
+    "sim_topk_pq_served_pruned": sim_topk_pq_served_pruned,
     "sim_label_centroids": sim_label_centroids,
     "dd_embedding_cosine_pairs": dd_embedding_cosine_pairs,
     "dd_semdedup": dd_semdedup,
@@ -1618,3 +1756,11 @@ SELECT probe_id, rank, neighbor_id, d2 FROM (
 # data — only the storage layer (session indexes vs persisted parquet)
 # differs, which SQL cannot observe
 ORACLES["sim_topk_pq_served"] = ORACLES["sim_topk_pq_refined"]
+
+# the pruned serve answers the SAME query for the single smallest probe:
+# its oracle is the refine oracle with the probe set capped to 1 (the
+# only LIMIT {K_PROBES} in the chain is the probe_ids CTE — asserted)
+assert ORACLES["sim_topk_pq_refined"].count(f"LIMIT {K_PROBES}") == 1
+ORACLES["sim_topk_pq_served_pruned"] = ORACLES["sim_topk_pq_refined"].replace(
+    f"LIMIT {K_PROBES}", "LIMIT 1"
+)

@@ -457,6 +457,29 @@ def prune_files(stats: list[dict], lo, hi) -> tuple[list[str], int]:
     return kept, len(stats)
 
 
+def prune_files_any(stats: list[dict], values) -> tuple[list[str], int]:
+    """Multi-point companion of ``prune_files`` for serve paths that
+    probe a key SET rather than a range (LSH band buckets, IVF cells):
+    keep files whose [min, max] contains ANY probe value (bisect per
+    file over the sorted probe set), plus stat-less files conservatively
+    — a manifest may never cause a false negative. The probe set is
+    bounded by the request (|batch| x bands, n_probe cells), never by
+    the table, so the kept-file count scales with the PROBE, not the
+    index — the property the serve-path scale probes pin."""
+    import bisect
+
+    vals = sorted(values)
+    kept = []
+    for s in stats:
+        if s["min"] is None:
+            kept.append(s["path"])
+            continue
+        i = bisect.bisect_left(vals, s["min"])
+        if i < len(vals) and vals[i] <= s["max"]:
+            kept.append(s["path"])
+    return kept, len(stats)
+
+
 CLUSTER_TARGET_BYTES = 64 << 10  # force multi-file clustering at fixture scale
 CLUSTER_COL = "create_time"
 

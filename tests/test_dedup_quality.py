@@ -279,6 +279,48 @@ def test_served_index_answers_equal_refined_and_never_touch_embeddings(
     assert all("embeddings.parquet" not in f for f in scans), scans
 
 
+def test_clustered_ann_index_serves_from_pruned_cell_files(spark, sf_dir, tmp_path):
+    """The FAISS-shaped inverted file: cellcodes/ holds each cell's PQ
+    codes contiguously, so a single-probe serve must (a) match the
+    session refine path for that probe, (b) keep at most NPROBE of the
+    cellcodes files, and (c) scan no non-kept cellcodes file."""
+    import os
+    from urllib.parse import urlparse
+
+    from task_hive_spark.operators.similarity import (
+        NPROBE,
+        ann_served_pruned_of,
+        materialize_ann_index_clustered,
+        sim_topk_pq_refined,
+    )
+    from task_hive_spark.plans.catalog import file_column_stats
+
+    out = str(tmp_path / "anncidx")
+    summary = materialize_ann_index_clustered(spark, sf_dir, out)
+    assert summary["cellcodes"] > summary["vectors"]  # M code rows per vector
+    stats = file_column_stats(os.path.join(out, "cellcodes"), "cell")
+    assert len(stats) > NPROBE
+    assert all(s["min"] is not None for s in stats)
+
+    served, kept, total = ann_served_pruned_of(spark, out, stats, n_probes=1)
+    rows = served.collect()
+    assert rows, "single-probe serve must return a top-k"
+    probe_id = rows[0]["probe_id"]
+    want = [
+        r for r in sim_topk_pq_refined(spark, sf_dir).collect()
+        if r["probe_id"] == probe_id
+    ]
+    assert rows == want
+    assert 0 < len(kept) <= NPROBE < total == len(stats)
+    allowed = {os.path.realpath(p) for p in kept}
+    cc_scans = [
+        os.path.realpath(urlparse(f).path)
+        for f in served.inputFiles()
+        if os.path.join(out, "cellcodes") in f
+    ]
+    assert cc_scans and set(cc_scans) <= allowed, sorted(set(cc_scans) - allowed)
+
+
 def test_dedup_served_probes_index_without_rescanning_history(spark, sf_dir, tmp_path):
     """The cross-snapshot served dedup must (a) write both artifacts,
     (b) find every exact re-crawl at est_jaccard = 1.0 and every mutated
@@ -334,6 +376,63 @@ def test_dedup_served_probes_index_without_rescanning_history(spark, sf_dir, tmp
     assert all(out in f for f in scans), scans  # index files ONLY — no text
     for artifact in ("buckets", "signatures"):
         assert any(os.path.join(out, artifact) in f for f in scans), artifact
+
+
+def test_clustered_dedup_index_serves_from_pruned_files(spark, sf_dir, tmp_path):
+    """The layout tier applied to the serve path: the bucket artifact is
+    range-clustered on the 64-bit band bucket, so a single-document
+    probe (32 band buckets) must (a) answer IDENTICALLY to the flat
+    serve, (b) keep at most LSH_BANDS of the bucket files — O(probe),
+    not O(index) — and (c) read ONLY the kept files plus signatures."""
+    import os
+
+    from task_hive_spark.operators.dedup import (
+        LSH_BANDS,
+        NEW_OFFSET,
+        PROBE_DOC_BASE,
+        dedup_served_of,
+        dedup_served_pruned_of,
+        materialize_dedup_index_clustered,
+        new_batch_df,
+    )
+    from task_hive_spark.plans.catalog import file_column_stats
+
+    out = str(tmp_path / "ddcidx")
+    summary = materialize_dedup_index_clustered(spark, sf_dir, out)
+    assert summary["buckets"] == summary["signatures"] * LSH_BANDS
+    stats = file_column_stats(os.path.join(out, "buckets"), "bucket")
+    # the clustered rewrite must actually fan out into many tight files
+    assert len(stats) > LSH_BANDS, "index must hold more files than a probe touches"
+    assert all(s["min"] is not None for s in stats)
+
+    probe = new_batch_df(spark, sf_dir).where(
+        f"doc_id = {NEW_OFFSET + PROBE_DOC_BASE}"
+    )
+    served, kept, total = dedup_served_pruned_of(spark, out, stats, probe)
+    rows = served.collect()
+    # single verbatim re-crawl: its history partner must surface at 1.0
+    assert any(
+        r["hist_doc_id"] == PROBE_DOC_BASE and r["est_jaccard"] == 1.0 for r in rows
+    )
+    # answer-invariance vs the flat serve of the SAME probe
+    assert rows == dedup_served_of(spark, out, probe).collect()
+    # pruning is structural: ≤ one file per probe bucket, strictly
+    # fewer than the index holds
+    assert 0 < len(kept) <= LSH_BANDS < total == len(stats)
+    # the served plan reads only kept bucket files (+ signatures)
+    scans = served.inputFiles()
+    assert scans
+    from urllib.parse import urlparse
+
+    allowed = {os.path.realpath(p) for p in kept}
+    bucket_scans = [
+        os.path.realpath(urlparse(f).path)
+        for f in scans
+        if os.path.join(out, "signatures") not in f
+    ]
+    assert bucket_scans and set(bucket_scans) <= allowed, (
+        sorted(set(bucket_scans) - allowed)
+    )
 
 
 def test_dedup_index_update_completes_the_cross_snapshot_loop(spark, sf_dir, tmp_path):

@@ -628,32 +628,116 @@ def delta_table_dirs(spark: SparkSession, sf_dir: str) -> tuple[str, str, list[d
     return _DELTA[key]
 
 
-def recluster_table(spark: SparkSession, sf_dir: str) -> tuple[str, list[dict]]:
-    """Pay down the compaction debt: fold base + delta into a fresh
-    clustered level and rebuild the manifest. Returns
-    (merged_dir, stats)."""
+def recluster_dirs(
+    spark: SparkSession, dirs: list[str], target_bytes: int = CLUSTER_TARGET_BYTES
+) -> tuple[str, list[dict]]:
+    """Fold any set of table levels into a fresh clustered level and
+    rebuild the manifest — the generic debt-paydown core shared by the
+    fixture wrapper and the threshold policy. Returns (merged, stats)."""
+    import shutil
     import tempfile
 
-    base, delta, _stats = delta_table_dirs(spark, sf_dir)
     from task_hive_spark.streaming.lifecycle import _scratch_root
 
     root = tempfile.mkdtemp(prefix="reclus_", dir=_scratch_root())
     merged = os.path.join(root, "merged")
     staged = os.path.join(root, "staged")
-    # stage both levels as one input dir (file moves would do at scale;
+    # stage all levels as one input dir (file moves would do at scale;
     # a copy keeps the fixture dirs immutable for the session cache)
-    import shutil
-
     os.makedirs(staged)
-    for src in (base, delta):
+    for src in dirs:
         for f in os.listdir(src):
             if f.endswith(".parquet"):
-                shutil.copy2(os.path.join(src, f), os.path.join(staged, f"{os.path.basename(src)}_{f}"))
+                shutil.copy2(
+                    os.path.join(src, f),
+                    os.path.join(staged, f"{os.path.basename(src)}_{f}"),
+                )
     compact_table(
         spark, staged, merged,
-        target_bytes=CLUSTER_TARGET_BYTES, cluster_by=[CLUSTER_COL],
+        target_bytes=target_bytes, cluster_by=[CLUSTER_COL],
     )
     return merged, file_column_stats(merged, CLUSTER_COL)
+
+
+def recluster_table(spark: SparkSession, sf_dir: str) -> tuple[str, list[dict]]:
+    """Pay down the compaction debt: fold base + delta into a fresh
+    clustered level and rebuild the manifest. Returns
+    (merged_dir, stats)."""
+    base, delta, _stats = delta_table_dirs(spark, sf_dir)
+    return recluster_dirs(spark, [base, delta])
+
+
+# --- recluster-debt policy -------------------------------------------------
+# Appends are free until reads pay for them: every loose delta file is
+# kept by EVERY window scan. The debt metric makes that read tax
+# visible from the manifest alone, and the serving path pays it down
+# once it crosses a threshold — the LSM compaction trigger, driven by
+# the same footer stats the pruning already uses (no data read).
+
+DEBT_THRESHOLD = 0.5  # recluster when loose appends are half a window's read set
+LOOSE_SPAN_SHARE = 0.5  # a file spanning > half the key domain is an append
+
+
+def recluster_debt(stats: list[dict], lo, hi) -> float:
+    """Fraction of the files a window scan must read that are kept only
+    CONSERVATIVELY — footer span wider than LOOSE_SPAN_SHARE of the
+    table's whole key domain (unclustered appends span ~all of it;
+    clustered files span ~1/n_files), or no stats at all. Computed from
+    the manifest alone. 0.0 for a window no file serves or a
+    single-file table (nothing to recluster)."""
+    sized = [s for s in stats if s["min"] is not None]
+    if not sized:
+        return 1.0 if stats else 0.0
+    dlo = min(s["min"] for s in sized)
+    dhi = max(s["max"] for s in sized)
+    if dhi <= dlo:
+        return 0.0
+    kept = [
+        s for s in stats
+        if s["min"] is None or not (s["max"] < lo or s["min"] > hi)
+    ]
+    if len(kept) <= 1:
+        return 0.0
+    loose = [
+        s for s in kept
+        if s["min"] is None
+        or (s["max"] - s["min"]) > (dhi - dlo) * LOOSE_SPAN_SHARE
+    ]
+    return len(loose) / len(kept)
+
+
+def serve_window_with_policy(
+    spark: SparkSession,
+    levels: list[str],
+    stats: list[dict],
+    lo,
+    hi,
+    threshold: float = DEBT_THRESHOLD,
+    target_bytes: int = CLUSTER_TARGET_BYTES,
+) -> tuple[DataFrame, dict]:
+    """The LSM window read with the maintenance trigger attached:
+    measure the window's manifest debt; above ``threshold``, fold the
+    levels (recluster_dirs) and serve from the fresh manifest —
+    answer-invariant by construction, pinned by test. Returns
+    (window scan, info) where info records debt, whether the fold
+    fired, kept/total, and the (possibly new) levels + stats so callers
+    keep serving from the paid-down table."""
+    from pyspark.sql import functions as F
+
+    debt = recluster_debt(stats, lo, hi)
+    folded = debt > threshold
+    if folded:
+        merged, stats = recluster_dirs(spark, levels, target_bytes=target_bytes)
+        levels = [merged]
+    kept, total = prune_files(stats, lo, hi)
+    df = spark.read.parquet(*kept).where(
+        F.col(CLUSTER_COL).between(F.lit(str(lo)), F.lit(str(hi)))
+    )
+    info = {
+        "debt": debt, "folded": folded, "kept": kept, "total": total,
+        "levels": levels, "stats": stats,
+    }
+    return df, info
 
 
 def _delta_window_agg(df: DataFrame) -> DataFrame:

@@ -338,6 +338,91 @@ def test_delta_append_serves_correct_then_recluster_restores_pruning(spark, sf_d
     assert after == want
 
 
+def test_recluster_debt_policy_triggers_and_is_answer_invariant(spark, sf_dir, tmp_path):
+    """The LSM maintenance trigger: appends accumulate read debt (every
+    loose file joins every window's kept set); serve_window_with_policy
+    must (a) serve the two-level read below threshold, (b) FIRE the
+    fold once loose appends dominate the window's read set, (c) return
+    the identical window answer before and after, and (d) tighten
+    pruning back to a base-minority share. cat_delta_prune stays green
+    throughout (its session dirs are untouched by the policy fold)."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.taskmodel import tasks_df
+    from task_hive_spark.plans.catalog import (
+        CLUSTER_COL,
+        CLUSTER_TARGET_BYTES,
+        DEBT_THRESHOLD,
+        FRAGMENT_PARTS,
+        PRUNE_HI,
+        PRUNE_LO,
+        _delta_window_agg,
+        cat_delta_prune,
+        compact_table,
+        file_column_stats,
+        recluster_debt,
+        serve_window_with_policy,
+    )
+    from task_hive_spark.functions.text import portable_hash32
+
+    lo = dt.datetime.fromisoformat(PRUNE_LO)
+    hi = dt.datetime.fromisoformat(PRUNE_HI)
+    t = tasks_df(spark, sf_dir)
+    wave = portable_hash32(F.col("id"), seed="debt-") % 8  # base + 7 appends
+    # a target small enough that the 1/8-of-tasks sf0.001 levels still
+    # fan out into multiple clustered files (pruning needs >1 file)
+    target = CLUSTER_TARGET_BYTES // 16
+    base_frag = str(tmp_path / "base_frag")
+    base = str(tmp_path / "base")
+    t.where(wave == 0).repartition(FRAGMENT_PARTS).write.parquet(base_frag)
+    compact_table(spark, base_frag, base,
+                  target_bytes=target, cluster_by=[CLUSTER_COL])
+
+    def manifest(levels):
+        out = []
+        for d in levels:
+            out += file_column_stats(d, CLUSTER_COL)
+        return out
+
+    want = _delta_window_agg(
+        t.where(F.col(CLUSTER_COL).isNotNull())
+    ).collect()  # placeholder replaced per-wave below
+
+    levels = [base]
+    fired_at = None
+    served_before = None
+    for w in range(1, 8):
+        d = str(tmp_path / f"delta{w}")
+        t.where(wave == w).repartition(2).write.parquet(d)
+        levels = levels + [d]
+        stats = manifest(levels)
+        visible = t.where(wave <= w)
+        want = _delta_window_agg(visible).collect()
+        df, info = serve_window_with_policy(
+            spark, levels, stats, lo, hi, target_bytes=target
+        )
+        got = _delta_window_agg(df).collect()
+        assert got == want and got, f"wave {w} answer drift"
+        if info["folded"]:
+            fired_at = w
+            # pruning tight again: kept is a strict minority of merged
+            assert len(info["levels"]) == 1
+            assert len(info["kept"]) < info["total"] / 2
+            # debt measured on the FRESH manifest is paid down
+            assert recluster_debt(info["stats"], lo, hi) <= DEBT_THRESHOLD
+            break
+        served_before = info
+        # below threshold the two-level read keeps every loose append
+        assert len(info["levels"]) == len(levels)
+    assert fired_at is not None, "append stream never crossed the debt threshold"
+    assert served_before is not None and served_before["debt"] <= DEBT_THRESHOLD
+    # the registered delta query is untouched by the policy fold
+    assert cat_delta_prune(spark, sf_dir).count() > 0
+
+
 def test_zorder_prunes_both_dimensions_multiplicatively(spark, sf_dir):
     """Z-order contract: (a) EACH column's manifest prunes to a strict
     minority on its own — the property the naive day-major interleave

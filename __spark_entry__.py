@@ -13,87 +13,89 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Round-11 front-50 (policy: scripts/evidence_age.py derives and asserts
+# Round-12 front-50 (policy: scripts/evidence_age.py derives and asserts
 # it from the CORRECTNESS_r0*.json ledgers):
-#   1. ALL 29 queries whose latest driver grade is r7 (age 4, the
-#      structural bound — named for the r11 front by the r10 verdict);
-#   2. the 10 never-graded round-11 additions (cat_clustered_prune,
-#      mm_decode_png_real, sk_quantiles_stream_served,
-#      sk_hll_daily_stream_served, and — in the filler block as late
-#      additions — cat_delta_prune, cat_zorder_prune, and the four
-#      container probes mm_probe_{mp4,jpeg,mp3,webm});
-#   3. 17 fillers, code-CHANGED first: txt_quality_classifier (age 2
-#      but re-planned this round — labeled-features index, literal
-#      weight table), then the age-3 sketch family (sk_cms_heavy_hitters
-#      rebuilt on the digest-slice cells + weighted grid; the other
-#      sk_* share sketches.py), the three st_*_incremental folds
-#      (store-grain state this round), and dd_split_leakage (dedup.py
-#      gained the append invariant + span fusion). The 34 age-3 queries left back sit in
-#      modules untouched or locally re-verified at both scales every
-#      round, and form the r12 front core (they reach the age-4 bound
-#      there): rel_q{2,4,11,12,13,16,18,21}, dd_minhash_signatures,
-#      sim_topk_{brute,ivf,lsh,pq_refined},
-#      sk_hll_daily, st_{session_windows,stream_dedup,
-#      stream_dedup_bounded,worker_counter_stateful}, the 18 th_*
-#      staples, txt_{decontaminate,sequence_pack,stratified_split,
-#      tokenized_dataset}.
-# Counts are asserted by scripts/evidence_age.py — derive the r12 front
+#   1. ALL 36 queries whose latest driver grade is r8 (age 4, the
+#      structural bound — named for the r12 front by the r11 verdict).
+#      The r8 cohort was 40; its four th_assign_* members were
+#      CONSOLIDATED this round into one parameterized registration
+#      (th_assign_strategies — see assign.py and the registry-capacity
+#      policy in README), which grades as a new query below.
+#   2. the 4 never-graded round-12 additions: th_assign_strategies
+#      (the consolidation), mm_decode_jpeg_dc (baseline-JPEG DC
+#      Huffman decode), dd_dedup_served_pruned and
+#      sim_topk_pq_served_pruned (clustered serving indexes with
+#      manifest file pruning).
+#   3. 10 fillers, code-CHANGED first: cat_{delta,clustered,zorder}_
+#      prune (catalog.py gained the UTC-explicit prune_files, the
+#      in-place-compaction guard, prune_files_any, and the
+#      recluster-debt policy), mm_probe_{jpeg,mp4} (RSTn/fill-byte and
+#      truncated-box hardening), dd_dedup_served + sim_topk_pq_served
+#      (their serve cores were refactored to share _serve_join / the
+#      pruned paths), txt_bigram_lm_score (stage-budgeted this round)
+#      and dd_ngram_jaccard_pairs + sk_bloom_semi_join (the r11
+#      verdict's drift-recheck set, re-paired in BASELINE_ratio_r12).
+#      The 45 age-3 queries left back sit in modules untouched or
+#      locally re-verified at both scales every round, and form the
+#      r13 front core (they reach the age-4 bound there).
+# Counts are asserted by scripts/evidence_age.py — derive the r13 front
 # from the script, not this comment.
-_FRONT_R11 = [
-    # --- age-4 core (last graded r7) ---
-    "rel_case_null_logic",
-    "rel_correlated_above_avg",
-    "rel_distinct_aggs",
-    "rel_lag_lead_delta",
-    "rel_outer_join_nulls",
-    "rel_q14_promo_effect",
-    "rel_q15_top_supplier",
-    "rel_q17_small_qty_revenue",
-    "rel_q19_disjunctive_join",
-    "rel_q20_excess_stock",
-    "rel_scalar_datetime",
-    "rel_scalar_math",
-    "rel_scalar_string",
-    "rel_self_join_prev_order",
-    "sim_label_centroids",
-    "sim_prototypes_prune",
-    "sim_quantize_int8",
-    "st_dispatch_latency",
-    "st_snapshot_merge",
-    "txt_chunks",
-    "txt_clean_corpus",
-    "txt_clean_corpus_stats",
-    "txt_hash_sample",
-    "txt_language_id",
-    "txt_pii_scrub",
-    "txt_token_stats",
-    "txt_unigram_lm_fertility",
-    "txt_unigram_lm_vocab",
-    "txt_unigram_logprob",
-    # --- never-graded r11 additions ---
-    "cat_clustered_prune",
-    "mm_decode_png_real",
-    "sk_quantiles_stream_served",
-    "sk_hll_daily_stream_served",
+_FRONT_R12 = [
+    # --- age-4 core (last graded r8) ---
+    "dd_minhash_signatures",
+    "rel_q11_important_stock",
+    "rel_q12_late_lines",
+    "rel_q13_custdist",
+    "rel_q16_supplier_part_count",
+    "rel_q18_large_orders",
+    "rel_q21_waiting_suppliers",
+    "rel_q2_min_cost_supplier",
+    "rel_q4_order_priority",
+    "sim_topk_brute",
+    "sim_topk_ivf",
+    "sim_topk_lsh",
+    "sim_topk_pq_refined",
+    "sk_hll_daily",
+    "st_session_windows",
+    "st_stream_dedup",
+    "st_stream_dedup_bounded",
+    "st_worker_counter_stateful",
+    "th_assignment_load",
+    "th_backoff_schedule",
+    "th_composite_keys",
+    "th_eligible_workers",
+    "th_id_functions",
+    "th_latest_event_per_user",
+    "th_least_tasks_worker",
+    "th_payload_parse",
+    "th_pending_count",
+    "th_spider_ingest",
+    "th_status_enum_roundtrip",
+    "th_top10_pending",
+    "th_worker_inbox",
+    "th_workers_liveness",
+    "txt_decontaminate",
+    "txt_sequence_pack",
+    "txt_stratified_split",
+    "txt_tokenized_dataset",
+    # --- never-graded r12 additions ---
+    "th_assign_strategies",
+    "mm_decode_jpeg_dc",
+    "dd_dedup_served_pruned",
+    "sim_topk_pq_served_pruned",
     # --- code-changed / code-adjacent fillers ---
-    "txt_quality_classifier",
-    "sk_cms_heavy_hitters",
-    "sk_bloom_semi_join",
-    "sk_hll_distinct",
-    "sk_hll_union",
-    "sk_kmv_distinct",
-    "sk_theta_intersect",
-    "st_cms_incremental",
-    "st_hll_incremental",
-    "st_kmv_incremental",
-    "dd_split_leakage",
     "cat_delta_prune",
+    "cat_clustered_prune",
     "cat_zorder_prune",
-    "mm_probe_mp4",
     "mm_probe_jpeg",
-    "mm_probe_mp3",
-    "mm_probe_webm",
+    "mm_probe_mp4",
+    "dd_dedup_served",
+    "sim_topk_pq_served",
+    "txt_bigram_lm_score",
+    "dd_ngram_jaccard_pairs",
+    "sk_bloom_semi_join",
 ]
+
 
 # The driver's grading window; the front set must fill it exactly so no
 # grading slot is wasted and no front query silently falls off the end.
@@ -149,7 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         timers,
     )
 
-    # Register evidence-first (see _FRONT_R11): queries whose driver
+    # Register evidence-first (see _FRONT_R12): queries whose driver
     # evidence is stalest fill the 50 graded slots; the freshly-graded
     # set rotates to the back.
     out: dict[str, Callable] = {}
@@ -175,16 +177,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(sketches.QUERIES)
     out.update(sketchstream.QUERIES)
 
-    missing = [k for k in _FRONT_R11 if k not in out]
+    missing = [k for k in _FRONT_R12 if k not in out]
     assert not missing, f"front names not registered: {missing}"
     # distinct-count, not list-length: a pasted duplicate would pass a
     # len() check while silently shrinking the graded front below the
     # window (review finding r7)
-    assert len(set(_FRONT_R11)) == len(_FRONT_R11) == GRADING_WINDOW, (
+    assert len(set(_FRONT_R12)) == len(_FRONT_R12) == GRADING_WINDOW, (
         f"front set must fill the driver's grading window exactly: "
-        f"{len(set(_FRONT_R11))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R11"
+        f"{len(set(_FRONT_R12))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R12"
     )
-    front = {k: out[k] for k in _FRONT_R11}
+    front = {k: out[k] for k in _FRONT_R12}
     back = {k: v for k, v in out.items() if k not in front}
     ordered = {**front, **back}
 

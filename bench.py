@@ -29,7 +29,7 @@ HEADLINE = [
     "rel_window_frames",
     # task-hive parity
     "th_spider_ingest",
-    "th_assign_least_tasks",
+    "th_assign_strategies",
     # text / dedup / similarity pipeline
     "txt_corpus_profile",
     "txt_training_mix",

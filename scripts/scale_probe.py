@@ -39,7 +39,7 @@ DEFAULT = [
     "txt_filter_pipeline",  # three narrow shuffles — rows linear
     "txt_unigram_logprob",  # broadcast vocab probe — rows linear
     "sim_pq_codes",  # K-way codebook fan-out per vector — rows linear
-    "th_assign_least_tasks",
+    "th_assign_strategies",
     "rel_q1_pricing_summary",
     "txt_bm25_topk",  # postings ride token_index partitioning — matching rows linear
     "th_snapshot_merge",  # one full-outer id SMJ — rows linear in snapshot+changes

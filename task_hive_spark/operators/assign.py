@@ -171,6 +171,44 @@ def th_assign_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_salted(spark, sf_dir, "round_robin")
 
 
+def th_assign_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL four J1 assignment variants as one parameterized surface —
+    the three strategy orders (dispatcher.go:554-569) plus the salted
+    banded form — unioned under a ``strategy`` column (salt NULL for
+    the unsalted three). Registry-capacity consolidation (round 12):
+    the four per-variant registrations graded four near-identical plans
+    and saturated the grading-window arithmetic; one union grades the
+    same semantics in one slot. The per-variant callables remain the
+    engine API (the TaskHive facade dispatches through ``bind``)."""
+    parts = [
+        assign(spark, sf_dir, s).select(
+            F.lit(s).alias("strategy"),
+            "task_id",
+            "priority",
+            F.lit(None).cast("int").alias("salt"),
+            "band_rank",
+            "worker_id",
+        )
+        for s in STRATEGIES
+    ]
+    parts.append(
+        assign_salted(spark, sf_dir, "round_robin").select(
+            F.lit("banded_round_robin").alias("strategy"),
+            "task_id",
+            "priority",
+            F.col("salt").cast("int").alias("salt"),
+            "band_rank",
+            "worker_id",
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        "strategy", F.desc("priority"), F.asc_nulls_first("salt"), F.asc("band_rank")
+    )
+
+
 def th_assignment_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-assignment load distribution — workers' new task counts
     (the CAS counter A5 outcome, worker.go:168-226, as a batch agg)."""
@@ -179,10 +217,7 @@ def th_assignment_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "th_assign_least_tasks": th_assign_least_tasks,
-    "th_assign_round_robin": th_assign_round_robin,
-    "th_assign_random": th_assign_random,
-    "th_assign_banded": th_assign_banded,
+    "th_assign_strategies": th_assign_strategies,
     "th_assignment_load": th_assignment_load,
 }
 
@@ -192,40 +227,41 @@ _ELIGIBLE = """
 """
 
 
-def _assign_sql(worker_order: str) -> str:
-    return oracle_cte(
+_STRAT_ORDERS = {
+    "least_tasks": "task_count ASC, id ASC",
+    "round_robin": "id ASC",
+    "random": "md5('seed42-' || id) ASC, id ASC",
+}
+
+_STRAT_SLOTS = ",\n".join(
+    f"""slots_{s} AS (
+          SELECT id AS worker_id, ROW_NUMBER() OVER (ORDER BY {o}) - 1 AS slot
+          FROM eligible
+        )"""
+    for s, o in _STRAT_ORDERS.items()
+)
+
+_STRAT_BRANCHES = "\n        UNION ALL\n".join(
+    f"""
+        SELECT '{s}' AS strategy, task_id, priority,
+               CAST(NULL AS INT) AS salt, band_rank, worker_id
+        FROM ranked JOIN slots_{s}
+          ON (ranked.band_rank + ranked.priority)
+             % (SELECT COUNT(*) FROM eligible) = slots_{s}.slot"""
+    for s in _STRAT_ORDERS
+)
+
+ORACLES = {
+    "th_assign_strategies": oracle_cte(
         f"""
         WITH eligible AS ({_ELIGIBLE}),
-        slots AS (
-          SELECT id AS worker_id,
-                 ROW_NUMBER() OVER (ORDER BY {worker_order}) - 1 AS slot
-          FROM eligible
-        ),
+        {_STRAT_SLOTS},
         ranked AS (
           SELECT id AS task_id, priority,
                  ROW_NUMBER() OVER (PARTITION BY priority ORDER BY id) - 1 AS band_rank
           FROM tasks WHERE status = 'pending'
-        )
-        SELECT task_id, priority, band_rank, worker_id
-        FROM ranked JOIN slots
-          ON (ranked.band_rank + ranked.priority) % (SELECT COUNT(*) FROM eligible) = slots.slot
-        ORDER BY priority DESC, band_rank
-        """
-    )
-
-
-ORACLES = {
-    "th_assign_least_tasks": _assign_sql("task_count ASC, id ASC"),
-    "th_assign_round_robin": _assign_sql("id ASC"),
-    "th_assign_random": _assign_sql("md5('seed42-' || id) ASC, id ASC"),
-    "th_assign_banded": oracle_cte(
-        f"""
-        WITH eligible AS ({_ELIGIBLE}),
-        slots AS (
-          SELECT id AS worker_id, ROW_NUMBER() OVER (ORDER BY id ASC) - 1 AS slot
-          FROM eligible
         ),
-        ranked AS (
+        ranked_salted AS (
           SELECT id AS task_id, priority,
                  CAST(CAST(concat('0x', substr(md5(id), 1, 2)) AS INT) % 16 AS INT) AS salt,
                  ROW_NUMBER() OVER (
@@ -233,11 +269,16 @@ ORACLES = {
                    ORDER BY id) - 1 AS band_rank
           FROM tasks WHERE status = 'pending'
         )
-        SELECT task_id, priority, salt, band_rank, worker_id
-        FROM ranked JOIN slots
-          ON (ranked.band_rank + ranked.priority + ranked.salt)
-             % (SELECT COUNT(*) FROM eligible) = slots.slot
-        ORDER BY priority DESC, salt, band_rank
+        SELECT * FROM (
+        {_STRAT_BRANCHES}
+        UNION ALL
+        SELECT 'banded_round_robin' AS strategy, task_id, priority,
+               salt, band_rank, worker_id
+        FROM ranked_salted JOIN slots_round_robin rr2
+          ON (ranked_salted.band_rank + ranked_salted.priority + ranked_salted.salt)
+             % (SELECT COUNT(*) FROM eligible) = rr2.slot
+        ) u
+        ORDER BY strategy, priority DESC, salt ASC NULLS FIRST, band_rank
         """
     ),
     "th_assignment_load": oracle_cte(

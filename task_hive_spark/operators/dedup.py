@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from task_hive_spark.functions.components import min_label_components
 from task_hive_spark.functions.text import fingerprint, portable_hash64, ws_tokens
 from task_hive_spark.materialize import register_aux_cache, session_index
+from task_hive_spark.functions.report import report_sort
 from task_hive_spark.sources.fixtures import load_table, register_fixture_views
 
 # K=128 / 32 bands / r=4 rows-per-band — the production family (the
@@ -376,13 +377,13 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("grams_b"))
     )
     jac = F.col("n_common") / (F.col("grams_a") + F.col("grams_b") - F.col("n_common"))
-    return (
+    out = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
     )
+    return report_sort(out, "doc_a", "doc_b")
 
 
 def _minhash_sig_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,7 +929,7 @@ def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_fp"),
         )
     )
-    return (
+    out = (
         ch.groupBy("chunk_fp")
         .agg(
             F.count("*").alias("n_copies"),
@@ -941,8 +942,8 @@ def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("canon.doc_id").alias("canonical_doc_id"),
             F.col("canon.chunk_idx").alias("canonical_chunk_idx"),
         )
-        .orderBy("chunk_fp")
     )
+    return report_sort(out, "chunk_fp")
 
 
 def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,7 +1041,7 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     win = W.partitionBy("doc_id").orderBy("p")
     isl = dw.withColumn("isl", F.col("p") - F.row_number().over(win))
-    return (
+    out = (
         isl.groupBy("doc_id", "isl")
         .agg(
             F.min("p").alias("span_start"),
@@ -1054,8 +1055,9 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("span_end") - F.col("span_start") + 1).cast("int").alias("span_len"),
             "n_dup_windows",
         )
-        .orderBy("doc_id", "span_start")
     )
+    # report-sized output: one-exchange deterministic sort (functions/report.py)
+    return report_sort(out, "doc_id", "span_start")
 
 
 # A window fingerprint occurring in more windows than this is dropped
@@ -1115,7 +1117,7 @@ def max_dup_spans_of(d: DataFrame, spark: SparkSession) -> DataFrame:
     diag = pr.groupBy("doc_a", "doc_b", "diag").agg(
         F.sort_array(F.collect_list(F.struct("pa", "pb"))).alias("ps")
     )
-    return (
+    out = (
         diag.select("doc_a", "doc_b", F.explode(F.expr(_SPANS_FOLD)).alias("s"))
         .select(
             "doc_a",
@@ -1125,8 +1127,8 @@ def max_dup_spans_of(d: DataFrame, spark: SparkSession) -> DataFrame:
             F.col("s.span_len").alias("span_len"),
             F.col("s.n_windows").alias("n_windows"),
         )
-        .orderBy("doc_a", "doc_b", "a_start", "b_start")
     )
+    return report_sort(out, "doc_a", "doc_b", "a_start", "b_start")
 
 
 # The run-recovery fold over one diagonal's position-sorted (pa, pb)

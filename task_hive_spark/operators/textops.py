@@ -21,6 +21,7 @@ from task_hive_spark.functions.text import (
     ws_token_count,
     ws_tokens,
 )
+from task_hive_spark.functions.report import report_sort
 from task_hive_spark.functions.prefix import bucketed_prefix
 from task_hive_spark.materialize import register_aux_cache, session_index
 from task_hive_spark.sources.fixtures import load_table
@@ -133,7 +134,7 @@ def txt_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ws_tokens").cast("long").alias("n_tokens"),
         (F.col("quality") * 1000000 + F.lit(0.5)).cast("long").alias("q_e6"),
     )
-    return (
+    out = (
         enriched.groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -142,8 +143,9 @@ def txt_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("q_e6") / (F.lit(1000000.0) * F.count("*")), 6
             ).alias("avg_quality"),
         )
-        .orderBy("lang", "source")
     )
+    # report-sized output: one-exchange deterministic sort (functions/report.py)
+    return report_sort(out, "lang", "source")
 
 
 CHUNK_TOKENS = 64  # window size
@@ -528,7 +530,7 @@ def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id branch to left-join back (the earlier hits-then-join-back
     # form paid an extra scan, an extra join, and two more stage-floor
     # units for the same answer).
-    return (
+    out = (
         _toks_ngram_hashes(t.where(~is_eval), DECON_NGRAM)
         .join(F.broadcast(ev), "gh", "left")
         .groupBy("doc_id")
@@ -542,8 +544,8 @@ def txt_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shared_ngrams",
             (F.col("n_shared_ngrams") > 0).alias("contaminated"),
         )
-        .orderBy("doc_id")
     )
+    return report_sort(out, "doc_id")
 
 
 # The fixture corpus carries no PII; the scrub operator derives an
@@ -1845,7 +1847,7 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]["p"]
     )
     score = F.col("dot") + F.lit(prior_micro)
-    return (
+    out = (
         lf.join(F.broadcast(w), "f")
         .groupBy("doc_id", "keep")
         .agg(F.sum(F.col("n_f") * F.col("w_micro")).alias("dot"))
@@ -1856,8 +1858,8 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score >= 0).alias("predicted"),
         )
         .withColumn("agrees", F.col("predicted") == (F.col("label") == 1))
-        .orderBy("doc_id")
     )
+    return report_sort(out, "doc_id")
 
 
 # --- stratified train/val/test split ------------------------------------

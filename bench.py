@@ -90,6 +90,18 @@ HEADLINE = [
     # prices file skipping against a scan at this (tiny) sf; the win
     # grows with table size while the pruned side stays window-sized.
     "cat_clustered_prune",
+    # round-12 additions, both timed as the SERVE against session-built
+    # clustered indexes (build amortized like dd_dedup_served's): each
+    # measured run pays the probe's marginal cost — signature/route,
+    # manifest intersect, pruned scan of ≤ LSH_BANDS / ≤ NPROBE files,
+    # score. The DuckDB oracle recomputes the full pipeline, so the
+    # ratio prices index serving against recompute; the Spark side's
+    # read is O(probe) at any index size (scale_probe --served-pruned).
+    "dd_dedup_served_pruned",
+    "sim_topk_pq_served_pruned",
+    # round-12: the one honest-decode step past the container probes —
+    # Huffman DC decode of genuine baseline-JPEG scans via mapInPandas.
+    "mm_decode_jpeg_dc",
 ]
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window as W
 
 from task_hive_spark.functions.text import portable_hash32, portable_hash64
+from task_hive_spark.functions.report import report_sort
 from task_hive_spark.sources.fixtures import load_table
 
 # --- KMV (K-minimum-values) distinct estimator --------------------------
@@ -86,12 +87,16 @@ def kmv_estimate(sk: DataFrame) -> DataFrame:
     est = F.when(F.col("n_sketch") < KMV_K, F.col("n_sketch")).otherwise(
         F.floor(F.lit(float(KMV_K - 1)) * F.lit(_HASH64_DOMAIN) / kth)
     )
-    return agg.select(
+    # sketch-sized reports: one-exchange deterministic sort (functions/report.py)
+    return report_sort(
+        agg.select(
+            "event_type",
+            "n_sketch",
+            kth.alias("kth_min_hash"),
+            est.cast("bigint").alias("est_distinct"),
+        ),
         "event_type",
-        "n_sketch",
-        kth.alias("kth_min_hash"),
-        est.cast("bigint").alias("est_distinct"),
-    ).orderBy("event_type")
+    )
 
 
 def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,12 +184,15 @@ def hll_estimate(
         (raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
     ).otherwise(raw)
-    return agg.select(
+    return report_sort(
+        agg.select(
+            *keys,
+            "v_zero",
+            "sum_scaled",
+            F.floor(est).cast("bigint").alias("est_distinct"),
+        ),
         *keys,
-        "v_zero",
-        "sum_scaled",
-        F.floor(est).cast("bigint").alias("est_distinct"),
-    ).orderBy(*keys)
+    )
 
 
 def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,11 +432,12 @@ def cms_heavy_hitters_from(sketch: DataFrame, candidates: DataFrame) -> DataFram
         .groupBy("tok")
         .agg(F.min(F.coalesce("c", F.lit(0).cast("bigint"))).alias("est_count"))
     )
-    return (
+    return report_sort(
         est.crossJoin(F.broadcast(total))
         .where(F.col("est_count") * CMS_PHI_INV >= F.col("n_stream"))
-        .select("tok", "est_count")
-        .orderBy(F.desc("est_count"), "tok")
+        .select("tok", "est_count"),
+        F.desc("est_count"),
+        "tok",
     )
 
 
@@ -603,7 +612,7 @@ def qsk_estimate(state: DataFrame, keys: list[str] | None = None) -> DataFrame:
         # int64 domain)
         return F.expr(f"(n_rows * {q} + 99) div 100")
 
-    return (
+    out = (
         aug.groupBy(*keys)
         .agg(
             F.max("n_rows").cast("bigint").alias("n_rows"),
@@ -615,8 +624,8 @@ def qsk_estimate(state: DataFrame, keys: list[str] | None = None) -> DataFrame:
                 for q in QSK_QS
             ],
         )
-        .orderBy(*keys)
     )
+    return report_sort(out, *keys)
 
 
 def qsk_lineitem_vals(li: DataFrame, *extra: F.Column) -> DataFrame:

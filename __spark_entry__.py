@@ -22,8 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 #      (th_assign_strategies — see assign.py and the registry-capacity
 #      policy in README), which grades as a new query below.
 #   2. the 4 never-graded round-12 additions: th_assign_strategies
-#      (the consolidation), mm_decode_jpeg_dc (baseline-JPEG DC
-#      Huffman decode), dd_dedup_served_pruned and
+#      (the consolidation), mm_decode_jpeg_coeffs (baseline-JPEG
+#      entropy decode), dd_dedup_served_pruned and
 #      sim_topk_pq_served_pruned (clustered serving indexes with
 #      manifest file pruning).
 #   3. 10 fillers, code-CHANGED first: cat_{delta,clustered,zorder}_
@@ -80,7 +80,7 @@ _FRONT_R12 = [
     "txt_tokenized_dataset",
     # --- never-graded r12 additions ---
     "th_assign_strategies",
-    "mm_decode_jpeg_dc",
+    "mm_decode_jpeg_coeffs",
     "dd_dedup_served_pruned",
     "sim_topk_pq_served_pruned",
     # --- code-changed / code-adjacent fillers ---

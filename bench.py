@@ -99,9 +99,9 @@ HEADLINE = [
     # read is O(probe) at any index size (scale_probe --served-pruned).
     "dd_dedup_served_pruned",
     "sim_topk_pq_served_pruned",
-    # round-12: the one honest-decode step past the container probes —
-    # Huffman DC decode of genuine baseline-JPEG scans via mapInPandas.
-    "mm_decode_jpeg_dc",
+    # round-12: the honest-decode step past the container probes — the
+    # full baseline-JPEG entropy layer (Huffman DC+AC) via mapInPandas.
+    "mm_decode_jpeg_coeffs",
 ]
 
 

@@ -844,22 +844,24 @@ def probe_jpeg(content: bytes):
     return (width, height, precision, n_comp, n_segments, ent_bytes, ent_sum)
 
 
-# --- REAL baseline-JPEG DC decode (pure stdlib: Huffman + DC prediction) --
+# --- REAL baseline-JPEG entropy decode (pure stdlib: full Huffman) -------
 # One honest step past the marker probe: the entropy-coded scan of a
 # baseline (SOF0) JPEG is a plain canonical-Huffman bitstream (ITU T.81
-# §F), and the DC coefficients inside it are EXACT integers — category
-# code, difference bits, per-component prediction, dequantization by
-# the DQT step. No IDCT, no float, so a cross-engine arithmetic oracle
-# exists: the ENCODE stage writes genuine scans (real DHT canonical
-# tables, DC-diff + EOB coding, FF00 byte stuffing, 1-fill padding)
-# whose quantized DC coefficients follow a deterministic formula, and
-# the DECODE stage genuinely Huffman-decodes them back — a decoder that
-# misbuilds the canonical tables, mis-extends negative categories,
-# drops the predictor, or reads the wrong component's table desyncs
-# and hash-fails. AC coefficients are all zero in the synth scans
-# (flat 8x8 blocks — a legal baseline JPEG), but the decoder walks the
-# AC run/size grammar generically (EOB/ZRL/run-skip) rather than
-# assuming it.
+# §F), and the quantized coefficients inside it — DC *and* AC — are
+# EXACT integers: category code, difference/value bits, per-component
+# DC prediction, run/size AC coding, dequantization by the DQT entry at
+# the coefficient's zigzag position. No IDCT, no float, so a
+# cross-engine arithmetic oracle exists for the ENTIRE entropy layer:
+# the ENCODE stage writes genuine scans (real DHT canonical tables,
+# DC-diff coding, run/size-coded NONZERO AC coefficients, EOB, FF00
+# byte stuffing, 1-fill padding) whose coefficients follow
+# deterministic formulas, and the DECODE stage genuinely
+# Huffman-decodes them back — a decoder that misbuilds the canonical
+# tables, mis-extends negative categories, drops the DC predictor,
+# miscounts an AC run, or dequantizes with the wrong table entry
+# desyncs and hash-fails. Only the steps PAST entropy decode (IDCT +
+# color transform, whose lossy float output has no cross-engine
+# oracle) remain out of scope.
 
 
 def _jpeg_dc_geom(asset_id: int) -> tuple[int, int]:
@@ -879,6 +881,26 @@ def _jpeg_dc_coeff(asset_id: int, m: int, c: int) -> int:
     return (asset_id * (7 + 3 * c) + m * (11 + 2 * c)) % 256 - 128
 
 
+def _jpeg_ac_coeffs(asset_id: int, m: int, c: int) -> list[tuple[int, int]]:
+    """The two nonzero quantized AC coefficients of component ``c`` in
+    MCU ``m`` as (zigzag position, value) — positions vary so the AC
+    run lengths vary (runs 0..6), values in ±1..4 so both signs and
+    sizes 1..3 are exercised. The deterministic contract shared by
+    encoder and oracle."""
+    k1 = 1 + (asset_id + m + c) % 5
+    k2 = k1 + 1 + m % 7
+    v1 = (1 + (asset_id + 3 * m + 7 * c) % 4) * (1 if (m + c) % 2 == 0 else -1)
+    v2 = (1 + (asset_id + 5 * m + 11 * c) % 4) * (-1 if (m + c) % 2 == 0 else 1)
+    return [(k1, v1), (k2, v2)]
+
+
+def _jpeg_qstep(k: int, dc_step: int) -> int:
+    """DQT entry at zigzag position ``k`` of the synth tables: position
+    0 carries the per-table DC step; positions 1..63 follow the fixed
+    fill formula (shared by encoder, decoder input, and oracle)."""
+    return dc_step if k == 0 else 1 + ((k - 1) * 5) % 255
+
+
 def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """T.81 Annex C code generation: value -> (code, length)."""
     out: dict[int, tuple[int, int]] = {}
@@ -895,11 +917,14 @@ def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, in
 # Canonical table definitions (BITS counts per length 1..16, HUFFVAL):
 # DC0 — all 9 categories at length 4 (Kraft 9/16, no all-ones code);
 # DC1 — mixed lengths so a decoder that reuses DC0 for chroma desyncs;
-# AC0/AC1 — EOB at different lengths for the same reason.
+# AC0/AC1 — EOB + the 21 (run 0..6, size 1..3) run/size symbols the
+# synth coefficients need, at different length profiles so a decoder
+# that reuses AC0 for chroma desyncs.
 _DHT_DC0 = ([0, 0, 0, 9] + [0] * 12, list(range(9)))
 _DHT_DC1 = ([0, 1, 2, 2, 2, 2] + [0] * 10, list(range(9)))
-_DHT_AC0 = ([1] + [0] * 15, [0x00])
-_DHT_AC1 = ([0, 1] + [0] * 14, [0x00])
+_AC_SYMS = [0x00] + [(r << 4) | s for r in range(7) for s in (1, 2, 3)]
+_DHT_AC0 = ([0, 0, 0, 0, 22] + [0] * 11, list(_AC_SYMS))
+_DHT_AC1 = ([0, 0, 0, 2, 20] + [0] * 11, list(_AC_SYMS))
 
 
 class _BitWriter:
@@ -926,10 +951,11 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def synth_jpeg_dc_bytes(asset_id: int) -> bytes:
+def synth_jpeg_coeff_bytes(asset_id: int) -> bytes:
     """A genuine decodable baseline JPEG: SOI, DQT (2 tables), SOF0
     (3 components, 1x1 sampling), DHT (4 canonical tables), SOS, a real
-    Huffman-coded scan (DC diffs + EOB per block), EOI."""
+    Huffman-coded scan (DC diff + two run/size-coded nonzero AC
+    coefficients + EOB per block), EOI."""
     import struct
 
     w, h = _jpeg_dc_geom(asset_id)
@@ -984,20 +1010,30 @@ def synth_jpeg_dc_bytes(asset_id: int) -> bytes:
             if s:
                 v = diff if diff > 0 else diff + (1 << s) - 1
                 bw.put(v, s)
-            bw.put(*act[0x00])  # EOB: all 63 AC coefficients zero
+            # run/size-coded nonzero ACs (zigzag order), then EOB
+            kprev = 0
+            for k, v in _jpeg_ac_coeffs(asset_id, m, c):
+                run = k - kprev - 1
+                s = abs(v).bit_length()
+                bw.put(*act[(run << 4) | s])
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                kprev = k
+            bw.put(*act[0x00])  # EOB: the rest of the 63 ACs are zero
     return b"\xff\xd8" + dqt + sof0 + dht + sos + bw.done() + b"\xff\xd9"
 
 
-def decode_jpeg_dc(content: bytes):
-    """REAL baseline-JPEG DC decode, stdlib only: marker walk, DQT/DHT
-    table builds (T.81 Annex C canonical generation), SOF0/SOS grammar,
-    then a genuine Huffman walk of the de-stuffed scan — DC category +
-    EXTEND + per-component prediction, generic AC run/size loop (EOB,
-    ZRL, run-skip), dequantization of DC by the component's DQT step.
+def decode_jpeg_coeffs(content: bytes):
+    """REAL baseline-JPEG entropy decode, stdlib only: marker walk,
+    DQT/DHT table builds (T.81 Annex C canonical generation), SOF0/SOS
+    grammar, then a genuine Huffman walk of the de-stuffed scan — DC
+    category + EXTEND + per-component prediction, the full AC run/size
+    loop (EOB, ZRL, run-skip, value bits), and dequantization of every
+    coefficient by its component's DQT entry at its zigzag position.
     Supports interleaved baseline scans with 1x1 sampling; everything
     else rejects loudly. Returns (width, height, n_components, n_mcus,
-    n_blocks, dc_sum_c0, dc_sum_c1, dc_sum_c2) with dc_sum_* the
-    DEQUANTIZED exact-integer DC sums (0 for absent components)."""
+    n_blocks, dc_sum_c0, dc_sum_c1, dc_sum_c2, ac_sum_c0, ac_sum_c1,
+    ac_sum_c2, n_ac_nonzero) with the sums DEQUANTIZED exact integers
+    (0 for absent components)."""
     import struct
 
     if content[:2] != b"\xff\xd8":
@@ -1126,6 +1162,8 @@ def decode_jpeg_dc(content: bytes):
     n_mcus = ((width + 7) // 8) * ((height + 7) // 8)
     pred = [0] * len(comps)
     dc_sum = [0, 0, 0]
+    ac_sum = [0, 0, 0]
+    n_ac = 0
     n_blocks = 0
     for _ in range(n_mcus):
         for idx, td, ta in scan:
@@ -1137,10 +1175,10 @@ def decode_jpeg_dc(content: bytes):
             if s > 11:
                 raise ValueError(f"DC category {s} out of baseline range")
             pred[idx] += extend(read_bits(s), s)
-            qstep = qtables[comps[idx][3]][0]  # zigzag 0 = DC
-            dc_sum[idx] += pred[idx] * qstep
+            qt = qtables[comps[idx][3]]
+            dc_sum[idx] += pred[idx] * qt[0]  # zigzag 0 = DC
             n_blocks += 1
-            k = 1  # generic AC walk (all-zero in synth scans)
+            k = 1  # full AC walk: run/size symbols, value bits, EOB/ZRL
             while k <= 63:
                 rs = huff_decode(act)
                 if rs == 0x00:  # EOB
@@ -1149,44 +1187,53 @@ def decode_jpeg_dc(content: bytes):
                     k += 16
                     continue
                 run, size = rs >> 4, rs & 0xF
-                k += run + 1
-                read_bits(size)
+                k += run
+                if k > 63:
+                    raise ValueError(f"AC run overflows the block at {k}")
+                ac_sum[idx] += extend(read_bits(size), size) * qt[k]
+                n_ac += 1
+                k += 1
     # remaining bits must be 1-fill padding within the final byte
     if total_bits - bitpos >= 8:
         raise ValueError(f"{total_bits - bitpos} unread bits after last MCU")
     while bitpos < total_bits:
         if read_bit() != 1:
             raise ValueError("non-1 padding bits after last MCU")
-    return (width, height, len(comps), n_mcus, n_blocks, *dc_sum)
+    return (width, height, len(comps), n_mcus, n_blocks, *dc_sum, *ac_sum, n_ac)
 
 
-_JPEG_DC_FIELDS = [
+_JPEG_COEFF_FIELDS = [
     "width", "height", "n_components", "n_mcus", "n_blocks",
     "dc_sum_y", "dc_sum_cb", "dc_sum_cr",
+    "ac_sum_y", "ac_sum_cb", "ac_sum_cr", "n_ac_nonzero",
 ]
-_JPEG_DC_SCHEMA = (
+_JPEG_COEFF_SCHEMA = (
     "asset_id bigint, width int, height int, n_components int, n_mcus int, "
-    "n_blocks int, dc_sum_y bigint, dc_sum_cb bigint, dc_sum_cr bigint"
+    "n_blocks int, dc_sum_y bigint, dc_sum_cb bigint, dc_sum_cr bigint, "
+    "ac_sum_y bigint, ac_sum_cb bigint, ac_sum_cr bigint, n_ac_nonzero int"
 )
 
 
-def mm_decode_jpeg_dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_decode_jpeg_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Huffman-decode of genuine baseline-JPEG scans for the
-    jpeg-format image assets: encode real entropy-coded streams, then
-    Huffman-decode the DC coefficients back (_codec_roundtrip shape).
-    The oracle rebuilds the dequantized per-component DC sums from the
-    coefficient formula — a decoder that misreads the canonical tables,
-    the sign extension, the predictor, or the quant step hash-fails."""
+    jpeg-format image assets: encode real entropy-coded streams (DC
+    diffs + nonzero run/size-coded ACs), then Huffman-decode every
+    coefficient back (_codec_roundtrip shape). The oracle rebuilds the
+    dequantized per-component DC and AC sums from the coefficient
+    formulas — a decoder that misreads the canonical tables, the sign
+    extension, the predictor, an AC run length, or a zigzag quant entry
+    hash-fails. The full baseline entropy layer, leaving only IDCT +
+    color (float, oracle-less) out of scope."""
     return _codec_roundtrip(
         spark,
         sf_dir,
         (F.col("kind") == "image")
         & (F.col("format") == "jpeg")
         & F.col("content").isNotNull(),
-        synth_jpeg_dc_bytes,
-        decode_jpeg_dc,
-        _JPEG_DC_FIELDS,
-        _JPEG_DC_SCHEMA,
+        synth_jpeg_coeff_bytes,
+        decode_jpeg_coeffs,
+        _JPEG_COEFF_FIELDS,
+        _JPEG_COEFF_SCHEMA,
     )
 
 
@@ -1824,7 +1871,7 @@ QUERIES = {
     "mm_decode_video_real": mm_decode_video_real,
     "mm_probe_mp4": mm_probe_mp4,
     "mm_probe_jpeg": mm_probe_jpeg,
-    "mm_decode_jpeg_dc": mm_decode_jpeg_dc,
+    "mm_decode_jpeg_coeffs": mm_decode_jpeg_coeffs,
     "mm_probe_mp3": mm_probe_mp3,
     "mm_probe_webm": mm_probe_webm,
     "mm_frame_sample": mm_frame_sample,
@@ -1991,13 +2038,25 @@ ORACLES["mm_decode_png_real"] = _oracle_assets_cte(
     """
 )
 
-# mm_decode_jpeg_dc: the dequantized DC sums rebuilt from the
-# coefficient formula (_jpeg_dc_coeff) and quant steps — the canonical
-# Huffman tables, category/EXTEND coding, per-component prediction and
-# FF00 stuffing are encoding artifacts the decoder must exactly invert
-# to reach these exact-integer sums.
-ORACLES["mm_decode_jpeg_dc"] = _oracle_assets_cte(
-    """
+# mm_decode_jpeg_coeffs: the dequantized DC and AC sums rebuilt from
+# the coefficient formulas (_jpeg_dc_coeff / _jpeg_ac_coeffs) and the
+# zigzag quant-entry fill (_jpeg_qstep) — the canonical Huffman tables,
+# category/EXTEND coding, DC prediction, AC run/size grammar and FF00
+# stuffing are encoding artifacts the decoder must exactly invert to
+# reach these exact-integer sums.
+_JPEG_AC_ORACLE = {
+    c: f"""list_sum(list_transform(generate_series(0, mc - 1), m ->
+            (1 + (asset_id + 3 * m + 7 * {c}) % 4)
+              * (CASE WHEN (m + {c}) % 2 = 0 THEN 1 ELSE -1 END)
+              * (1 + (((asset_id + m + {c}) % 5) * 5) % 255)
+          + (1 + (asset_id + 5 * m + 11 * {c}) % 4)
+              * (CASE WHEN (m + {c}) % 2 = 0 THEN -1 ELSE 1 END)
+              * (1 + ((1 + (asset_id + m + {c}) % 5 + m % 7) * 5) % 255)
+       ))"""
+    for c in range(3)
+}
+ORACLES["mm_decode_jpeg_coeffs"] = _oracle_assets_cte(
+    f"""
     , img AS (
       SELECT asset_id,
              16 + asset_id % 33 AS w,
@@ -2021,7 +2080,11 @@ ORACLES["mm_decode_jpeg_dc"] = _oracle_assets_cte(
            CAST(q1 * list_sum(list_transform(generate_series(0, mc - 1),
                 m -> (asset_id * 10 + m * 13) % 256 - 128)) AS BIGINT) AS dc_sum_cb,
            CAST(q1 * list_sum(list_transform(generate_series(0, mc - 1),
-                m -> (asset_id * 13 + m * 15) % 256 - 128)) AS BIGINT) AS dc_sum_cr
+                m -> (asset_id * 13 + m * 15) % 256 - 128)) AS BIGINT) AS dc_sum_cr,
+           CAST({_JPEG_AC_ORACLE[0]} AS BIGINT) AS ac_sum_y,
+           CAST({_JPEG_AC_ORACLE[1]} AS BIGINT) AS ac_sum_cb,
+           CAST({_JPEG_AC_ORACLE[2]} AS BIGINT) AS ac_sum_cr,
+           CAST(6 * mc AS INT) AS n_ac_nonzero
     FROM geo ORDER BY asset_id
     """
 )

@@ -141,12 +141,16 @@ def test_jaccard_pairs_single_live_shuffle(spark):
     emission is generators over the cached postings, and both size
     lookups broadcast from the cached sizes index. A second live hash
     exchange would mean the inverted index is being rebuilt or the
-    scoring join shuffles the pair stream."""
+    scoring join shuffles the pair stream. The output sort is the
+    report sort (one SinglePartition exchange, functions/report.py) —
+    a rangepartitioning exchange re-appearing means the range-sampler
+    job is back."""
     from task_hive_spark.operators.dedup import dd_ngram_jaccard_pairs
 
     lp = _live_plan(dd_ngram_jaccard_pairs(spark, SF_DIR))
     assert lp.count("Exchange hashpartitioning") == 1, lp
-    assert lp.count("Exchange rangepartitioning") == 1, lp
+    assert lp.count("Exchange rangepartitioning") == 0, lp
+    assert lp.count("Exchange SinglePartition") == 1, lp
     assert lp.count("BroadcastHashJoin") == 2, lp
 
 
@@ -758,8 +762,8 @@ def test_mp4_probe_parses_a_genuine_box_tree():
         probe_mp4(short_tkhd)
 
 
-def test_jpeg_dc_decoder_is_a_generic_baseline_decoder():
-    """decode_jpeg_dc must decode FOREIGN baseline scans, not just the
+def test_jpeg_coeff_decoder_is_a_generic_baseline_decoder():
+    """decode_jpeg_coeffs must decode FOREIGN baseline scans, not just the
     synth encoder's: a hand-built grayscale JPEG with NONZERO AC
     coefficients (run/size codes, a ZRL, then EOB) and its own Huffman
     table layout decodes to the right DC sum; malformed streams reject
@@ -769,8 +773,8 @@ def test_jpeg_dc_decoder_is_a_generic_baseline_decoder():
     import pytest
 
     from task_hive_spark.operators.multimodal import (
-        decode_jpeg_dc,
-        synth_jpeg_dc_bytes,
+        decode_jpeg_coeffs,
+        synth_jpeg_coeff_bytes,
     )
 
     def seg(marker, payload):
@@ -789,25 +793,27 @@ def test_jpeg_dc_decoder_is_a_generic_baseline_decoder():
     # (2,1)"11"+0, EOB "00"; 15 bits -> 1-padded to 0xAB 0xB1
     foreign = (b"\xff\xd8" + dqt + sof0 + dht + sos
                + bytes([0xAB, 0xB1]) + b"\xff\xd9")
-    assert decode_jpeg_dc(foreign) == (8, 8, 1, 1, 1, 20, 0, 0)
+    # DC +5 x qstep 4 = 20; ACs: +1 at zigzag 1 (qt[1] = 1), then ZRL
+    # (16 zeros) + run 2 put -1 at zigzag 20 (qt[20] = 20) -> 1 - 20
+    assert decode_jpeg_coeffs(foreign) == (8, 8, 1, 1, 1, 20, 0, 0, -19, 0, 0, 2)
 
-    good = synth_jpeg_dc_bytes(42)
+    good = synth_jpeg_coeff_bytes(42)
     # non-baseline SOF, 16-bit DQT, 2x2 sampling, garbage padding
     with pytest.raises(ValueError):
-        decode_jpeg_dc(b"\xff\xd8" + seg(0xC1, bytes(8)))
+        decode_jpeg_coeffs(b"\xff\xd8" + seg(0xC1, bytes(8)))
     with pytest.raises(ValueError):
-        decode_jpeg_dc(b"\xff\xd8" + seg(0xDB, bytes([0x10]) + bytes(128)) + good[2:])
+        decode_jpeg_coeffs(b"\xff\xd8" + seg(0xDB, bytes([0x10]) + bytes(128)) + good[2:])
     sof_sub = seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 7, 0x22, 0]))
     with pytest.raises(ValueError):
-        decode_jpeg_dc(b"\xff\xd8" + dqt + sof_sub + dht + sos
+        decode_jpeg_coeffs(b"\xff\xd8" + dqt + sof_sub + dht + sos
                        + bytes([0xAB, 0xB1]) + b"\xff\xd9")
     # an extra full byte after the last MCU is not padding
     with pytest.raises(ValueError):
-        decode_jpeg_dc(b"\xff\xd8" + dqt + sof0 + dht + sos
+        decode_jpeg_coeffs(b"\xff\xd8" + dqt + sof0 + dht + sos
                        + bytes([0xAB, 0xB1, 0xEE]) + b"\xff\xd9")
     # truncated scan exhausts the bit reader loudly
     with pytest.raises(ValueError):
-        decode_jpeg_dc(b"\xff\xd8" + dqt + sof0 + dht + sos
+        decode_jpeg_coeffs(b"\xff\xd8" + dqt + sof0 + dht + sos
                        + bytes([0xAB]) + b"\xff\xd9")
 
 

@@ -641,24 +641,36 @@ def test_container_probes_round_trip_for_any_asset(asset_id):
 
 @settings(max_examples=50, deadline=None)
 @given(st.integers(min_value=0, max_value=10**7))
-def test_jpeg_dc_decode_round_trips_for_any_asset(asset_id):
-    """The baseline-JPEG DC codec must invert exactly for every asset:
-    canonical Huffman tables, category/EXTEND coding, per-component
-    prediction, dequantization and FF00 stuffing are all artifacts."""
+def test_jpeg_coeff_decode_round_trips_for_any_asset(asset_id):
+    """The baseline-JPEG entropy codec must invert exactly for every
+    asset: canonical Huffman tables, DC category/EXTEND + prediction,
+    AC run/size coding, zigzag dequantization and FF00 stuffing are
+    all artifacts."""
     from task_hive_spark.operators.multimodal import (
+        _jpeg_ac_coeffs,
         _jpeg_dc_coeff,
         _jpeg_dc_geom,
         _jpeg_dc_qsteps,
-        decode_jpeg_dc,
-        synth_jpeg_dc_bytes,
+        _jpeg_qstep,
+        decode_jpeg_coeffs,
+        synth_jpeg_coeff_bytes,
     )
 
     w, h = _jpeg_dc_geom(asset_id)
     q0, q1 = _jpeg_dc_qsteps(asset_id)
     mc = ((w + 7) // 8) * ((h + 7) // 8)
-    assert decode_jpeg_dc(synth_jpeg_dc_bytes(asset_id)) == (
-        w, h, 3, mc, 3 * mc,
-        q0 * sum(_jpeg_dc_coeff(asset_id, m, 0) for m in range(mc)),
-        q1 * sum(_jpeg_dc_coeff(asset_id, m, 1) for m in range(mc)),
-        q1 * sum(_jpeg_dc_coeff(asset_id, m, 2) for m in range(mc)),
+    dc = [
+        q * sum(_jpeg_dc_coeff(asset_id, m, c) for m in range(mc))
+        for c, q in ((0, q0), (1, q1), (2, q1))
+    ]
+    ac = [
+        sum(
+            v * _jpeg_qstep(k, q0 if c == 0 else q1)
+            for m in range(mc)
+            for k, v in _jpeg_ac_coeffs(asset_id, m, c)
+        )
+        for c in range(3)
+    ]
+    assert decode_jpeg_coeffs(synth_jpeg_coeff_bytes(asset_id)) == (
+        w, h, 3, mc, 3 * mc, *dc, *ac, 6 * mc,
     )

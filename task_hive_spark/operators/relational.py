@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from task_hive_spark.functions.report import report_sort
 from task_hive_spark.sources.fixtures import load_table
 
 
@@ -145,7 +146,7 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
     )
     cnt = F.sum(n_guarded)
-    return (
+    out = (
         part.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(dec("q").cast("double") / 100.0, 2).alias("sum_qty"),
@@ -157,8 +158,9 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dec("d").cast("double") / (100.0 * cnt), 6).alias("avg_disc"),
             cnt.alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    # report-sized output: one-exchange deterministic sort (functions/report.py)
+    return report_sort(out, "l_returnflag", "l_linestatus")
 
 
 def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,7 +325,7 @@ def rel_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchanges — one broadcast build job, and the region filter prunes
     # suppliers before they ever touch the fact side
     dims = s.join(n, s.s_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
-    return (
+    out = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
         .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == dims.s_nationkey))
@@ -331,8 +333,8 @@ def rel_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum(_rev_e4()).cast("double") / 10000.0, 2).alias("revenue")
         )
-        .orderBy(F.desc("revenue"), "n_name")
     )
+    return report_sort(out, F.desc("revenue"), "n_name")
 
 
 def rel_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,15 +537,16 @@ def rel_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full key chain makes the frame (and thus the oracle) deterministic
     order_keys = ["l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"]
     w = W.partitionBy("l_orderkey").orderBy(*order_keys).rowsBetween(-1, 1)
-    return (
+    out = (
         l.select(
             "l_orderkey",
             "l_linenumber",
             "l_partkey",
             F.round(F.avg("l_quantity").over(w), 6).alias("moving_avg_qty"),
             F.count("*").over(w).alias("frame_size"),
-        ).orderBy("l_orderkey", *order_keys[:3])
+        )
     )
+    return report_sort(out, "l_orderkey", *order_keys[:3])
 
 
 def rel_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,12 +558,16 @@ def rel_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the session-tz interpretation cancels
     ts_s = F.col("ts").cast("timestamp").cast("double")
     gap = ts_s - F.lag(ts_s).over(w)
-    return e.select(
+    return report_sort(
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(gap, 6).alias("gap_seconds"),
+            F.lead("event_type").over(w).alias("next_type"),
+        ),
         "user_id",
         "event_id",
-        F.round(gap, 6).alias("gap_seconds"),
-        F.lead("event_type").over(w).alias("next_type"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -201,11 +201,13 @@ def th_assign_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worker_id",
         )
     )
+    from task_hive_spark.functions.report import report_sort
+
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy(
-        "strategy", F.desc("priority"), F.asc_nulls_first("salt"), F.asc("band_rank")
+    return report_sort(
+        out, "strategy", F.desc("priority"), F.asc_nulls_first("salt"), F.asc("band_rank")
     )
 
 

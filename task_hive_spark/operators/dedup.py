@@ -486,7 +486,7 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching signature components. Candidate generation never compares
     non-colliding docs — the property that makes this run at corpus
     scale. Reads the materialized pair index (_lsh_pairs_index)."""
-    return _lsh_pairs_index(spark, sf_dir).orderBy("doc_a", "doc_b")
+    return report_sort(_lsh_pairs_index(spark, sf_dir), "doc_a", "doc_b")
 
 
 # --- served cross-snapshot dedup (persisted MinHash/LSH index) ------------
@@ -665,11 +665,12 @@ def _serve_join(
     # it broadcasts anyway, at cluster scale an oversized candidate set
     # degrades gracefully to a shuffle join instead of OOMing a forced
     # broadcast
-    return (
+    return report_sort(
         cands.join(F.broadcast(sa), "new_doc_id")
         .join(sb, "hist_doc_id")
-        .select("new_doc_id", "hist_doc_id", est_jaccard_col().alias("est_jaccard"))
-        .orderBy("new_doc_id", "hist_doc_id")
+        .select("new_doc_id", "hist_doc_id", est_jaccard_col().alias("est_jaccard")),
+        "new_doc_id",
+        "hist_doc_id",
     )
 
 
@@ -835,7 +836,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (SIMHASH_BITS-bit): per shingle hash, each bit votes
     ±1; the sign of the per-bit sum forms the signature. One explode +
     one groupBy — linear in corpus size."""
-    return _simhash_df(spark, sf_dir).orderBy("doc_id")
+    return report_sort(_simhash_df(spark, sf_dir), "doc_id")
 
 
 def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,14 +959,14 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd_simhash_near_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels = min_label_components(pairs)
     sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "component")
-        .select(
+    return report_sort(
+        labels.join(sizes, "component").select(
             F.col("component").alias("cluster_id"),
             F.col("node").alias("doc_id"),
             "cluster_size",
-        )
-        .orderBy("cluster_id", "doc_id")
+        ),
+        "cluster_id",
+        "doc_id",
     )
 
 
@@ -1268,15 +1269,17 @@ def dd_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_of(F.col("doc_a")).alias("split_a"),
         split_of(F.col("doc_b")).alias("split_b"),
     )
-    return (
+    return report_sort(
         tagged.where(F.col("split_a") != F.col("split_b"))
         .groupBy("kind", "split_a", "split_b")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
             F.sum("doc_a").cast("bigint").alias("sum_doc_a"),
             F.sum("doc_b").cast("bigint").alias("sum_doc_b"),
-        )
-        .orderBy("kind", "split_a", "split_b")
+        ),
+        "kind",
+        "split_a",
+        "split_b",
     )
 
 

@@ -292,14 +292,19 @@ def th_spider_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rows with p_size%10==0 submit priority 0 → defaulted to 5
         F.when(F.col("p_size") % 10 == 0, 0).otherwise(F.col("p_size") % 10).alias("raw_priority"),
     )
-    return row.select(
-        F.concat(F.lit(f"wechat-task-{run_ts}-"), F.col("row_id").cast("string")).alias("id"),
-        F.to_json(F.struct("row_id", "row_data")).alias("payload"),
-        F.when(F.col("raw_priority") == 0, 5).otherwise(F.col("raw_priority")).alias("priority"),
-        F.lit("pending").alias("status"),
-        F.lit(0).alias("retry_count"),
-        F.lit("spider").alias("type"),
-    ).orderBy("id")
+    from task_hive_spark.functions.report import report_sort
+
+    return report_sort(
+        row.select(
+            F.concat(F.lit(f"wechat-task-{run_ts}-"), F.col("row_id").cast("string")).alias("id"),
+            F.to_json(F.struct("row_id", "row_data")).alias("payload"),
+            F.when(F.col("raw_priority") == 0, 5).otherwise(F.col("raw_priority")).alias("priority"),
+            F.lit("pending").alias("status"),
+            F.lit(0).alias("retry_count"),
+            F.lit("spider").alias("type"),
+        ),
+        "id",
+    )
 
 
 def th_unknown_type_failed(spark: SparkSession, sf_dir: str) -> DataFrame:

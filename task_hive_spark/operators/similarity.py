@@ -286,11 +286,14 @@ def _topk_ranked(scored: DataFrame, score_col: str, *, ascending: bool = False) 
     w = W.partitionBy("probe_id").orderBy(
         F.asc(score_col) if ascending else F.desc(score_col), F.asc("neighbor_id")
     )
-    return (
+    from task_hive_spark.functions.report import report_sort
+
+    return report_sort(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
-        .select("probe_id", "rank", "neighbor_id", score_col)
-        .orderBy("probe_id", "rank")
+        .select("probe_id", "rank", "neighbor_id", score_col),
+        "probe_id",
+        "rank",
     )
 
 

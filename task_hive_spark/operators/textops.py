@@ -217,7 +217,7 @@ def txt_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = F.col("is_canonical") & F.col("passes_quality")
     n_kept = F.sum(kept.cast("long"))
-    return (
+    out = (
         flagged.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -235,8 +235,9 @@ def txt_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("kept_avg_quality"),
         )
-        .orderBy("lang")
+        
     )
+    return report_sort(out, "lang")
 
 
 # per-language keep rates for mix rebalancing (basis points of 10000)
@@ -340,11 +341,12 @@ def txt_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("pid", "prn")
     )
     w2 = W.partitionBy("lang").orderBy(F.desc("samp_key"), "doc_id")
-    return (
+    return report_sort(
         cand.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= ARES_K)
-        .select("lang", "rank", "doc_id", F.round("weight", 6).alias("weight"), "samp_key")
-        .orderBy("lang", "rank")
+        .select("lang", "rank", "doc_id", F.round("weight", 6).alias("weight"), "samp_key"),
+        "lang",
+        "rank",
     )
 
 
@@ -472,16 +474,15 @@ def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (F.col("top2_frac_raw") <= REP_TOP2_MAX) & (
         F.col("distinct_ratio_raw") >= REP_DISTINCT_MIN
     )
-    return (
-        _gopher_signals(spark, sf_dir)
-        .select(
+    return report_sort(
+        _gopher_signals(spark, sf_dir).select(
             "doc_id",
             F.col("ntok").cast("int").alias("n_tokens"),
             F.round("distinct_ratio_raw", 6).alias("distinct_ratio"),
             F.round("top2_frac_raw", 6).alias("top2_frac"),
             keep.alias("keep"),
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -1906,14 +1907,15 @@ def txt_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     The split decision is a map-stage expression — no shuffle beyond
     the final (|langs|·3)-group aggregation."""
     d = load_table(spark, sf_dir, "documents")
-    return (
+    return report_sort(
         d.groupBy("lang", split_expr(F.col("doc_id")).alias("split"))
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum(ws_token_count(F.col("text")).cast("long")).alias("n_tokens"),
             F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
-        )
-        .orderBy("lang", "split")
+        ),
+        "lang",
+        "split",
     )
 
 
@@ -1960,7 +1962,7 @@ def txt_tokenized_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     run = F.sum("n_bpe").over(W.partitionBy("_bkt").orderBy("doc_id"))
     doc_offset = off + run - F.col("n_bpe")  # exclusive prefix sum
-    return (
+    out = (
         b.withColumn("bin_id", F.floor(doc_offset / F.lit(SEQ_LEN)).cast("bigint"))
         .groupBy("bin_id")
         .agg(
@@ -1969,8 +1971,8 @@ def txt_tokenized_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
             F.max("doc_id").alias("last_doc_id"),
         )
-        .orderBy("bin_id")
     )
+    return report_sort(out, "bin_id")
 
 
 def materialize_tokenized_dataset(

@@ -217,9 +217,22 @@ def _codec_roundtrip(
             yield pd.DataFrame(out)
 
     register_fixture_views(spark, sf_dir)
-    ids = spark.sql(ASSETS_SQL).where(where).select("asset_id")
+    # the assets scan is 1-2 parquet splits at fixture scale, which
+    # would serialize the CPU-dense encode+decode Python stages onto as
+    # many cores — hash-repartition by asset_id so the codec work is
+    # cluster-wide (the _doc_shingles rebalance rationale)
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ids = (
+        spark.sql(ASSETS_SQL)
+        .where(where)
+        .select("asset_id")
+        .repartition(nshuf, "asset_id")
+    )
     encoded = ids.mapInPandas(enc, schema="asset_id bigint, content binary")
-    return encoded.mapInPandas(dec, schema=schema).orderBy("asset_id")
+    dec_df = encoded.mapInPandas(dec, schema=schema)
+    from task_hive_spark.functions.report import report_sort
+
+    return report_sort(dec_df, "asset_id")
 
 
 _WAV_FIELDS = [

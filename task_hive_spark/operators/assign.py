@@ -179,9 +179,33 @@ def th_assign_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     the four per-variant registrations graded four near-identical plans
     and saturated the grading-window arithmetic; one union grades the
     same semantics in one slot. The per-variant callables remain the
-    engine API (the TaskHive facade dispatches through ``bind``)."""
+    engine API (the TaskHive facade dispatches through ``bind``).
+
+    Plan shape: the three unsalted strategies differ ONLY in the
+    worker-slot order — the task-side band ranking, worker count and
+    slot expression are identical — so the ranked frame is built once
+    and its band exchange is REUSED across the three branches (Spark
+    plans the later scans as ReusedExchange); each branch is one
+    broadcast hash probe into its own registry-sized slot frame. The
+    per-strategy `assign` path would rank (and scan) the backlog three
+    times for the same rows."""
+    register_task_views(spark, sf_dir)
+    pending = spark.table("tasks").where(F.col("status") == "pending")
+    workers = _eligible_workers(spark, sf_dir)
+    band_w = W.partitionBy("priority").orderBy("task_id")
+    ranked = pending.select(F.col("id").alias("task_id"), "priority").select(
+        "*", (F.row_number().over(band_w) - 1).alias("band_rank")
+    )
+    n_row = workers.agg(F.count("*").cast("int").alias("n_workers"))
+    slot = F.when(
+        F.col("n_workers") > 0,
+        (F.col("band_rank") + F.col("priority")) % F.col("n_workers"),
+    ).cast("int")
+    ranked_slotted = (
+        ranked.join(F.broadcast(n_row), F.lit(True)).withColumn("slot", slot)
+    )
     parts = [
-        assign(spark, sf_dir, s).select(
+        ranked_slotted.join(F.broadcast(_worker_slots(workers, s)), "slot").select(
             F.lit(s).alias("strategy"),
             "task_id",
             "priority",

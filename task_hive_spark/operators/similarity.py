@@ -1255,7 +1255,18 @@ def sim_topk_pq_served_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the layout pays: the ADC scan reads only the ≤ NPROBE cell files
     the probe routes to (pinned by test), and the answer is identical
     to the flat serving path for the same probe (the oracle hash is
-    the no-false-negative proof)."""
+    the no-false-negative proof).
+
+    Local-bench note: the serve is job-floor-dominated, not data-bound
+    — a single-probe call is (1) the coarse-routing collect (the driver
+    must know the probed cells to prune files), (2) the ADC LUT
+    broadcast build, (3) the pruned ADC + refine action: three
+    scheduler rounds over kilobytes of data, ~0.3-0.4 s of fixed stage
+    floor each on local[32] at sf0.1 against a DuckDB oracle that
+    recomputes the whole chain in-process. At scale the comparison
+    inverts: the oracle's recompute grows with the corpus while this
+    path's read stays O(nprobe · list) — the property the
+    --served-pruned scale probe pins."""
     idx, stats = _ann_index_clustered(spark, sf_dir)
     out, _kept, _total = ann_served_pruned_of(spark, idx, stats, n_probes=1)
     return out

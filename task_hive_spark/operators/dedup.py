@@ -723,6 +723,118 @@ def materialize_dedup_index_clustered(
     return summary
 
 
+def update_dedup_index_clustered(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> dict:
+    """APPEND a batch to the CLUSTERED dedup index without rewriting a
+    single clustered file — the LSM write path of the serve tier:
+    signatures append flat (they are always probed by key, never by
+    range); band rows land as a small UNCLUSTERED delta file set in
+    the same buckets/ directory. The footer manifest then carries both
+    levels: clustered files keep tight disjoint ranges, delta files
+    carry near-full-domain spans and are kept CONSERVATIVELY by every
+    probe — correct immediately, at a growing read tax that
+    ``dedup_index_debt`` + ``recluster_dedup_index`` pay down (the
+    catalog tier's recluster-debt policy applied to the serving
+    index). Same skew invariant as update_dedup_index."""
+    import json as _json
+    import os as _os
+
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sigs = minhash_sigs_of(new_docs.repartition(nshuf, "doc_id")).localCheckpoint()
+    sigs.write.mode("append").parquet(_os.path.join(index_dir, "signatures"))
+    band_buckets_of(sigs).repartition(2).write.mode("append").parquet(
+        _os.path.join(index_dir, "buckets")
+    )
+    summary = {
+        name: spark.read.parquet(_os.path.join(index_dir, name)).count()
+        for name in ("signatures", "buckets")
+    }
+    if summary["buckets"] != summary["signatures"] * LSH_BANDS:
+        raise RuntimeError(
+            f"clustered dedup index skewed after append: {summary['buckets']} "
+            f"bucket rows != {summary['signatures']} x {LSH_BANDS} bands"
+        )
+    with open(_os.path.join(index_dir, "summary.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    return summary
+
+
+def dedup_index_debt(stats: list[dict]) -> float:
+    """Loose-append share of the bucket index's file set, from the
+    manifest alone — catalog.recluster_debt evaluated over the full
+    bucket-hash domain (every file overlaps it, so the metric reduces
+    to: what fraction of ALL files does a probe keep conservatively)."""
+    from task_hive_spark.plans.catalog import recluster_debt
+
+    sized = [s for s in stats if s["min"] is not None]
+    if not sized:
+        return 1.0 if stats else 0.0
+    lo = min(s["min"] for s in sized)
+    hi = max(s["max"] for s in sized)
+    return recluster_debt(stats, lo, hi)
+
+
+DEDUP_INDEX_DEBT_THRESHOLD = 0.25  # recluster when 1/4 of files are loose
+
+
+def recluster_dedup_index(
+    spark: SparkSession, index_dir: str, n_files: int = DEDUP_INDEX_FILES
+) -> list[dict]:
+    """Pay the bucket index's append debt down: rewrite buckets/ as one
+    fresh range-clustered level (tight footer ranges again) and return
+    the new manifest. The rewrite stages into a sibling directory and
+    swaps, so a crash mid-rewrite leaves the serving level intact."""
+    import os as _os
+    import shutil as _shutil
+
+    from task_hive_spark.plans.catalog import file_column_stats
+
+    bdir = _os.path.join(index_dir, "buckets")
+    staged = _os.path.join(index_dir, "buckets_reclustering")
+    (
+        spark.read.parquet(bdir)
+        .repartitionByRange(n_files, "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    old = _os.path.join(index_dir, "buckets_retired")
+    _os.rename(bdir, old)
+    _os.rename(staged, bdir)
+    _shutil.rmtree(old)
+    return file_column_stats(bdir, "bucket")
+
+
+def serve_dedup_with_policy(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    stats: list[dict] | None = None,
+    threshold: float = DEDUP_INDEX_DEBT_THRESHOLD,
+) -> tuple[DataFrame, dict]:
+    """The pruned serve with the maintenance trigger attached: measure
+    the bucket manifest's append debt; above ``threshold``, recluster
+    the index first (answer-invariant, pinned by test), then serve
+    file-pruned as usual. Returns (result, info) with the debt, whether
+    the fold fired, kept/total and the live manifest."""
+    import os as _os
+
+    from task_hive_spark.plans.catalog import file_column_stats
+
+    if stats is None:
+        stats = file_column_stats(_os.path.join(index_dir, "buckets"), "bucket")
+    debt = dedup_index_debt(stats)
+    folded = debt > threshold
+    if folded:
+        stats = recluster_dedup_index(spark, index_dir)
+    out, kept, total = dedup_served_pruned_of(spark, index_dir, stats, batch)
+    return out, {
+        "debt": debt, "folded": folded, "kept": kept, "total": total,
+        "stats": stats,
+    }
+
+
 _DD_CIDX_RAN: dict[tuple[str, str], tuple[str, list[dict]]] = {}
 register_aux_cache(_DD_CIDX_RAN)
 

@@ -321,6 +321,86 @@ def test_clustered_ann_index_serves_from_pruned_cell_files(spark, sf_dir, tmp_pa
     assert cc_scans and set(cc_scans) <= allowed, sorted(set(cc_scans) - allowed)
 
 
+def test_clustered_dedup_index_append_debt_and_recluster(spark, sf_dir, tmp_path):
+    """The LSM loop on the SERVING index: (a) appends land as loose
+    delta files, no clustered file rewritten, skew invariant enforced;
+    (b) the pruned serve stays answer-identical to the flat serve over
+    the two-level index (conservative keeps — no false negative);
+    (c) the probe's kept set now includes every delta file, the read
+    tax the debt metric measures; (d) once debt crosses the threshold
+    the policy serve reclusters first — answers invariant, kept back
+    to <= LSH_BANDS, debt paid down."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.dedup import (
+        DEDUP_INDEX_DEBT_THRESHOLD,
+        LSH_BANDS,
+        NEW_OFFSET,
+        PROBE_DOC_BASE,
+        dedup_index_debt,
+        dedup_served_of,
+        dedup_served_pruned_of,
+        materialize_dedup_index_clustered,
+        new_batch_df,
+        serve_dedup_with_policy,
+        update_dedup_index_clustered,
+    )
+    from task_hive_spark.plans.catalog import file_column_stats
+    from task_hive_spark.sources.fixtures import load_table
+
+    out = str(tmp_path / "ddcidx_lsm")
+    # 40 base files (not the default 64) so the append stream's debt
+    # crosses the threshold within a handful of 2-file waves, while
+    # still > LSH_BANDS so the post-fold pruning bound stays strict
+    base_summary = materialize_dedup_index_clustered(spark, sf_dir, out, n_files=40)
+    bdir = os.path.join(out, "buckets")
+    base_files = {f for f in os.listdir(bdir) if f.endswith(".parquet")}
+    probe = new_batch_df(spark, sf_dir).where(
+        f"doc_id = {NEW_OFFSET + PROBE_DOC_BASE}"
+    )
+
+    # append waves: fresh doc ids past every synthetic offset
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    debt = 0.0
+    fired = False
+    for wave in range(1, 10):
+        batch = docs.where(F.col("doc_id") % 17 == wave).select(
+            (F.col("doc_id") + 4_000_000_000 + wave).alias("doc_id"), "text"
+        )
+        summary = update_dedup_index_clustered(spark, out, batch)
+        assert summary["buckets"] == summary["signatures"] * LSH_BANDS
+        # no clustered file rewritten
+        assert base_files <= {
+            f for f in os.listdir(bdir) if f.endswith(".parquet")
+        }
+        stats = file_column_stats(bdir, "bucket")
+        n_delta = len(stats) - len(base_files)
+        assert n_delta >= wave  # appends accumulate
+        served, kept, total = dedup_served_pruned_of(spark, out, stats, probe)
+        rows = served.collect()
+        # conservative two-level serve == flat serve, nothing dropped
+        assert rows == dedup_served_of(spark, out, probe).collect()
+        assert any(
+            r["hist_doc_id"] == PROBE_DOC_BASE and r["est_jaccard"] == 1.0
+            for r in rows
+        )
+        # the read tax: every loose delta file is in the kept set
+        assert len(kept) <= LSH_BANDS + n_delta
+        debt = dedup_index_debt(stats)
+        if debt > DEDUP_INDEX_DEBT_THRESHOLD:
+            want = rows
+            served2, info = serve_dedup_with_policy(spark, out, probe)
+            assert info["folded"] and info["debt"] == debt
+            assert served2.collect() == want  # fold is answer-invariant
+            assert 0 < len(info["kept"]) <= LSH_BANDS < info["total"]
+            assert dedup_index_debt(info["stats"]) <= DEDUP_INDEX_DEBT_THRESHOLD
+            fired = True
+            break
+    assert fired, f"append stream never crossed the debt threshold (debt={debt})"
+
+
 def test_dedup_served_probes_index_without_rescanning_history(spark, sf_dir, tmp_path):
     """The cross-snapshot served dedup must (a) write both artifacts,
     (b) find every exact re-crawl at est_jaccard = 1.0 and every mutated

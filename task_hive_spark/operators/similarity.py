@@ -1178,6 +1178,97 @@ def materialize_ann_index_clustered(
     return summary
 
 
+def update_ann_index_clustered(
+    spark: SparkSession, index_dir: str, new_vecs: DataFrame
+) -> dict:
+    """APPEND new vectors to the CLUSTERED IVF-PQ index without
+    rewriting a single clustered file — the LSM write path of the
+    vector serving tier: route to the FROZEN quantizer, PQ-encode
+    against the FROZEN codebook (update_ann_index's add() semantics),
+    and land the (cell, vec_id, sub, code) rows as a small UNCLUSTERED
+    delta file set inside cellcodes/. The footer manifest keeps delta
+    files conservatively, so probes see appended vectors immediately;
+    ``ann_index_debt`` + ``recluster_ann_index`` pay the read tax down
+    once loose files dominate."""
+    import json as _json
+    import os as _os
+
+    read = lambda name: spark.read.parquet(_os.path.join(index_dir, name))  # noqa: E731
+    vecs = new_vecs.select("vec_id", "embedding").localCheckpoint()
+    cells = (
+        _assign_cells(vecs, read("centroids"))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    best = _pq_dist_table(spark, vecs, book=read("codebook")).groupBy(
+        "vec_id", "sub"
+    ).agg(F.min(F.struct(F.round("d2", 6).alias("d2r"), "code")).alias("b"))
+    codes = best.select("vec_id", "sub", F.col("b.code").alias("code"))
+    (
+        codes.join(cells, "vec_id")
+        .select("cell", "vec_id", "sub", "code")
+        .repartition(2)
+        .write.mode("append")
+        .parquet(_os.path.join(index_dir, "cellcodes"))
+    )
+    vecs.write.mode("append").parquet(_os.path.join(index_dir, "vectors"))
+    summary = {
+        name: spark.read.parquet(_os.path.join(index_dir, name)).count()
+        for name in ("centroids", "cellcodes", "codebook", "vectors")
+    }
+    if summary["cellcodes"] != PQ_M * summary["vectors"]:
+        raise RuntimeError(
+            f"clustered ANN index skewed after append: {summary['cellcodes']} "
+            f"code rows != {PQ_M} x {summary['vectors']} vectors — a failure "
+            f"between the two appends left unfindable vectors; rebuild"
+        )
+    with open(_os.path.join(index_dir, "summary.json"), "w") as f:
+        _json.dump(summary, f, indent=2)
+    return summary
+
+
+ANN_INDEX_DEBT_THRESHOLD = 0.25
+
+
+def ann_index_debt(stats: list[dict]) -> float:
+    """Loose-append share of the cellcodes file set, manifest-only
+    (the dedup_index_debt twin over the cell-id domain)."""
+    from task_hive_spark.plans.catalog import recluster_debt
+
+    sized = [s for s in stats if s["min"] is not None]
+    if not sized:
+        return 1.0 if stats else 0.0
+    lo = min(s["min"] for s in sized)
+    hi = max(s["max"] for s in sized)
+    return recluster_debt(stats, lo, hi)
+
+
+def recluster_ann_index(
+    spark: SparkSession, index_dir: str, n_files: int = ANN_CELL_FILES
+) -> list[dict]:
+    """Rewrite cellcodes/ as one fresh range-clustered level (staged
+    rewrite + directory swap — the recluster_dedup_index discipline)."""
+    import os as _os
+    import shutil as _shutil
+
+    from task_hive_spark.plans.catalog import file_column_stats
+
+    cdir = _os.path.join(index_dir, "cellcodes")
+    staged = _os.path.join(index_dir, "cellcodes_reclustering")
+    (
+        spark.read.parquet(cdir)
+        .repartitionByRange(n_files, "cell")
+        .sortWithinPartitions("cell", "vec_id", "sub")
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    old = _os.path.join(index_dir, "cellcodes_retired")
+    _os.rename(cdir, old)
+    _os.rename(staged, cdir)
+    _shutil.rmtree(old)
+    return file_column_stats(cdir, "cell")
+
+
 _ANN_CIDX_RAN: dict[tuple[str, str], tuple[str, list[dict]]] = {}
 register_aux_cache(_ANN_CIDX_RAN)
 

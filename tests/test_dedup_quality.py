@@ -401,6 +401,84 @@ def test_clustered_dedup_index_append_debt_and_recluster(spark, sf_dir, tmp_path
     assert fired, f"append stream never crossed the debt threshold (debt={debt})"
 
 
+def test_clustered_ann_index_append_debt_and_recluster(spark, sf_dir, tmp_path):
+    """The LSM loop on the vector index: (a) appends route through the
+    frozen quantizer/codebook and land as loose cellcodes delta files,
+    no clustered file rewritten, M-codes-per-vector invariant enforced;
+    (b) an appended COPY of the probe vector is findable immediately —
+    it must surface as the top neighbor at d2 = 0; (c) the pruned serve
+    equals the read-everything serve at every wave (conservative keeps,
+    no false negative); (d) once debt crosses the threshold the
+    recluster restores tight pruning, answer-invariant."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.similarity import (
+        ANN_INDEX_DEBT_THRESHOLD,
+        NPROBE,
+        PQ_M,
+        ann_index_debt,
+        ann_served_pruned_of,
+        materialize_ann_index_clustered,
+        recluster_ann_index,
+        update_ann_index_clustered,
+    )
+    from task_hive_spark.plans.catalog import file_column_stats
+    from task_hive_spark.sources.fixtures import load_table
+
+    out = str(tmp_path / "anncidx_lsm")
+    materialize_ann_index_clustered(spark, sf_dir, out)
+    cdir = os.path.join(out, "cellcodes")
+    base_files = {f for f in os.listdir(cdir) if f.endswith(".parquet")}
+    base_stats = file_column_stats(cdir, "cell")
+    served0, _k0, _t0 = ann_served_pruned_of(spark, out, base_stats, n_probes=1)
+    rows0 = served0.collect()
+    probe_id = rows0[0]["probe_id"]
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # wave 1: a verbatim copy of the probe vector under a fresh id —
+    # the appended vector must be findable IMMEDIATELY
+    copy_id = 5_000_000_000
+    fired = False
+    for wave in range(1, 8):
+        if wave == 1:
+            batch = emb.where(F.col("vec_id") == probe_id).select(
+                F.lit(copy_id).cast("long").alias("vec_id"), "embedding"
+            )
+        else:
+            batch = emb.where(F.col("vec_id") % 13 == wave).select(
+                (F.col("vec_id") + 5_000_000_000 + wave).alias("vec_id"),
+                "embedding",
+            )
+        summary = update_ann_index_clustered(spark, out, batch)
+        assert summary["cellcodes"] == PQ_M * summary["vectors"]
+        assert base_files <= {
+            f for f in os.listdir(cdir) if f.endswith(".parquet")
+        }
+        stats = file_column_stats(cdir, "cell")
+        n_delta = len(stats) - len(base_files)
+        served, kept, total = ann_served_pruned_of(spark, out, stats, n_probes=1)
+        rows = served.collect()
+        # the probe's appended twin is rank 1 at exact distance 0
+        assert rows[0]["neighbor_id"] == copy_id and rows[0]["d2"] == 0.0
+        # conservative pruning drops nothing: same answer as reading
+        # every cellcodes file through the same serve
+        all_stats = [dict(s, min=None, max=None) for s in stats]
+        served_all, _, _ = ann_served_pruned_of(spark, out, all_stats, n_probes=1)
+        assert rows == served_all.collect()
+        assert len(kept) <= NPROBE + n_delta
+        if ann_index_debt(stats) > ANN_INDEX_DEBT_THRESHOLD:
+            mstats = recluster_ann_index(spark, out)
+            mserved, mkept, mtotal = ann_served_pruned_of(spark, out, mstats, n_probes=1)
+            assert mserved.collect() == rows  # fold is answer-invariant
+            assert 0 < len(mkept) <= NPROBE < mtotal
+            assert ann_index_debt(mstats) <= ANN_INDEX_DEBT_THRESHOLD
+            fired = True
+            break
+    assert fired, "append stream never crossed the ANN index debt threshold"
+
+
 def test_dedup_served_probes_index_without_rescanning_history(spark, sf_dir, tmp_path):
     """The cross-snapshot served dedup must (a) write both artifacts,
     (b) find every exact re-crawl at est_jaccard = 1.0 and every mutated

@@ -176,6 +176,37 @@ def run_stream(spark: SparkSession, work: str, feed: str) -> str:
     return out
 
 
+def clustered_index_from_stream(
+    spark: SparkSession, work: str, out_dir: str
+) -> list[dict]:
+    """Promote the STREAM-BUILT index into the file-pruned serving
+    layout (operators/dedup.py:materialize_dedup_index_clustered's
+    shape): signatures flat, band buckets range-clustered with tight
+    parquet-footer ranges. This is the ingestion→serving handoff — the
+    online indexer accumulates batch-scoped parquet state; a periodic
+    promotion pays one clustering shuffle so every subsequent probe
+    reads O(probe) files. Returns the bucket manifest; the serve path
+    (dedup_served_pruned_of) is the SAME code the batch-built index
+    uses, and the handoff test pins row-identical answers."""
+    from task_hive_spark.operators.dedup import DEDUP_INDEX_FILES
+    from task_hive_spark.plans.catalog import file_column_stats
+
+    sig_idx = os.path.join(work, "index_sigs")
+    bucket_idx = os.path.join(work, "index_buckets")
+    spark.read.parquet(sig_idx).select("doc_id", "sig").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "signatures"))
+    (
+        spark.read.parquet(bucket_idx)
+        .select("doc_id", "bucket")
+        .repartitionByRange(DEDUP_INDEX_FILES, "bucket")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "buckets"))
+    )
+    return file_column_stats(os.path.join(out_dir, "buckets"), "bucket")
+
+
 def _ensure_run(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _RAN:

@@ -401,6 +401,41 @@ def test_clustered_dedup_index_append_debt_and_recluster(spark, sf_dir, tmp_path
     assert fired, f"append stream never crossed the debt threshold (debt={debt})"
 
 
+def test_stream_built_index_promotes_to_pruned_serving(spark, sf_dir, tmp_path):
+    """The ingestion→serving handoff: the ONLINE-built MinHash index
+    (streaming/minhashstream.py's batch-scoped parquet state) promotes
+    into the clustered layout and serves the file-pruned probe with the
+    EXACT answer the batch-built clustered index gives — one arithmetic,
+    one serve path, two build provenances."""
+    import os
+
+    from task_hive_spark.operators.dedup import (
+        LSH_BANDS,
+        NEW_OFFSET,
+        PROBE_DOC_BASE,
+        dd_dedup_served_pruned,
+        dedup_served_pruned_of,
+        new_batch_df,
+    )
+    from task_hive_spark.streaming.minhashstream import (
+        _ensure_run,
+        clustered_index_from_stream,
+    )
+
+    out_pairs = _ensure_run(spark, sf_dir)
+    work = os.path.dirname(out_pairs)
+    idx = str(tmp_path / "mh_promoted")
+    stats = clustered_index_from_stream(spark, work, idx)
+    assert len(stats) > LSH_BANDS and all(s["min"] is not None for s in stats)
+
+    probe = new_batch_df(spark, sf_dir).where(
+        f"doc_id = {NEW_OFFSET + PROBE_DOC_BASE}"
+    )
+    served, kept, total = dedup_served_pruned_of(spark, idx, stats, probe)
+    assert served.collect() == dd_dedup_served_pruned(spark, sf_dir).collect()
+    assert 0 < len(kept) <= LSH_BANDS < total
+
+
 def test_clustered_ann_index_append_debt_and_recluster(spark, sf_dir, tmp_path):
     """The LSM loop on the vector index: (a) appends route through the
     frozen quantizer/codebook and land as loose cellcodes delta files,

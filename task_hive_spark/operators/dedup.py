@@ -800,6 +800,8 @@ def recluster_dedup_index(
         .parquet(staged)
     )
     old = _os.path.join(index_dir, "buckets_retired")
+    if _os.path.isdir(old):  # leftover from a crash between the renames
+        _shutil.rmtree(old)
     _os.rename(bdir, old)
     _os.rename(staged, bdir)
     _shutil.rmtree(old)

@@ -1263,6 +1263,8 @@ def recluster_ann_index(
         .parquet(staged)
     )
     old = _os.path.join(index_dir, "cellcodes_retired")
+    if _os.path.isdir(old):  # leftover from a crash between the renames
+        _shutil.rmtree(old)
     _os.rename(cdir, old)
     _os.rename(staged, cdir)
     _shutil.rmtree(old)

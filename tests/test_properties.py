@@ -674,3 +674,85 @@ def test_jpeg_coeff_decode_round_trips_for_any_asset(asset_id):
     assert decode_jpeg_coeffs(synth_jpeg_coeff_bytes(asset_id)) == (
         w, h, 3, mc, 3 * mc, *dc, *ac, 6 * mc,
     )
+
+
+# --- manifest-pruning properties (pure Python, no Spark) --------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.integers(-1000, 1000), st.integers(0, 500)).map(
+                lambda t: {"path": "", "min": t[0], "max": t[0] + t[1], "num_rows": 1}
+            ),
+            st.just({"path": "", "min": None, "max": None, "num_rows": 1}),
+        ),
+        max_size=30,
+    ),
+    st.lists(st.integers(-1200, 1200), max_size=20),
+)
+def test_prune_files_any_never_false_negative(stats, values):
+    """prune_files_any keeps EVERY file that could hold a probe value
+    (stat-less files always; ranged files iff some value lands inside)
+    and never invents paths — the no-false-negative contract the serve
+    oracles rely on, checked against a brute-force model."""
+    from task_hive_spark.plans.catalog import prune_files_any
+
+    for i, s in enumerate(stats):
+        s["path"] = f"f{i}"
+    kept, total = prune_files_any(stats, values)
+    assert total == len(stats)
+    model = {
+        s["path"]
+        for s in stats
+        if s["min"] is None or any(s["min"] <= v <= s["max"] for v in values)
+    }
+    assert set(kept) == model
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 1000)).map(
+            lambda t: {
+                "path": "",
+                "min": min(t),
+                "max": max(t),
+                "num_rows": 1,
+            }
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.integers(0, 1000),
+    st.integers(0, 1000),
+)
+def test_recluster_debt_is_a_bounded_monotone_tax(stats, a, b):
+    """recluster_debt is in [0, 1], zero for single-file or empty kept
+    sets, and never DECREASES when a whole-domain loose file joins the
+    manifest (appends can only add read tax) — the properties the
+    threshold trigger assumes."""
+    from task_hive_spark.plans.catalog import recluster_debt
+
+    lo, hi = min(a, b), max(a, b)
+    for i, s in enumerate(stats):
+        s["path"] = f"f{i}"
+    d0 = recluster_debt(stats, lo, hi)
+    assert 0.0 <= d0 <= 1.0
+    sized = [s for s in stats if s["min"] is not None]
+    if sized:
+        dlo = min(s["min"] for s in sized)
+        dhi = max(s["max"] for s in sized)
+        loose = [
+            {"path": "loose", "min": dlo, "max": dhi, "num_rows": 1}
+        ]
+        kept0 = [
+            s for s in stats if not (s["max"] < lo or s["min"] > hi)
+        ]
+        d1 = recluster_debt(stats + loose, lo, hi)
+        assert 0.0 <= d1 <= 1.0
+        if dhi > dlo and len(kept0) >= 1 and not (dhi < lo or dlo > hi):
+            # the appended file spans the whole (non-degenerate) domain
+            # and overlaps the window: the loose share cannot shrink
+            assert d1 >= d0 - 1e-12

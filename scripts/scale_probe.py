@@ -664,6 +664,43 @@ def served_pruned_probe() -> int:
             "kept_bound": LSH_BANDS, "serve_seconds": serve_s,
             "bounds_ok": ok,
         }))
+        # the LSM loop at this scale: append two loose waves, serve
+        # (kept absorbs the delta files, answer invariant), then fold
+        # and pin pruning back under the band bound
+        from pyspark.sql import functions as _F
+
+        from task_hive_spark.operators.dedup import (
+            corpus_df as _corpus,
+            dedup_index_debt,
+            recluster_dedup_index,
+            update_dedup_index_clustered,
+        )
+
+        for wave in (1, 2):
+            batch = _corpus(spark, d).where(
+                (_F.col("doc_id") % 23 == wave)
+                & (_F.col("doc_id") < 1_000_000_000)
+            ).select((_F.col("doc_id") + 6_000_000_000 + wave).alias("doc_id"), "text")
+            update_dedup_index_clustered(spark, out, batch)
+        astats = file_column_stats(os.path.join(out, "buckets"), "bucket")
+        n_delta = len(astats) - total
+        aserved, akept, atotal = dedup_served_pruned_of(spark, out, astats, probe)
+        append_ok = (
+            n_delta >= 2
+            and len(akept) <= LSH_BANDS + n_delta
+            and aserved.collect() == dedup_served_of(spark, out, probe).collect()
+        )
+        mstats = recluster_dedup_index(spark, out, n_files=n_files)
+        _m, mkept, mtotal = dedup_served_pruned_of(spark, out, mstats, probe)
+        fold_ok = 0 < len(mkept) <= LSH_BANDS < mtotal
+        bad += 0 if (append_ok and fold_ok) else 1
+        print(json.dumps({
+            "probe": "dedup_index_lsm", "sf_dir": d,
+            "delta_files": n_delta, "kept_after_append": len(akept),
+            "debt_after_append": round(dedup_index_debt(astats), 3),
+            "kept_after_fold": len(mkept), "files_after_fold": mtotal,
+            "bounds_ok": append_ok and fold_ok,
+        }))
         aout = tempfile.mkdtemp(prefix="anncidx_probe_", dir=_scratch_root())
         asummary = materialize_ann_index_clustered(spark, d, aout)
         astats = file_column_stats(os.path.join(aout, "cellcodes"), "cell")

@@ -13,87 +13,79 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Round-12 front-50 (policy: scripts/evidence_age.py derives and asserts
+# Round-13 front-50 (policy: scripts/evidence_age.py derives and asserts
 # it from the CORRECTNESS_r0*.json ledgers):
-#   1. ALL 36 queries whose latest driver grade is r8 (age 4, the
-#      structural bound — named for the r12 front by the r11 verdict).
-#      The r8 cohort was 40; its four th_assign_* members were
-#      CONSOLIDATED this round into one parameterized registration
-#      (th_assign_strategies — see assign.py and the registry-capacity
-#      policy in README), which grades as a new query below.
-#   2. the 4 never-graded round-12 additions: th_assign_strategies
-#      (the consolidation), mm_decode_jpeg_coeffs (baseline-JPEG
-#      entropy decode), dd_dedup_served_pruned and
-#      sim_topk_pq_served_pruned (clustered serving indexes with
-#      manifest file pruning).
-#   3. 10 fillers, code-CHANGED first: cat_{delta,clustered,zorder}_
-#      prune (catalog.py gained the UTC-explicit prune_files, the
-#      in-place-compaction guard, prune_files_any, and the
-#      recluster-debt policy), mm_probe_{jpeg,mp4} (RSTn/fill-byte and
-#      truncated-box hardening), dd_dedup_served + sim_topk_pq_served
-#      (their serve cores were refactored to share _serve_join / the
-#      pruned paths), txt_bigram_lm_score (stage-budgeted this round)
-#      and dd_ngram_jaccard_pairs + sk_bloom_semi_join (the r11
-#      verdict's drift-recheck set, re-paired in BASELINE_ratio_r12).
-#      The 45 age-3 queries left back sit in modules untouched or
-#      locally re-verified at both scales every round, and form the
-#      r13 front core (they reach the age-4 bound there).
-# Counts are asserted by scripts/evidence_age.py — derive the r13 front
+#   1. ALL 47 queries whose latest driver grade is r9 (age 4, the
+#      structural bound — named for the r13 front by the r12 verdict:
+#      the st_ lifecycle family, the th_ r9 core, the remaining src_
+#      round-trips, the r9 dd/sim/sk/txt additions).
+#   2. the 3 never-graded round-13 additions filling the remaining
+#      slots exactly as the r12 verdict sized them:
+#      sim_topk_pq_served_batch (the batched pruned serve that
+#      amortizes the serve floor — verdict task 2),
+#      src_avro_roundtrip (the Avro source's first driver grade —
+#      verdict task 4), and mm_decode_mp3_sideinfo (the MP3 side-info
+#      bit-exact decode — verdict task 5).
+#   The verdict also asked for a batched dd_dedup_served form; its API
+#   (dedup_served_pruned_of over a multi-doc batch) ships and is
+#   pytest-pinned this round, but its REGISTRATION is deferred to an
+#   r14 filler slot — the r14 age-4 cohort is 48, leaving exactly 2
+#   fillers, and the window cannot hold 47 + 4 this round.
+# Counts are asserted by scripts/evidence_age.py — derive the r14 front
 # from the script, not this comment.
-_FRONT_R12 = [
-    # --- age-4 core (last graded r8) ---
-    "dd_minhash_signatures",
-    "rel_q11_important_stock",
-    "rel_q12_late_lines",
-    "rel_q13_custdist",
-    "rel_q16_supplier_part_count",
-    "rel_q18_large_orders",
-    "rel_q21_waiting_suppliers",
-    "rel_q2_min_cost_supplier",
-    "rel_q4_order_priority",
-    "sim_topk_brute",
-    "sim_topk_ivf",
-    "sim_topk_lsh",
-    "sim_topk_pq_refined",
-    "sk_hll_daily",
-    "st_session_windows",
-    "st_stream_dedup",
-    "st_stream_dedup_bounded",
-    "st_worker_counter_stateful",
-    "th_assignment_load",
-    "th_backoff_schedule",
-    "th_composite_keys",
-    "th_eligible_workers",
-    "th_id_functions",
-    "th_latest_event_per_user",
-    "th_least_tasks_worker",
-    "th_payload_parse",
-    "th_pending_count",
-    "th_spider_ingest",
-    "th_status_enum_roundtrip",
-    "th_top10_pending",
-    "th_worker_inbox",
-    "th_workers_liveness",
-    "txt_decontaminate",
-    "txt_sequence_pack",
-    "txt_stratified_split",
-    "txt_tokenized_dataset",
-    # --- never-graded r12 additions ---
-    "th_assign_strategies",
-    "mm_decode_jpeg_coeffs",
-    "dd_dedup_served_pruned",
-    "sim_topk_pq_served_pruned",
-    # --- code-changed / code-adjacent fillers ---
-    "cat_delta_prune",
-    "cat_clustered_prune",
-    "cat_zorder_prune",
-    "mm_probe_jpeg",
-    "mm_probe_mp4",
-    "dd_dedup_served",
-    "sim_topk_pq_served",
-    "txt_bigram_lm_score",
-    "dd_ngram_jaccard_pairs",
-    "sk_bloom_semi_join",
+_FRONT_R13 = [
+    # --- age-4 core (last graded r9) ---
+    "dd_chunk_dedup",
+    "dd_dup_rate_by_source",
+    "dd_duplicate_clusters",
+    "dd_duplicate_spans",
+    "dd_exact_groups",
+    "dd_exact_keep_list",
+    "dd_minhash_lsh_pairs",
+    "dd_semdedup",
+    "dd_simhash",
+    "dd_simhash_near_pairs",
+    "mm_catalog_stats",
+    "mm_decode_features",
+    "mm_decode_real",
+    "sim_kmeans_step",
+    "sim_pq_codes",
+    "sim_topk_ivf_pq",
+    "sk_quantiles",
+    "sk_quantiles_merged",
+    "src_csv_roundtrip",
+    "src_jsonl_roundtrip",
+    "src_orc_roundtrip",
+    "src_xml_roundtrip",
+    "st_dispatch_assignments",
+    "st_final_tasks",
+    "st_minhash_incremental",
+    "st_quantiles_incremental",
+    "st_requeued_pending",
+    "st_retry_backoff",
+    "st_status_counts",
+    "st_timer_requeue",
+    "st_unmatched_submits",
+    "st_windowed_throughput",
+    "st_worker_state",
+    "th_api_json",
+    "th_list_all_union",
+    "th_list_by_status",
+    "th_point_get",
+    "th_snapshot_merge",
+    "th_stats",
+    "th_unknown_type_failed",
+    "txt_bm25_topk",
+    "txt_bpe_merges",
+    "txt_bpe_tokenize",
+    "txt_importance_sample",
+    "txt_sentiment",
+    "txt_training_mix",
+    "xp_taskgen_summary",
+    # --- never-graded r13 additions ---
+    "sim_topk_pq_served_batch",
+    "src_avro_roundtrip",
+    "mm_decode_mp3_sideinfo",
 ]
 
 
@@ -140,7 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         unigram_lm,
     )
     from task_hive_spark.plans import catalog
-    from task_hive_spark.sources import textfiles
+    from task_hive_spark.sources import avro, textfiles
     from task_hive_spark.streaming import (
         cdcmerge,
         dedupstream,
@@ -151,7 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         timers,
     )
 
-    # Register evidence-first (see _FRONT_R12): queries whose driver
+    # Register evidence-first (see _FRONT_R13): queries whose driver
     # evidence is stalest fill the 50 graded slots; the freshly-graded
     # set rotates to the back.
     out: dict[str, Callable] = {}
@@ -172,21 +164,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(cdcmerge.QUERIES)
     out.update(minhashstream.QUERIES)
     out.update(textfiles.QUERIES)
+    out.update(avro.QUERIES)
     out.update(pipeline.QUERIES)
     out.update(unigram_lm.QUERIES)
     out.update(sketches.QUERIES)
     out.update(sketchstream.QUERIES)
 
-    missing = [k for k in _FRONT_R12 if k not in out]
+    missing = [k for k in _FRONT_R13 if k not in out]
     assert not missing, f"front names not registered: {missing}"
     # distinct-count, not list-length: a pasted duplicate would pass a
     # len() check while silently shrinking the graded front below the
     # window (review finding r7)
-    assert len(set(_FRONT_R12)) == len(_FRONT_R12) == GRADING_WINDOW, (
+    assert len(set(_FRONT_R13)) == len(_FRONT_R13) == GRADING_WINDOW, (
         f"front set must fill the driver's grading window exactly: "
-        f"{len(set(_FRONT_R12))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R12"
+        f"{len(set(_FRONT_R13))} distinct != {GRADING_WINDOW} — re-balance _FRONT_R13"
     )
-    front = {k: out[k] for k in _FRONT_R12}
+    front = {k: out[k] for k in _FRONT_R13}
     back = {k: v for k, v in out.items() if k not in front}
     ordered = {**front, **back}
 
@@ -216,7 +209,7 @@ def oracle_sql() -> dict[str, str]:
         unigram_lm,
     )
     from task_hive_spark.plans import catalog
-    from task_hive_spark.sources import textfiles
+    from task_hive_spark.sources import avro, textfiles
     from task_hive_spark.streaming import (
         cdcmerge,
         dedupstream,
@@ -245,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(graph.ORACLES)
     out.update(textfiles.ORACLES)
+    out.update(avro.ORACLES)
     out.update(pipeline.ORACLES)
     out.update(unigram_lm.ORACLES)
     out.update(sketches.ORACLES)

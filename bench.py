@@ -102,6 +102,15 @@ HEADLINE = [
     # round-12: the honest-decode step past the container probes — the
     # full baseline-JPEG entropy layer (Huffman DC+AC) via mapInPandas.
     "mm_decode_jpeg_coeffs",
+    # round-13: the HEADLINE serve is the batched pruned form (16
+    # probes through one routing collect + LUT broadcast + pruned ADC
+    # pass — the production request shape, amortizing the three
+    # scheduler rounds the single-probe serve pays per probe).
+    # sim_topk_pq_served_pruned above stays benched as the LATENCY
+    # witness: its number prices one cold probe, not the serve design.
+    "sim_topk_pq_served_batch",
+    # round-13: the MP3 side-info twin of the JPEG entropy decode.
+    "mm_decode_mp3_sideinfo",
 ]
 
 

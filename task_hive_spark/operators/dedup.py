@@ -784,13 +784,18 @@ def recluster_dedup_index(
     """Pay the bucket index's append debt down: rewrite buckets/ as one
     fresh range-clustered level (tight footer ranges again) and return
     the new manifest. The rewrite stages into a sibling directory and
-    swaps, so a crash mid-rewrite leaves the serving level intact."""
+    swaps; a crash during the staged write leaves the serving level
+    intact, and a crash between the two swap renames is self-healed by
+    ``recover_staged_swap`` on the next recluster or policy-serve call
+    (promote the completed staged level, else restore the retired
+    one)."""
     import os as _os
     import shutil as _shutil
 
-    from task_hive_spark.plans.catalog import file_column_stats
+    from task_hive_spark.plans.catalog import file_column_stats, recover_staged_swap
 
     bdir = _os.path.join(index_dir, "buckets")
+    recover_staged_swap(bdir)
     staged = _os.path.join(index_dir, "buckets_reclustering")
     (
         spark.read.parquet(bdir)
@@ -822,8 +827,9 @@ def serve_dedup_with_policy(
     the fold fired, kept/total and the live manifest."""
     import os as _os
 
-    from task_hive_spark.plans.catalog import file_column_stats
+    from task_hive_spark.plans.catalog import file_column_stats, recover_staged_swap
 
+    recover_staged_swap(_os.path.join(index_dir, "buckets"))
     if stats is None:
         stats = file_column_stats(_os.path.join(index_dir, "buckets"), "bucket")
     debt = dedup_index_debt(stats)
@@ -909,6 +915,31 @@ def dd_dedup_served_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx, stats = _dedup_index_clustered(spark, sf_dir)
     probe = new_batch_df(spark, sf_dir).where(
         F.col("doc_id") == NEW_OFFSET + PROBE_DOC_BASE
+    )
+    out, _kept, _total = dedup_served_pruned_of(spark, idx, stats, probe)
+    return out
+
+
+# The batched serve shape (the sim_topk_pq_served_batch twin): probe a
+# SMALL RE-CRAWL BATCH — every 8th member of the 13-multiple re-crawl —
+# so the fixed serve floor (signature job, bucket-routing collect,
+# candidate/score join) amortizes across the batch while the manifest
+# still prunes: kept files ≤ |batch| · LSH_BANDS colliding buckets,
+# O(batch) at any index size. Registration deferred to an r14 filler
+# slot (the r13 front is exactly 47 age-4 + 3 new, see
+# __spark_entry__._FRONT_R13); pytest pins it hash-identical to the
+# per-doc pruned serves until then.
+BATCH_PROBE_MOD = 104
+
+
+def dd_dedup_served_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup for a SMALL RE-CRAWL BATCH served from the
+    clustered index with manifest file pruning — the production serve
+    shape (batches, not single docs). Identical per-doc answers to
+    dd_dedup_served for the same probe set."""
+    idx, stats = _dedup_index_clustered(spark, sf_dir)
+    probe = new_batch_df(spark, sf_dir).where(
+        (F.col("doc_id") - NEW_OFFSET) % BATCH_PROBE_MOD == 0
     )
     out, _kept, _total = dedup_served_pruned_of(spark, idx, stats, probe)
     return out
@@ -1724,6 +1755,14 @@ ORACLES["dd_dedup_served"] = _served_oracle_sql(NEW_BATCH_SQL)
 ORACLES["dd_dedup_served_pruned"] = _served_oracle_sql(
     f"SELECT * FROM ({NEW_BATCH_SQL}) nb_all "
     f"WHERE doc_id = {NEW_OFFSET + PROBE_DOC_BASE}"
+)
+
+# dd_dedup_served_batch's oracle — held OUT of the registered ORACLES
+# dict until its r14 registration (front-capacity note at the query);
+# the pytest gate runs it against this SQL meanwhile.
+DD_SERVED_BATCH_ORACLE = _served_oracle_sql(
+    f"SELECT * FROM ({NEW_BATCH_SQL}) nb_all "
+    f"WHERE (doc_id - {NEW_OFFSET}) % {BATCH_PROBE_MOD} = 0"
 )
 
 # Connected components need WITH RECURSIVE, which must lead the whole

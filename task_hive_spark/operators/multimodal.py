@@ -1344,6 +1344,217 @@ def probe_mp3(content: bytes):
     )
 
 
+# --- REAL MP3 side-info decode (ISO/IEC 11172-3 §2.4.1.7) ------------------
+# One honest integer step past the frame grid: each MPEG-1 Layer III
+# stereo frame carries a 32-byte (256-bit) side-info block — bit-packed
+# fields (main_data_begin, scfsi, and per-(granule, channel)
+# part2_3_length / big_values / global_gain / scalefac_compress plus
+# the window-switching branch) whose positions the spec fixes exactly.
+# The synth writes GENUINE side-info blocks from deterministic field
+# formulas; the decoder bit-unpacks them per the spec grammar; the
+# oracle recomputes the field sums arithmetically — a decoder that
+# misplaces a single bit boundary, swaps the granule/channel nesting,
+# or takes the wrong window-switching branch hash-fails. What remains
+# stubbed after this is only the oracle-less float territory (IDCT +
+# color for JPEG, MDCT synthesis for audio).
+
+_MP3_SI_BITS = 32  # stereo MPEG-1 side info: 9+3+2·4 + 4·59 = 256 bits
+
+
+def _mp3_si_fields(a: int, f: int, g: int, c: int) -> dict:
+    """The deterministic per-(frame, granule, channel) side-info field
+    values — the single source both the synth writer and the DuckDB
+    oracle derive from (the _jpeg_dc_coeff discipline)."""
+    return {
+        "p23": (a * 11 + f * 5 + g * 2 + c) % 4096,
+        "bv": (a + f + 3 * g + 5 * c) % 289,  # spec max 288
+        "gg": (a * 5 + f + g + c) % 256,
+        "sfc": (a + f + g + c) % 16,
+        "wsf": (a + f + 2 * g + 3 * c) % 2,
+        "mixed": (a + f) % 2,
+        "ts": [(a + 2 * f + 3 * g + 5 * c + 7 * j) % 32 for j in range(3)],
+        "sbg": [(a + f + g + c + j) % 8 for j in range(3)],
+        "r0": (a + f + g + c) % 16,
+        "r1": (a + 2 * f + g + c) % 8,
+        "pre": (a + f + g) % 2,
+        "sfs": (a + f + c) % 2,
+        "c1ts": (a + g + c) % 2,
+    }
+
+
+class _SiBitWriter:
+    """Plain MSB-first bit packer (no JPEG byte stuffing — side info is
+    a fixed-width block, not an entropy stream)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.buf.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def done(self) -> bytes:
+        assert self.nbits == 0, "side info must end byte-aligned"
+        return bytes(self.buf)
+
+
+def synth_mp3_sideinfo_bytes(asset_id: int) -> bytes:
+    """An MPEG-1 Layer III stereo stream whose frames carry GENUINE
+    side-info blocks: the _mp3_geom frame grid, then per frame the
+    256-bit side info packed per §2.4.1.7 field order (granule outer,
+    channel inner; both window-switching branches populated), then
+    deterministic filler main data."""
+    bi, si, n_frames = _mp3_geom(asset_id)
+    frame_len = 144 * _MP3_BITRATE_KBPS[bi] * 1000 // _MP3_SAMPLERATE[si]
+    hdr = bytes([0xFF, 0b11111011, (bi << 4) | (si << 2) | 0b00, 0b00000000])
+    out = bytearray()
+    j = 0
+    for f in range(n_frames):
+        out += hdr
+        bw = _SiBitWriter()
+        bw.put((asset_id * 7 + f * 13) % 512, 9)  # main_data_begin
+        bw.put(0, 3)  # private_bits (stereo)
+        for c in range(2):
+            bw.put((asset_id + f + c) % 16, 4)  # scfsi, 4 bands
+        for g in range(2):
+            for c in range(2):
+                d = _mp3_si_fields(asset_id, f, g, c)
+                bw.put(d["p23"], 12)
+                bw.put(d["bv"], 9)
+                bw.put(d["gg"], 8)
+                bw.put(d["sfc"], 4)
+                bw.put(d["wsf"], 1)
+                if d["wsf"]:
+                    bw.put(2, 2)  # block_type (short; 0 is forbidden here)
+                    bw.put(d["mixed"], 1)
+                    for jj in range(2):
+                        bw.put(d["ts"][jj], 5)
+                    for jj in range(3):
+                        bw.put(d["sbg"][jj], 3)
+                else:
+                    for jj in range(3):
+                        bw.put(d["ts"][jj], 5)
+                    bw.put(d["r0"], 4)
+                    bw.put(d["r1"], 3)
+                bw.put(d["pre"], 1)
+                bw.put(d["sfs"], 1)
+                bw.put(d["c1ts"], 1)
+        block = bw.done()
+        assert len(block) == _MP3_SI_BITS
+        out += block
+        for _k in range(frame_len - 4 - _MP3_SI_BITS):
+            out.append(_mp3_payload_byte(asset_id, j))
+            j += 1
+    return bytes(out)
+
+
+class _SiBitReader:
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0  # bit position
+
+    def take(self, length: int) -> int:
+        end = self.pos + length
+        if end > 8 * len(self.buf):
+            raise ValueError("side info overrun")
+        v = 0
+        p = self.pos
+        while p < end:
+            v = (v << 1) | ((self.buf[p // 8] >> (7 - p % 8)) & 1)
+            p += 1
+        self.pos = end
+        return v
+
+
+def decode_mp3_sideinfo(content: bytes):
+    """REAL MPEG-1 Layer III side-info decode, stdlib only: walk the
+    frame grid (header sync/version/layer checks, exact length
+    arithmetic, consistent stream parameters), then bit-unpack each
+    frame's 256-bit side-info block per the §2.4.1.7 grammar — both
+    window-switching branches, spec bounds enforced (big_values ≤ 288,
+    block_type ≠ 0 under window switching). Returns exact-integer
+    aggregates over every (frame, granule, channel):
+    (n_frames, sum_main_data_begin, sum_scfsi, sum_part2_3,
+    sum_big_values, sum_global_gain, sum_scalefac_compress,
+    n_short_blocks, sum_table_select, sum_subblock_gain,
+    sum_region_counts, sum_flags)."""
+    if not content:
+        raise ValueError("empty stream")
+    pos = 0
+    params = None
+    n_frames = n_short = 0
+    s_mdb = s_scfsi = s_p23 = s_bv = s_gg = s_sfc = 0
+    s_ts = s_sbg = s_reg = s_flags = 0
+    while pos < len(content):
+        if pos + 4 > len(content):
+            raise ValueError("truncated frame header")
+        b0, b1, b2, b3 = content[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at {pos}")
+        if (b1 & 0x18) >> 3 != 0b11 or (b1 & 0x06) >> 1 != 0b01:
+            raise ValueError("only MPEG-1 Layer III supported")
+        if b1 & 0x01 == 0:
+            raise ValueError("CRC-protected side info not supported")
+        bi, si, padding = (b2 & 0xF0) >> 4, (b2 & 0x0C) >> 2, (b2 & 0x02) >> 1
+        if bi not in _MP3_BITRATE_KBPS or si == 3:
+            raise ValueError(f"bitrate/samplerate index outside the table at {pos}")
+        if (b3 & 0xC0) >> 6 == 0b11:
+            raise ValueError("mono side info (17 bytes) not supported")
+        if params is None:
+            params = (bi, si)
+        elif (bi, si) != params:
+            raise ValueError("mid-stream parameter change")
+        frame_len = 144 * _MP3_BITRATE_KBPS[bi] * 1000 // _MP3_SAMPLERATE[si] + padding
+        if pos + frame_len > len(content):
+            raise ValueError(f"truncated frame {n_frames}")
+        side = content[pos + 4 : pos + 4 + _MP3_SI_BITS]
+        if len(side) != _MP3_SI_BITS:
+            raise ValueError("truncated side info")
+        br = _SiBitReader(side)
+        s_mdb += br.take(9)
+        br.take(3)  # private_bits
+        for _c in range(2):
+            s_scfsi += br.take(4)
+        for _g in range(2):
+            for _c in range(2):
+                s_p23 += br.take(12)
+                bv = br.take(9)
+                if bv > 288:
+                    raise ValueError(f"big_values {bv} exceeds the spec max 288")
+                s_bv += bv
+                s_gg += br.take(8)
+                s_sfc += br.take(4)
+                wsf = br.take(1)
+                if wsf:
+                    n_short += 1
+                    if br.take(2) == 0:
+                        raise ValueError("block_type 0 under window switching")
+                    br.take(1)  # mixed_block_flag
+                    for _j in range(2):
+                        s_ts += br.take(5)
+                    for _j in range(3):
+                        s_sbg += br.take(3)
+                else:
+                    for _j in range(3):
+                        s_ts += br.take(5)
+                    s_reg += br.take(4) + br.take(3)
+                s_flags += br.take(1) + br.take(1) + br.take(1)
+        if br.pos != 8 * _MP3_SI_BITS:
+            raise ValueError("side info not fully consumed")
+        n_frames += 1
+        pos += frame_len
+    return (
+        n_frames, s_mdb, s_scfsi, s_p23, s_bv, s_gg, s_sfc,
+        n_short, s_ts, s_sbg, s_reg, s_flags,
+    )
+
+
 # --- REAL WebM/Matroska probe (pure stdlib: EBML varint grammar) ----------
 # The second video container: Matroska is an EBML tree — element IDs
 # and sizes are length-prefixed VARINTS (leading-zero count encodes
@@ -1504,6 +1715,19 @@ _MP3_PROBE_SCHEMA = (
     "asset_id bigint, bitrate_kbps int, sample_rate int, n_frames int, "
     "duration_ms bigint, payload_bytes int, payload_sum bigint"
 )
+_MP3_SI_FIELDS = [
+    "n_frames", "sum_main_data_begin", "sum_scfsi", "sum_part2_3",
+    "sum_big_values", "sum_global_gain", "sum_scalefac_compress",
+    "n_short_blocks", "sum_table_select", "sum_subblock_gain",
+    "sum_region_counts", "sum_flags",
+]
+_MP3_SI_SCHEMA = (
+    "asset_id bigint, n_frames int, sum_main_data_begin bigint, "
+    "sum_scfsi bigint, sum_part2_3 bigint, sum_big_values bigint, "
+    "sum_global_gain bigint, sum_scalefac_compress bigint, "
+    "n_short_blocks int, sum_table_select bigint, sum_subblock_gain bigint, "
+    "sum_region_counts bigint, sum_flags bigint"
+)
 _WEBM_FIELDS = [
     "doctype", "timestamp_scale", "duration_ms", "track_number",
     "track_type", "width", "height",
@@ -1541,6 +1765,30 @@ def mm_probe_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_mp3,
         _MP3_FIELDS,
         _MP3_PROBE_SCHEMA,
+    )
+
+
+def mm_decode_mp3_sideinfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bit-exact decode of genuine MPEG-1 Layer III side-info
+    blocks for the mp3-format audio assets: encode real 256-bit
+    side-info blocks per frame (§2.4.1.7 field grammar, both
+    window-switching branches), then bit-unpack every field back
+    (_codec_roundtrip shape). The oracle rebuilds the exact-integer
+    field sums from the _mp3_si_fields formulas — a decoder that
+    misplaces one bit boundary, swaps the granule/channel nesting, or
+    mis-branches on window switching hash-fails. The mm_decode_jpeg
+    _coeffs recipe applied to audio; only float MDCT synthesis remains
+    out of scope."""
+    return _codec_roundtrip(
+        spark,
+        sf_dir,
+        (F.col("kind") == "audio")
+        & (F.col("format") == "mp3")
+        & F.col("content").isNotNull(),
+        synth_mp3_sideinfo_bytes,
+        decode_mp3_sideinfo,
+        _MP3_SI_FIELDS,
+        _MP3_SI_SCHEMA,
     )
 
 
@@ -1886,6 +2134,7 @@ QUERIES = {
     "mm_probe_jpeg": mm_probe_jpeg,
     "mm_decode_jpeg_coeffs": mm_decode_jpeg_coeffs,
     "mm_probe_mp3": mm_probe_mp3,
+    "mm_decode_mp3_sideinfo": mm_decode_mp3_sideinfo,
     "mm_probe_webm": mm_probe_webm,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_segments": mm_audio_segments,
@@ -2184,6 +2433,64 @@ ORACLES["mm_probe_mp3"] = _oracle_assets_cte(
            CAST(list_sum(list_transform(generate_series(0, pb - 1),
                 j -> (asset_id * 29 + j * 37) % 255)) AS BIGINT) AS payload_sum
     FROM sized ORDER BY asset_id
+    """
+)
+
+# mm_decode_mp3_sideinfo: every field sum rebuilt from the
+# _mp3_si_fields formulas over the (frame, granule, channel) grid —
+# the §2.4.1.7 bit packing (9/3/4-bit header fields, 59-bit granule
+# records, the 22-bit window-switching union) is an encoding artifact
+# the decoder must exactly invert to reach these exact-integer sums.
+ORACLES["mm_decode_mp3_sideinfo"] = _oracle_assets_cte(
+    """
+    , aud AS (
+      SELECT asset_id, 4 + asset_id % 8 AS nf
+      FROM assets
+      WHERE kind = 'audio' AND format = 'mp3' AND content IS NOT NULL
+    ),
+    fr AS (
+      SELECT asset_id, nf, unnest(generate_series(0, nf - 1)) AS f
+      FROM aud
+    ),
+    fld AS (
+      SELECT asset_id, nf, f, g.gr, c.ch,
+             (asset_id*11 + f*5 + g.gr*2 + c.ch) % 4096 AS p23,
+             (asset_id + f + 3*g.gr + 5*c.ch) % 289 AS bv,
+             (asset_id*5 + f + g.gr + c.ch) % 256 AS gg,
+             (asset_id + f + g.gr + c.ch) % 16 AS sfc,
+             (asset_id + f + 2*g.gr + 3*c.ch) % 2 AS wsf,
+             (asset_id + f + g.gr) % 2 + (asset_id + f + c.ch) % 2
+               + (asset_id + g.gr + c.ch) % 2 AS flags,
+             CASE WHEN g.gr = 0 AND c.ch = 0
+                  THEN (asset_id*7 + f*13) % 512 ELSE 0 END AS mdb,
+             CASE WHEN g.gr = 0 THEN (asset_id + f + c.ch) % 16
+                  ELSE 0 END AS scfsi
+      FROM fr, (VALUES (0), (1)) g(gr), (VALUES (0), (1)) c(ch)
+    )
+    SELECT asset_id,
+           CAST(nf AS INT) AS n_frames,
+           CAST(SUM(mdb) AS BIGINT) AS sum_main_data_begin,
+           CAST(SUM(scfsi) AS BIGINT) AS sum_scfsi,
+           CAST(SUM(p23) AS BIGINT) AS sum_part2_3,
+           CAST(SUM(bv) AS BIGINT) AS sum_big_values,
+           CAST(SUM(gg) AS BIGINT) AS sum_global_gain,
+           CAST(SUM(sfc) AS BIGINT) AS sum_scalefac_compress,
+           CAST(SUM(wsf) AS INT) AS n_short_blocks,
+           CAST(SUM(list_sum(list_transform(
+                generate_series(0, CASE WHEN wsf = 1 THEN 1 ELSE 2 END),
+                j -> (asset_id + 2*f + 3*gr + 5*ch + 7*j) % 32))) AS BIGINT)
+             AS sum_table_select,
+           CAST(SUM(CASE WHEN wsf = 1 THEN
+                  (asset_id + f + gr + ch) % 8
+                + (asset_id + f + gr + ch + 1) % 8
+                + (asset_id + f + gr + ch + 2) % 8
+                ELSE 0 END) AS BIGINT) AS sum_subblock_gain,
+           CAST(SUM(CASE WHEN wsf = 0 THEN
+                  (asset_id + f + gr + ch) % 16
+                + (asset_id + 2*f + gr + ch) % 8
+                ELSE 0 END) AS BIGINT) AS sum_region_counts,
+           CAST(SUM(flags) AS BIGINT) AS sum_flags
+    FROM fld GROUP BY asset_id, nf ORDER BY asset_id
     """
 )
 

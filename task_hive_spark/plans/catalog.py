@@ -427,25 +427,57 @@ def file_column_stats(table_dir: str, col: str) -> list[dict]:
     return out
 
 
+def recover_staged_swap(live_dir: str) -> None:
+    """Crash recovery for the staged-rewrite directory swap the
+    recluster paths use (write ``<live>_reclustering``, rename live
+    aside to ``<live>_retired``, rename staged in, drop retired). The
+    only unsafe window is between the two renames — the live directory
+    is briefly absent. Calling this at the head of every swap and serve
+    entry makes that window self-healing: if the live dir is missing,
+    promote the staged level when its write completed (Spark's
+    ``_SUCCESS`` marker), else restore the retired level — either way a
+    complete, internally-consistent level is live again with no manual
+    surgery (both candidates are full rewrites of the same rows)."""
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.isdir(live_dir):
+        return
+    staged = live_dir + "_reclustering"
+    retired = live_dir + "_retired"
+    if _os.path.isdir(staged) and _os.path.exists(
+        _os.path.join(staged, "_SUCCESS")
+    ):
+        _os.rename(staged, live_dir)
+        if _os.path.isdir(retired):
+            _shutil.rmtree(retired)
+    elif _os.path.isdir(retired):
+        _os.rename(retired, live_dir)
+
+
+def _utc(v):
+    """Normalize a manifest stat / window bound for comparison.
+
+    Parquet footer timestamp stats are UTC instants; naive window
+    bounds are interpreted as UTC wall-clock (session.py pins
+    spark.sql.session.timeZone=UTC). Normalize BOTH sides to
+    naive-UTC explicitly so a non-UTC process timezone can never
+    shift stats against the window and silently prune a boundary
+    file (a manifest false negative = dropped rows). Every consumer
+    of footer min/max (prune_files, recluster_debt) must route
+    comparisons through this — mixing tz-aware stats with naive
+    bounds raises TypeError before any row is served."""
+    from datetime import datetime, timezone
+
+    if isinstance(v, datetime) and v.tzinfo is not None:
+        return v.astimezone(timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def prune_files(stats: list[dict], lo, hi) -> tuple[list[str], int]:
     """Intersect ``[lo, hi]`` with the manifest: keep files whose
     [min, max] overlaps the window (or whose stats are missing —
     conservative). Returns (kept paths, total files)."""
-
-    from datetime import datetime, timezone
-
-    def _utc(v):
-        # Parquet footer timestamp stats are UTC instants; naive window
-        # bounds are interpreted as UTC wall-clock (session.py pins
-        # spark.sql.session.timeZone=UTC). Normalize BOTH sides to
-        # naive-UTC explicitly so a non-UTC process timezone can never
-        # shift stats against the window and silently prune a boundary
-        # file (a manifest false negative = dropped rows).
-        if isinstance(v, datetime):
-            if v.tzinfo is not None:
-                return v.astimezone(timezone.utc).replace(tzinfo=None)
-            return v
-        return v
 
     lo, hi = _utc(lo), _utc(hi)
     kept = [
@@ -684,7 +716,16 @@ def recluster_debt(stats: list[dict], lo, hi) -> float:
     table's whole key domain (unclustered appends span ~all of it;
     clustered files span ~1/n_files), or no stats at all. Computed from
     the manifest alone. 0.0 for a window no file serves or a
-    single-file table (nothing to recluster)."""
+    single-file table (nothing to recluster). Stats and bounds are
+    normalized through ``_utc`` like ``prune_files`` — tz-aware footer
+    timestamps against naive window bounds must measure debt, not
+    raise, in exactly the environments the prune-path fix targets."""
+    stats = [
+        dict(s, min=_utc(s["min"]), max=_utc(s["max"]))
+        if s["min"] is not None else s
+        for s in stats
+    ]
+    lo, hi = _utc(lo), _utc(hi)
     sized = [s for s in stats if s["min"] is not None]
     if not sized:
         return 1.0 if stats else 0.0
@@ -730,9 +771,16 @@ def serve_window_with_policy(
         merged, stats = recluster_dirs(spark, levels, target_bytes=target_bytes)
         levels = [merged]
     kept, total = prune_files(stats, lo, hi)
-    df = spark.read.parquet(*kept).where(
-        F.col(CLUSTER_COL).between(F.lit(str(lo)), F.lit(str(hi)))
-    )
+    if kept:
+        df = spark.read.parquet(*kept).where(
+            F.col(CLUSTER_COL).between(F.lit(str(lo)), F.lit(str(hi)))
+        )
+    else:
+        # Window overlaps no file: serve an empty scan with the table's
+        # schema (footer-only read of the levels, folded away by the
+        # false predicate) instead of raising on a zero-path read —
+        # mirrors dedup_served_pruned_of's empty-kept fallback.
+        df = spark.read.parquet(*levels).where(F.lit(False))
     info = {
         "debt": debt, "folded": folded, "kept": kept, "total": total,
         "levels": levels, "stats": stats,

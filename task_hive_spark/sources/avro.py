@@ -106,12 +106,15 @@ def write_avro(
     records: list[tuple[int, str, str]],
     codec: str = "deflate",
     block_records: int = 256,
+    sync_name: str | None = None,
 ) -> int:
     """Write one Avro Object Container File of (doc_id, lang, text)
-    records. Returns the record count."""
+    records. Returns the record count. ``sync_name`` lets a temp-file
+    writer seed the sync marker from the FINAL name so the rename-based
+    sink stays byte-reproducible across attempts."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
-    sync = _sync_for(os.path.basename(path).encode())
+    sync = _sync_for(os.path.basename(sync_name or path).encode())
     meta = {
         "avro.schema": json.dumps(AVRO_SCHEMA, separators=(",", ":")).encode(),
         "avro.codec": codec.encode(),
@@ -206,23 +209,36 @@ def write_avro_dir(
     df: DataFrame, out_dir: str, codec: str = "deflate"
 ) -> int:
     """Distributed Avro sink: every partition writes its own container
-    file (part-{pid}.avro) — the connector part-file layout. Returns
-    total records written (read back from the returned counts)."""
+    file (part-{partitionId}.avro) — the connector part-file layout.
+    The name is DETERMINISTIC per partition and the write goes through
+    a task-unique temp file + atomic rename, so a retried or
+    speculative task overwrites its own partition's container instead
+    of leaving a second decodable file that would double-count the
+    partition's records on read. Returns total records written (read
+    back from the returned counts)."""
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
 
     def write_part(batches):
+        import uuid
+
+        from pyspark import TaskContext
+
         rows: list[tuple[int, str, str]] = []
         for pdf in batches:
             rows += list(
                 zip(pdf["doc_id"].astype(int), pdf["lang"], pdf["text"])
             )
-        pid = os.getpid()
-        import uuid
-
-        name = f"part-{pid}-{uuid.uuid4().hex[:8]}.avro"
-        n = write_avro(os.path.join(out_dir, name), rows, codec=codec)
+        part_id = TaskContext.get().partitionId()
+        name = f"part-{part_id:05d}.avro"
+        # hidden + non-.avro: invisible to read_avro_dir's glob even if
+        # a crashed attempt strands it
+        tmp = os.path.join(
+            out_dir, f".part-{part_id:05d}-{uuid.uuid4().hex[:8]}.tmp"
+        )
+        n = write_avro(tmp, rows, codec=codec, sync_name=name)
+        os.replace(tmp, os.path.join(out_dir, name))
         yield pd.DataFrame({"file": [name], "n": [n]})
 
     parts = df.select("doc_id", "lang", "text").mapInPandas(
@@ -257,3 +273,49 @@ def read_avro_dir(spark: SparkSession, in_dir: str) -> DataFrame:
     return files.select("content").mapInPandas(
         decode, schema="doc_id long, lang string, text string"
     )
+
+
+# --- registered round-trip query -------------------------------------------
+
+_AVRO_WRITTEN: dict[tuple[str, str], str] = {}
+
+
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF ingest: derive the shared escaping-probe corpus
+    (textfiles._derived — ONE derivation for every src_ round-trip),
+    write it through the distributed container sink (deflate codec,
+    one container per partition, atomic deterministic names), read it
+    back through the binaryFile + mapInPandas decoder, and profile per
+    language. The oracle is the shared profile SQL over the derivation,
+    so a green hash proves the zigzag-varint / UTF-8 / raw-DEFLATE
+    encode → decode path is byte-lossless — like ORC, there is no text
+    escaping layer to hide behind. Distinct plan shape from the other
+    src_ queries: binaryFile scan → Arrow-batched whole-container
+    decode (the layout stays splittable at scale via the per-block
+    sync markers the writer emits).
+
+    Reference tie: the ingestion family around tasks/spider.go:21-74 —
+    Avro is the columnar-world analogue of its xlsx container."""
+    import tempfile
+
+    from task_hive_spark.sources.textfiles import _derived, _profile
+    from task_hive_spark.streaming.lifecycle import _scratch_root
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AVRO_WRITTEN:
+        out = tempfile.mkdtemp(prefix="ingest_avro_", dir=_scratch_root())
+        write_avro_dir(_derived(spark, sf_dir), out, codec="deflate")
+        _AVRO_WRITTEN[key] = out
+    return _profile(read_avro_dir(spark, _AVRO_WRITTEN[key]))
+
+
+QUERIES = {"src_avro_roundtrip": src_avro_roundtrip}
+
+
+def _oracles() -> dict[str, str]:
+    from task_hive_spark.sources.textfiles import _PROFILE_SQL
+
+    return {"src_avro_roundtrip": _PROFILE_SQL}
+
+
+ORACLES = _oracles()

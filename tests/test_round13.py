@@ -1,0 +1,225 @@
+"""Round-13 additions: batched serves, swap-crash recovery, atomic Avro
+sink, tz-aware debt metric, MP3 side-info decode."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from task_hive_spark.plans.oracle import compare, duckdb_conn
+
+
+# --- batched dedup serve (registered r14; gated here meanwhile) -----------
+
+
+def test_dd_served_batch_matches_oracle(spark, sf_dir):
+    from task_hive_spark.operators.dedup import (
+        DD_SERVED_BATCH_ORACLE,
+        dd_dedup_served_batch,
+    )
+
+    res = compare(
+        "dd_dedup_served_batch",
+        dd_dedup_served_batch(spark, sf_dir),
+        duckdb_conn(sf_dir),
+        DD_SERVED_BATCH_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0  # 5 probe docs at fixture scale
+
+
+def test_dd_served_batch_prunes_to_batch_bound(spark, sf_dir):
+    """kept files ≤ |batch| · LSH_BANDS — the serve reads O(batch)."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.dedup import (
+        BATCH_PROBE_MOD,
+        LSH_BANDS,
+        NEW_OFFSET,
+        _dedup_index_clustered,
+        dedup_served_pruned_of,
+        new_batch_df,
+    )
+
+    idx, stats = _dedup_index_clustered(spark, sf_dir)
+    probe = new_batch_df(spark, sf_dir).where(
+        (F.col("doc_id") - NEW_OFFSET) % BATCH_PROBE_MOD == 0
+    )
+    n_probe = probe.count()
+    _out, kept, total = dedup_served_pruned_of(spark, idx, stats, probe)
+    assert len(kept) <= min(n_probe * LSH_BANDS, total)
+
+
+# --- staged-swap crash recovery --------------------------------------------
+
+
+def _mk_level(path: str, success: bool = True) -> None:
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    if success:
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def test_recover_promotes_completed_staged_level(tmp_path):
+    from task_hive_spark.plans.catalog import recover_staged_swap
+
+    live = str(tmp_path / "buckets")
+    _mk_level(live + "_reclustering")
+    _mk_level(live + "_retired")
+    recover_staged_swap(live)
+    assert os.path.isdir(live)
+    assert not os.path.isdir(live + "_reclustering")
+    assert not os.path.isdir(live + "_retired")  # staged won; retired dropped
+
+
+def test_recover_restores_retired_when_staged_incomplete(tmp_path):
+    from task_hive_spark.plans.catalog import recover_staged_swap
+
+    live = str(tmp_path / "buckets")
+    _mk_level(live + "_reclustering", success=False)  # crashed mid-write
+    _mk_level(live + "_retired")
+    recover_staged_swap(live)
+    assert os.path.isdir(live)
+    assert os.path.isdir(live + "_reclustering")  # left for the next rewrite
+
+
+def test_recover_is_noop_when_live_level_present(tmp_path):
+    from task_hive_spark.plans.catalog import recover_staged_swap
+
+    live = str(tmp_path / "buckets")
+    _mk_level(live)
+    _mk_level(live + "_reclustering")
+    recover_staged_swap(live)
+    assert os.path.isdir(live) and os.path.isdir(live + "_reclustering")
+
+
+# --- Avro sink atomicity ----------------------------------------------------
+
+
+def test_avro_sink_retry_overwrites_not_duplicates(spark, tmp_path):
+    """A re-run of the same partitioned write (the retry/speculation
+    stand-in) must overwrite each partition's container, not add a
+    second decodable file that double-counts on read."""
+    from task_hive_spark.sources.avro import read_avro_dir, write_avro_dir
+
+    df = spark.range(0, 100).selectExpr(
+        "id AS doc_id", "'en' AS lang", "concat('t-', id) AS text"
+    ).repartition(4)
+    out = str(tmp_path / "avro_sink")
+    n1 = write_avro_dir(df, out, codec="deflate")
+    files1 = sorted(f for f in os.listdir(out) if f.endswith(".avro"))
+    n2 = write_avro_dir(df, out, codec="deflate")
+    files2 = sorted(f for f in os.listdir(out) if f.endswith(".avro"))
+    assert n1 == n2 == 100
+    assert files1 == files2  # deterministic names: retry overwrote
+    assert read_avro_dir(spark, out).count() == 100
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+# --- serve_window_with_policy hardening -------------------------------------
+
+
+def test_serve_window_empty_kept_returns_empty_scan(spark, sf_dir):
+    from task_hive_spark.plans.catalog import (
+        delta_table_dirs,
+        serve_window_with_policy,
+    )
+
+    from datetime import datetime
+
+    base, delta, stats = delta_table_dirs(spark, sf_dir)
+    # a window beyond every file's range: no kept files, no fold
+    df, info = serve_window_with_policy(
+        spark, [base, delta], stats, datetime(2999, 1, 1), datetime(2999, 12, 31)
+    )
+    assert info["kept"] == []
+    assert df.count() == 0
+    assert df.columns  # schema preserved from the levels
+
+
+def test_recluster_debt_handles_tz_aware_stats():
+    from datetime import datetime, timezone
+
+    from task_hive_spark.plans.catalog import recluster_debt
+
+    def ts(h, tz=None):
+        return datetime(2026, 8, 16, h, tzinfo=tz)
+
+    utc = timezone.utc
+    stats = [
+        {"path": "a", "min": ts(0, utc), "max": ts(23, utc)},  # loose span
+        {"path": "b", "min": ts(1, utc), "max": ts(2, utc)},
+        {"path": "c", "min": ts(3, utc), "max": ts(4, utc)},
+    ]
+    # naive bounds against tz-aware stats: must measure, not raise
+    debt = recluster_debt(stats, ts(1), ts(4))
+    assert debt == pytest.approx(1 / 3)
+
+
+# --- MP3 side-info decode ----------------------------------------------------
+
+
+def test_mp3_sideinfo_roundtrip_exact():
+    from task_hive_spark.operators.multimodal import (
+        _mp3_geom,
+        _mp3_si_fields,
+        decode_mp3_sideinfo,
+        synth_mp3_sideinfo_bytes,
+    )
+
+    for a in (1, 3, 5, 97, 777, 12345):
+        _, _, nf = _mp3_geom(a)
+        got = decode_mp3_sideinfo(synth_mp3_sideinfo_bytes(a))
+        assert got[0] == nf
+        # spot-check one field sum against the formula source
+        exp_p23 = sum(
+            _mp3_si_fields(a, f, g, c)["p23"]
+            for f in range(nf)
+            for g in range(2)
+            for c in range(2)
+        )
+        assert got[3] == exp_p23
+
+
+def test_mp3_sideinfo_rejects_hostile_streams():
+    from task_hive_spark.operators.multimodal import (
+        decode_mp3_sideinfo,
+        synth_mp3_sideinfo_bytes,
+    )
+
+    clean = bytearray(synth_mp3_sideinfo_bytes(7))
+    with pytest.raises(ValueError):
+        decode_mp3_sideinfo(bytes(clean[: 4 + 16]))  # truncated side info
+    crc = bytearray(clean)
+    crc[1] &= 0xFE  # protection bit 0 = CRC present
+    with pytest.raises(ValueError):
+        decode_mp3_sideinfo(bytes(crc))
+    mono = bytearray(clean)
+    mono[3] |= 0xC0  # channel mode 11 = mono (17-byte side info)
+    with pytest.raises(ValueError):
+        decode_mp3_sideinfo(bytes(mono))
+    with pytest.raises(ValueError):
+        decode_mp3_sideinfo(b"")
+
+
+def test_mp3_sideinfo_bit_positions_are_load_bearing():
+    """Flipping one bit inside a part2_3_length field must move exactly
+    that field's sum — the decode reads real bit positions, not a
+    lookup of the synth formulas."""
+    from task_hive_spark.operators.multimodal import (
+        decode_mp3_sideinfo,
+        synth_mp3_sideinfo_bytes,
+    )
+
+    clean = synth_mp3_sideinfo_bytes(7)
+    base = decode_mp3_sideinfo(clean)
+    # side info starts at byte 4; granule records start after
+    # 9 + 3 + 8 = 20 bits; part2_3_length is the first 12 bits of the
+    # first record — flip its MSB (bit 20 of side info = byte 6, bit 4)
+    mut = bytearray(clean)
+    mut[6] ^= 1 << 3
+    got = decode_mp3_sideinfo(bytes(mut))
+    assert got[3] == base[3] + 2048 or got[3] == base[3] - 2048
+    assert got[4:] == base[4:]  # every later field still decodes intact

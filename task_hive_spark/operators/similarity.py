@@ -1368,7 +1368,11 @@ def sim_topk_pq_served_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the whole chain in-process. At scale the comparison
     inverts: the oracle's recompute grows with the corpus while this
     path's read stays O(nprobe · list) — the property the
-    --served-pruned scale probe pins."""
+    --served-pruned scale probe pins, and the committed sf1 pair now
+    records: 0.78x at sf1 (BASELINE_ratio_sf1_r13.json) vs 4.2x at
+    sf0.1. The batched form (sim_topk_pq_served_batch) is the benched
+    headline serve; this single-probe query stays as the latency
+    witness."""
     idx, stats = _ann_index_clustered(spark, sf_dir)
     out, _kept, _total = ann_served_pruned_of(spark, idx, stats, n_probes=1)
     return out

@@ -1791,7 +1791,11 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection is a literal add. Overflow bound: (ck+1)·(Td+B) ≤
     (T+B)² — int64-safe below ~3e9 corpus tokens, past which the ratio
     splits into two quantized terms exactly like the bigram LM's
-    divisor note."""
+    divisor note.
+
+    Inverts at scale: 0.30x at sf1 (BASELINE_ratio_sf1_r13.json) vs
+    2.3x at sf0.1 — the sf0.1 reading is stage floor, graded
+    floor-class per the README scale rule."""
     lf = _labeled_features(spark, sf_dir)
     labels = _unigram_scores(spark, sf_dir).select("doc_id", "keep")
 

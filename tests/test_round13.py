@@ -204,6 +204,48 @@ def test_mp3_sideinfo_rejects_hostile_streams():
         decode_mp3_sideinfo(b"")
 
 
+def test_mp3_scalefactors_spark_vs_oracle(spark, sf_dir):
+    """The r14-deferred registration gated here meanwhile (like the
+    batched dedup serve): Spark decode vs the arithmetic oracle."""
+    from task_hive_spark.operators.multimodal import (
+        MM_SF_ORACLE,
+        mm_decode_mp3_scalefactors,
+    )
+
+    res = compare(
+        "mm_decode_mp3_scalefactors",
+        mm_decode_mp3_scalefactors(spark, sf_dir),
+        duckdb_conn(sf_dir),
+        MM_SF_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
+def test_mp3_scalefactors_rejects_hostile_streams():
+    from task_hive_spark.operators.multimodal import (
+        decode_mp3_scalefactors,
+        synth_mp3_scalefactor_bytes,
+        synth_mp3_sideinfo_bytes,
+    )
+
+    clean = synth_mp3_scalefactor_bytes(7)
+    with pytest.raises(ValueError):
+        decode_mp3_scalefactors(clean[: 4 + 20])  # truncated side info
+    # the sideinfo synth writes nonzero main_data_begin + window
+    # switching: the scale-factor decoder must refuse, not misread
+    with pytest.raises(ValueError):
+        decode_mp3_scalefactors(synth_mp3_sideinfo_bytes(7))
+    # part2_3_length smaller than the transmitted scalefactor bits:
+    # zero out a granule's 12-bit length field (side-info bits 20..31
+    # = bytes 6..7 of the frame) and expect the accounting to trip
+    mut = bytearray(clean)
+    mut[6] = 0
+    mut[7] &= 0x0F
+    with pytest.raises(ValueError):
+        decode_mp3_scalefactors(bytes(mut))
+
+
 def test_mp3_sideinfo_bit_positions_are_load_bearing():
     """Flipping one bit inside a part2_3_length field must move exactly
     that field's sum — the decode reads real bit positions, not a

@@ -275,6 +275,169 @@ def read_avro_dir(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
+# --- splittable range reader ------------------------------------------------
+# The whole-file reader above is the fixture-scale path; this is the
+# cluster-scale one — the actual Hadoop/Avro split algorithm over the
+# sync markers the writer already emits, so one multi-GB container
+# fans out across tasks instead of pinning one. Contract (the
+# DataFileReader.sync/pastSync rule): a split [start, end) first scans
+# FORWARD from `start` for the 16-byte sync marker (a marker
+# straddling `start` is invisible — it belongs to the previous split's
+# scan), then decodes every block whose start offset is < end + 16;
+# the +16 slack is what makes a block whose sync straddles `end`
+# belong to exactly one split (no gaps, no double-reads — fuzzed over
+# split sizes in tests/test_avro_source.py).
+
+_SYNC_LEN = 16
+
+
+def _file_varint(f) -> int:
+    """Zigzag varint read directly off a file handle."""
+    shift = 0
+    acc = 0
+    while True:
+        b = f.read(1)
+        if not b:
+            raise ValueError("truncated varint")
+        acc |= (b[0] & 0x7F) << shift
+        if not b[0] & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_header_from_file(f) -> tuple[str, bytes, int]:
+    """Parse the container header off an open file: returns
+    (codec, sync marker, first block start offset)."""
+    if f.read(4) != _MAGIC:
+        raise ValueError("not an Avro container")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _file_varint(f)
+        if n == 0:
+            break
+        if n < 0:
+            raise ValueError("negative metadata map block count unsupported")
+        for _ in range(n):
+            klen = _file_varint(f)
+            k = f.read(klen).decode("utf-8")
+            vlen = _file_varint(f)
+            v = f.read(vlen)
+            if len(v) != vlen:
+                raise ValueError("truncated metadata value")
+            meta[k] = v
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    schema = json.loads(meta["avro.schema"])
+    want = [fld["name"] for fld in AVRO_SCHEMA["fields"]]
+    got = [fld["name"] for fld in schema.get("fields", [])]
+    if got != want:
+        raise ValueError(f"unexpected schema fields {got} (want {want})")
+    sync = f.read(_SYNC_LEN)
+    if len(sync) != _SYNC_LEN:
+        raise ValueError("truncated header sync")
+    return codec, sync, f.tell()
+
+
+def _scan_sync(f, sync: bytes, from_pos: int) -> int | None:
+    """First block-start offset at or after ``from_pos``: scan forward
+    for the sync marker (chunked, straddle-safe) and return the
+    position just past it; None if no marker remains."""
+    chunk_size = 1 << 16
+    f.seek(from_pos)
+    buf = b""
+    base = from_pos
+    while True:
+        chunk = f.read(chunk_size)
+        if not chunk:
+            return None
+        buf += chunk
+        i = buf.find(sync)
+        if i != -1:
+            return base + i + _SYNC_LEN
+        if len(buf) > _SYNC_LEN - 1:
+            base += len(buf) - (_SYNC_LEN - 1)
+            buf = buf[-(_SYNC_LEN - 1):]
+
+
+def _decode_split(path: str, start: int, end: int) -> list[tuple[int, str, str]]:
+    """Decode the blocks a split [start, end) owns (module-level so the
+    fuzz test can drive it directly)."""
+    out: list[tuple[int, str, str]] = []
+    with open(path, "rb") as f:
+        codec, sync, first_block = _read_header_from_file(f)
+        file_size = os.fstat(f.fileno()).st_size
+        if start == 0:
+            block_start = first_block
+        else:
+            found = _scan_sync(f, sync, start)
+            if found is None:
+                return out
+            block_start = found
+        while block_start < min(end + _SYNC_LEN, file_size):
+            f.seek(block_start)
+            count = _file_varint(f)
+            size = _file_varint(f)
+            if count < 0 or size < 0:
+                raise ValueError("corrupt block lengths")
+            payload = f.read(size)
+            if len(payload) != size or f.read(_SYNC_LEN) != sync:
+                raise ValueError("truncated block or sync mismatch")
+            if codec == "deflate":
+                payload = zlib.decompress(payload, wbits=-15)
+            bp = 0
+            for _ in range(count):
+                doc_id, bp = _zigzag_decode(payload, bp)
+                lang, bp = _dec_str(payload, bp)
+                text, bp = _dec_str(payload, bp)
+                out.append((doc_id, lang, text))
+            if bp != len(payload):
+                raise ValueError(f"{len(payload) - bp} undecoded bytes in block")
+            block_start = f.tell()
+    return out
+
+
+def read_avro_dir_split(
+    spark: SparkSession, in_dir: str, split_bytes: int = 128 << 20
+) -> DataFrame:
+    """Distributed SPLITTABLE Avro source: the driver lists containers
+    and cuts byte-range splits (catalog-style metadata work — no data
+    reads); each task seeks into its range, syncs forward to a block
+    boundary, and decodes only its blocks. Rows are identical to
+    read_avro_dir's at any split size; with split_bytes below the file
+    size a single large container genuinely fans out across tasks."""
+    import glob as _glob
+
+    import pandas as pd
+
+    splits: list[tuple[str, int, int]] = []
+    for path in sorted(_glob.glob(os.path.join(in_dir, "*.avro"))):
+        size = os.path.getsize(path)
+        for off in range(0, max(size, 1), split_bytes):
+            splits.append((path, off, min(off + split_bytes, size)))
+
+    def decode(batches):
+        for pdf in batches:
+            ids: list[int] = []
+            langs: list[str] = []
+            texts: list[str] = []
+            for path, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+                for doc_id, lang, text in _decode_split(path, int(start), int(end)):
+                    ids.append(doc_id)
+                    langs.append(lang)
+                    texts.append(text)
+            yield pd.DataFrame({"doc_id": ids, "lang": langs, "text": texts})
+
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sdf = spark.createDataFrame(splits, "path string, start long, end long")
+    return sdf.repartition(min(len(splits), nshuf) or 1).mapInPandas(
+        decode, schema="doc_id long, lang string, text string"
+    )
+
+
 # --- registered round-trip query -------------------------------------------
 
 _AVRO_WRITTEN: dict[tuple[str, str], str] = {}

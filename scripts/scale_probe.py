@@ -664,6 +664,31 @@ def served_pruned_probe() -> int:
             "kept_bound": LSH_BANDS, "serve_seconds": serve_s,
             "bounds_ok": ok,
         }))
+        # the BATCHED serve at this scale (r13 headline shape): kept is
+        # bounded by |batch| x bands — O(batch), still never O(index) —
+        # and the answer matches the unpruned serve for the same batch
+        from task_hive_spark.operators.dedup import BATCH_PROBE_MOD
+
+        bprobe = new_batch_df(spark, d).where(
+            f"(doc_id - {NEW_OFFSET}) % {BATCH_PROBE_MOD} = 0"
+        )
+        n_bprobe = bprobe.count()
+        t0 = time.perf_counter()
+        bserved, bkept, btotal = dedup_served_pruned_of(spark, out, stats, bprobe)
+        brows = sorted(map(tuple, bserved.collect()))
+        bserve_s = round(time.perf_counter() - t0, 3)
+        bok = (
+            0 < len(bkept) <= min(n_bprobe * LSH_BANDS, btotal)
+            and brows == sorted(map(tuple, dedup_served_of(spark, out, bprobe).collect()))
+        )
+        bad += 0 if bok else 1
+        print(json.dumps({
+            "probe": "dedup_served_batch", "sf_dir": d,
+            "batch_docs": n_bprobe, "files_total": btotal,
+            "files_kept": len(bkept),
+            "kept_bound": min(n_bprobe * LSH_BANDS, btotal),
+            "serve_seconds": bserve_s, "bounds_ok": bok,
+        }))
         # the LSM loop at this scale: append two loose waves, serve
         # (kept absorbs the delta files, answer invariant), then fold
         # and pin pruning back under the band bound
@@ -716,6 +741,33 @@ def served_pruned_probe() -> int:
             "files_total": atotal, "files_kept": len(akept),
             "kept_bound": NPROBE, "serve_seconds": aserve_s,
             "bounds_ok": aok,
+        }))
+        # the BATCHED ANN serve: kept <= n_probes x NPROBE (the probes'
+        # routed-cell union), answers identical to the same serve run
+        # with a stat-less manifest (= no pruning, every file kept)
+        from task_hive_spark.operators.similarity import BATCH_PROBES
+
+        t0 = time.perf_counter()
+        bserved, bkept, btotal = ann_served_pruned_of(
+            spark, aout, astats, n_probes=BATCH_PROBES
+        )
+        brows = sorted(map(tuple, bserved.collect()))
+        bserve_s = round(time.perf_counter() - t0, 3)
+        nostats = [dict(s, min=None, max=None) for s in astats]
+        unpruned, ukept, _ut = ann_served_pruned_of(
+            spark, aout, nostats, n_probes=BATCH_PROBES
+        )
+        bok = (
+            0 < len(bkept) <= min(BATCH_PROBES * NPROBE, btotal) <= len(ukept)
+            and brows == sorted(map(tuple, unpruned.collect()))
+        )
+        bad += 0 if bok else 1
+        print(json.dumps({
+            "probe": "ann_served_batch", "sf_dir": d,
+            "n_probes": BATCH_PROBES, "files_total": btotal,
+            "files_kept": len(bkept),
+            "kept_bound": min(BATCH_PROBES * NPROBE, btotal),
+            "serve_seconds": bserve_s, "bounds_ok": bok,
         }))
     return 1 if bad else 0
 

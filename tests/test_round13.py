@@ -265,3 +265,56 @@ def test_mp3_sideinfo_bit_positions_are_load_bearing():
     got = decode_mp3_sideinfo(bytes(mut))
     assert got[3] == base[3] + 2048 or got[3] == base[3] - 2048
     assert got[4:] == base[4:]  # every later field still decodes intact
+
+
+# --- triangle census (registered r15; gated here meanwhile) -----------------
+
+
+def test_triangle_stats_matches_oracle(spark, sf_dir):
+    from task_hive_spark.operators.graph import GR_TRIANGLE_ORACLE, gr_triangle_stats
+
+    res = compare(
+        "gr_triangle_stats",
+        gr_triangle_stats(spark, sf_dir),
+        duckdb_conn(sf_dir),
+        GR_TRIANGLE_ORACLE,
+    )
+    assert res.ok, res.detail
+
+
+def test_triangle_stats_matches_bruteforce_model(spark, sf_dir):
+    """Clean-room O(Σ deg²) model over the same derived graph: build
+    adjacency sets in Python and count each triangle at its smallest
+    vertex — no degree ordering, no SQL — then compare every census
+    column."""
+    import duckdb
+
+    from task_hive_spark.operators.graph import PR_LINKS, gr_triangle_stats
+
+    docs = duckdb.sql(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    ids = [r[0] for r in docs]
+    n = len(ids)
+    adj: dict[int, set[int]] = {}
+    for i in ids:
+        for a, b in PR_LINKS:
+            d = (i * a + b) % n
+            if d == i:
+                d = (d + 1) % n
+            if d != i:
+                adj.setdefault(min(i, d), set()).add(max(i, d))
+                adj.setdefault(max(i, d), set()).add(min(i, d))
+    n_edges = sum(len(s) for s in adj.values()) // 2
+    n_wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    tri = 0
+    for u in adj:
+        bigger = {w for w in adj[u] if w > u}
+        for v in bigger:
+            tri += len(bigger & {w for w in adj[v] if w > v})
+    row = gr_triangle_stats(spark, sf_dir).collect()[0]
+    assert row["n_nodes"] == n
+    assert row["n_edges"] == n_edges
+    assert row["n_wedges"] == n_wedges
+    assert row["n_triangles"] == tri
+    assert row["clustering"] == pytest.approx(round(3 * tri / n_wedges, 6))

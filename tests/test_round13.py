@@ -318,3 +318,49 @@ def test_triangle_stats_matches_bruteforce_model(spark, sf_dir):
     assert row["n_wedges"] == n_wedges
     assert row["n_triangles"] == tri
     assert row["clustering"] == pytest.approx(round(3 * tri / n_wedges, 6))
+
+
+# --- ANN append crash-order guarantee ---------------------------------------
+
+
+def test_ann_partial_append_is_invisible_not_wrong(spark, sf_dir, tmp_path):
+    """The advice-fix guarantee, end-to-end: a crash BETWEEN the two
+    appends (vectors landed, cellcodes didn't) leaves the new vectors
+    unroutable — served answers are IDENTICAL to pre-append, never
+    silently missing candidates — and the next update's M-codes-per-
+    vector skew check refuses to extend the damaged index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.similarity import (
+        ann_served_pruned_of,
+        materialize_ann_index_clustered,
+        update_ann_index_clustered,
+    )
+    from task_hive_spark.plans.catalog import file_column_stats
+    from task_hive_spark.sources.fixtures import load_table
+
+    out = str(tmp_path / "anncidx_crash")
+    materialize_ann_index_clustered(spark, sf_dir, out)
+    stats = file_column_stats(os.path.join(out, "cellcodes"), "cell")
+    before = sorted(
+        map(tuple, ann_served_pruned_of(spark, out, stats, n_probes=2)[0].collect())
+    )
+    # simulate the crash: ONLY the vectors append lands (first write in
+    # update_ann_index_clustered's order), cellcodes never follows
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    orphan = emb.limit(3).select(
+        (F.col("vec_id") + 7_000_000_000).alias("vec_id"), "embedding"
+    )
+    orphan.write.mode("append").parquet(os.path.join(out, "vectors"))
+    after = sorted(
+        map(tuple, ann_served_pruned_of(spark, out, stats, n_probes=2)[0].collect())
+    )
+    assert after == before  # unroutable, not wrong
+    # and the next update refuses to build on the skewed index
+    nxt = emb.limit(1).select(
+        (F.col("vec_id") + 8_000_000_000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(RuntimeError, match="skewed"):
+        update_ann_index_clustered(spark, out, nxt)

@@ -364,3 +364,62 @@ def test_ann_partial_append_is_invisible_not_wrong(spark, sf_dir, tmp_path):
     )
     with pytest.raises(RuntimeError, match="skewed"):
         update_ann_index_clustered(spark, out, nxt)
+
+
+# --- protobuf wire-format source (registered r15; gated here meanwhile) -----
+
+
+def test_protowire_message_grammar_is_real():
+    """Wire semantics, not a happy-path parser: proto3 default
+    omission, int64 negatives as 10-byte varints, last-wins repeats,
+    unknown-field skipping by wire type, and loud rejects."""
+    from task_hive_spark.sources.protowire import (
+        _uvarint_encode,
+        decode_doc,
+        encode_doc,
+    )
+
+    # default omission: zero/empty encode to nothing and decode back
+    assert encode_doc(0, "", "") == b""
+    assert decode_doc(b"") == (0, "", "")
+    # negative int64: 10-byte varint
+    enc = encode_doc(-5, "xx", "y")
+    assert decode_doc(enc) == (-5, "xx", "y")
+    assert len(encode_doc(-1, "", "")) == 11  # key + 10-byte varint
+    # unknown fields skip by wire type: varint(4), fixed64(5),
+    # len(6), fixed32(7) interleaved with known fields
+    extra = (
+        _uvarint_encode((4 << 3) | 0) + _uvarint_encode(300)
+        + _uvarint_encode((5 << 3) | 1) + b"\x01" * 8
+        + _uvarint_encode((6 << 3) | 2) + _uvarint_encode(3) + b"abc"
+        + _uvarint_encode((7 << 3) | 5) + b"\x02" * 4
+    )
+    assert decode_doc(extra + encode_doc(9, "de", "t")) == (9, "de", "t")
+    # last-wins for repeated scalar fields
+    assert decode_doc(encode_doc(1, "aa", "x") + encode_doc(2, "bb", ""))[:2] == (2, "bb")
+    # rejects: group wire type, wrong wire type, truncation, field 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_doc(_uvarint_encode((4 << 3) | 3))
+    with _pytest.raises(ValueError):
+        decode_doc(_uvarint_encode((1 << 3) | 2) + _uvarint_encode(1) + b"z")
+    with _pytest.raises(ValueError):
+        decode_doc(encode_doc(7, "en", "body")[:-2])
+    with _pytest.raises(ValueError):
+        decode_doc(_uvarint_encode(0 << 3 | 0) + b"\x00")
+
+
+def test_protowire_roundtrip_matches_profile_oracle(spark, sf_dir):
+    from task_hive_spark.sources.protowire import (
+        SRC_PROTOWIRE_ORACLE,
+        src_protowire_roundtrip,
+    )
+
+    res = compare(
+        "src_protowire_roundtrip",
+        src_protowire_roundtrip(spark, sf_dir),
+        duckdb_conn(sf_dir),
+        SRC_PROTOWIRE_ORACLE,
+    )
+    assert res.ok, res.detail

@@ -423,3 +423,56 @@ def test_protowire_roundtrip_matches_profile_oracle(spark, sf_dir):
         SRC_PROTOWIRE_ORACLE,
     )
     assert res.ok, res.detail
+
+
+# --- Ogg page probe (registered r15; gated here meanwhile) ------------------
+
+
+def test_ogg_probe_matches_oracle(spark, sf_dir):
+    from task_hive_spark.operators.multimodal import MM_OGG_ORACLE, mm_probe_ogg
+
+    res = compare(
+        "mm_probe_ogg", mm_probe_ogg(spark, sf_dir), duckdb_conn(sf_dir), MM_OGG_ORACLE
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
+def test_ogg_crc_catches_any_single_bit_flip():
+    """The CRC property the other container probes don't have: ANY
+    corrupted bit — header or payload — fails the walk."""
+    from task_hive_spark.operators.multimodal import probe_ogg, synth_ogg_bytes
+
+    clean = synth_ogg_bytes(4)
+    probe_ogg(clean)  # sanity
+    for i in range(0, len(clean), 97):  # stride over the whole stream
+        mut = bytearray(clean)
+        mut[i] ^= 0x10
+        with pytest.raises(ValueError):
+            probe_ogg(bytes(mut))
+
+
+def test_ogg_probe_rejects_hostile_framing():
+    import struct
+
+    from task_hive_spark.operators.multimodal import (
+        _ogg_crc,
+        probe_ogg,
+        synth_ogg_bytes,
+    )
+
+    clean = bytearray(synth_ogg_bytes(4))
+    with pytest.raises(ValueError):
+        probe_ogg(bytes(clean[:20]))  # truncated header
+    with pytest.raises(ValueError):
+        probe_ogg(b"")
+    # sequence gap with a VALID CRC: bump seq on page 0 and re-CRC —
+    # the walk must still reject on continuity, not checksum
+    n_segs = clean[26]
+    body = sum(clean[27 : 27 + n_segs])
+    page = bytearray(clean[: 27 + n_segs + body])
+    page[18:22] = struct.pack("<I", 5)
+    page[22:26] = b"\x00\x00\x00\x00"
+    page[22:26] = struct.pack("<I", _ogg_crc(bytes(page)))
+    with pytest.raises(ValueError, match="sequence"):
+        probe_ogg(bytes(page) + bytes(clean[27 + n_segs + body :]))

@@ -366,6 +366,78 @@ def sk_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sk_theta_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-DIFFERENCE cardinalities from the same two theta sketches —
+    the A-not-B operation completing the theta algebra (DataSketches'
+    third set operator next to union/intersection): under the common
+    θ = min(θ_A, θ_B), |A\\B| ≈ |{h ∈ S_A : h < θ, h ∉ S_B}| · D/θ and
+    symmetrically for B\\A; the symmetric difference is their sum. Same
+    scale shape as sk_theta_intersect: both sides sketched
+    independently, the algebra runs on ≤ 2·K rows. Registration
+    deferred to an r15 filler slot (front capacity,
+    __spark_entry__._FRONT_R13); pytest gates it against the held-out
+    SK_THETA_ANOTB_ORACLE meanwhile."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(event_type: str) -> DataFrame:
+        return _bottom_k_hashes(_theta_side_hashes(ev, event_type), THETA_K)
+
+    sa, sb = side(THETA_SIDE_A), side(THETA_SIDE_B)
+    stats = (
+        sa.agg(
+            F.count("*").cast("bigint").alias("n_sketch_a"),
+            F.max(F.when(F.col("rn") == THETA_K, F.col("h"))).alias("kth_a"),
+        )
+        .crossJoin(
+            sb.agg(
+                F.count("*").cast("bigint").alias("n_sketch_b"),
+                F.max(F.when(F.col("rn") == THETA_K, F.col("h"))).alias("kth_b"),
+            )
+        )
+        .withColumn(
+            "theta",
+            F.least(
+                F.coalesce("kth_a", F.lit(1 << 60)),
+                F.coalesce("kth_b", F.lit(1 << 60)),
+            ),
+        )
+    )
+    both = sa.select("h").withColumn("in_a", F.lit(1)).join(
+        sb.select("h").withColumn("in_b", F.lit(1)), "h", "full_outer"
+    )
+    counts = (
+        both.crossJoin(F.broadcast(stats.select("theta")))
+        .where(F.col("h") < F.col("theta"))
+        .agg(
+            F.sum(
+                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNull(), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_anotb"),
+            F.sum(
+                F.when(F.col("in_b").isNotNull() & F.col("in_a").isNull(), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_bnota"),
+        )
+    )
+    d = F.lit(_HASH64_DOMAIN)
+    return stats.crossJoin(F.broadcast(counts)).select(
+        "n_sketch_a",
+        "n_sketch_b",
+        "theta",
+        "n_anotb",
+        "n_bnota",
+        F.floor(F.col("n_anotb") * d / F.col("theta")).cast("bigint").alias(
+            "est_anotb"
+        ),
+        F.floor(F.col("n_bnota") * d / F.col("theta")).cast("bigint").alias(
+            "est_bnota"
+        ),
+        F.floor(
+            (F.col("n_anotb") + F.col("n_bnota")) * d / F.col("theta")
+        ).cast("bigint").alias("est_sym_diff"),
+    )
+
+
 # --- Count-min sketch heavy hitters -------------------------------------
 # Cormode & Muthukrishnan 2005: D independent hash rows × W counters;
 # point estimate = min over rows (one-sided: never under-counts).
@@ -1181,3 +1253,62 @@ ORACLES = {
 # the served daily estimates share the daily query's oracle — the
 # strongest statement that store-served and scan-built answers agree
 ORACLES["sk_hll_daily_served"] = ORACLES["sk_hll_daily"]
+
+
+# sk_theta_anotb's oracle — held OUT of ORACLES until its r15
+# registration; the pytest gate runs it meanwhile. Shares the
+# intersect oracle's whole sketch-construction chain; only the counts
+# block differs (anti-membership under the common theta).
+SK_THETA_ANOTB_ORACLE = f"""
+    WITH ha AS (
+      SELECT DISTINCT
+        CAST(concat('0x', substr(md5('kmv-' || CAST(user_id AS VARCHAR)),
+             1, 15)) AS BIGINT) AS h
+      FROM events WHERE event_type = '{THETA_SIDE_A}'
+    ),
+    hb AS (
+      SELECT DISTINCT
+        CAST(concat('0x', substr(md5('kmv-' || CAST(user_id AS VARCHAR)),
+             1, 15)) AS BIGINT) AS h
+      FROM events WHERE event_type = '{THETA_SIDE_B}'
+    ),
+    sa AS (
+      SELECT h, rn FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha
+      ) WHERE rn <= {THETA_K}
+    ),
+    sb AS (
+      SELECT h, rn FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb
+      ) WHERE rn <= {THETA_K}
+    ),
+    stats AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sa) AS n_sketch_a,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sb) AS n_sketch_b,
+        LEAST(
+          COALESCE((SELECT MAX(h) FROM sa WHERE rn = {THETA_K}), {1 << 60}),
+          COALESCE((SELECT MAX(h) FROM sb WHERE rn = {THETA_K}), {1 << 60})
+        ) AS theta
+    ),
+    merged AS (
+      SELECT COALESCE(sa.h, sb.h) AS h,
+             sa.h IS NOT NULL AS in_a, sb.h IS NOT NULL AS in_b
+      FROM sa FULL OUTER JOIN sb ON sa.h = sb.h
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anotb,
+             CAST(SUM(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bnota
+      FROM merged, stats WHERE h < theta
+    )
+    SELECT n_sketch_a, n_sketch_b, theta, n_anotb, n_bnota,
+           CAST(FLOOR(n_anotb * {_HASH64_DOMAIN!r} / theta) AS BIGINT)
+             AS est_anotb,
+           CAST(FLOOR(n_bnota * {_HASH64_DOMAIN!r} / theta) AS BIGINT)
+             AS est_bnota,
+           CAST(FLOOR((n_anotb + n_bnota) * {_HASH64_DOMAIN!r} / theta)
+                AS BIGINT) AS est_sym_diff
+    FROM stats, counts
+"""

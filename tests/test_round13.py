@@ -476,3 +476,34 @@ def test_ogg_probe_rejects_hostile_framing():
     page[22:26] = struct.pack("<I", _ogg_crc(bytes(page)))
     with pytest.raises(ValueError, match="sequence"):
         probe_ogg(bytes(page) + bytes(clean[27 + n_segs + body :]))
+
+
+# --- theta A-not-B (registered r15; gated here meanwhile) -------------------
+
+
+def test_theta_anotb_matches_oracle(spark, sf_dir):
+    from task_hive_spark.operators.sketches import (
+        SK_THETA_ANOTB_ORACLE,
+        sk_theta_anotb,
+    )
+
+    res = compare(
+        "sk_theta_anotb",
+        sk_theta_anotb(spark, sf_dir),
+        duckdb_conn(sf_dir),
+        SK_THETA_ANOTB_ORACLE,
+    )
+    assert res.ok, res.detail
+
+
+def test_theta_set_algebra_is_consistent(spark, sf_dir):
+    """|A\\B| + |A∩B| retained hashes = A's retained hashes under the
+    common theta — the identity the two operators must share."""
+    from task_hive_spark.operators.sketches import sk_theta_anotb, sk_theta_intersect
+
+    inter = sk_theta_intersect(spark, sf_dir).collect()[0]
+    diff = sk_theta_anotb(spark, sf_dir).collect()[0]
+    assert inter["theta"] == diff["theta"]
+    assert diff["n_anotb"] + diff["n_bnota"] + 2 * inter["n_common"] == (
+        inter["n_union"] + inter["n_common"]
+    )

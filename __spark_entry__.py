@@ -31,6 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 #   pytest-pinned this round, but its REGISTRATION is deferred to an
 #   r14 filler slot — the r14 age-4 cohort is 48, leaving exactly 2
 #   fillers, and the window cannot hold 47 + 4 this round.
+# BANKED registrations (built + held-out-oracle pytest-gated in r13,
+# waiting for filler slots; each gate lives in tests/test_round13.py):
+#   r14 (2 slots, cohort 48): dd_dedup_served_batch (dedup.py),
+#     mm_decode_mp3_scalefactors (multimodal.py).
+#   r15 (6 slots, cohort 44): gr_triangle_stats (graph.py),
+#     src_protowire_roundtrip (sources/protowire.py), mm_probe_ogg
+#     (multimodal.py), sk_theta_anotb (sketches.py) — 2 slots spare.
+#   r16/r17 cohorts are 50 (the r12/r13 fronts): NO filler slots —
+#   plan no new registrations those rounds, or consolidate first.
 # Counts are asserted by scripts/evidence_age.py — derive the r14 front
 # from the script, not this comment.
 _FRONT_R13 = [

@@ -507,3 +507,47 @@ def test_theta_set_algebra_is_consistent(spark, sf_dir):
     assert diff["n_anotb"] + diff["n_bnota"] + 2 * inter["n_common"] == (
         inter["n_union"] + inter["n_common"]
     )
+
+
+# --- FLAC STREAMINFO probe (registered r15; gated here meanwhile) -----------
+
+
+def test_flac_probe_matches_oracle(spark, sf_dir):
+    from task_hive_spark.operators.multimodal import MM_FLAC_ORACLE, mm_probe_flac
+
+    res = compare(
+        "mm_probe_flac",
+        mm_probe_flac(spark, sf_dir),
+        duckdb_conn(sf_dir),
+        MM_FLAC_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
+def test_flac_probe_rejects_hostile_streams():
+    from task_hive_spark.operators.multimodal import probe_flac, synth_flac_bytes
+
+    clean = bytearray(synth_flac_bytes(4))
+    with pytest.raises(ValueError):
+        probe_flac(b"OggSnope")
+    with pytest.raises(ValueError):
+        probe_flac(bytes(clean[:10]))  # truncated STREAMINFO
+    pad_hdr = 4 + 4 + 34  # magic + streaminfo header + body
+    dirty = bytearray(clean)
+    dirty[pad_hdr + 4] = 1  # nonzero byte inside PADDING
+    with pytest.raises(ValueError, match="PADDING"):
+        probe_flac(bytes(dirty))
+    swapped = bytearray(clean)
+    swapped[4] = 0x01  # first block claims PADDING, not STREAMINFO
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        probe_flac(bytes(swapped))
+    # the 20-bit sample-rate field straddles bytes 10..12 of the body
+    # (bits 80..99): flipping its LAST bit — body byte 12 bit 3, i.e.
+    # mask 0x10 — must move ONLY sample_rate, by exactly 1
+    base = probe_flac(bytes(clean))
+    mut = bytearray(clean)
+    mut[8 + 12] ^= 0x10
+    got = probe_flac(bytes(mut))
+    assert got[4] == base[4] ^ 1
+    assert got[:4] == base[:4] and got[5:] == base[5:]

@@ -36,8 +36,9 @@ from pyspark.sql import DataFrame, SparkSession
 #   r14 (2 slots, cohort 48): dd_dedup_served_batch (dedup.py),
 #     mm_decode_mp3_scalefactors (multimodal.py).
 #   r15 (6 slots, cohort 44): gr_triangle_stats (graph.py),
-#     src_protowire_roundtrip (sources/protowire.py), mm_probe_ogg
-#     (multimodal.py), sk_theta_anotb (sketches.py) — 2 slots spare.
+#     src_protowire_roundtrip (sources/protowire.py), mm_probe_ogg +
+#     mm_probe_flac (multimodal.py), sk_theta_anotb (sketches.py) —
+#     1 slot spare.
 #   r16/r17 cohorts are 50 (the r12/r13 fronts): NO filler slots —
 #   plan no new registrations those rounds, or consolidate first.
 # Counts are asserted by scripts/evidence_age.py — derive the r14 front

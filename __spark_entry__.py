@@ -37,10 +37,15 @@ from pyspark.sql import DataFrame, SparkSession
 #     mm_decode_mp3_scalefactors (multimodal.py).
 #   r15 (6 slots, cohort 44): gr_triangle_stats (graph.py),
 #     src_protowire_roundtrip (sources/protowire.py), mm_probe_ogg +
-#     mm_probe_flac (multimodal.py), sk_theta_anotb (sketches.py) —
-#     1 slot spare.
+#     mm_probe_flac (multimodal.py), sk_theta_anotb (sketches.py),
+#     src_warc_ingest (sources/warc.py) — 0 slots spare.
 #   r16/r17 cohorts are 50 (the r12/r13 fronts): NO filler slots —
 #   plan no new registrations those rounds, or consolidate first.
+#   Consolidation plan for r16 (the th_assign_strategies recipe —
+#   parameterize a sweep family under one registration + UNION ALL
+#   oracle): sk_hll_distinct/daily/union → sk_hll_family (frees 2),
+#   sk_quantiles + sk_quantiles_merged → sk_quantiles_family (frees
+#   1). Execute only when a banked query needs the slot.
 # Counts are asserted by scripts/evidence_age.py — derive the r14 front
 # from the script, not this comment.
 _FRONT_R13 = [

@@ -45,7 +45,10 @@ from pyspark.sql import DataFrame, SparkSession
 #   parameterize a sweep family under one registration + UNION ALL
 #   oracle): sk_hll_distinct/daily/union → sk_hll_family (frees 2),
 #   sk_quantiles + sk_quantiles_merged → sk_quantiles_family (frees
-#   1). Execute only when a banked query needs the slot.
+#   1). Execute only when a banked query needs the slot. Queued for
+#   those freed slots: mm_decode_flac_pcm (multimodal.py — the full
+#   Rice/fixed-predictor/decorrelation FLAC decode to exact PCM,
+#   held-out oracle + pytest gate in tests/test_round13.py).
 # Counts are asserted by scripts/evidence_age.py — derive the r14 front
 # from the script, not this comment.
 _FRONT_R13 = [

@@ -2032,6 +2032,512 @@ def probe_flac(content: bytes):
     return fields + (n_blocks, len(payload), sum(payload))
 
 
+# --- REAL FLAC frame decode (RFC 9639 §9) ---------------------------------
+# The full lossless audio entropy layer, pure stdlib and EXACT-INTEGER
+# end to end (FLAC is lossless — unlike JPEG/MP3 there is no oracle-
+# less float stage, so the honest endpoint here is complete PCM
+# recovery): frame headers with the UTF-8-style coded frame number and
+# CRC-8, subframes (CONSTANT / VERBATIM / FIXED orders 0-4) with
+# partitioned-Rice residuals (4-bit parameters, escape codes, wasted
+# bits), stereo decorrelation (left/side, right/side, mid/side), frame
+# CRC-16, and the STREAMINFO MD5 recomputed over the decoded
+# interleaved PCM — the spec's own whole-stream integrity check.
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x^1+1 (0x07), init 0 — frame header."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — whole frame."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _flac_utf8_code(n: int) -> bytes:
+    """The frame header's coded number: UTF-8's length scheme extended
+    to 36 bits / 7 bytes (§9.1.5). k-byte form carries 5k+1 bits."""
+    if n < 0x80:
+        return bytes([n])
+    for k in range(2, 8):
+        if n < (1 << (5 * k + 1)):
+            lead_bits = 7 - k
+            out = bytearray([((0xFF << (lead_bits + 1)) & 0xFF) | (n >> (6 * (k - 1)))])
+            for j in range(k - 2, -1, -1):
+                out.append(0x80 | ((n >> (6 * j)) & 0x3F))
+            return bytes(out)
+    raise ValueError("coded number exceeds 36 bits")
+
+
+def _flac_utf8_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    if pos >= len(buf):
+        raise ValueError("truncated coded number")
+    b0 = buf[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    k = 0
+    while k < 8 and b0 & (0x80 >> k):
+        k += 1
+    if k < 2 or k > 7:
+        raise ValueError("invalid coded-number lead byte")
+    n = b0 & (0x7F >> k)
+    if pos + k > len(buf):
+        raise ValueError("truncated coded number")
+    for j in range(1, k):
+        c = buf[pos + j]
+        if c & 0xC0 != 0x80:
+            raise ValueError("invalid coded-number continuation byte")
+        n = (n << 6) | (c & 0x3F)
+    return n, pos + k
+
+
+class _FlacBitReader(_SiBitReader):
+    def unary(self) -> int:
+        """Count 0 bits until the terminating 1 (§9.2.7.1)."""
+        n = 0
+        while True:
+            if self.take(1):
+                return n
+            n += 1
+
+    def signed(self, length: int) -> int:
+        v = self.take(length)
+        return v - (1 << length) if v >= 1 << (length - 1) else v
+
+
+# Fixed-predictor reconstruction coefficients by order (§9.2.5).
+_FLAC_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+_FLAC_BPS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}
+_FLAC_BPS_OF_CODE = {v: k for k, v in _FLAC_BPS_CODE.items()}
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+
+def _rice_write(bw: "_SiBitWriter", residuals: list[int], order: int, block: int) -> None:
+    """Partitioned Rice, coding method 0 (§9.2.7): 2-bit method, 4-bit
+    partition order, per-partition 4-bit parameter (0b1111 escapes to
+    5-bit raw width). The parameter is chosen adaptively per partition
+    like a real encoder."""
+    p = 0
+    for cand in (3, 2, 1):
+        if block % (1 << cand) == 0 and (block >> cand) > order:
+            p = cand
+            break
+    bw.put(0, 2)
+    bw.put(p, 4)
+    n_parts = 1 << p
+    at = 0
+    for j in range(n_parts):
+        count = (block >> p) - (order if j == 0 else 0)
+        part = residuals[at : at + count]
+        at += count
+        us = [_zigzag(v) for v in part]
+        mean = sum(us) // max(1, len(us))
+        param = min(14, mean.bit_length())
+        if part and max(us).bit_length() - param > 16:
+            # pathological partition: escape to raw (5-bit width)
+            width = max(1, max((v if v >= 0 else -v - 1).bit_length() + 1 for v in part))
+            bw.put(0b1111, 4)
+            bw.put(width, 5)
+            for v in part:
+                bw.put(v, width)
+            continue
+        bw.put(param, 4)
+        for u in us:
+            q = u >> param
+            for _ in range(q):
+                bw.put(0, 1)
+            bw.put(1, 1)
+            if param:
+                bw.put(u & ((1 << param) - 1), param)
+    assert at == len(residuals)
+
+
+def _rice_read(br: _FlacBitReader, order: int, block: int) -> list[int]:
+    method = br.take(2)
+    if method != 0:
+        raise ValueError(f"residual coding method {method} unsupported (5-bit Rice)")
+    p = br.take(4)
+    if block % (1 << p) != 0:
+        raise ValueError("partition order does not divide the block size")
+    out: list[int] = []
+    for j in range(1 << p):
+        count = (block >> p) - (order if j == 0 else 0)
+        if count < 0:
+            raise ValueError("predictor order exceeds the first partition")
+        param = br.take(4)
+        if param == 0b1111:
+            width = br.take(5)
+            out += [br.signed(width) if width else 0 for _ in range(count)]
+            continue
+        for _ in range(count):
+            u = (br.unary() << param) | (br.take(param) if param else 0)
+            out.append((u >> 1) ^ -(u & 1))
+        # (u>>1)^-(u&1) is the zigzag inverse
+    return out
+
+
+def _flac_pcm_geom(asset_id: int) -> dict:
+    """Deterministic stream geometry — shared by synth and oracle.
+    bps stays byte-aligned (8/16) so the STREAMINFO MD5 is the spec's
+    unambiguous little-endian interleaved form."""
+    return {
+        "channels": 1 + asset_id % 2,
+        "bps": 8 + 8 * ((asset_id // 2) % 2),
+        "block": 64 + (asset_id * 3) % 320,  # exercises 8- and 16-bit size codes
+        "n_frames": 2 + asset_id % 3,
+        "last_block": 1 + asset_id % 63,
+        "sample_rate": 8000 + (asset_id * 441) % 600000,
+    }
+
+
+def _flac_signal(asset_id: int, ch: int, i: int, bps: int) -> int:
+    m = 1 << bps
+    return (asset_id * 7 + ch * 13 + i * 31) % m - (m >> 1)
+
+
+def _flac_fixed_residuals(sig: list[int], order: int) -> list[int]:
+    cur = sig
+    for _ in range(order):
+        cur = [cur[i] - cur[i - 1] for i in range(1, len(cur))]
+    return cur
+
+
+def _encode_subframe(bw: "_SiBitWriter", sig: list[int], sbps: int, styp) -> None:
+    bw.put(0, 1)  # mandatory zero pad bit
+    if styp == "verbatim":
+        bw.put(0b000001, 6)
+        bw.put(0, 1)  # no wasted bits
+        for v in sig:
+            bw.put(v, sbps)
+        return
+    order = int(styp)
+    bw.put(0b001000 | order, 6)
+    bw.put(0, 1)
+    for v in sig[:order]:
+        bw.put(v, sbps)
+    _rice_write(bw, _flac_fixed_residuals(sig, order), order, len(sig))
+
+
+def synth_flac_pcm_bytes(asset_id: int) -> bytes:
+    """A COMPLETE decodable FLAC stream: real STREAMINFO (true min/max
+    frame sizes, true PCM MD5), then fixed-blocksize frames carrying
+    verbatim/fixed subframes with partitioned-Rice residuals, stereo
+    decorrelation rotating through all four channel assignments,
+    CRC-8'd headers and CRC-16'd frames."""
+    import hashlib
+
+    g = _flac_pcm_geom(asset_id)
+    channels, bps, block = g["channels"], g["bps"], g["block"]
+    n = (g["n_frames"] - 1) * block + g["last_block"]
+    sig = [[_flac_signal(asset_id, ch, i, bps) for i in range(n)] for ch in range(channels)]
+
+    md5 = hashlib.md5()
+    nbytes = bps // 8
+    for i in range(n):
+        for ch in range(channels):
+            md5.update(sig[ch][i].to_bytes(nbytes, "little", signed=True))
+
+    # stereo lives on odd asset ids, so rotate the assignment on
+    # asset_id // 2 to reach all four modes across consecutive stereo
+    # assets (asset_id % 4 would alias to {1, 3} on odd ids)
+    assign = ("indep", "left_side", "right_side", "mid_side")[(asset_id // 2) % 4]
+    if channels != 2:
+        assign = "indep"
+
+    frames = []
+    at = 0
+    for f in range(g["n_frames"]):
+        fb = block if f < g["n_frames"] - 1 else g["last_block"]
+        chans = [s[at : at + fb] for s in sig]
+        at += fb
+        if assign == "indep":
+            subs = [(c, bps) for c in chans]
+            code = channels - 1
+        else:
+            l, r = chans
+            side = [a - b for a, b in zip(l, r)]
+            if assign == "left_side":
+                subs, code = [(l, bps), (side, bps + 1)], 0b1000
+            elif assign == "right_side":
+                subs, code = [(side, bps + 1), (r, bps)], 0b1001
+            else:
+                mid = [(a + b) >> 1 for a, b in zip(l, r)]
+                subs, code = [(mid, bps), (side, bps + 1)], 0b1010
+
+        hdr = _SiBitWriter()
+        hdr.put(0b11111111111110, 14)
+        hdr.put(0, 1)  # reserved
+        hdr.put(0, 1)  # fixed-blocksize strategy: coded number is a frame index
+        bs_code = 0b0110 if fb <= 256 else 0b0111
+        hdr.put(bs_code, 4)
+        hdr.put(0, 4)  # sample rate: from STREAMINFO
+        hdr.put(code, 4)
+        hdr.put(_FLAC_BPS_CODE[bps], 3)
+        hdr.put(0, 1)  # reserved
+        hbytes = bytearray(hdr.done())
+        hbytes += _flac_utf8_code(f)
+        hbytes += (fb - 1).to_bytes(1 if bs_code == 0b0110 else 2, "big")
+        hbytes.append(_flac_crc8(bytes(hbytes)))
+
+        bw = _SiBitWriter()
+        for b in hbytes:
+            bw.put(b, 8)
+        for k, (ss, sbps) in enumerate(subs):
+            styp = "verbatim" if fb < 16 else ("verbatim", "0", "1", "2", "3", "4")[
+                (f + k + asset_id) % 6
+            ]
+            _encode_subframe(bw, ss, sbps, styp)
+        while bw.nbits % 8:
+            bw.put(0, 1)
+        frame = bytearray(bw.done())
+        frame += _flac_crc16(bytes(frame)).to_bytes(2, "big")
+        frames.append(bytes(frame))
+
+    si = _SiBitWriter()
+    si.put(block, 16)  # min == max blocksize: fixed-blocksize stream
+    si.put(block, 16)  # (the last block is exempt per §8.2)
+    si.put(min(len(fr) for fr in frames), 24)
+    si.put(max(len(fr) for fr in frames), 24)
+    si.put(g["sample_rate"], 20)
+    si.put(channels - 1, 3)
+    si.put(bps - 1, 5)
+    si.put(n, 36)
+    streaminfo = si.done() + md5.digest()
+    assert len(streaminfo) == 34
+    out = bytearray(_FLAC_MAGIC)
+    out += bytes([0x80 | 0x00]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    for fr in frames:
+        out += fr
+    return bytes(out)
+
+
+def _decode_flac_subframe(
+    br: _FlacBitReader, fb: int, sbps: int
+) -> list[int]:
+    if br.take(1):
+        raise ValueError("subframe pad bit is not zero")
+    styp = br.take(6)
+    wasted = 0
+    if br.take(1):  # wasted-bits flag: unary count, stored value + 1
+        wasted = 1
+        while not br.take(1):
+            wasted += 1
+    eff = sbps - wasted
+    if eff <= 0:
+        raise ValueError("wasted bits consume the whole sample width")
+    if styp == 0b000000:  # CONSTANT
+        out = [br.signed(eff)] * fb
+    elif styp == 0b000001:  # VERBATIM
+        out = [br.signed(eff) for _ in range(fb)]
+    elif 0b001000 <= styp <= 0b001100:  # FIXED order 0..4
+        order = styp & 0x07
+        if order > fb:
+            raise ValueError("fixed order exceeds the block size")
+        out = [br.signed(eff) for _ in range(order)]
+        coef = _FLAC_FIXED_COEF[order]
+        for e in _rice_read(br, order, fb):
+            out.append(e + sum(c * out[-1 - j] for j, c in enumerate(coef)))
+    elif 0b100000 <= styp:
+        raise ValueError("LPC subframes are not used by this stream family")
+    else:
+        raise ValueError(f"reserved subframe type {styp:#08b}")
+    return [v << wasted for v in out] if wasted else out
+
+
+def decode_flac_pcm(content: bytes):
+    """REAL full-stream FLAC decode, stdlib only. Walks the metadata
+    chain, then every frame: sync + header grammar + CRC-8, subframe
+    entropy decode (Rice / verbatim / constant, fixed-predictor
+    reconstruction), stereo decorrelation inverse, CRC-16, and finally
+    the STREAMINFO MD5 recomputed over the decoded interleaved PCM —
+    a wrong sample ANYWHERE fails loudly. Returns (channels, bps,
+    n_frames, n_samples, sample_sum, sample_min, sample_max, md5_ok)."""
+    import hashlib
+
+    if content[:4] != _FLAC_MAGIC:
+        raise ValueError(f"not a FLAC stream: {content[:4]!r}")
+    pos, last = 4, False
+    si = None
+    first = True
+    while not last:
+        if pos + 4 > len(content):
+            raise ValueError("truncated block header")
+        hdr = content[pos]
+        last, btype = bool(hdr & 0x80), hdr & 0x7F
+        length = int.from_bytes(content[pos + 1 : pos + 4], "big")
+        pos += 4
+        if pos + length > len(content):
+            raise ValueError(f"truncated metadata block type {btype}")
+        if first:
+            if btype != 0 or length != 34:
+                raise ValueError("first metadata block must be a 34-byte STREAMINFO")
+            br = _SiBitReader(content[pos : pos + 18])
+            si = {
+                "min_block": br.take(16),
+                "max_block": br.take(16),
+                "min_frame": br.take(24),
+                "max_frame": br.take(24),
+                "sample_rate": br.take(20),
+                "channels": br.take(3) + 1,
+                "bps": br.take(5) + 1,
+                "total": br.take(36),
+                "md5": content[pos + 18 : pos + 34],
+            }
+            first = False
+        pos += length
+    if si is None:
+        raise ValueError("no STREAMINFO block")
+    channels, bps = si["channels"], si["bps"]
+    if bps % 8:
+        raise ValueError("only byte-aligned bit depths carry the spec MD5 form")
+
+    pcm: list[list[int]] = [[] for _ in range(channels)]
+    n_frames = 0
+    while pos < len(content):
+        start = pos
+        # ---- header (byte-aligned by construction) ----
+        if pos + 4 > len(content):
+            raise ValueError("truncated frame header")
+        h32 = int.from_bytes(content[pos : pos + 4], "big")
+        if h32 >> 18 != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        if (h32 >> 17) & 1:
+            raise ValueError("frame header reserved bit set")
+        variable = (h32 >> 16) & 1
+        bs_code = (h32 >> 12) & 0xF
+        sr_code = (h32 >> 8) & 0xF
+        ch_code = (h32 >> 4) & 0xF
+        sz_code = (h32 >> 1) & 0x7
+        if h32 & 1:
+            raise ValueError("frame header final reserved bit set")
+        pos += 4
+        num, pos = _flac_utf8_decode(content, pos)
+        if variable:
+            raise ValueError("variable-blocksize streams not produced by this family")
+        if num != n_frames:
+            raise ValueError(f"frame number {num} != expected {n_frames}")
+        if bs_code == 0b0110:
+            fb = content[pos] + 1
+            pos += 1
+        elif bs_code == 0b0111:
+            fb = int.from_bytes(content[pos : pos + 2], "big") + 1
+            pos += 2
+        else:
+            raise ValueError(f"block size code {bs_code:#06b} not used by this family")
+        if sr_code != 0:
+            raise ValueError("sample rate is carried by STREAMINFO in this family")
+        f_bps = _FLAC_BPS_OF_CODE.get(sz_code)
+        if f_bps is None:
+            raise ValueError(f"reserved sample size code {sz_code:#05b}")
+        if f_bps != bps:
+            raise ValueError("frame bit depth contradicts STREAMINFO")
+        if _flac_crc8(content[start:pos]) != content[pos]:
+            raise ValueError(f"frame {num}: header CRC-8 mismatch")
+        pos += 1
+
+        # ---- subframes ----
+        if ch_code <= 0b0111:
+            if ch_code + 1 != channels:
+                raise ValueError("channel count contradicts STREAMINFO")
+            plan = [("plain", bps)] * channels
+        elif ch_code in (0b1000, 0b1001, 0b1010):
+            if channels != 2:
+                raise ValueError("decorrelated frame in a non-stereo stream")
+            side_first = ch_code == 0b1001
+            plan = [
+                ("side", bps + 1) if (k == 0) == side_first else ("plain", bps)
+                for k in range(2)
+            ]
+        else:
+            raise ValueError(f"reserved channel assignment {ch_code:#06b}")
+        br = _FlacBitReader(content)
+        br.pos = pos * 8
+        chans = [_decode_flac_subframe(br, fb, sbps) for _, sbps in plan]
+        br.pos = (br.pos + 7) // 8 * 8  # padding to byte alignment
+        pos = br.pos // 8
+
+        if ch_code == 0b1000:  # left/side
+            l, s = chans
+            chans = [l, [a - b for a, b in zip(l, s)]]
+        elif ch_code == 0b1001:  # right/side
+            s, r = chans
+            chans = [[a + b for a, b in zip(s, r)], r]
+        elif ch_code == 0b1010:  # mid/side
+            m, s = chans
+            m2 = [(a << 1) | (b & 1) for a, b in zip(m, s)]
+            chans = [
+                [(a + b) >> 1 for a, b in zip(m2, s)],
+                [(a - b) >> 1 for a, b in zip(m2, s)],
+            ]
+        if pos + 2 > len(content):
+            raise ValueError("truncated frame footer")
+        want = int.from_bytes(content[pos : pos + 2], "big")
+        if _flac_crc16(content[start:pos]) != want:
+            raise ValueError(f"frame {num}: CRC-16 mismatch")
+        pos += 2
+        frame_len = pos - start
+        if not si["min_frame"] <= frame_len <= si["max_frame"]:
+            raise ValueError(
+                f"frame {num}: {frame_len} bytes outside STREAMINFO bounds "
+                f"[{si['min_frame']}, {si['max_frame']}]"
+            )
+        if pos < len(content) and fb != si["min_block"]:
+            # fixed-blocksize stream: only the LAST frame may be short
+            raise ValueError(f"frame {num}: non-last block size {fb} != stream's")
+        for ch in range(channels):
+            pcm[ch] += chans[ch]
+        n_frames += 1
+
+    n = len(pcm[0]) if channels else 0
+    if n != si["total"]:
+        raise ValueError(f"decoded {n} samples, STREAMINFO claims {si['total']}")
+    md5 = hashlib.md5()
+    nb = bps // 8
+    lo = -(1 << (bps - 1))
+    hi = (1 << (bps - 1)) - 1
+    for row in pcm:
+        for v in row:
+            if not lo <= v <= hi:
+                raise ValueError("decoded sample out of bit-depth range")
+    for i in range(n):
+        for ch in range(channels):
+            md5.update(pcm[ch][i].to_bytes(nb, "little", signed=True))
+    if md5.digest() != si["md5"]:
+        raise ValueError("decoded PCM fails the STREAMINFO MD5")
+    flat = [v for row in pcm for v in row]
+    return (
+        channels,
+        bps,
+        n_frames,
+        n,
+        sum(flat),
+        min(flat),
+        max(flat),
+        1,
+    )
+
+
 # --- REAL WebM/Matroska probe (pure stdlib: EBML varint grammar) ----------
 # The second video container: Matroska is an EBML tree — element IDs
 # and sizes are length-prefixed VARINTS (leading-zero count encodes
@@ -2233,6 +2739,15 @@ _FLAC_PROBE_SCHEMA = (
     "total_samples bigint, n_meta_blocks int, payload_bytes int, "
     "payload_sum bigint"
 )
+_FLAC_PCM_FIELDS = [
+    "channels", "bps", "n_frames", "n_samples", "sample_sum",
+    "sample_min", "sample_max", "md5_ok",
+]
+_FLAC_PCM_SCHEMA = (
+    "asset_id bigint, channels int, bps int, n_frames int, "
+    "n_samples bigint, sample_sum bigint, sample_min int, "
+    "sample_max int, md5_ok int"
+)
 _WEBM_FIELDS = [
     "doctype", "timestamp_scale", "duration_ms", "track_number",
     "track_type", "width", "height",
@@ -2357,6 +2872,31 @@ def mm_probe_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_flac,
         _FLAC_FIELDS,
         _FLAC_PROBE_SCHEMA,
+    )
+
+
+def mm_decode_flac_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE FLAC decode to exact-integer PCM for the wav-format
+    audio assets re-encoded as full FLAC streams: Rice residual
+    entropy decode, fixed-predictor reconstruction, stereo
+    decorrelation inverse, CRC-8/CRC-16, and the STREAMINFO MD5
+    recomputed over the decoded samples. The hash gate then checks the
+    decoded waveform's exact aggregates against the closed-form signal
+    the encoder consumed — the lossless-codec analogue of
+    mm_decode_jpeg_coeffs' dequantized-coefficient check, with no
+    oracle-less float stage left behind. Banked (held-out oracle,
+    pytest-gated) until a filler slot opens — see
+    __spark_entry__._FRONT_R13."""
+    return _codec_roundtrip(
+        spark,
+        sf_dir,
+        (F.col("kind") == "audio")
+        & (F.col("format") == "wav")
+        & F.col("content").isNotNull(),
+        synth_flac_pcm_bytes,
+        decode_flac_pcm,
+        _FLAC_PCM_FIELDS,
+        _FLAC_PCM_SCHEMA,
     )
 
 
@@ -3211,6 +3751,50 @@ MM_FLAC_ORACLE = _oracle_assets_cte(
                 j -> (asset_id * 11 + j * 17) % 255)) AS BIGINT)
              AS payload_sum
     FROM aud ORDER BY asset_id
+    """
+)
+
+# mm_decode_flac_pcm's oracle — held OUT of ORACLES until its
+# registration slot; the pytest gate runs it meanwhile. It aggregates
+# the CLOSED-FORM signal the encoder consumed, so a green hash proves
+# the Rice/fixed-predictor/decorrelation decode recovered every sample
+# exactly (the in-stream MD5 check is the decoder's own belt; this is
+# the independent suspenders).
+MM_FLAC_PCM_ORACLE = _oracle_assets_cte(
+    """
+    , aud AS (
+      SELECT asset_id,
+             1 + asset_id % 2 AS channels,
+             8 + 8 * ((asset_id // 2) % 2) AS bps,
+             64 + (asset_id * 3) % 320 AS block,
+             2 + asset_id % 3 AS n_frames,
+             1 + asset_id % 63 AS last_block
+      FROM assets
+      WHERE kind = 'audio' AND format = 'wav' AND content IS NOT NULL
+    ),
+    geom AS (
+      SELECT asset_id, channels, bps, n_frames,
+             CAST((n_frames - 1) * block + last_block AS BIGINT) AS n
+      FROM aud
+    ),
+    vals AS (
+      SELECT asset_id, channels, bps, n_frames, n,
+             flatten(list_transform(generate_series(0, channels - 1), ch ->
+               list_transform(generate_series(CAST(0 AS BIGINT), n - 1), i ->
+                 ((asset_id * 7 + ch * 13 + i * 31) % (CAST(1 AS BIGINT) << bps))
+                 - (CAST(1 AS BIGINT) << (bps - 1))))) AS v
+      FROM geom
+    )
+    SELECT asset_id,
+           CAST(channels AS INT) AS channels,
+           CAST(bps AS INT) AS bps,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(v) AS BIGINT) AS sample_sum,
+           CAST(list_min(v) AS INT) AS sample_min,
+           CAST(list_max(v) AS INT) AS sample_max,
+           CAST(1 AS INT) AS md5_ok
+    FROM vals ORDER BY asset_id
     """
 )
 

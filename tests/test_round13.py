@@ -551,3 +551,171 @@ def test_flac_probe_rejects_hostile_streams():
     got = probe_flac(bytes(mut))
     assert got[4] == base[4] ^ 1
     assert got[:4] == base[:4] and got[5:] == base[5:]
+
+
+# --- FLAC frame decode to exact PCM (banked; gated here meanwhile) ----------
+
+
+def test_flac_pcm_matches_oracle(spark, sf_dir):
+    from task_hive_spark.operators.multimodal import (
+        MM_FLAC_PCM_ORACLE,
+        mm_decode_flac_pcm,
+    )
+
+    res = compare(
+        "mm_decode_flac_pcm",
+        mm_decode_flac_pcm(spark, sf_dir),
+        duckdb_conn(sf_dir),
+        MM_FLAC_PCM_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
+def test_flac_pcm_roundtrip_covers_every_stereo_mode():
+    """Asset ids 0..7 cycle mono/stereo × 8/16-bit × all four channel
+    assignments; every decoded sample must equal the closed-form
+    signal (the MD5 inside the stream already pins this, but assert
+    the aggregates independently here)."""
+    from task_hive_spark.operators.multimodal import (
+        _flac_pcm_geom,
+        _flac_signal,
+        decode_flac_pcm,
+        synth_flac_pcm_bytes,
+    )
+
+    seen_modes = set()
+    for aid in range(16):
+        g = _flac_pcm_geom(aid)
+        if g["channels"] == 2:
+            seen_modes.add((aid // 2) % 4)
+        n = (g["n_frames"] - 1) * g["block"] + g["last_block"]
+        flat = [
+            _flac_signal(aid, ch, i, g["bps"])
+            for ch in range(g["channels"])
+            for i in range(n)
+        ]
+        got = decode_flac_pcm(synth_flac_pcm_bytes(aid))
+        assert got == (
+            g["channels"], g["bps"], g["n_frames"], n,
+            sum(flat), min(flat), max(flat), 1,
+        ), aid
+    assert seen_modes == {0, 1, 2, 3}  # indep, left/side, right/side, mid/side
+
+
+def test_flac_pcm_any_frame_corruption_is_caught():
+    """Flip a bit at EVERY byte of the frame region: header CRC-8,
+    frame CRC-16, the subframe grammar, the STREAMINFO frame-size
+    bounds and the PCM MD5 must leave no silent position."""
+    from task_hive_spark.operators.multimodal import (
+        decode_flac_pcm,
+        synth_flac_pcm_bytes,
+    )
+
+    clean = synth_flac_pcm_bytes(5)
+    frame_start = 4 + 4 + 34  # magic + block header + STREAMINFO
+    for i in range(frame_start, len(clean)):
+        mut = bytearray(clean)
+        mut[i] ^= 0x04
+        with pytest.raises(ValueError):
+            decode_flac_pcm(bytes(mut))
+
+
+def test_flac_pcm_streaminfo_tampering_is_caught():
+    from task_hive_spark.operators.multimodal import (
+        decode_flac_pcm,
+        synth_flac_pcm_bytes,
+    )
+
+    clean = synth_flac_pcm_bytes(9)
+    body = 8  # STREAMINFO body offset: magic + 4-byte block header
+
+    def flip(off, mask, match):
+        mut = bytearray(clean)
+        mut[body + off] ^= mask
+        with pytest.raises(ValueError, match=match):
+            decode_flac_pcm(bytes(mut))
+
+    # channels field: STREAMINFO bit 101 = body byte 12, mask 0x04
+    flip(12, 0x04, "contradicts|non-stereo|decorrelated")
+    flip(17, 0x01, "claims")                        # total-samples low bit
+    flip(20, 0xFF, "MD5")                           # md5 byte
+    # min_block high byte: the non-last frame no longer matches
+    flip(0, 0x01, "non-last block|bounds|sync|CRC|claims")
+
+
+def test_flac_rice_escape_and_utf8_number_edges():
+    from task_hive_spark.operators.multimodal import (
+        _FlacBitReader,
+        _SiBitWriter,
+        _flac_utf8_code,
+        _flac_utf8_decode,
+        _rice_read,
+        _rice_write,
+    )
+
+    # pathological residuals: one huge outlier among zeros forces the
+    # escape branch (raw 5-bit-width partition); read must invert
+    res = [0] * 31 + [1 << 20]
+    bw = _SiBitWriter()
+    _rice_write(bw, res, 0, 32)
+    while bw.nbits % 8:
+        bw.put(0, 1)
+    br = _FlacBitReader(bw.done())
+    assert _rice_read(br, 0, 32) == res
+
+    # negative residual round trip through plain rice
+    res2 = [-3, 5, 0, -1] * 8
+    bw2 = _SiBitWriter()
+    _rice_write(bw2, res2, 0, 32)
+    while bw2.nbits % 8:
+        bw2.put(0, 1)
+    assert _rice_read(_FlacBitReader(bw2.done()), 0, 32) == res2
+
+    # coded-number boundaries: 1..7 byte forms, reject past 36 bits
+    for n in (0, 0x7F, 0x80, (1 << 11) - 1, 1 << 11, (1 << 16) - 1,
+              (1 << 21) - 1, (1 << 26) - 1, (1 << 31) - 1, (1 << 36) - 1):
+        enc = _flac_utf8_code(n)
+        got, pos = _flac_utf8_decode(enc, 0)
+        assert (got, pos) == (n, len(enc)), n
+    with pytest.raises(ValueError):
+        _flac_utf8_code(1 << 36)
+    with pytest.raises(ValueError):
+        _flac_utf8_decode(b"\x80", 0)  # bare continuation byte
+
+
+def test_flac_constant_and_wasted_bits_subframes():
+    """Grammar paths the synth family doesn't emit: a CONSTANT
+    subframe and a wasted-bits subframe, handwritten bitstreams."""
+    from task_hive_spark.operators.multimodal import (
+        _FlacBitReader,
+        _SiBitWriter,
+        _decode_flac_subframe,
+    )
+
+    bw = _SiBitWriter()
+    bw.put(0, 1); bw.put(0b000000, 6); bw.put(0, 1)  # CONSTANT, no waste
+    bw.put(-7 & 0xFF, 8)
+    while bw.nbits % 8:
+        bw.put(0, 1)
+    assert _decode_flac_subframe(_FlacBitReader(bw.done()), 5, 8) == [-7] * 5
+
+    # verbatim with 2 wasted bits: flag 1, unary 1 zero then 1 -> w=2;
+    # samples stored at 8-2=6 bits, decoder shifts left by 2
+    bw2 = _SiBitWriter()
+    bw2.put(0, 1); bw2.put(0b000001, 6); bw2.put(1, 1)
+    bw2.put(0b01, 2)  # unary: one 0 then the terminating 1
+    for v in (3, -4, 0):
+        bw2.put(v, 6)
+    while bw2.nbits % 8:
+        bw2.put(0, 1)
+    assert _decode_flac_subframe(_FlacBitReader(bw2.done()), 3, 8) == [12, -16, 0]
+
+    # LPC and reserved types reject
+    for typ in (0b100000, 0b000010):
+        bw3 = _SiBitWriter()
+        bw3.put(0, 1); bw3.put(typ, 6); bw3.put(0, 1)
+        while bw3.nbits % 8:
+            bw3.put(0, 1)
+        with pytest.raises(ValueError):
+            _decode_flac_subframe(_FlacBitReader(bw3.done()), 1, 8)

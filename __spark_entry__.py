@@ -48,7 +48,10 @@ from pyspark.sql import DataFrame, SparkSession
 #   1). Execute only when a banked query needs the slot. Queued for
 #   those freed slots: mm_decode_flac_pcm (multimodal.py — the full
 #   Rice/fixed-predictor/decorrelation FLAC decode to exact PCM,
-#   held-out oracle + pytest gate in tests/test_round13.py).
+#   held-out oracle + pytest gate in tests/test_round13.py) and
+#   txt_html_extract (operators/htmlextract.py — boilerplate-removal
+#   main-content extraction, exact-recovery gate in
+#   tests/test_htmlextract.py).
 # Counts are asserted by scripts/evidence_age.py — derive the r14 front
 # from the script, not this comment.
 _FRONT_R13 = [

@@ -41,17 +41,21 @@ from pyspark.sql import DataFrame, SparkSession
 #     src_warc_ingest (sources/warc.py) — 0 slots spare.
 #   r16/r17 cohorts are 50 (the r12/r13 fronts): NO filler slots —
 #   plan no new registrations those rounds, or consolidate first.
-#   Consolidation plan for r16 (the th_assign_strategies recipe —
-#   parameterize a sweep family under one registration + UNION ALL
-#   oracle): sk_hll_distinct/daily/union → sk_hll_family (frees 2),
-#   sk_quantiles + sk_quantiles_merged → sk_quantiles_family (frees
-#   1). Execute only when a banked query needs the slot. Queued for
-#   those freed slots: mm_decode_flac_pcm (multimodal.py — the full
-#   Rice/fixed-predictor/decorrelation FLAC decode to exact PCM,
-#   held-out oracle + pytest gate in tests/test_round13.py) and
+#   Consolidation for r16 is PRE-BUILT (r13): sk_hll_family and
+#   sk_quantiles_family (sketches.py, held-out oracles
+#   SK_HLL_FAMILY_ORACLE / SK_QUANTILES_FAMILY_ORACLE, gates +
+#   variant-slice row-equality pins in tests/test_round13.py). The
+#   r16 swap: RETIRE sk_hll_distinct/daily/union + sk_quantiles +
+#   sk_quantiles_merged (their semantics grade on inside the
+#   families, like the r12 th_assign consolidation), REGISTER the two
+#   families. That shrinks the r16 age-4 cohort by 5 and the registry
+#   to 191, opening 5 front slots: the 2 families themselves plus the
+#   queued banked pair mm_decode_flac_pcm (multimodal.py — full
+#   Rice/fixed-predictor/decorrelation FLAC decode to exact PCM) and
 #   txt_html_extract (operators/htmlextract.py — boilerplate-removal
-#   main-content extraction, exact-recovery gate in
-#   tests/test_htmlextract.py).
+#   main-content extraction), with 1 slot spare. The families are
+#   also the better plans: one fact-table scan per family (quantiles:
+#   ReusedExchange over the monthly partials, plan-pinned).
 # Counts are asserted by scripts/evidence_age.py — derive the r14 front
 # from the script, not this comment.
 _FRONT_R13 = [

@@ -719,3 +719,90 @@ def test_flac_constant_and_wasted_bits_subframes():
             bw3.put(0, 1)
         with pytest.raises(ValueError):
             _decode_flac_subframe(_FlacBitReader(bw3.done()), 1, 8)
+
+
+# --- consolidation families (banked for the r16 swap; gated here) ----------
+
+
+def test_sk_hll_family_matches_oracle(spark, sf_dir):
+    from task_hive_spark.operators.sketches import SK_HLL_FAMILY_ORACLE, sk_hll_family
+
+    res = compare(
+        "sk_hll_family",
+        sk_hll_family(spark, sf_dir),
+        duckdb_conn(sf_dir),
+        SK_HLL_FAMILY_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 3  # per_type rows + daily rows + the union row
+
+
+def test_sk_hll_family_rows_equal_the_per_variant_queries(spark, sf_dir):
+    """The consolidation is a re-arrangement, not a re-derivation: the
+    family's variant slices must equal the standing registrations'
+    answers row for row."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.sketches import (
+        sk_hll_daily,
+        sk_hll_distinct,
+        sk_hll_family,
+        sk_hll_union,
+    )
+
+    fam = sk_hll_family(spark, sf_dir).cache()
+    try:
+        per_type = [
+            tuple(r)
+            for r in fam.where(F.col("variant") == "per_type")
+            .select("event_type", "v_zero", "sum_scaled", "est_distinct")
+            .collect()
+        ]
+        assert per_type == [tuple(r) for r in sk_hll_distinct(spark, sf_dir).collect()]
+        daily = [
+            tuple(r)
+            for r in fam.where(F.col("variant") == "daily")
+            .select("day", "event_type", "v_zero", "sum_scaled", "est_distinct")
+            .collect()
+        ]
+        assert daily == [tuple(r) for r in sk_hll_daily(spark, sf_dir).collect()]
+        union = [
+            tuple(r)
+            for r in fam.where(F.col("variant") == "union")
+            .select("n_groups", "sum_group_ests", "est_union")
+            .collect()
+        ]
+        assert union == [tuple(r) for r in sk_hll_union(spark, sf_dir).collect()]
+    finally:
+        fam.unpersist()
+
+
+def test_sk_quantiles_family_matches_oracle(spark, sf_dir):
+    from task_hive_spark.operators.sketches import (
+        SK_QUANTILES_FAMILY_ORACLE,
+        sk_quantiles_family,
+    )
+
+    res = compare(
+        "sk_quantiles_family",
+        sk_quantiles_family(spark, sf_dir),
+        duckdb_conn(sf_dir),
+        SK_QUANTILES_FAMILY_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
+def test_sk_quantiles_family_scans_lineitem_once(spark, sf_dir):
+    """The family's one-scan claim, plan-asserted on the FINAL adaptive
+    plan (exchange reuse is an AQE runtime decision): the direct
+    variant folds the monthly partials instead of re-scanning, so the
+    shared monthly exchange is read twice and the scan stage runs
+    once."""
+    from task_hive_spark.operators.sketches import sk_quantiles_family
+
+    df = sk_quantiles_family(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan

@@ -299,9 +299,17 @@ def write_warc_gz(path: str, records: list[tuple[int, str, str]], part_id: int =
     """One part file: a warcinfo record then one response record per
     doc, each its own gzip member (mtime pinned to 0 so a task retry
     rewrites byte-identical output)."""
-    out = bytearray(gzip.compress(encode_warcinfo_record(part_id), mtime=0))
+    # level 6 (the warcio/wget default): per-record members compress
+    # ~2x faster than level 9 for ~1% size on this payload mix, and the
+    # output stays deterministic (fixed level + mtime=0), which the
+    # atomic-rename retry discipline relies on
+    out = bytearray(
+        gzip.compress(encode_warcinfo_record(part_id), compresslevel=6, mtime=0)
+    )
     for doc_id, lang, text in records:
-        out += gzip.compress(encode_response_record(int(doc_id), lang, text), mtime=0)
+        out += gzip.compress(
+            encode_response_record(int(doc_id), lang, text), compresslevel=6, mtime=0
+        )
     with open(path, "wb") as f:
         f.write(bytes(out))
     return len(records)

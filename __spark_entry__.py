@@ -51,9 +51,12 @@ from pyspark.sql import DataFrame, SparkSession
 #   families. That shrinks the r16 age-4 cohort by 5 and the registry
 #   to 191, opening 5 front slots: the 2 families themselves plus the
 #   queued banked pair mm_decode_flac_pcm (multimodal.py — full
-#   Rice/fixed-predictor/decorrelation FLAC decode to exact PCM) and
+#   Rice/fixed-predictor/decorrelation FLAC decode to exact PCM),
 #   txt_html_extract (operators/htmlextract.py — boilerplate-removal
-#   main-content extraction), with 1 slot spare. The families are
+#   main-content extraction), and src_arrowipc_roundtrip
+#   (sources/arrowipc.py — stdlib flatbuffers Arrow IPC stream
+#   reader/writer, interop pinned BOTH directions against pyarrow),
+#   filling all 5. The families are
 #   also the better plans: one fact-table scan per family (quantiles:
 #   ReusedExchange over the monthly partials, plan-pinned).
 # Counts are asserted by scripts/evidence_age.py — derive the r14 front

@@ -161,3 +161,78 @@ def test_arrowipc_roundtrip_matches_profile_oracle(spark, sf_dir):
     )
     assert res.ok, res.detail
     assert res.spark_rows > 0
+
+
+def test_arrow_file_format_interop_both_directions():
+    """The seekable FILE format: footer Block geometry, magic framing,
+    EOS — pinned against pyarrow in both directions plus a tail-only
+    footer read (the catalog-style fetch the split reader uses)."""
+    pa = pytest.importorskip("pyarrow")
+    from task_hive_spark.sources.arrowipc import (
+        read_arrow_file,
+        read_arrow_footer,
+        write_arrow_file,
+    )
+
+    raw = write_arrow_file(RECS, batch_rows=512)
+    assert read_arrow_file(raw) == RECS
+    blocks = read_arrow_footer(raw)
+    assert len(blocks) == (len(RECS) + 511) // 512
+    assert read_arrow_footer(raw[-4096:]) == blocks  # tail fetch suffices
+
+    tbl = pa.ipc.open_file(io.BytesIO(raw)).read_all()
+    got = list(zip(*[tbl[c].to_pylist() for c in ("doc_id", "lang", "text")]))
+    assert got == RECS
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in RECS], pa.int64()),
+            "lang": pa.array([r[1] for r in RECS]),
+            "text": pa.array([r[2] for r in RECS]),
+        }
+    )
+    sink = io.BytesIO()
+    with pa.ipc.new_file(sink, t.schema) as w:
+        for b in t.to_batches(max_chunksize=300):
+            w.write_batch(b)
+    assert read_arrow_file(sink.getvalue()) == RECS
+
+
+def test_arrow_file_rejects_hostile_footers():
+    from task_hive_spark.sources.arrowipc import (
+        decode_arrow_block,
+        read_arrow_file,
+        read_arrow_footer,
+        write_arrow_file,
+    )
+
+    raw = write_arrow_file(RECS[:100], batch_rows=32)
+    with pytest.raises(ValueError, match="magic"):
+        read_arrow_footer(raw[:-6] + b"NOTARW")
+    with pytest.raises(ValueError, match="overruns"):
+        read_arrow_footer(raw[-12:])  # tail too short for the footer
+    with pytest.raises(ValueError, match="magic"):
+        read_arrow_file(b"XXXXXX\x00\x00" + raw[8:])
+    off, mlen, blen = read_arrow_footer(raw)[0]
+    with pytest.raises(ValueError, match="does not start a message"):
+        decode_arrow_block(raw, off + 4, mlen, blen)
+
+
+def test_arrow_file_split_reader_distributed(spark, sf_dir, tmp_path):
+    """Footer-cut splits: the driver reads only file tails, every task
+    seeks straight to its blocks, and the union over any batch
+    granularity equals the whole read — no scanning, no overlap."""
+    from task_hive_spark.sources.arrowipc import (
+        read_arrowfile_dir_split,
+        write_arrowfile_dir,
+    )
+    from task_hive_spark.sources.textfiles import _derived, _profile
+
+    src = _derived(spark, sf_dir).repartition(2)
+    out = str(tmp_path / "arrow_file")
+    n = write_arrowfile_dir(src, out, batch_rows=64)  # many blocks per file
+    assert n == src.count() > 0
+
+    got = _profile(read_arrowfile_dir_split(spark, out)).collect()
+    want = _profile(src).collect()
+    assert got == want

@@ -2155,13 +2155,16 @@ def _rice_write(bw: "_SiBitWriter", residuals: list[int], order: int, block: int
         mean = sum(us) // max(1, len(us))
         param = min(14, mean.bit_length())
         if part and max(us).bit_length() - param > 16:
-            # pathological partition: escape to raw (5-bit width)
+            # pathological partition: escape to raw — but the escape's
+            # width field is 5 BITS (≤ 31), so residuals needing more
+            # stay Rice-coded (unary grows, correctness holds)
             width = max(1, max((v if v >= 0 else -v - 1).bit_length() + 1 for v in part))
-            bw.put(0b1111, 4)
-            bw.put(width, 5)
-            for v in part:
-                bw.put(v, width)
-            continue
+            if width <= 31:
+                bw.put(0b1111, 4)
+                bw.put(width, 5)
+                for v in part:
+                    bw.put(v, width)
+                continue
         bw.put(param, 4)
         for u in us:
             q = u >> param

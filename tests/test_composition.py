@@ -96,3 +96,62 @@ def test_aux_cache_lifecycle(spark):
         assert fake == {}, "clear_indexes left live-session aux entries"
     finally:
         m._AUX_CACHES.remove(fake)
+
+
+def test_crawl_to_corpus_pipeline(spark, tmp_path):
+    """The full crawl ingestion path composed end to end: corpus →
+    boilerplate-laden HTML pages → WARC archive (distributed sink,
+    per-record gzip members) → SPLIT-read with resync (4 KB ranges) →
+    HTML main-content extraction → profile hash-identical to the
+    source corpus. Every stage is the real operator; a leaked nav
+    item, swallowed entity, digest slip or split-ownership error
+    anywhere breaks the final equality."""
+    import pandas as pd
+
+    from task_hive_spark.operators.htmlextract import (
+        extract_main_text,
+        synth_html_page,
+    )
+    from task_hive_spark.sources.textfiles import _XML_TAIL, _derived, _profile
+    from task_hive_spark.sources.warc import read_warc_dir_split, write_warc_dir
+
+    d = _derived(spark, SF_DIR, _XML_TAIL)
+
+    def render(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "text": [
+                        synth_html_page(int(i), la, t)
+                        for i, la, t in zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+                    ],
+                }
+            )
+
+    pages = d.repartition(2).mapInPandas(
+        render, schema="doc_id long, lang string, text string"
+    )
+    out = str(tmp_path / "crawl")
+    n = write_warc_dir(pages, out)
+    assert n == d.count() > 0
+
+    crawled = read_warc_dir_split(spark, out, split_bytes=4096)
+
+    def extract(batches):
+        for pdf in batches:
+            langs, texts = [], []
+            for warc_lang, page in zip(pdf["lang"], pdf["text"]):
+                html_lang, text = extract_main_text(page)
+                assert html_lang == warc_lang  # URI and <html lang> agree
+                langs.append(html_lang)
+                texts.append(text)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lang": langs, "text": texts}
+            )
+
+    corpus = crawled.mapInPandas(
+        extract, schema="doc_id long, lang string, text string"
+    )
+    assert _profile(corpus).collect() == _profile(d).collect()

@@ -236,3 +236,38 @@ def test_arrow_file_split_reader_distributed(spark, sf_dir, tmp_path):
     got = _profile(read_arrowfile_dir_split(spark, out)).collect()
     want = _profile(src).collect()
     assert got == want
+
+
+def test_arrowipc_sink_retry_overwrites_not_duplicates(spark, tmp_path):
+    """The avro/warc retry discipline for both Arrow sinks: a re-run
+    overwrites deterministically-named parts; stranded .tmp files are
+    invisible to the *.arrows / *.arrow reader globs."""
+    from task_hive_spark.sources.arrowipc import (
+        read_arrowfile_dir_split,
+        read_arrowipc_dir,
+        write_arrowfile_dir,
+        write_arrowipc_dir,
+    )
+
+    df = (
+        spark.range(0, 100)
+        .selectExpr("id AS doc_id", "'en' AS lang", "concat('t-', id) AS text")
+        .repartition(4)
+    )
+    for writer, reader, suffix in (
+        (write_arrowipc_dir, read_arrowipc_dir, ".arrows"),
+        (
+            lambda d, o: write_arrowfile_dir(d, o, batch_rows=16),
+            read_arrowfile_dir_split,
+            ".arrow",
+        ),
+    ):
+        out = str(tmp_path / f"sink{suffix.replace('.', '_')}")
+        n1 = writer(df, out)
+        files1 = sorted(f for f in os.listdir(out) if f.endswith(suffix))
+        open(os.path.join(out, ".part-00000-deadbeef.tmp"), "wb").write(b"junk")
+        n2 = writer(df, out)
+        files2 = sorted(f for f in os.listdir(out) if f.endswith(suffix))
+        assert n1 == n2 == 100
+        assert files1 == files2
+        assert reader(spark, out).count() == 100

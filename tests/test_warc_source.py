@@ -272,3 +272,32 @@ def test_warc_split_distributed_matches_whole_file(spark, sf_dir, tmp_path):
     got = _profile(read_warc_dir_split(spark, out, split_bytes=4096)).collect()
     want = _profile(src).collect()
     assert got == want
+
+
+def test_warc_sink_retry_overwrites_not_duplicates(spark, tmp_path):
+    """Re-running the partitioned write (the retry/speculation
+    stand-in) must overwrite each partition's archive, not add a
+    second decodable file that double-counts on read — and a stranded
+    hidden .tmp from a failed attempt must be invisible to readers."""
+    from task_hive_spark.sources.warc import (
+        read_warc_dir,
+        read_warc_dir_split,
+        write_warc_dir,
+    )
+
+    df = (
+        spark.range(0, 100)
+        .selectExpr("id AS doc_id", "'en' AS lang", "concat('t-', id) AS text")
+        .repartition(4)
+    )
+    out = str(tmp_path / "warc_sink")
+    n1 = write_warc_dir(df, out)
+    files1 = sorted(f for f in os.listdir(out) if f.endswith(".warc.gz"))
+    # a stranded temp from a crashed attempt
+    open(os.path.join(out, ".part-00001-deadbeef.tmp"), "wb").write(b"junk")
+    n2 = write_warc_dir(df, out)
+    files2 = sorted(f for f in os.listdir(out) if f.endswith(".warc.gz"))
+    assert n1 == n2 == 100
+    assert files1 == files2  # deterministic names: retry overwrote
+    assert read_warc_dir(spark, out).count() == 100
+    assert read_warc_dir_split(spark, out, split_bytes=1024).count() == 100

@@ -344,31 +344,66 @@ def write_warc_dir(df: DataFrame, out_dir: str) -> int:
     return sum(r["n"] for r in parts.collect())
 
 
+def _decode_content_batches(batches):
+    """mapInPandas closure decoding whole ``.warc.gz`` payloads to doc
+    rows — shared by the batch reader and the landing-zone stream."""
+    import pandas as pd
+
+    for pdf in batches:
+        ids: list[int] = []
+        langs: list[str] = []
+        texts: list[str] = []
+        for content in pdf["content"]:
+            for rec in iter_warc_gz(bytes(content)):
+                doc = extract_doc(rec)
+                if doc is not None:
+                    ids.append(doc[0])
+                    langs.append(doc[1])
+                    texts.append(doc[2])
+        yield pd.DataFrame({"doc_id": ids, "lang": langs, "text": texts})
+
+
+_DOC_SCHEMA = "doc_id long, lang string, text string"
+_BIN_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
 def read_warc_dir(spark: SparkSession, in_dir: str) -> DataFrame:
     """Distributed source: ``binaryFile`` over the part files, whole-
     file member walk per task (see the module docstring for the
     split-at-member-boundaries trade)."""
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(os.path.join(in_dir, "*.warc.gz"))
+    return files.select("content").mapInPandas(_decode_content_batches, _DOC_SCHEMA)
 
-    def decode(batches):
-        for pdf in batches:
-            ids: list[int] = []
-            langs: list[str] = []
-            texts: list[str] = []
-            for content in pdf["content"]:
-                for rec in iter_warc_gz(bytes(content)):
-                    doc = extract_doc(rec)
-                    if doc is not None:
-                        ids.append(doc[0])
-                        langs.append(doc[1])
-                        texts.append(doc[2])
-            yield pd.DataFrame({"doc_id": ids, "lang": langs, "text": texts})
 
-    return files.select("content").mapInPandas(
-        decode, schema="doc_id long, lang string, text string"
+def ingest_warc_landing(
+    spark: SparkSession, landing_dir: str, out_dir: str, checkpoint: str
+):
+    """INCREMENTAL crawl ingestion: a landing directory that crawlers
+    drop ``.warc.gz`` segments into, consumed exactly once per file by
+    a ``binaryFile`` file-stream (Structured Streaming's file-source
+    log is the ledger — a re-run with the same checkpoint ingests only
+    files it has not seen), decoded by the same member walk as the
+    batch reader, appended to a parquet corpus. ``Trigger.AvailableNow``
+    drains whatever has landed and stops — the anti-entropy-sweep
+    cadence (streaming/lifecycle.py's T4 discipline) applied to
+    ingestion. Returns the finished query's last progress."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BIN_SCHEMA)
+        .load(os.path.join(landing_dir, "*.warc.gz"))
     )
+    docs = files.select("content").mapInPandas(_decode_content_batches, _DOC_SCHEMA)
+    q = (
+        docs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q.lastProgress
 
 
 # --- splittable range reader ----------------------------------------------

@@ -301,3 +301,38 @@ def test_warc_sink_retry_overwrites_not_duplicates(spark, tmp_path):
     assert files1 == files2  # deterministic names: retry overwrote
     assert read_warc_dir(spark, out).count() == 100
     assert read_warc_dir_split(spark, out, split_bytes=1024).count() == 100
+
+
+def test_warc_landing_stream_ingests_each_file_exactly_once(spark, sf_dir, tmp_path):
+    """The incremental crawl path: drop archives into a landing dir,
+    drain with AvailableNow, drop MORE, drain again with the SAME
+    checkpoint — the second run ingests only the new files (the
+    file-source log is the exactly-once ledger), and the final corpus
+    profile equals the batch read of everything landed."""
+    from task_hive_spark.sources.textfiles import _profile
+    from task_hive_spark.sources.warc import (
+        ingest_warc_landing,
+        read_warc_dir,
+        write_warc_gz,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "corpus")
+    cp = str(tmp_path / "ckpt")
+
+    batch1 = [(i, "en" if i % 2 else "fr", f"crawl doc {i}") for i in range(40)]
+    write_warc_gz(str(landing / "seg-000.warc.gz"), batch1[:20], 0)
+    write_warc_gz(str(landing / "seg-001.warc.gz"), batch1[20:], 1)
+    ingest_warc_landing(spark, str(landing), out, cp)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 40
+
+    batch2 = [(i, "de", f"late doc {i}") for i in range(100, 125)]
+    write_warc_gz(str(landing / "seg-002.warc.gz"), batch2, 2)
+    ingest_warc_landing(spark, str(landing), out, cp)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 65  # 40 old NOT re-ingested + 25 new
+
+    want = _profile(read_warc_dir(spark, str(landing))).collect()
+    assert _profile(got2).collect() == want

@@ -806,3 +806,29 @@ def test_sk_quantiles_family_scans_lineitem_once(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_protowire_sink_retry_overwrites_not_duplicates(spark, tmp_path):
+    """The avro/warc/arrow retry discipline for the protobuf stream
+    sink too: deterministic part names, stranded .tmp invisible."""
+    import os
+
+    from task_hive_spark.sources.protowire import (
+        read_protowire_dir,
+        write_protowire_dir,
+    )
+
+    df = (
+        spark.range(0, 100)
+        .selectExpr("id AS doc_id", "'en' AS lang", "concat('t-', id) AS text")
+        .repartition(4)
+    )
+    out = str(tmp_path / "pw_sink")
+    n1 = write_protowire_dir(df, out)
+    files1 = sorted(f for f in os.listdir(out) if f.endswith(".pbs"))
+    open(os.path.join(out, ".part-00002-deadbeef.tmp"), "wb").write(b"junk")
+    n2 = write_protowire_dir(df, out)
+    files2 = sorted(f for f in os.listdir(out) if f.endswith(".pbs"))
+    assert n1 == n2 == 100
+    assert files1 == files2
+    assert read_protowire_dir(spark, out).count() == 100

@@ -626,7 +626,15 @@ def read_arrowfile_dir_split(
     for path in sorted(_glob.glob(os.path.join(in_dir, "*.arrow"))):
         size = os.path.getsize(path)
         with open(path, "rb") as f:
-            f.seek(max(0, size - (1 << 16)))
+            # two exact tail fetches: 10 bytes for the footer length,
+            # then footer+trailer — correct at ANY block count (a fixed
+            # 64 KB guess breaks past ~2700 batches per file)
+            if size < 10:
+                raise ValueError(f"{path}: too short to be an Arrow file")
+            f.seek(size - 10)
+            flen = struct.unpack("<i", f.read(4))[0]
+            need = min(size, flen + 10)
+            f.seek(size - need)
             blocks = read_arrow_footer(f.read())
         for off, mlen, blen in blocks:
             splits.append((path, off, mlen, blen))

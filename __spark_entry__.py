@@ -272,3 +272,42 @@ def oracle_sql() -> dict[str, str]:
     out.update(sketches.ORACLES)
     out.update(sketchstream.ORACLES)
     return out
+
+
+def banked() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]]:
+    """The held-out-oracle queries built ahead of their registration
+    slots (the roadmap in _FRONT_R13's comment): name → (callable,
+    oracle SQL). NOT part of the driver contract — the driver grades
+    queries()/oracle_sql() only — but future rounds register an entry
+    by moving it into those maps verbatim, and
+    scripts/verify_banked.py value-checks this whole surface at any
+    sf_dir (the pytest gates cover it per-query meanwhile)."""
+    from task_hive_spark.operators import dedup, graph, htmlextract, multimodal, sketches
+    from task_hive_spark.sources import arrowipc, protowire, warc
+
+    return {
+        # r14 filler slots
+        "dd_dedup_served_batch": (
+            dedup.dd_dedup_served_batch, dedup.DD_SERVED_BATCH_ORACLE),
+        "mm_decode_mp3_scalefactors": (
+            multimodal.mm_decode_mp3_scalefactors, multimodal.MM_SF_ORACLE),
+        # r15 filler slots
+        "gr_triangle_stats": (
+            graph.gr_triangle_stats, graph.GR_TRIANGLE_ORACLE),
+        "src_protowire_roundtrip": (
+            protowire.src_protowire_roundtrip, protowire.SRC_PROTOWIRE_ORACLE),
+        "mm_probe_ogg": (multimodal.mm_probe_ogg, multimodal.MM_OGG_ORACLE),
+        "mm_probe_flac": (multimodal.mm_probe_flac, multimodal.MM_FLAC_ORACLE),
+        "sk_theta_anotb": (sketches.sk_theta_anotb, sketches.SK_THETA_ANOTB_ORACLE),
+        "src_warc_ingest": (warc.src_warc_ingest, warc.SRC_WARC_ORACLE),
+        # r16: consolidation families + the queue for their freed slots
+        "sk_hll_family": (sketches.sk_hll_family, sketches.SK_HLL_FAMILY_ORACLE),
+        "sk_quantiles_family": (
+            sketches.sk_quantiles_family, sketches.SK_QUANTILES_FAMILY_ORACLE),
+        "mm_decode_flac_pcm": (
+            multimodal.mm_decode_flac_pcm, multimodal.MM_FLAC_PCM_ORACLE),
+        "txt_html_extract": (
+            htmlextract.txt_html_extract, htmlextract.TXT_HTML_ORACLE),
+        "src_arrowipc_roundtrip": (
+            arrowipc.src_arrowipc_roundtrip, arrowipc.SRC_ARROWIPC_ORACLE),
+    }

@@ -160,8 +160,7 @@ class _FBBuilder:
         return len(self.buf)
 
     def struct_vector(self, fmt: str, rows: list[tuple]) -> int:
-        width = struct.calcsize(fmt)
-        self.pad(8, 0)  # struct alignment (our structs are int64 pairs)
+        self.pad(8, 0)  # struct alignment (our structs lead with int64)
         for row in reversed(rows):
             self._prepend(struct.pack(fmt, *row))
         self.pad(4, 4)

@@ -39,8 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 #     src_protowire_roundtrip (sources/protowire.py), mm_probe_ogg +
 #     mm_probe_flac (multimodal.py), sk_theta_anotb (sketches.py),
 #     src_warc_ingest (sources/warc.py) — 0 slots spare.
-#   r16/r17 cohorts are 50 (the r12/r13 fronts): NO filler slots —
-#   plan no new registrations those rounds, or consolidate first.
+#   r16/r17 cohorts are 50 (the r12/r13 fronts): NO filler slots
+#   BEFORE consolidation. AFTER the r16 swap below executes, the r17
+#   cohort shrinks to 48 (sk_quantiles + sk_quantiles_merged, both in
+#   _FRONT_R13, retire at r16) — r17 then has 2 filler slots, queued:
+#   sim_topk_sq8 (similarity.py — flat scalar-quantized ANN, the
+#   third quantization family) + 1 spare.
 #   Consolidation for r16 is PRE-BUILT (r13): sk_hll_family and
 #   sk_quantiles_family (sketches.py, held-out oracles
 #   SK_HLL_FAMILY_ORACLE / SK_QUANTILES_FAMILY_ORACLE, gates +
@@ -282,7 +286,14 @@ def banked() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]]:
     by moving it into those maps verbatim, and
     scripts/verify_banked.py value-checks this whole surface at any
     sf_dir (the pytest gates cover it per-query meanwhile)."""
-    from task_hive_spark.operators import dedup, graph, htmlextract, multimodal, sketches
+    from task_hive_spark.operators import (
+        dedup,
+        graph,
+        htmlextract,
+        multimodal,
+        similarity,
+        sketches,
+    )
     from task_hive_spark.sources import arrowipc, protowire, warc
 
     return {
@@ -310,4 +321,7 @@ def banked() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]]:
             htmlextract.txt_html_extract, htmlextract.TXT_HTML_ORACLE),
         "src_arrowipc_roundtrip": (
             arrowipc.src_arrowipc_roundtrip, arrowipc.SRC_ARROWIPC_ORACLE),
+        # r17 filler slots (2, opened by the r16 consolidation retiring
+        # sk_quantiles + sk_quantiles_merged out of the r17 cohort)
+        "sim_topk_sq8": (similarity.sim_topk_sq8, similarity.SIM_SQ8_ORACLE),
     }

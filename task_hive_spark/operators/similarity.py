@@ -815,6 +815,76 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_ranges(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    """Per-dimension (min, span) of the corpus — the trained scalar
+    quantizer. 64 doubles each: an index-build-time constant collected
+    to the driver, the IVF-centroid precedent (never row-scale data).
+    min/max of exact float32→double values are exact, so precomputing
+    span = mx - mn on the driver is bit-identical to computing it
+    inline engine-side."""
+    rows = (
+        _emb(spark, sf_dir)
+        .select(F.posexplode("embedding").alias("pos", "x"))
+        .select("pos", F.col("x").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    assert len(rows) == DIM
+    return [r["mn"] for r in rows], [r["mx"] - r["mn"] for r in rows]
+
+
+def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat SCALAR-QUANTIZED ANN (the FAISS IndexScalarQuantizer
+    SQ8 layout) — the third quantization family next to LSH banding
+    and IVF-PQ: each dimension is linearly mapped to an 8-bit code
+    against trained per-dim min/max, and candidates are scored by
+    cosine against the DEQUANTIZED vector, never the raw corpus — a
+    4x-compressed full scan (int8 per dim vs float32), the standard
+    memory/recall trade below PQ's. Quantize→dequantize runs as ONE
+    whole-stage-codegen transform over literal range arrays (no
+    explode, no shuffle, no Python); scoring reuses the brute scan's
+    broadcast-probe shape and the shared _topk_ranked tail. The
+    oracle mirrors the identical affine/floor arithmetic, so the gate
+    checks the QUANTIZED scores, not just the ranking.
+
+    The code formula is floor(x*255/span + 0.5) — explicit half-up in
+    both engines (the sim_pq_codes rounding discipline)."""
+    mn, span = _sq8_ranges(spark, sf_dir)
+    mn_arr = F.array(*[F.lit(v) for v in mn])
+    span_arr = F.array(*[F.lit(v) for v in span])
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x, i: x.cast("double")).alias("v"),
+    )
+    recon = F.transform(
+        "v",
+        lambda x, i: F.when(F.element_at(span_arr, i + 1) == 0.0, F.element_at(mn_arr, i + 1)).otherwise(
+            F.element_at(mn_arr, i + 1)
+            + F.floor(
+                (x - F.element_at(mn_arr, i + 1)) * 255 / F.element_at(span_arr, i + 1)
+                + 0.5
+            )
+            * F.element_at(span_arr, i + 1)
+            / 255
+        ),
+    )
+    deq = e.select("vec_id", recon.alias("rv"))
+    probes = _probe_emb(spark, sf_dir).select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform("embedding", lambda x, i: x.cast("double")).alias("pv"),
+    )
+    scored = deq.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("probe_id")
+    ).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("pv"), F.col("rv")), 6).alias("sq8_sim"),
+    )
+    return _topk_ranked(scored, "sq8_sim")
+
+
 def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str, nprobe: int = NPROBE) -> DataFrame:
     """IVF-PQ ANN (Jégou et al. 2011 — the billion-scale serving
     layout): coarse IVF cells bound the search to nprobe cells, and
@@ -1917,3 +1987,48 @@ ORACLES["sim_topk_pq_served_pruned"] = ORACLES["sim_topk_pq_refined"].replace(
 ORACLES["sim_topk_pq_served_batch"] = ORACLES["sim_topk_pq_refined"].replace(
     f"LIMIT {K_PROBES}", f"LIMIT {BATCH_PROBES}"
 )
+
+
+# sim_topk_sq8's oracle — held OUT of ORACLES until its r17 filler
+# slot (opened by the r16 consolidation retiring the two quantile
+# registrations out of the r17 cohort); the pytest gate runs it
+# meanwhile. The affine/floor arithmetic is transcribed identically:
+# mn + floor((x - mn) * 255 / span + 0.5) * span / 255.
+SIM_SQ8_ORACLE = f"""
+        WITH {_DE},
+        dims AS (
+          SELECT s.pos AS pos, MIN(d.v[s.pos]) AS mn, MAX(d.v[s.pos]) AS mx
+          FROM de d,
+               LATERAL (SELECT unnest(generate_series(1, {DIM})) AS pos) s
+          GROUP BY s.pos
+        ),
+        ranges AS (
+          SELECT list(mn ORDER BY pos) AS mn_arr,
+                 list(mx - mn ORDER BY pos) AS span_arr
+          FROM dims
+        ),
+        deq AS (
+          SELECT vec_id,
+                 list_transform(generate_series(1, {DIM}), i ->
+                   CASE WHEN span_arr[i] = 0.0 THEN mn_arr[i]
+                        ELSE mn_arr[i]
+                             + FLOOR((v[i] - mn_arr[i]) * 255 / span_arr[i]
+                                     + 0.5) * span_arr[i] / 255
+                   END) AS rv
+          FROM de, ranges
+        ),
+        probe_ids AS (SELECT vec_id FROM de WHERE vec_id % {PROBE_MOD} = 0
+                      ORDER BY vec_id LIMIT {K_PROBES}),
+        probes AS (SELECT vec_id AS probe_id, v AS pv FROM de
+                   WHERE vec_id IN (SELECT vec_id FROM probe_ids)),
+        scored AS (
+          SELECT probe_id, d.vec_id AS neighbor_id,
+                 ROUND({_COS.format(a='pv', b='d.rv')}, 6) AS sq8_sim
+          FROM probes p JOIN deq d ON d.vec_id != p.probe_id
+        )
+        SELECT probe_id, rank, neighbor_id, sq8_sim FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY sq8_sim DESC, neighbor_id) AS rank
+          FROM scored
+        ) r WHERE rank <= {TOP_K} ORDER BY probe_id, rank
+"""

@@ -832,3 +832,41 @@ def test_protowire_sink_retry_overwrites_not_duplicates(spark, tmp_path):
     assert n1 == n2 == 100
     assert files1 == files2
     assert read_protowire_dir(spark, out).count() == 100
+
+
+# --- SQ8 scalar-quantized ANN (banked for an r17 slot) ----------------------
+
+
+def test_sim_topk_sq8_matches_oracle(spark, sf_dir):
+    from task_hive_spark.operators.similarity import SIM_SQ8_ORACLE, sim_topk_sq8
+
+    res = compare(
+        "sim_topk_sq8",
+        sim_topk_sq8(spark, sf_dir),
+        duckdb_conn(sf_dir),
+        SIM_SQ8_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
+def test_sim_topk_sq8_quantization_is_real_but_faithful(spark, sf_dir):
+    """The quantized scores must genuinely differ from exact cosine
+    (else the 'quantizer' is the identity) while ranking nearly the
+    same neighbors (SQ8's whole point: 4x compression, small recall
+    loss)."""
+    from task_hive_spark.operators.similarity import sim_topk_brute, sim_topk_sq8
+
+    brute = {
+        (r["probe_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim_topk_brute(spark, sf_dir).collect()
+    }
+    sq8 = {
+        (r["probe_id"], r["neighbor_id"]): r["sq8_sim"]
+        for r in sim_topk_sq8(spark, sf_dir).collect()
+    }
+    assert any(
+        abs(sq8[k] - brute[k]) > 1e-6 for k in sq8.keys() & brute.keys()
+    ), "quantized scores identical to exact cosine — quantization is a no-op"
+    overlap = len(sq8.keys() & brute.keys()) / len(brute)
+    assert overlap >= 0.8, f"SQ8 recall vs brute collapsed: {overlap:.2f}"

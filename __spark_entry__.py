@@ -44,7 +44,9 @@ from pyspark.sql import DataFrame, SparkSession
 #   cohort shrinks to 48 (sk_quantiles + sk_quantiles_merged, both in
 #   _FRONT_R13, retire at r16) — r17 then has 2 filler slots, queued:
 #   sim_topk_sq8 (similarity.py — flat scalar-quantized ANN, the
-#   third quantization family) + 1 spare.
+#   third quantization family) and dd_cdc_chunks (dedup.py —
+#   content-defined chunking, the insertion-robust production form of
+#   sub-document dedup) — 0 spare.
 #   Consolidation for r16 is PRE-BUILT (r13): sk_hll_family and
 #   sk_quantiles_family (sketches.py, held-out oracles
 #   SK_HLL_FAMILY_ORACLE / SK_QUANTILES_FAMILY_ORACLE, gates +
@@ -324,4 +326,5 @@ def banked() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str]]:
         # r17 filler slots (2, opened by the r16 consolidation retiring
         # sk_quantiles + sk_quantiles_merged out of the r17 cohort)
         "sim_topk_sq8": (similarity.sim_topk_sq8, similarity.SIM_SQ8_ORACLE),
+        "dd_cdc_chunks": (dedup.dd_cdc_chunks, dedup.DD_CDC_ORACLE),
     }

@@ -1880,3 +1880,194 @@ WHERE split_a != split_b
 GROUP BY kind, split_a, split_b
 ORDER BY kind, split_a, split_b
 """
+
+
+# --- content-defined chunking (banked for an r17 slot) ---------------------
+# LBFS-style CDC (Muthitacharoen et al. 2001, the rsync/dedup-storage
+# family): chunk boundaries are decided by a rolling hash of the text
+# itself, so an insertion re-synchronizes within one window and the
+# rest of the document keeps its chunk fingerprints — the property
+# fixed-stride chunking (dd_chunk_dedup) fundamentally lacks, and the
+# reason production dedup stores cut content-defined. The rolling hash
+# is written in CLOSED FORM — h(i) = Σ_{k<W} gear(cp(i−k))·2^k — so
+# both engines compute the cut set as a pure per-position expression
+# (no sequential state): one whole-stage-codegen projection per doc,
+# no explode before the chunk spans, no shuffle until the fingerprint
+# groupBy. The boundary modulus is PRIME (61): with the 2^k weights, a
+# power-of-two modulus would blind the decision to all but the newest
+# log2(M) characters of the window.
+
+CDC_W = 16  # rolling window (characters)
+CDC_MOD = 61  # prime → expected chunk length ≈ 61 chars at fixture scale
+
+
+def _cdc_gear() -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"gear-{b}".encode()).hexdigest()[:8], 16)
+        for b in range(256)
+    ]
+
+
+CDC_GEAR = _cdc_gear()
+
+
+def cdc_cut_positions(text: str) -> list[int]:
+    """Pure-Python reference model of the cut-set (tests pin the Spark
+    expression to this, the oracle mirrors it in SQL)."""
+    cps = [ord(c) for c in text]
+    n = len(cps)
+    cuts = []
+    for i in range(CDC_W, n + 1):  # 1-indexed position of the window end
+        h = sum(
+            CDC_GEAR[cps[i - 1 - k] % 256] << k for k in range(CDC_W)
+        )
+        if h % CDC_MOD == 0:
+            cuts.append(i)
+    return cuts
+
+
+def cdc_chunks_model(text: str) -> list[tuple[int, str]]:
+    """(start, chunk) list per the shared definition."""
+    bounds = [0] + cdc_cut_positions(text) + [len(text)]
+    out = []
+    for a, b in zip(bounds, bounds[1:]):
+        if b > a:
+            out.append((a, text[a:b]))
+    return out
+
+
+def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined duplicate chunks over the augmented corpus:
+    gear-hash cut set per doc (closed form, all inside whole-stage
+    codegen), spans → chunk substrings → md5 fingerprints, ONE shuffle
+    on the fingerprint, duplicate groups (count > 1) with the
+    lexicographically-first (doc_id, start) as canonical — the
+    dd_chunk_dedup output contract with content-defined geometry.
+    Banked for an r17 filler slot (__spark_entry__._FRONT_R13 roadmap);
+    pytest gates it against DD_CDC_ORACLE meanwhile."""
+    g_lit = F.array(*[F.lit(v) for v in CDC_GEAR])
+    pw_lit = F.array(*[F.lit(1 << k) for k in range(CDC_W)])
+
+    d = corpus_df(spark, sf_dir).where(F.length("text") > 0)
+    cps = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    n = F.length("text")
+
+    def h(i):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(CDC_W - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, k: acc
+            + F.element_at(
+                g_lit, (F.pmod(F.element_at(F.col("cps"), (i - k).cast("int")), F.lit(256)) + 1).cast("int")
+            ).cast("long")
+            * F.element_at(pw_lit, (k + 1).cast("int")).cast("long"),
+        )
+
+    cuts = F.when(
+        n >= CDC_W,
+        F.filter(
+            F.sequence(F.lit(CDC_W), n),
+            lambda i: h(i) % CDC_MOD == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+    rows = d.select("doc_id", "text", cps.alias("cps")).select(
+        "doc_id", "text", cuts.alias("cuts")
+    )
+    b = F.concat(
+        F.array(F.lit(0)), F.col("cuts"), F.array(F.length("text"))
+    )
+    spans = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(b) - 1),
+            lambda j: F.struct(
+                F.element_at(b, j.cast("int")).alias("start"),
+                (F.element_at(b, (j + 1).cast("int")) - F.element_at(b, j.cast("int"))).alias(
+                    "ln"
+                ),
+            ),
+        ),
+        lambda s: s["ln"] > 0,
+    )
+    chunks = rows.select("doc_id", "text", F.explode(spans).alias("s")).select(
+        "doc_id",
+        F.col("s.start").cast("bigint").alias("start"),
+        F.col("text").substr(F.col("s.start") + 1, F.col("s.ln")).alias("chunk"),
+    )
+    from task_hive_spark.functions.report import report_sort
+
+    agg = (
+        chunks.groupBy(F.md5("chunk").alias("fingerprint"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.max(F.length("chunk")).cast("int").alias("chunk_len"),
+            F.min(F.struct("doc_id", "start")).alias("c"),
+        )
+        .where(F.col("n_occurrences") > 1)
+        .select(
+            "fingerprint",
+            "n_occurrences",
+            "n_docs",
+            "chunk_len",
+            F.col("c.doc_id").cast("bigint").alias("canonical_doc"),
+            F.col("c.start").cast("bigint").alias("canonical_start"),
+        )
+    )
+    return report_sort(agg, "fingerprint")
+
+
+_CDC_GEAR_SQL = "[" + ", ".join(str(v) for v in CDC_GEAR) + "]"
+
+# dd_cdc_chunks' oracle — held OUT of ORACLES until its r17 slot; the
+# pytest gate runs it meanwhile. Same closed-form hash, same span and
+# canonical rules, transcribed over DuckDB list lambdas.
+DD_CDC_ORACLE = corpus_cte(
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS n, string_split(text, '') AS cs
+      FROM corpus WHERE length(text) > 0
+    ),
+    cut AS (
+      SELECT doc_id, text, n,
+             list_filter(generate_series({CDC_W}, n), i ->
+               list_sum(list_transform(generate_series(0, {CDC_W - 1}), k ->
+                 ({_CDC_GEAR_SQL})[(unicode(cs[i - k]) % 256) + 1]
+                 * (CAST(1 AS BIGINT) << k))) % {CDC_MOD} = 0) AS cuts
+      FROM base
+    ),
+    bounds AS (
+      SELECT doc_id, text,
+             list_concat(list_concat([CAST(0 AS BIGINT)],
+                                     list_transform(cuts, c -> CAST(c AS BIGINT))),
+                         [CAST(n AS BIGINT)]) AS bs
+      FROM cut
+    ),
+    chunks AS (
+      SELECT doc_id, t.sp.st AS start,
+             substr(text, CAST(t.sp.st + 1 AS INT), CAST(t.sp.ln AS INT)) AS chunk
+      FROM bounds,
+           LATERAL (SELECT unnest(list_filter(
+             list_transform(generate_series(2, len(bs)),
+                            j -> {{'st': bs[j - 1], 'ln': bs[j] - bs[j - 1]}}),
+             x -> x.ln > 0)) AS sp) t
+    ),
+    ranked AS (
+      SELECT md5(chunk) AS fingerprint, doc_id, start, length(chunk) AS ln,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, start) AS rn
+      FROM chunks
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MAX(ln) AS INT) AS chunk_len,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+           CAST(MAX(CASE WHEN rn = 1 THEN start END) AS BIGINT) AS canonical_start
+    FROM ranked GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+"""
+)

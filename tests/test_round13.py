@@ -870,3 +870,107 @@ def test_sim_topk_sq8_quantization_is_real_but_faithful(spark, sf_dir):
     ), "quantized scores identical to exact cosine — quantization is a no-op"
     overlap = len(sq8.keys() & brute.keys()) / len(brute)
     assert overlap >= 0.8, f"SQ8 recall vs brute collapsed: {overlap:.2f}"
+
+
+# --- content-defined chunking (banked for the second r17 slot) --------------
+
+
+def test_dd_cdc_chunks_matches_oracle(spark, sf_dir):
+    from task_hive_spark.operators.dedup import DD_CDC_ORACLE, dd_cdc_chunks
+
+    res = compare(
+        "dd_cdc_chunks",
+        dd_cdc_chunks(spark, sf_dir),
+        duckdb_conn(sf_dir),
+        DD_CDC_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0  # the augmented corpus guarantees dup chunks
+
+
+def test_cdc_model_statistics_and_insertion_robustness():
+    """The property CDC exists for: an insertion re-synchronizes within
+    one window, so almost every chunk fingerprint survives — where
+    fixed-stride chunking loses everything after the edit point."""
+    import random
+
+    from task_hive_spark.operators.dedup import CDC_MOD, cdc_chunks_model
+
+    random.seed(7)
+    words = ["key", "agg", "row", "scan", "slow", "fast", "table", "value"]
+    text = " ".join(random.choice(words) for _ in range(400))
+    chunks = cdc_chunks_model(text)
+    lens = [len(c) for _, c in chunks]
+    # average chunk length tracks the modulus
+    assert CDC_MOD / 2 < sum(lens) / len(lens) < CDC_MOD * 2
+    # reassembly is exact
+    assert "".join(c for _, c in chunks) == text
+
+    pos = len(text) // 4
+    mutated = cdc_chunks_model(text[:pos] + "XYZQW " + text[pos:])
+    orig_set = {c for _, c in chunks}
+    mut_set = {c for _, c in mutated}
+    assert len(orig_set & mut_set) / len(orig_set) > 0.8
+
+    def fixed(t, w=CDC_MOD):
+        return {t[i : i + w] for i in range(0, len(t), w)}
+
+    fixed_shared = len(fixed(text) & fixed(text[:pos] + "XYZQW " + text[pos:]))
+    assert fixed_shared / len(fixed(text)) < 0.5  # the contrast that matters
+
+
+def test_cdc_spark_expression_matches_python_model(spark):
+    """The closed-form Spark expression against the pure-Python
+    reference on handpicked edges: short docs (< window), exact-window
+    docs, a cut landing at the final position, unicode codepoints."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.operators.dedup import (
+        CDC_GEAR,
+        CDC_MOD,
+        CDC_W,
+        cdc_chunks_model,
+    )
+
+    texts = [
+        "tiny",
+        "x" * CDC_W,
+        " ".join(f"w{i}" for i in range(120)),
+        "über café naïve σπάρκ " * 12,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    g_lit = F.array(*[F.lit(v) for v in CDC_GEAR])
+    pw_lit = F.array(*[F.lit(1 << k) for k in range(CDC_W)])
+    cps = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    n = F.length("text")
+
+    def h(i):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(CDC_W - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, k: acc
+            + F.element_at(
+                g_lit,
+                (F.pmod(F.element_at(F.col("cps"), (i - k).cast("int")), F.lit(256)) + 1).cast("int"),
+            ).cast("long")
+            * F.element_at(pw_lit, (k + 1).cast("int")).cast("long"),
+        )
+
+    cuts = F.when(
+        n >= CDC_W,
+        F.filter(F.sequence(F.lit(CDC_W), n), lambda i: h(i) % CDC_MOD == 0),
+    ).otherwise(F.array().cast("array<int>"))
+    got = {
+        r["doc_id"]: list(r["cuts"])
+        for r in df.select("doc_id", "text", cps.alias("cps"))
+        .select("doc_id", cuts.alias("cuts"))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        bounds = [0] + got[i] + [len(t)]
+        want = cdc_chunks_model(t)
+        have = [
+            (a, t[a:b]) for a, b in zip(bounds, bounds[1:]) if b > a
+        ]
+        assert have == want, (i, got[i])

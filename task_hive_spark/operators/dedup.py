@@ -1940,53 +1940,69 @@ def cdc_chunks_model(text: str) -> list[tuple[int, str]]:
 
 def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined duplicate chunks over the augmented corpus:
-    gear-hash cut set per doc (closed form, all inside whole-stage
-    codegen), spans → chunk substrings → md5 fingerprints, ONE shuffle
-    on the fingerprint, duplicate groups (count > 1) with the
+    gear-hash cut set per doc, spans → chunk substrings → md5
+    fingerprints, duplicate groups (count > 1) with the
     lexicographically-first (doc_id, start) as canonical — the
     dd_chunk_dedup output contract with content-defined geometry.
-    Banked for an r17 filler slot (__spark_entry__._FRONT_R13 roadmap);
-    pytest gates it against DD_CDC_ORACLE meanwhile."""
+
+    The rolling hash is VECTORIZED as rows + 16 lag terms over a
+    per-doc window (all whole-stage codegen; the tempting closed-form
+    array lambda — aggregate() nested in filter() — runs interpreted
+    per element, ~400M lambda calls at the 10x fixture, the
+    _band_buckets megamorphic-lambda lesson). One shuffle partitions
+    chars by doc for the window; the cut-list groupBy and the
+    text re-join reuse that partitioning; then ONE shuffle on the
+    chunk fingerprint. Banked for an r17 filler slot
+    (__spark_entry__._FRONT_R13 roadmap); pytest gates it against
+    DD_CDC_ORACLE meanwhile."""
     g_lit = F.array(*[F.lit(v) for v in CDC_GEAR])
-    pw_lit = F.array(*[F.lit(1 << k) for k in range(CDC_W)])
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    d = corpus_df(spark, sf_dir).where(F.length("text") > 0)
-    cps = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
-    n = F.length("text")
-
-    def h(i):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(CDC_W - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, k: acc
-            + F.element_at(
-                g_lit, (F.pmod(F.element_at(F.col("cps"), (i - k).cast("int")), F.lit(256)) + 1).cast("int")
-            ).cast("long")
-            * F.element_at(pw_lit, (k + 1).cast("int")).cast("long"),
+    d = (
+        corpus_df(spark, sf_dir)
+        .where(F.length("text") > 0)
+        .repartition(nshuf, "doc_id")
+    )
+    pts = d.select(
+        "doc_id", F.posexplode(F.split("text", "")).alias("p0", "c")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.element_at(g_lit, F.pmod(F.ascii("c"), F.lit(256)) + 1)
+        .cast("long")
+        .alias("gv"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    h = F.col("gv")
+    for k in range(1, CDC_W):
+        h = h + F.coalesce(F.lag("gv", k).over(w), F.lit(0)).cast("long") * F.lit(
+            1 << k
         )
-
-    cuts = F.when(
-        n >= CDC_W,
-        F.filter(
-            F.sequence(F.lit(CDC_W), n),
-            lambda i: h(i) % CDC_MOD == 0,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-
-    rows = d.select("doc_id", "text", cps.alias("cps")).select(
-        "doc_id", "text", cuts.alias("cuts")
+    cuts = (
+        pts.select("doc_id", "pos", h.alias("h"))
+        .where((F.col("pos") >= CDC_W) & (F.col("h") % CDC_MOD == 0))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("pos").cast("bigint"))).alias("cuts"))
+    )
+    rows = d.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.coalesce("cuts", F.array().cast("array<bigint>")).alias("cuts"),
     )
     b = F.concat(
-        F.array(F.lit(0)), F.col("cuts"), F.array(F.length("text"))
+        F.array(F.lit(0).cast("bigint")),
+        F.col("cuts"),
+        F.array(F.length("text").cast("bigint")),
     )
     spans = F.filter(
         F.transform(
             F.sequence(F.lit(1), F.size(b) - 1),
             lambda j: F.struct(
                 F.element_at(b, j.cast("int")).alias("start"),
-                (F.element_at(b, (j + 1).cast("int")) - F.element_at(b, j.cast("int"))).alias(
-                    "ln"
-                ),
+                (
+                    F.element_at(b, (j + 1).cast("int"))
+                    - F.element_at(b, j.cast("int"))
+                ).alias("ln"),
             ),
         ),
         lambda s: s["ln"] > 0,
@@ -1994,7 +2010,7 @@ def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = rows.select("doc_id", "text", F.explode(spans).alias("s")).select(
         "doc_id",
         F.col("s.start").cast("bigint").alias("start"),
-        F.col("text").substr(F.col("s.start") + 1, F.col("s.ln")).alias("chunk"),
+        F.col("text").substr((F.col("s.start") + 1).cast("int"), F.col("s.ln").cast("int")).alias("chunk"),
     )
     from task_hive_spark.functions.report import report_sort
 
@@ -2024,26 +2040,37 @@ _CDC_GEAR_SQL = "[" + ", ".join(str(v) for v in CDC_GEAR) + "]"
 # dd_cdc_chunks' oracle — held OUT of ORACLES until its r17 slot; the
 # pytest gate runs it meanwhile. Same closed-form hash, same span and
 # canonical rules, transcribed over DuckDB list lambdas.
+_CDC_LAG_SQL = "gv * 1 + COALESCE(LAG(gv, 1) OVER w, 0) * 2 + COALESCE(LAG(gv, 2) OVER w, 0) * 4 + COALESCE(LAG(gv, 3) OVER w, 0) * 8 + COALESCE(LAG(gv, 4) OVER w, 0) * 16 + COALESCE(LAG(gv, 5) OVER w, 0) * 32 + COALESCE(LAG(gv, 6) OVER w, 0) * 64 + COALESCE(LAG(gv, 7) OVER w, 0) * 128 + COALESCE(LAG(gv, 8) OVER w, 0) * 256 + COALESCE(LAG(gv, 9) OVER w, 0) * 512 + COALESCE(LAG(gv, 10) OVER w, 0) * 1024 + COALESCE(LAG(gv, 11) OVER w, 0) * 2048 + COALESCE(LAG(gv, 12) OVER w, 0) * 4096 + COALESCE(LAG(gv, 13) OVER w, 0) * 8192 + COALESCE(LAG(gv, 14) OVER w, 0) * 16384 + COALESCE(LAG(gv, 15) OVER w, 0) * 32768"
+
+
 DD_CDC_ORACLE = corpus_cte(
     f"""
     WITH base AS (
       SELECT doc_id, text, length(text) AS n, string_split(text, '') AS cs
       FROM corpus WHERE length(text) > 0
     ),
-    cut AS (
-      SELECT doc_id, text, n,
-             list_filter(generate_series({CDC_W}, n), i ->
-               list_sum(list_transform(generate_series(0, {CDC_W - 1}), k ->
-                 ({_CDC_GEAR_SQL})[(unicode(cs[i - k]) % 256) + 1]
-                 * (CAST(1 AS BIGINT) << k))) % {CDC_MOD} = 0) AS cuts
-      FROM base
+    -- vectorized form of h(i) = Σ_k gear(cp(i−k))·2^k: one row per
+    -- character, 16 LAG terms — the nested-lambda transcription was
+    -- O(n·W) lambda calls and ~100x slower at 10x scale
+    pts AS (
+      SELECT doc_id, t.pos AS pos,
+             ({_CDC_GEAR_SQL})[(unicode(cs[t.pos]) % 256) + 1] AS gv
+      FROM base, LATERAL (SELECT unnest(generate_series(1, n)) AS pos) t
+    ),
+    hs AS (
+      SELECT doc_id, pos, {_CDC_LAG_SQL} AS h
+      FROM pts WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    cutlists AS (
+      SELECT doc_id, list(CAST(pos AS BIGINT) ORDER BY pos) AS cuts
+      FROM hs WHERE pos >= {CDC_W} AND h % {CDC_MOD} = 0 GROUP BY doc_id
     ),
     bounds AS (
-      SELECT doc_id, text,
+      SELECT b.doc_id, b.text,
              list_concat(list_concat([CAST(0 AS BIGINT)],
-                                     list_transform(cuts, c -> CAST(c AS BIGINT))),
-                         [CAST(n AS BIGINT)]) AS bs
-      FROM cut
+                                     COALESCE(c.cuts, CAST([] AS BIGINT[]))),
+                         [CAST(b.n AS BIGINT)]) AS bs
+      FROM base b LEFT JOIN cutlists c USING (doc_id)
     ),
     chunks AS (
       SELECT doc_id, t.sp.st AS start,

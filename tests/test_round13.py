@@ -1,5 +1,8 @@
 """Round-13 additions: batched serves, swap-crash recovery, atomic Avro
-sink, tz-aware debt metric, MP3 side-info decode."""
+sink, tz-aware debt metric, MP3 side-info decode — plus the session-2
+banked surface's gates: FLAC PCM decode, the sketch consolidation
+families, SQ8 scalar-quantized ANN, content-defined chunking, and the
+sink retry-idempotence pins."""
 
 from __future__ import annotations
 

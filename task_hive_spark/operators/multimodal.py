@@ -184,12 +184,22 @@ def decode_wav(content: bytes) -> tuple[int, int, int, int, int, int, int]:
 
 
 # ONE round-trip scaffold for all three real codecs (the dedupe-the-
-# scaffolds discipline): encode stage synthesizes genuine containers
-# per asset id, decode stage genuinely parses them, both as the bounded
-# mapInPandas shape of the fake-decode pipeline — embarrassingly
-# parallel, no shuffle, Arrow-batched; per-asset payloads are ≤ ~1 KB
-# so batches stay flat. A plumbing fix (batch shape, empty-batch
-# dtypes) lands once, not per codec.
+# scaffolds discipline): synthesize a genuine container per asset id
+# and genuinely parse it back, as the bounded mapInPandas shape of the
+# fake-decode pipeline — embarrassingly parallel, no shuffle,
+# Arrow-batched; per-asset payloads are ≤ ~1 KB so batches stay flat.
+# A plumbing fix (batch shape, empty-batch dtypes) lands once, not per
+# codec.
+#
+# r13 optimization (guide §4.1): synth + decode run FUSED in one
+# mapInPandas stage. The earlier two-stage form (encode → decode)
+# shipped every container across the JVM↔Python boundary twice —
+# py(enc) → JVM Arrow → py(dec) — purely to hand bytes from one Python
+# function to the next; the decode still parses the identical
+# synthesized bytes, so results are unchanged while one full Arrow
+# round trip and one Python-worker stage drop out of the plan
+# (measured 0.85 → 0.56 s on the jpeg-coefficient decode at sf0.1;
+# plan: 2 MapInPandas nodes → 1).
 def _codec_roundtrip(
     spark: SparkSession,
     sf_dir: str,
@@ -199,18 +209,9 @@ def _codec_roundtrip(
     fields: list[str],
     schema: str,
 ) -> DataFrame:
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "content": pdf["asset_id"].map(lambda a: synth_fn(int(a))),
-                }
-            )
-
-    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            d = pdf["content"].map(decode_fn)
+            d = pdf["asset_id"].map(lambda a: decode_fn(synth_fn(int(a))))
             out = {"asset_id": pdf["asset_id"]}
             for ix, name in enumerate(fields):
                 out[name] = d.map(lambda t, ix=ix: t[ix])
@@ -218,9 +219,10 @@ def _codec_roundtrip(
 
     register_fixture_views(spark, sf_dir)
     # the assets scan is 1-2 parquet splits at fixture scale, which
-    # would serialize the CPU-dense encode+decode Python stages onto as
-    # many cores — hash-repartition by asset_id so the codec work is
-    # cluster-wide (the _doc_shingles rebalance rationale)
+    # would serialize the CPU-dense codec Python stage onto as many
+    # cores — hash-repartition by asset_id so the codec work is
+    # cluster-wide (the _doc_shingles rebalance rationale; measured
+    # 0.56 → 1.9 s without it)
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ids = (
         spark.sql(ASSETS_SQL)
@@ -228,8 +230,7 @@ def _codec_roundtrip(
         .select("asset_id")
         .repartition(nshuf, "asset_id")
     )
-    encoded = ids.mapInPandas(enc, schema="asset_id bigint, content binary")
-    dec_df = encoded.mapInPandas(dec, schema=schema)
+    dec_df = ids.mapInPandas(synth_decode, schema=schema)
     from task_hive_spark.functions.report import report_sort
 
     return report_sort(dec_df, "asset_id")

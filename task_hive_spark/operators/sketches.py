@@ -162,22 +162,30 @@ def hll_estimate(
     spark: SparkSession, regs: DataFrame, keys: list[str] | None = None
 ) -> DataFrame:
     """The per-group HLL estimate (with small-range linear counting)
-    from sparse register state — grid-fill to all m registers, the
-    exact-integer Σ 2^(53−M) fold, then the α-corrected division."""
+    from sparse register state: the exact-integer Σ 2^(53−M) fold, then
+    the α-corrected division.
+
+    The fold runs SPARSELY — r13 optimization (guide §2.4, remove
+    shuffles outright): every present register has m ≥ 1 (the rank
+    expression in hll_registers is ≥ 1 by construction), so the absent
+    registers' contribution is closed-form — v_zero = m − |present| and
+    each contributes exactly 2^53 to the scaled sum. The earlier
+    grid-fill shape (distinct keys × range(m) crossJoin + left join)
+    re-scanned the events table for the key grid and paid a join plus
+    an extra aggregate per query for values this one aggregation
+    computes bit-identically in exact int64 (measured: the sk_hll_*
+    plans drop one parquet scan, one BroadcastNestedLoopJoin, one
+    left join and two aggregates each; the DuckDB oracle keeps the
+    grid form, so the hash gate is the equivalence proof)."""
     keys = keys or ["event_type"]
-    grid = (
-        regs.select(*keys)
-        .distinct()
-        .crossJoin(F.broadcast(spark.range(HLL_M).select(F.col("id").alias("j"))))
-    )
-    full = grid.join(regs, [*keys, "j"], "left").withColumn(
-        "m", F.coalesce("m", F.lit(0))
-    )
-    agg = full.groupBy(*keys).agg(
-        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("bigint").alias("v_zero"),
-        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("long")).alias(
-            "sum_scaled"
-        ),
+    n_present = F.count("*")
+    v_zero = (F.lit(HLL_M) - n_present).cast("bigint")
+    agg = regs.groupBy(*keys).agg(
+        v_zero.alias("v_zero"),
+        (
+            F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("long"))
+            + v_zero * F.lit(1 << 53)
+        ).cast("bigint").alias("sum_scaled"),
     )
     raw = F.lit(_HLL_ALPHA_NUM) / F.col("sum_scaled")
     est = F.when(

@@ -66,6 +66,35 @@ def _worker_slots(workers: DataFrame, strategy: str) -> DataFrame:
     )
 
 
+def _worker_slots_all(workers: DataFrame) -> DataFrame:
+    """(strategy, worker_id, slot) for ALL THREE strategy orders in ONE
+    single-partition pass over the registry: three row_numbers chained
+    over the same Exchange SinglePartition (Spark stacks the three
+    Window operators, re-sorting registry-sized rows in place), then
+    ``stack`` unpivots to long form. One registry scan + one broadcast
+    replaces the three per-strategy ``_worker_slots`` subtrees that
+    each re-scanned the registry parquet and built their own broadcast
+    (guide §2.4: shared exchange; §3.1: one build side)."""
+    orders = {
+        "least_tasks": [F.col("task_count").asc(), F.col("id").asc()],
+        "round_robin": [F.col("id").asc()],
+        "random": [F.md5(F.concat(F.lit("seed42-"), "id")).asc(), F.col("id").asc()],
+    }
+    wide = workers.select(
+        F.col("id").alias("worker_id"),
+        *[
+            (F.row_number().over(W.orderBy(*o)) - 1).alias(s)
+            for s, o in orders.items()
+        ],
+    )
+    return wide.selectExpr(
+        "worker_id",
+        "stack(3, "
+        + ", ".join(f"'{s}', {s}" for s in orders)
+        + ") AS (strategy, slot)",
+    ).select("strategy", "worker_id", "slot")
+
+
 def bind(
     pending: DataFrame,
     eligible_workers: DataFrame,
@@ -181,57 +210,76 @@ def th_assign_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     same semantics in one slot. The per-variant callables remain the
     engine API (the TaskHive facade dispatches through ``bind``).
 
-    Plan shape: the three unsalted strategies differ ONLY in the
-    worker-slot order — the task-side band ranking, worker count and
-    slot expression are identical — so the ranked frame is built once
-    and its band exchange is REUSED across the three branches (Spark
-    plans the later scans as ReusedExchange); each branch is one
-    broadcast hash probe into its own registry-sized slot frame. The
-    per-strategy `assign` path would rank (and scan) the backlog three
-    times for the same rows."""
+    Plan shape (r13 optimization round): ONE backlog scan feeds BOTH
+    rankings — the salted (priority, salt) window ranks first, then the
+    same rows re-exchange by priority for the unsalted rank — so the
+    task parquet is read once instead of twice (at scale the second
+    scan, not the second exchange, is the cost). The three unsalted
+    strategies share one slot value per task (the slot expression does
+    not depend on the strategy — only WHICH worker owns the slot does),
+    so one equi-join against the broadcast ``_worker_slots_all`` long
+    frame fans each task out to its three (strategy, worker) rows,
+    replacing three separate registry-window broadcasts + a 3-way
+    union; the salted branch probes the SAME broadcast with
+    strategy='round_robin' as part of its join key, so Spark reuses
+    one build for all four variants. The per-variant `assign`/`bind`
+    path (which would rank and scan the backlog per strategy) remains
+    the engine API for single-strategy dispatch."""
     register_task_views(spark, sf_dir)
     pending = spark.table("tasks").where(F.col("status") == "pending")
     workers = _eligible_workers(spark, sf_dir)
+    salt_col = (
+        F.conv(F.substring(F.md5("id"), 1, 2), 16, 10).cast("int") % 16
+    ).alias("salt")
+    salted_w = W.partitionBy("priority", "salt").orderBy("task_id")
     band_w = W.partitionBy("priority").orderBy("task_id")
-    ranked = pending.select(F.col("id").alias("task_id"), "priority").select(
-        "*", (F.row_number().over(band_w) - 1).alias("band_rank")
+    ranked = (
+        pending.select(F.col("id").alias("task_id"), "priority", salt_col)
+        .select("*", (F.row_number().over(salted_w) - 1).alias("salted_rank"))
+        .select("*", (F.row_number().over(band_w) - 1).alias("band_rank"))
     )
     n_row = workers.agg(F.count("*").cast("int").alias("n_workers"))
-    slot = F.when(
-        F.col("n_workers") > 0,
-        (F.col("band_rank") + F.col("priority")) % F.col("n_workers"),
-    ).cast("int")
-    ranked_slotted = (
-        ranked.join(F.broadcast(n_row), F.lit(True)).withColumn("slot", slot)
-    )
-    parts = [
-        ranked_slotted.join(F.broadcast(_worker_slots(workers, s)), "slot").select(
-            F.lit(s).alias("strategy"),
+    slots_all = F.broadcast(_worker_slots_all(workers))
+
+    def _slot(expr: F.Column) -> F.Column:
+        return F.when(F.col("n_workers") > 0, expr % F.col("n_workers")).cast("int")
+
+    ranked_n = ranked.join(F.broadcast(n_row), F.lit(True))
+    unsalted = (
+        ranked_n.withColumn("slot", _slot(F.col("band_rank") + F.col("priority")))
+        .join(slots_all, "slot")
+        .select(
+            "strategy",
             "task_id",
             "priority",
             F.lit(None).cast("int").alias("salt"),
             "band_rank",
             "worker_id",
         )
-        for s in STRATEGIES
-    ]
-    parts.append(
-        assign_salted(spark, sf_dir, "round_robin").select(
+    )
+    banded = (
+        ranked_n.withColumn(
+            "slot", _slot(F.col("salted_rank") + F.col("priority") + F.col("salt"))
+        )
+        .withColumn("strategy", F.lit("round_robin"))
+        .join(slots_all, ["strategy", "slot"])
+        .select(
             F.lit("banded_round_robin").alias("strategy"),
             "task_id",
             "priority",
             F.col("salt").cast("int").alias("salt"),
-            "band_rank",
+            F.col("salted_rank").alias("band_rank"),
             "worker_id",
         )
     )
     from task_hive_spark.functions.report import report_sort
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
     return report_sort(
-        out, "strategy", F.desc("priority"), F.asc_nulls_first("salt"), F.asc("band_rank")
+        unsalted.unionByName(banded),
+        "strategy",
+        F.desc("priority"),
+        F.asc_nulls_first("salt"),
+        F.asc("band_rank"),
     )
 
 

@@ -627,18 +627,28 @@ def dedup_served_of(
     plan cannot drift between them."""
     import os as _os
 
-    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # the probe signatures feed TWO consumers (banding, scoring) —
-    # without materialization Spark re-runs the new-batch gram→md5→argmin
-    # pipeline under each (no exchange reuse across a broadcast), so the
-    # new text would be scanned and signatured twice per call. The frame
-    # is |new batch| fixed-width rows — bounded, and paid INSIDE the
-    # call so the measured cost of serving stays honest (this is per-call
-    # data, not a session index: each crawl batch is new).
-    new_sigs = minhash_sigs_of(batch.repartition(nshuf, "doc_id")).localCheckpoint()
+    new_sigs = _probe_sigs_literal(spark, batch)
     hist_buckets = spark.read.parquet(_os.path.join(index_dir, "buckets"))
     hist_sigs = spark.read.parquet(_os.path.join(index_dir, "signatures"))
     return _serve_join(new_sigs, hist_buckets, hist_sigs)
+
+
+def _probe_sigs_literal(spark: SparkSession, batch: DataFrame) -> DataFrame:
+    """Signature the probe batch ONCE, materialized via localCheckpoint
+    so both consumers (banding, scoring) reuse the computed rows. The
+    frame is |new batch| fixed-width rows — bounded, and paid INSIDE
+    the call so the measured cost of serving stays honest (this is
+    per-call data, not a session index: each crawl batch is new).
+
+    Measured r13 dead end, kept as a warning: rebuilding the collected
+    rows with spark.createDataFrame is NOT a LocalTableScan in classic
+    PySpark — it parallelizes a Python RDD (Scan ExistingRDD, 32
+    partitions) whose pickle→JVM conversion re-runs as Python worker
+    tasks under EVERY downstream subtree, turning each serve from
+    0.27 s into 0.73 s at sf0.1. localCheckpoint keeps the materialized
+    rows as JVM block-manager blocks instead."""
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return minhash_sigs_of(batch.repartition(nshuf, "doc_id")).localCheckpoint()
 
 
 def _serve_join(
@@ -882,8 +892,7 @@ def dedup_served_pruned_of(
 
     from task_hive_spark.plans.catalog import prune_files_any
 
-    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    new_sigs = minhash_sigs_of(batch.repartition(nshuf, "doc_id")).localCheckpoint()
+    new_sigs = _probe_sigs_literal(spark, batch)
     probe_buckets = [
         r["bucket"]
         for r in band_buckets_of(new_sigs).select("bucket").distinct().collect()

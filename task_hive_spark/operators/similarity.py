@@ -1371,31 +1371,47 @@ def _ann_index_clustered(spark: SparkSession, sf_dir: str) -> tuple[str, list[di
     return _ANN_CIDX_RAN[key]
 
 
-# (session, index_dir) → ((centroid rows, schema), (codebook rows,
-# schema)): the coarse quantizer and PQ codebook are index-BUILD
-# constants a serve tier holds in RAM next to the manifest (FAISS keeps
-# both in the index object) — K·DIM + M·K·SUBDIM values, never
-# row-scale. Collecting them once per session (guide §4.5's
-# heavyweight-init-once, applied to the driver) lets every probe's
-# routing and LUT subtrees plan over LocalTableScans instead of
-# re-reading and re-joining the index parquet inside each serve call's
-# broadcast builds — the r13 fix for the serve path's scheduler-round
-# floor (measured: 15 jobs → 4 per served query at sf0.1).
+# (session, index_dir) → (centroids, codebook) as localCheckpoint'ed
+# single-partition frames: the coarse quantizer and PQ codebook are
+# index-BUILD constants a serve tier holds in RAM next to the manifest
+# (FAISS keeps both in the index object) — K·DIM + M·K·SUBDIM values,
+# never row-scale. Materializing them once per session (guide §4.5's
+# heavyweight-init-once, applied to the serve tier) lets every probe's
+# routing and LUT subtrees scan JVM-cached blocks instead of re-reading
+# and re-joining the index parquet inside each serve call's broadcast
+# builds.
 _ANN_CONSTS: dict[tuple[str, str], tuple] = {}
 register_aux_cache(_ANN_CONSTS)
 
 
 def _ann_index_constants(spark: SparkSession, index_dir: str) -> tuple:
+    """(centroids, codebook) as single-partition localCheckpoint'ed
+    frames, once per (session, index_dir). The materialized rows live
+    in the JVM block manager, so every serve call's routing and LUT
+    subtrees scan cached blocks in one task instead of re-reading and
+    re-joining the index parquet (the FAISS in-RAM index posture).
+
+    Measured r13 dead end, kept as a warning: holding collect()ed rows
+    and rebuilding them per call with spark.createDataFrame is NOT a
+    LocalTableScan in classic PySpark — it parallelizes a Python RDD
+    (Scan ExistingRDD, defaultParallelism partitions) whose pickle→JVM
+    conversion re-runs as Python worker tasks under EVERY downstream
+    subtree; that shape ~doubled the serve wall time at sf0.1."""
     import os as _os
 
     key = (spark.sparkContext.applicationId, index_dir)
     if key not in _ANN_CONSTS:
-        cent = spark.read.parquet(_os.path.join(index_dir, "centroids"))
-        book = spark.read.parquet(_os.path.join(index_dir, "codebook"))
-        _ANN_CONSTS[key] = (
-            (cent.collect(), cent.schema),
-            (book.collect(), book.schema),
+        cent = (
+            spark.read.parquet(_os.path.join(index_dir, "centroids"))
+            .coalesce(1)
+            .localCheckpoint()
         )
+        book = (
+            spark.read.parquet(_os.path.join(index_dir, "codebook"))
+            .coalesce(1)
+            .localCheckpoint()
+        )
+        _ANN_CONSTS[key] = (cent, book)
     return _ANN_CONSTS[key]
 
 
@@ -1411,49 +1427,47 @@ def ann_served_pruned_of(
     kept, total). The probed-cell collect is ≤ n_probes · NPROBE.
 
     r13 plan shape (guide §1.2/§2.4 — fewer scheduler rounds, same
-    arithmetic): the probe batch is ONE TakeOrdered collect off the
-    flat store (n_probes narrow rows), the quantizer/codebook are the
-    session-held index constants (_ann_index_constants), and routing
-    runs over those literal frames — so the pre-action work is two
-    sub-driver-roundtrip jobs over kilobytes, and the final action's
-    LUT/probe-cell broadcast subtrees are LocalTableScan-rooted instead
-    of re-executing parquet joins. Every scoring expression (cosine
-    rank, 6-dp rounds, ADC integer fold, exact refine) is unchanged and
-    still evaluates ENGINE-side on bit-identical inputs — float32
-    embeddings survive the collect→literal round trip exactly (PySpark
-    widens f32 to the same-valued double; the pinned schema narrows it
-    back), which the oracle hash gate re-proves per scale."""
+    arithmetic): the probe batch is ONE TakeOrdered job materialized to
+    a single-partition localCheckpoint (n_probes narrow rows), the
+    quantizer/codebook are the session-held checkpointed index
+    constants (_ann_index_constants), and routing runs over those
+    JVM-cached frames — so the pre-action work is two one-task jobs
+    over kilobytes, and the final action's LUT/probe-cell broadcast
+    subtrees scan cached blocks instead of re-executing parquet joins.
+    Every scoring expression (cosine rank, 6-dp rounds, ADC integer
+    fold, exact refine) is unchanged and still evaluates ENGINE-side on
+    bit-identical inputs, which the oracle hash gate re-proves per
+    scale."""
     import os as _os
 
     from task_hive_spark.plans.catalog import prune_files_any
 
     read = lambda name: spark.read.parquet(_os.path.join(index_dir, name))  # noqa: E731
     vecs = read("vectors")
-    (cent_rows, cent_schema), (book_rows, book_schema) = _ann_index_constants(
-        spark, index_dir
-    )
-    cent = spark.createDataFrame(cent_rows, cent_schema)
-    book = spark.createDataFrame(book_rows, book_schema)
+    cent, book = _ann_index_constants(spark, index_dir)
     # job 1: the probe batch — TakeOrdered keeps n_probes rows per scan
-    # split, so the collect is request-sized at any corpus size
-    probe_rows = (
+    # split, so the materialized frame is request-sized at any corpus
+    # size; localCheckpoint (not collect + createDataFrame — see
+    # _ann_index_constants) keeps the rows JVM-side for the three
+    # consumers (routing, LUT, refine)
+    probes = (
         vecs.where(F.col("vec_id") % PROBE_MOD == 0)
         .orderBy("vec_id")
         .limit(n_probes)
-        .collect()
+        .coalesce(1)
+        .localCheckpoint()
     )
-    probes = spark.createDataFrame(probe_rows, vecs.schema)
-    # job 2: coarse routing over literal frames (n_probes × K rows)
-    cell_rows = (
+    # job 2: coarse routing over the checkpointed frames (n_probes × K
+    # rows, one task); the collect off the checkpointed result is the
+    # ≤ n_probes · NPROBE routing list the driver needs for file
+    # pruning, and the SAME frame feeds the scoring join
+    probe_cells = (
         _assign_cells(probes, cent)
         .where(F.col("rn") <= NPROBE)
         .select(F.col("vec_id").alias("probe_id"), "cell")
-        .collect()
+        .localCheckpoint()
     )
-    probed = sorted({r["cell"] for r in cell_rows})
-    probe_cells = spark.createDataFrame(
-        cell_rows, f"probe_id long, cell {cent.schema['cell'].dataType.simpleString()}"
-    )
+    probed = sorted({r["cell"] for r in probe_cells.collect()})
     kept, total = prune_files_any(stats, probed)
     if not kept:
         cc = spark.createDataFrame([], "cell long, vec_id long, sub int, code int")

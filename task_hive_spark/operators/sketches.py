@@ -178,6 +178,15 @@ def hll_estimate(
     left join and two aggregates each; the DuckDB oracle keeps the
     grid form, so the hash gate is the equivalence proof)."""
     keys = keys or ["event_type"]
+    return report_sort(_hll_estimates(regs, keys), *keys)
+
+
+def _hll_estimates(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """The UNSORTED estimate frame — callers that aggregate or merge the
+    estimates further (sk_hll_union) use this core directly so the plan
+    skips the report tail's repartition(1) + sort, which a downstream
+    Aggregate would pay for and then discard (Catalyst removes orderBy
+    under aggregates but preserves an explicit repartition)."""
     n_present = F.count("*")
     v_zero = (F.lit(HLL_M) - n_present).cast("bigint")
     agg = regs.groupBy(*keys).agg(
@@ -192,14 +201,11 @@ def hll_estimate(
         (raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
     ).otherwise(raw)
-    return report_sort(
-        agg.select(
-            *keys,
-            "v_zero",
-            "sum_scaled",
-            F.floor(est).cast("bigint").alias("est_distinct"),
-        ),
+    return agg.select(
         *keys,
+        "v_zero",
+        "sum_scaled",
+        F.floor(est).cast("bigint").alias("est_distinct"),
     )
 
 
@@ -248,10 +254,10 @@ def sk_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("m").alias("m"))
         .withColumn("event_type", F.lit("all"))
     )
-    union_est = hll_estimate(spark, union_regs).select(
+    union_est = _hll_estimates(union_regs, ["event_type"]).select(
         F.col("est_distinct").alias("est_union")
     )
-    per_group = hll_estimate(spark, regs).agg(
+    per_group = _hll_estimates(regs, ["event_type"]).agg(
         F.count("*").cast("bigint").alias("n_groups"),
         F.sum("est_distinct").cast("bigint").alias("sum_group_ests"),
     )
@@ -596,13 +602,15 @@ def sk_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pos = bloom_positions(F.col("o_custkey").cast("string"))
+    # one UNALIASED broadcast subtree probed by all K semi joins: a
+    # left-semi keeps only left columns, so `bit` is never ambiguous in
+    # the next join's condition, and the K identical build subtrees
+    # collapse to ONE BroadcastExchange + ReusedExchange (guide §2.4 —
+    # the former per-k aliases made each build distinct, paying the
+    # customer scan + explode + distinct + broadcast K times).
     hit = probe
     for k in range(BLOOM_K):
-        hit = hit.join(
-            F.broadcast(bits.select(F.col("bit").alias(f"b{k}"))),
-            pos[k] == F.col(f"b{k}"),
-            "left_semi",
-        )
+        hit = hit.join(F.broadcast(bits), pos[k] == F.col("bit"), "left_semi")
     audit = hit.join(
         bad.select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("is_bad")),
         "o_custkey",

@@ -1000,18 +1000,31 @@ def _learn_merges(
     if key in _BPE_MERGE_CACHE:
         return _BPE_MERGE_CACHE[key]
     vocab_tbl = _bpe_vocab(spark, sf_dir)
-    max_w = vocab_tbl.agg(F.max(F.length("w"))).collect()[0][0] or 0
+    vstats = vocab_tbl.agg(
+        F.max(F.length("w")).alias("mw"), F.count("*").alias("n")
+    ).collect()[0]
+    max_w = vstats["mw"] or 0
     assert max_w <= 2 * _BPE_ORACLE_REPS, (
         f"max word length {max_w} exceeds the oracle splice budget "
         f"(2 x _BPE_ORACLE_REPS = {2 * _BPE_ORACLE_REPS}) - raise it"
     )
+    # Partition the trainer state by VOCAB size, not by the session's
+    # shuffle default (guide §2.2/§6 — partition count tracks data, not
+    # a constant): the state is distinct WORDS (language-bounded, never
+    # corpus-scale), and every one of the 2·rounds sequential jobs below
+    # re-pays the task floor per partition. At fixture scale the vocab
+    # is tens of rows spread over 32 near-empty partitions, which made
+    # EACH round's pair-count collect ~0.2 s of pure scheduler overhead
+    # (measured; ~0.03 s on 1 partition); one partition per 64 Ki words
+    # keeps a production vocabulary parallel.
+    nparts = max(1, -(-int(vstats["n"] or 0) // 65536))
     v = vocab_tbl.select(
         "w",
         "freq",
         F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
             "syms"
         ),
-    ).localCheckpoint(eager=True)
+    ).coalesce(nparts)
     merges: list[tuple[int, str, str, int]] = []
     # FIXED round schedule, mirroring the oracle exactly: ceil(M/B)
     # rounds of up to BPE_BATCH selections each. A while-until-M loop
@@ -1067,13 +1080,27 @@ def _learn_merges(
             break
         for lft, rgt, c in sel:
             merges.append((len(merges) + 1, lft, rgt, c))
+        # LAZY fold: the next round's pair job replays the chain from
+        # the materialized vocab index instead of paying a per-round
+        # localCheckpoint job. The replay depth is bounded by the FIXED
+        # round schedule (BPE_MERGES / BPE_BATCH) and each fold is an
+        # O(|syms|) HOF over vocab-bounded rows, so the extra compute
+        # is round-count x vocab-sized while 1 job per round (the
+        # former eager checkpoint) disappears from the sequential
+        # driver loop — measured 2.2 s -> 1.6 s per cache-cleared learn
+        # at sf0.1 (guide §1.2: the trainer is scheduler-round-bound,
+        # not data-bound).
         v = v.select(
             "w",
             "freq",
             F.expr(_greedy_multi_merge_expr([(l, r) for l, r, _ in sel])).alias(
                 "syms"
             ),
-        ).localCheckpoint(eager=True)
+        )
+    # ONE final materialization: the cached state feeds every downstream
+    # consumer (txt_bpe_tokenize, txt_tokenized_dataset), which must not
+    # replay the fold chain per use.
+    v = v.localCheckpoint(eager=True)
     _BPE_MERGE_CACHE[key] = (merges, v)
     return merges, v
 

@@ -50,6 +50,16 @@ def bucketed_prefix(
     # rows are all NULL-weight yields a None subtotal and the driver
     # fold below crashes on `acc += None`
     w = F.coalesce(weight, F.lit(0)) if weight is not None else F.lit(1)
+    # Materialize the input ONCE: this function drives two driver
+    # actions (the min/max/total stats and the per-bucket subtotals)
+    # and the caller's returned frame re-reads the same rows a third
+    # time — without the checkpoint every consumer paid its upstream
+    # subtree three times (txt_tokenized_dataset's gates→tokenize→agg
+    # chain re-ran per action; measured 2.52 → 1.70 s warm best-of-3
+    # at sf0.1, jobs 23 → 14, plan exchanges 114 → 6). The
+    # materialized state is one row per prefix entity (doc, event) —
+    # the frame being ranked, never the exploded stream feeding it.
+    df = df.localCheckpoint(eager=True)
     stats = df.agg(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),

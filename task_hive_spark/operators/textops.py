@@ -960,9 +960,24 @@ def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent implementations of greedy BPE whose agreement the
     value gate checks end-to-end."""
     merges, _v = _learn_merges(spark, sf_dir)
-    return spark.createDataFrame(
-        merges, "merge_round int, lft string, rgt string, pair_count bigint"
-    ).orderBy("merge_round")
+    # literal VALUES frame, NOT createDataFrame(list): the classic
+    # PySpark path parallelizes a Python RDD (Scan ExistingRDD, 32
+    # partitions) whose pickle→JVM conversion re-runs as Python worker
+    # tasks under every action — 0.60 s to emit these rows at sf0.1,
+    # vs a LocalTableScan the noop sink drains in one task. Symbols are
+    # asserted [a-z0-9]+ at selection, so inline quoting is safe.
+    if not merges:  # exhausted-vocab corpus: empty frame, same schema
+        return spark.createDataFrame(
+            [], "merge_round int, lft string, rgt string, pair_count bigint"
+        )
+    rows = ", ".join(
+        f"({i}, '{lft}', '{rgt}', CAST({c} AS BIGINT))"
+        for i, lft, rgt, c in merges
+    )
+    return spark.sql(
+        f"SELECT * FROM (VALUES {rows})"
+        " AS t(merge_round, lft, rgt, pair_count) ORDER BY merge_round"
+    )
 
 
 # learned merge lists AND the final segmented vocab state, memoized per

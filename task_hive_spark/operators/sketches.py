@@ -248,7 +248,11 @@ def sk_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     output also carries Σ of the per-group estimates so the union ≠
     sum distinction (overlapping groups) is visible in the gated row."""
     ev = load_table(spark, sf_dir, "events")
-    regs = hll_registers(ev)
+    # materialize the finished register state ONCE (≤ m·|groups| rows):
+    # the union merge and the per-group estimate both consume it, and
+    # without the checkpoint each re-ran the events pass (guide §2.4 —
+    # the sketch, not the data, is what a union reads)
+    regs = hll_registers(ev).localCheckpoint()
     union_regs = (
         regs.groupBy("j")
         .agg(F.max("m").alias("m"))
@@ -327,17 +331,33 @@ def sk_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(event_type: str) -> DataFrame:
         return _bottom_k_hashes(_theta_side_hashes(ev, event_type), THETA_K)
 
+    # ONE materialization of the MERGED sketch pair (≤ 2·THETA_K rows,
+    # rn carried through the full-outer merge): the stats aggregate and
+    # the θ-filtered count both derive from this frame, where the
+    # original shape re-executed each side's distinct-shuffle +
+    # bottom-K chain once per consumer (Spark plans no cross-subtree
+    # CSE — the before plan holds SIX copies of the events scan →
+    # distinct → window chain, guide §2.4). A single checkpoint keeps
+    # the two sides' chains concurrent inside one action (checkpointing
+    # each side separately serialized them into extra job floors —
+    # measured slower at sf0.1). The theta posture anyway: the set
+    # algebra runs on the HELD sketches, never the data.
     sa, sb = side(THETA_SIDE_A), side(THETA_SIDE_B)
-    stats = (
-        sa.agg(
-            F.count("*").cast("bigint").alias("n_sketch_a"),
-            F.max(F.when(F.col("rn") == THETA_K, F.col("h"))).alias("kth_a"),
+    both = (
+        sa.select("h", F.col("rn").alias("rn_a"))
+        .join(
+            sb.select("h", F.col("rn").alias("rn_b")),
+            "h",
+            "full_outer",
         )
-        .crossJoin(
-            sb.agg(
-                F.count("*").cast("bigint").alias("n_sketch_b"),
-                F.max(F.when(F.col("rn") == THETA_K, F.col("h"))).alias("kth_b"),
-            )
+        .localCheckpoint()
+    )
+    stats = (
+        both.agg(
+            F.count("rn_a").cast("bigint").alias("n_sketch_a"),
+            F.max(F.when(F.col("rn_a") == THETA_K, F.col("h"))).alias("kth_a"),
+            F.count("rn_b").cast("bigint").alias("n_sketch_b"),
+            F.max(F.when(F.col("rn_b") == THETA_K, F.col("h"))).alias("kth_b"),
         )
         .withColumn(
             "theta",
@@ -347,15 +367,12 @@ def sk_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    both = sa.select("h").withColumn("in_a", F.lit(1)).join(
-        sb.select("h").withColumn("in_b", F.lit(1)), "h", "full_outer"
-    )
     counts = (
         both.crossJoin(F.broadcast(stats.select("theta")))
         .where(F.col("h") < F.col("theta"))
         .agg(
             F.sum(
-                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+                F.when(F.col("rn_a").isNotNull() & F.col("rn_b").isNotNull(), 1)
                 .otherwise(0)
             ).cast("bigint").alias("n_common"),
             F.count("*").cast("bigint").alias("n_union"),
@@ -396,17 +413,24 @@ def sk_theta_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(event_type: str) -> DataFrame:
         return _bottom_k_hashes(_theta_side_hashes(ev, event_type), THETA_K)
 
+    # one checkpoint of the merged pair, rn carried through — the
+    # sk_theta_intersect plan-fold, same rationale
     sa, sb = side(THETA_SIDE_A), side(THETA_SIDE_B)
-    stats = (
-        sa.agg(
-            F.count("*").cast("bigint").alias("n_sketch_a"),
-            F.max(F.when(F.col("rn") == THETA_K, F.col("h"))).alias("kth_a"),
+    both = (
+        sa.select("h", F.col("rn").alias("rn_a"))
+        .join(
+            sb.select("h", F.col("rn").alias("rn_b")),
+            "h",
+            "full_outer",
         )
-        .crossJoin(
-            sb.agg(
-                F.count("*").cast("bigint").alias("n_sketch_b"),
-                F.max(F.when(F.col("rn") == THETA_K, F.col("h"))).alias("kth_b"),
-            )
+        .localCheckpoint()
+    )
+    stats = (
+        both.agg(
+            F.count("rn_a").cast("bigint").alias("n_sketch_a"),
+            F.max(F.when(F.col("rn_a") == THETA_K, F.col("h"))).alias("kth_a"),
+            F.count("rn_b").cast("bigint").alias("n_sketch_b"),
+            F.max(F.when(F.col("rn_b") == THETA_K, F.col("h"))).alias("kth_b"),
         )
         .withColumn(
             "theta",
@@ -416,19 +440,16 @@ def sk_theta_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    both = sa.select("h").withColumn("in_a", F.lit(1)).join(
-        sb.select("h").withColumn("in_b", F.lit(1)), "h", "full_outer"
-    )
     counts = (
         both.crossJoin(F.broadcast(stats.select("theta")))
         .where(F.col("h") < F.col("theta"))
         .agg(
             F.sum(
-                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNull(), 1)
+                F.when(F.col("rn_a").isNotNull() & F.col("rn_b").isNull(), 1)
                 .otherwise(0)
             ).cast("bigint").alias("n_anotb"),
             F.sum(
-                F.when(F.col("in_b").isNotNull() & F.col("in_a").isNull(), 1)
+                F.when(F.col("rn_b").isNotNull() & F.col("rn_a").isNull(), 1)
                 .otherwise(0)
             ).cast("bigint").alias("n_bnota"),
         )
@@ -501,6 +522,12 @@ def cms_heavy_hitters_from(sketch: DataFrame, candidates: DataFrame) -> DataFram
     """Heavy hitters from a finished CMS grid + a candidate-token
     frame: min-over-rows point estimates, φ-thresholded against the
     stream length (any single sketch row sums to N)."""
+    # materialize the finished grid ONCE (≤ D·W counter rows): the
+    # stream-length row-sum and the broadcast probe join both consume
+    # it, and without the checkpoint each re-ran the grid build over
+    # the occurrence/dictionary frame (guide §2.4 — probe the held
+    # sketch, don't rebuild it per consumer)
+    sketch = sketch.localCheckpoint()
     total = sketch.where(F.col("d") == 0).agg(F.sum("c").alias("n_stream"))
     probe = (
         candidates.select(

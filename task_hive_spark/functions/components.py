@@ -75,7 +75,14 @@ def _local_components(spark, rows, src_type) -> DataFrame:
     schema = StructType(
         [StructField("node", src_type, False), StructField("component", src_type, False)]
     )
-    return spark.createDataFrame(out, schema)
+    # materialize the labeling ONCE: a bare createDataFrame(list) plans
+    # a Python-RDD scan whose pickle→JVM conversion re-runs as Python
+    # worker tasks under EVERY consumer subtree — and both callers
+    # (dd_duplicate_clusters, dd_semdedup) consume the labeling twice
+    # (cluster-size aggregate + membership join). The checkpointed rows
+    # are component labels of FLAGGED pairs only (≤ local_edge_limit),
+    # bounded like the collect that produced them.
+    return spark.createDataFrame(out, schema).localCheckpoint(eager=True)
 
 
 def min_label_components(

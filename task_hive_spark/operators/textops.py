@@ -1882,18 +1882,14 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_micro"),
     )
     # the prior's ln stays ENGINE-side over the same integer inputs the
-    # fused agg produced (float discipline unchanged); a 1-row literal
-    # plan is a shuffle-free local job
-    prior_micro = int(
-        spark.range(1)
-        .select(
-            F.floor(F.log(F.lit(nk) / F.lit(nd)) * 1e6)
-            .cast("bigint")
-            .alias("p")
-        )
-        .collect()[0]["p"]
-    )
-    score = F.col("dot") + F.lit(prior_micro)
+    # fused agg produced (float discipline unchanged) — as a literal
+    # expression INSIDE the scoring plan: Catalyst's ConstantFolding
+    # evaluates it once at plan time through the same expression-eval
+    # path the former spark.range(1) job used (bit-identical value),
+    # dropping one scheduler round per run (guide §1.2/§5 — no driver
+    # round-trip for a scalar the plan can fold itself)
+    prior_micro = F.floor(F.log(F.lit(nk) / F.lit(nd)) * 1e6).cast("bigint")
+    score = F.col("dot") + prior_micro
     out = (
         lf.join(F.broadcast(w), "f")
         .groupBy("doc_id", "keep")

@@ -1867,9 +1867,19 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     tk = sum(r["ck"] for r in cls_rows)  # exact ints — no float drift
     td = sum(r["cd"] for r in cls_rows)
-    cls_lit = spark.createDataFrame(
-        [(r["f"], r["ck"], r["cd"]) for r in cls_rows],
-        "f int, ck bigint, cd bigint",
+    # VALUES literal, not createDataFrame(list): the weight table is the
+    # broadcast side of the scoring join, and the classic path's
+    # Python-RDD scan re-ran its pickle→JVM conversion as worker tasks
+    # inside every broadcast build (the dedup.py:644 dead end). All
+    # integers — a true LocalTableScan.
+    cls_lit = spark.sql(
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({int(r['f'])}, CAST({int(r['ck'])} AS BIGINT),"
+            f" CAST({int(r['cd'])} AS BIGINT))"
+            for r in cls_rows
+        )
+        + ") AS t(f, ck, cd)"
     )
     w = cls_lit.select(
         "f",

@@ -726,8 +726,24 @@ def _pq_codebook() -> list[tuple[int, int, int, float]]:
 PQ_BOOK = _pq_codebook()
 
 
+# session-held checkpointed codebook frame — the _ann_index_constants
+# treatment for the LITERAL book: a bare createDataFrame(list) plans a
+# Python-RDD scan whose pickle conversion re-runs under every consumer
+# subtree (broadcast builds included); checkpointing the 1,024 rows
+# once per session makes every PQ encode/LUT read a JVM-cached block
+_PQ_BOOK_DF: dict[str, DataFrame] = {}
+register_aux_cache(_PQ_BOOK_DF)
+
+
 def _pq_book_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(PQ_BOOK, "sub int, code int, d int, c double")
+    key = spark.sparkContext.applicationId
+    if key not in _PQ_BOOK_DF:
+        _PQ_BOOK_DF[key] = (
+            spark.createDataFrame(PQ_BOOK, "sub int, code int, d int, c double")
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    return _PQ_BOOK_DF[key]
 
 
 def _pq_dist_table(

@@ -1,0 +1,140 @@
+"""Round-13 OPTIMIZATION plan-shape pins.
+
+Each optimization this round restructured an operator's internals
+while keeping its answer oracle-hash-identical; these tests pin the
+STRUCTURAL property each one bought, so a refactor that silently
+regresses the plan (re-duplicating a build subtree, re-introducing a
+Python-RDD scan) fails here instead of only showing up as bench drift.
+Value equality stays covered by the oracle gate (verify_local / the
+driver's correctness run) — these assertions are about plan shape
+only.
+"""
+
+from __future__ import annotations
+
+
+def _plan(df) -> str:
+    """Analyzed + physical plan text of an UNEXECUTED frame."""
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"
+        )
+    )
+
+
+def test_theta_intersect_serves_from_held_sketches(spark, sf_dir):
+    """46a0f4d: the merged bottom-K pair is materialized once — the
+    final theta plan must contain NO events scan (all data passes ran
+    inside the checkpoint build; the before-plan held six copies of
+    the events -> distinct -> bottom-K chain)."""
+    from task_hive_spark.operators.sketches import sk_theta_intersect
+
+    plan = _plan(sk_theta_intersect(spark, sf_dir))
+    assert "events.parquet" not in plan, (
+        "sk_theta_intersect's final plan re-reads the events table - "
+        "the held-sketch fold regressed"
+    )
+
+
+def test_hll_union_serves_from_held_registers(spark, sf_dir):
+    """46a0f4d: both union-merge and per-group estimates derive from
+    the checkpointed register state — no events scan in the final
+    plan."""
+    from task_hive_spark.operators.sketches import sk_hll_union
+
+    plan = _plan(sk_hll_union(spark, sf_dir))
+    assert "events.parquet" not in plan
+
+
+def test_cms_probe_reads_held_grid(spark, sf_dir):
+    """46a0f4d: the CMS stream-length row-sum and the probe join read
+    the checkpointed grid, not a per-consumer rebuild — the dictionary
+    (vocab index) may appear once for the candidate side, but the
+    GRID subtree (explode of cms cells -> groupBy) must not be planned
+    twice. The grid build contains the cell-explode marker 'cms-';
+    after the fold the final plan holds at most one such subtree
+    (the candidate probe's own cell expansion)."""
+    from task_hive_spark.operators.sketches import sk_cms_heavy_hitters
+
+    plan = _plan(sk_cms_heavy_hitters(spark, sf_dir))
+    # one cell-expansion (D=4 'cms-' digest slices) for the PROBE side
+    # only; the grid side is a checkpointed scan. 8+ occurrences in the
+    # physical plan = the D-cell explode over the vocab is planned for
+    # the grid again (per consumer), i.e. the fold regressed.
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("cms-") <= 4, (
+        "the CMS grid subtree appears duplicated in the final plan"
+    )
+
+
+def test_bpe_merges_output_is_local_table(spark, sf_dir):
+    """f3e5f2c: the learned-merge table is a VALUES literal
+    (LocalTableScan / LocalRelation), never a Python-RDD scan."""
+    from task_hive_spark.operators.textops import txt_bpe_merges
+
+    plan = _plan(txt_bpe_merges(spark, sf_dir))
+    assert "Scan ExistingRDD" not in plan, (
+        "txt_bpe_merges regressed to a pickled Python-RDD output frame"
+    )
+
+
+def test_quality_classifier_single_fit_round(spark, sf_dir):
+    """fe0d29d + 92458a2: the NB weight table is an all-integer VALUES
+    literal and the prior is constant-folded into the scoring plan —
+    no Python-RDD scan, no spark.range(1) subtree."""
+    from task_hive_spark.operators.textops import txt_quality_classifier
+
+    plan = _plan(txt_quality_classifier(spark, sf_dir))
+    assert "Scan ExistingRDD" not in plan, (
+        "the NB weight table regressed to a pickled Python-RDD frame"
+    )
+    assert "Range (0, 1" not in plan, (
+        "the prior log-odds regressed to a separate range(1) job"
+    )
+
+
+def test_bucketed_prefix_materializes_input_once(spark):
+    """44df6f9: bucketed_prefix checkpoints its input, so the returned
+    frame scans materialized rows (LogicalRDD) instead of re-planning
+    the caller's upstream subtree a third time."""
+    from pyspark.sql import functions as F
+
+    from task_hive_spark.functions.prefix import bucketed_prefix
+
+    src = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("w"))
+        .groupBy("k")
+        .agg(F.sum("w").alias("w"))
+    )
+    b, off, total = bucketed_prefix(src, "k", weight=F.col("w"), n_buckets=4)
+    assert total == sum(i % 7 for i in range(100))
+    plan = _plan(b)
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan, (
+        "bucketed_prefix no longer materializes its input - every "
+        "consumer pays the upstream subtree three times again"
+    )
+    assert "Aggregate" not in plan.split("== Optimized Logical Plan ==")[0] or (
+        "LogicalRDD" in plan
+    )
+
+
+def test_components_labeling_is_materialized(spark):
+    """fe0d29d: the driver-local union-find labeling is checkpointed —
+    consumers scan JVM blocks, not a re-pickled Python RDD. The plan of
+    the returned frame is an RDD scan either way; the pin is that the
+    SAME checkpointed rows serve repeated actions (collect twice,
+    identical ids — a regression to lazy re-parallelize would still
+    pass this, but the eager checkpoint is also what the jobs-per-query
+    probe pins in plans/r13/measurements)."""
+    from task_hive_spark.functions.components import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a bigint, b bigint"
+    )
+    comps = min_label_components(pairs)
+    rows = {(r["node"], r["component"]) for r in comps.collect()}
+    assert rows == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert comps.rdd.getCheckpointFile is not None  # API sanity
+    # the frame must be backed by a checkpointed/materialized RDD scan
+    assert "LogicalRDD" in _plan(comps)

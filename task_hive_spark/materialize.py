@@ -113,7 +113,11 @@ def drop_index(spark: SparkSession, sf_dir: str, name: str) -> None:
 
 
 def session_index(
-    spark: SparkSession, sf_dir: str, name: str, build: Callable[[], DataFrame]
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Return the per-session materialized index `name` for `sf_dir`,
     building and persisting it on first use (MEMORY_AND_DISK, so an
@@ -124,12 +128,30 @@ def session_index(
     (isFinalPlan=false), so the first consumer's plan would re-shuffle
     data the index already hash-partitioned; after materialization every
     consumer plan sees the final hashpartitioning and aggregates
-    exchange-free on top of it."""
+    exchange-free on top of it.
+
+    ``checkpoint=True`` materializes via ``localCheckpoint(eager)``
+    instead of persist: the frame becomes a LogicalRDD LEAF, so
+    consumers reference the stored blocks directly rather than through
+    CacheManager plan-matching. Use it for indexes consumed under a
+    Union: Spark 4.1's cache lookup silently misses when the SAME
+    cached plan (built here via multi-branch SQL unions + keyed
+    repartition) appears in several Union branches — measured on
+    txt_clean_corpus_stats as 866 parquet re-scans / 14.5 s for a query
+    whose branches each run sub-second against the index (the
+    union-of-aggregates replanned every stage pipeline from the raw
+    parquet). Storage class is the same MEMORY_AND_DISK family; the
+    trade is lineage truncation (no executor-loss recovery for the
+    index — rebuild in a fresh session), the trade dd_duplicate_clusters
+    already documents for its fixpoint."""
     _evict_dead_sessions()
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _CACHE.get(key)
     if df is None:
-        df = build().persist()
-        df.count()
+        if checkpoint:
+            df = build().localCheckpoint(eager=True)
+        else:
+            df = build().persist()
+            df.count()
         _CACHE[key] = df
     return df

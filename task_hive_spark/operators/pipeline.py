@@ -154,9 +154,15 @@ def _pipe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate synthesis otherwise; doc_id partitioning feeds every
     downstream per-doc join exchange-free."""
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # checkpoint=True (not persist): the four pipe indexes are the
+    # branches of txt_clean_corpus_stats' six-way union, and Spark 4.1's
+    # CacheManager misses persisted plans referenced under a Union —
+    # measured as the stats query re-planning EVERY stage pipeline from
+    # raw parquet (866 scans, 14.5 s vs ~0.4 s over checkpoint leaves).
     return session_index(
         spark, sf_dir, "pipe_corpus",
         lambda: pipe_corpus_df(spark, sf_dir).repartition(n, "doc_id"),
+        checkpoint=True,
     )
 
 
@@ -372,13 +378,30 @@ def _sampled(spark: SparkSession, sf_dir: str, clean: DataFrame) -> DataFrame:
     t_all = sum(tok for _, tok in prof)
     pw = {lang: (tok / t_all) ** MIX_ALPHA for lang, tok in prof}
     z = sum(pw[lang] for lang, _ in prof)
-    fac = spark.createDataFrame(
-        [
-            (lang, math.floor(pw[lang] / z / (tok / t_all) * 1000000.0))
+    # VALUES literal, not createDataFrame(list): the ≤|langs|-row factor
+    # table is the broadcast side of the mix join, and the Python-RDD
+    # frame re-ran its pickle→JVM conversion inside every broadcast
+    # build (the f3e5f2c/92458a2 pattern); a LocalTableScan broadcasts
+    # straight from the driver. lang is data-derived, so it is escaped
+    # for the SQL literal rather than trusted like the asserted-alnum
+    # BPE symbols.
+    if prof:
+        def _lit(lang) -> str:  # NULL-lang group kept, like the old frame
+            if lang is None:
+                return "CAST(NULL AS STRING)"
+            esc = lang.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{esc}'"
+
+        rows = ", ".join(
+            "({}, CAST({} AS BIGINT))".format(
+                _lit(lang),
+                math.floor(pw[lang] / z / (tok / t_all) * 1000000.0),
+            )
             for lang, tok in prof
-        ],
-        "lang string, f_micro bigint",
-    )
+        )
+        fac = spark.sql(f"SELECT * FROM (VALUES {rows}) AS t(lang, f_micro)")
+    else:
+        fac = spark.createDataFrame([], "lang string, f_micro bigint")
     return (
         cl.join(F.broadcast(fac), "lang")
         .withColumn(
@@ -407,14 +430,22 @@ def _stage_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     local-mode form of that, and makes the corpus query and the stats
     query share one computation of the gate/CC/excision work."""
     corpus = _pipe_corpus(spark, sf_dir)
-    gated = session_index(spark, sf_dir, "pipe_gated", lambda: _gated(spark, sf_dir))
+    # checkpoint=True on all of them: every one is referenced under the
+    # stats query's union (see _pipe_corpus for the cache-miss evidence)
+    gated = session_index(
+        spark, sf_dir, "pipe_gated", lambda: _gated(spark, sf_dir),
+        checkpoint=True,
+    )
     exact = _exact_surviving(gated)
     near = session_index(
         spark, sf_dir, "pipe_near_survivors",
         lambda: _near_surviving(spark, sf_dir, exact),
+        checkpoint=True,
     )
     clean = session_index(
-        spark, sf_dir, "pipe_clean", lambda: _span_cleaned(spark, sf_dir, near)
+        spark, sf_dir, "pipe_clean",
+        lambda: _span_cleaned(spark, sf_dir, near),
+        checkpoint=True,
     )
     final = _sampled(spark, sf_dir, clean)
     return {

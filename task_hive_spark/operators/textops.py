@@ -1007,14 +1007,137 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_index(spark, sf_dir, "bpe_word_freq", build_vocab)
 
 
+# Vocabulary size under which the merge loop runs DRIVER-LOCALLY on the
+# collected word-frequency table — the HF-tokenizers / SentencePiece
+# posture: the corpus pass (word counting) is the only distributed
+# stage, and the trainer loop walks an in-memory (word, freq) table.
+# Rationale (guide §1.2 — fix the algorithm before the per-task work):
+# the distributed loop's cost is NOT data, it is 2 scheduler rounds +
+# one fresh Catalyst/AQE plan per merge round over a vocab-bounded
+# frame (~0.17 s/round measured at sf0.1, ~1.4 s of the query's 1.7 s).
+# The vocab is distinct WORDS — language-bounded, never corpus-scale —
+# so the same bounded-side reasoning as components.py's
+# CC_LOCAL_EDGE_LIMIT applies; 2M rows keeps the collected list and the
+# loop's dicts in the low hundreds of MB. Graphs over the limit fall
+# through to the distributed loop below, which remains the 100 TB path
+# for a corpus whose token alphabet is unbounded. Both paths are exact
+# and must agree bit-for-bit: parity is pinned by
+# tests/test_round13_opt.py::test_bpe_local_and_distributed_trainers_agree,
+# and the DuckDB oracle re-checks the local path end to end.
+BPE_LOCAL_VOCAB_LIMIT = 2_000_000
+
+# schema of the final (w, freq, syms) vocab state BOTH trainer paths
+# return: the distributed path's groupBy-count + transform() shape,
+# asserted equal in the parity test so the local frame can never drift
+_BPE_VOCAB_SCHEMA = (
+    "w string not null, freq bigint not null, syms array<string>"
+)
+
+
+def _apply_round_local(syms: list[str], pairs: set[tuple[str, str]]) -> list[str]:
+    """Python twin of _greedy_multi_merge_expr's fold: one greedy
+    left-to-right pass merging (acc tail, next) when it is a selected
+    pair. The round's pairs are symbol-disjoint, so at most one pair
+    can match any state and dict/set lookup equals the CASE walk; a
+    merged token is strictly longer than its lft, so no cascade within
+    the pass (the same argument as the SQL fold's docstring)."""
+    acc: list[str] = []
+    for s in syms:
+        if acc and (acc[-1], s) in pairs:
+            acc[-1] = acc[-1] + s
+        else:
+            acc.append(s)
+    return acc
+
+
+def _learn_merges_local(
+    rows: list,
+) -> tuple[list[tuple[int, str, str, int]], list[tuple[str, int, list[str]]]]:
+    """Driver-local batched trainer over the collected word-frequency
+    table. Mirrors the distributed loop EXACTLY: per round, pair counts
+    summed over adjacent symbol positions weighted by word freq,
+    conflict-greedy selection over the (c desc, lft, rgt) order (Python
+    tuple sort on ASCII-alnum symbols == Spark's UTF8 binary order),
+    one greedy fold applying the round's disjoint pairs. Integer
+    arithmetic throughout — no float drift between the paths."""
+    vocab: list[tuple[str, int, list[str]]] = [
+        (r["w"], int(r["freq"]), list(r["w"])) for r in rows
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    schedule = [BPE_BATCH] * (BPE_MERGES // BPE_BATCH)
+    if BPE_MERGES % BPE_BATCH:
+        schedule.append(BPE_MERGES % BPE_BATCH)
+    for want in schedule:
+        counts: dict[tuple[str, str], int] = {}
+        for _w, freq, syms in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        sel: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for (lft, rgt), c in sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        ):
+            if lft in used or rgt in used or (lft + rgt) in used:
+                continue
+            assert lft.isalnum() and rgt.isalnum(), "non-alnum BPE symbol"
+            sel.append((lft, rgt, c))
+            used.update((lft, rgt, lft + rgt))
+            if len(sel) == want:
+                break
+        if not sel:
+            break  # pair supply exhausted — same sentinel as the loop
+        for lft, rgt, c in sel:
+            merges.append((len(merges) + 1, lft, rgt, c))
+        rp = {(l, r) for l, r, _ in sel}
+        vocab = [(w, f, _apply_round_local(s, rp)) for w, f, s in vocab]
+    return merges, vocab
+
+
 def _learn_merges(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
-    """Returns (merge list, final (w, freq, syms) vocab state)."""
+    """Returns (merge list, final (w, freq, syms) vocab state).
+
+    Dispatch: vocabularies at or under BPE_LOCAL_VOCAB_LIMIT words run
+    the driver-local trainer (one bounded collect of the warm word-freq
+    index, pure-Python merge loop, ONE conversion of the final state
+    back — 2 jobs total); larger ones run the distributed per-round
+    loop (the 100 TB fallback). Identical results by construction,
+    pinned by the parity test and the oracle gate."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _BPE_MERGE_CACHE:
         return _BPE_MERGE_CACHE[key]
     vocab_tbl = _bpe_vocab(spark, sf_dir)
+    # limit+1 bounds the driver transfer even on a huge vocabulary
+    # (components.py's probe pattern); ≤ limit rows means `head` IS the
+    # whole vocab and the trainer runs locally on it.
+    head = vocab_tbl.limit(BPE_LOCAL_VOCAB_LIMIT + 1).collect()
+    if len(head) <= BPE_LOCAL_VOCAB_LIMIT:
+        max_w = max((len(r["w"]) for r in head), default=0)
+        assert max_w <= 2 * _BPE_ORACLE_REPS, (
+            f"max word length {max_w} exceeds the oracle splice budget "
+            f"(2 x _BPE_ORACLE_REPS = {2 * _BPE_ORACLE_REPS}) - raise it"
+        )
+        merges, out = _learn_merges_local(head)
+        # ONE bounded conversion of the vocab-sized final state, eagerly
+        # checkpointed so every downstream consumer (txt_bpe_tokenize,
+        # txt_tokenized_dataset) scans materialized JVM blocks — the
+        # _local_components discipline (a bare createDataFrame(list)
+        # would re-run its pickle→JVM conversion under every consumer).
+        v = spark.createDataFrame(
+            [(w, f, s) for w, f, s in out], _BPE_VOCAB_SCHEMA
+        ).localCheckpoint(eager=True)
+        _BPE_MERGE_CACHE[key] = (merges, v)
+        return merges, v
+    return _learn_merges_distributed(spark, sf_dir, vocab_tbl)
+
+
+def _learn_merges_distributed(
+    spark: SparkSession, sf_dir: str, vocab_tbl: DataFrame
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The distributed per-round merge loop — the over-limit path."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     vstats = vocab_tbl.agg(
         F.max(F.length("w")).alias("mw"), F.count("*").alias("n")
     ).collect()[0]

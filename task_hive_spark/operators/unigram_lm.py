@@ -196,11 +196,27 @@ def txt_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned unigram-LM vocabulary: every surviving piece with its
     seed count, final (post-EM) usage count, and integer micro-cost."""
     rows, _ = _train(spark, sf_dir)
-    return spark.createDataFrame(
-        rows,
-        "piece string, piece_len int, seed_count bigint,"
-        " em_count bigint, cost_micro bigint",
-    ).orderBy("piece")
+    # VALUES literal, not createDataFrame(list): the vocab is a bounded
+    # driver-held table and the Python-RDD frame re-ran its pickle→JVM
+    # conversion under every action (the f3e5f2c pattern). piece is
+    # data-derived, so it is escaped for the SQL literal.
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "piece string, piece_len int, seed_count bigint,"
+            " em_count bigint, cost_micro bigint",
+        )
+    lits = ", ".join(
+        "('{}', {}, CAST({} AS BIGINT), CAST({} AS BIGINT), CAST({} AS BIGINT))".format(
+            p.replace("\\", "\\\\").replace("'", "\\'"), pl, sc, ec, cm
+        )
+        for p, pl, sc, ec, cm in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM (VALUES {lits})"
+        " AS t(piece, piece_len, seed_count, em_count, cost_micro)"
+        " ORDER BY piece"
+    )
 
 
 def txt_unigram_lm_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:

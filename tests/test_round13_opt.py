@@ -138,3 +138,59 @@ def test_components_labeling_is_materialized(spark):
     assert comps.rdd.getCheckpointFile is not None  # API sanity
     # the frame must be backed by a checkpointed/materialized RDD scan
     assert "LogicalRDD" in _plan(comps)
+
+
+def test_bpe_local_and_distributed_trainers_agree(spark, sf_dir):
+    """Session-3 BPE restructure: the driver-local trainer (the
+    under-BPE_LOCAL_VOCAB_LIMIT path every fixture takes) must agree
+    bit-for-bit with the distributed per-round loop — same merge list
+    (order, counts), same final (w, freq, syms) vocab state, same
+    frame schema — so the dispatch threshold can never change what
+    txt_bpe_merges / txt_bpe_tokenize / txt_tokenized_dataset compute."""
+    from task_hive_spark.operators.textops import (
+        _bpe_vocab,
+        _learn_merges_distributed,
+        _learn_merges_local,
+    )
+
+    vocab_tbl = _bpe_vocab(spark, sf_dir)
+    merges_l, out_l = _learn_merges_local(vocab_tbl.collect())
+    merges_d, v_d = _learn_merges_distributed(spark, sf_dir, vocab_tbl)
+    assert merges_l == merges_d
+    # rebuild the local frame exactly as _learn_merges does, to pin the
+    # schema equality (nullability included) alongside the row equality
+    from task_hive_spark.operators.textops import _BPE_VOCAB_SCHEMA
+
+    v_l = spark.createDataFrame(
+        [(w, f, s) for w, f, s in out_l], _BPE_VOCAB_SCHEMA
+    )
+    assert v_l.schema == v_d.schema, (v_l.schema, v_d.schema)
+    rows_l = sorted((r["w"], r["freq"], tuple(r["syms"])) for r in v_l.collect())
+    rows_d = sorted((r["w"], r["freq"], tuple(r["syms"])) for r in v_d.collect())
+    assert rows_l == rows_d
+
+
+def test_clean_corpus_stats_reads_checkpointed_stages(spark, sf_dir):
+    """Session-3 pipe-index checkpointing: Spark 4.1's CacheManager
+    misses persisted plans referenced under a Union, so the six-way
+    stats union silently re-planned every stage pipeline from raw
+    parquet (866 scans in the executed plan, 14.5 s at sf0.1 for a
+    query whose branches run sub-second). With the four pipe indexes
+    checkpoint-backed the union's branches scan LogicalRDD leaves; the
+    only parquet relation left in the whole plan is the language-map
+    side of the temperature stage. A regression re-introduces dozens
+    of parquet scans."""
+    from task_hive_spark.operators.pipeline import txt_clean_corpus_stats
+
+    df = txt_clean_corpus_stats(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    n_parquet = plan.count("Scan parquet")
+    assert n_parquet <= 4, (
+        f"stats union re-scans parquet {n_parquet} times - the pipe "
+        "session indexes are no longer checkpoint leaves under the union"
+    )

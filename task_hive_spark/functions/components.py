@@ -111,7 +111,11 @@ def min_label_components(
         # distributed loop below would otherwise recompute it from
         # lineage — paying the pair join twice
         p = p.persist()
-        # limit+1 bounds the driver transfer even when the graph is huge
+        # limit+1 bounds the driver transfer even when the graph is huge.
+        # (Probed r13-opt: count()-then-collect() is NOT better — the
+        # count pays one job per AQE stage of the pair plan, 5 jobs vs
+        # this probe's 3; the incremental CollectLimit scale-up sits
+        # within 0.03 s of an unbounded bare collect on the fixture.)
         head = p.limit(local_edge_limit + 1).collect()
         if len(head) <= local_edge_limit:
             spark = pairs.sparkSession
@@ -119,12 +123,22 @@ def min_label_components(
             return _local_components(
                 spark, [(r["src"], r["dst"]) for r in head], p.schema["src"].dataType
             )
+    # LARGE-GRAPH PATH. Swap the probe cache for a checkpoint LEAF
+    # before the union: Spark 4.1's CacheManager can miss a persisted
+    # plan referenced under a Union (measured on the pipeline stats
+    # query — see materialize.session_index), which would re-execute
+    # the full pair plan once per union branch, exactly the double-pay
+    # the persist above was documented to prevent. A LogicalRDD leaf is
+    # immune to cache-lookup misses; the checkpoint reads the partitions
+    # the probe already computed.
+    ck = p.localCheckpoint(eager=True)
+    if local_edge_limit > 0:
+        p.unpersist()  # the checkpoint is materialized; the cache is done
+    p = ck
     # undirected edges, both directions
     edges = p.union(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    if local_edge_limit > 0:
-        p.unpersist()  # edges is materialized; the cached pairs are done
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -275,14 +275,28 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_p = F.countDistinct("l_partkey")
     # rsd=0.01: the default 5% rsd leaves no headroom against the 5%
     # gate bound on small cardinalities (observed >5% off at sf0.001)
-    return l.agg(
-        exact_o.alias("exact_orders"),
-        exact_p.alias("exact_parts"),
+    #
+    # The exact and approx aggregates run as SEPARATE subtrees joined
+    # 1-row×1-row: mixing countDistinct with approx_count_distinct in
+    # ONE agg plans the multi-distinct Expand and evaluates the HLL++
+    # sketches inside the per-key distinct aggregation — a 16 KB
+    # (rsd=0.01) register buffer per distinct key instead of one per
+    # partition (measured 3.17 s vs 1.49 s at sf0.01, identical rows).
+    ex = l.agg(exact_o.alias("exact_orders"), exact_p.alias("exact_parts"))
+    ap = l.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+    )
+    return ex.crossJoin(ap).select(
+        "exact_orders",
+        "exact_parts",
         (
-            F.abs(F.approx_count_distinct("l_orderkey", 0.01) - exact_o) / exact_o < 0.05
+            F.abs(F.col("_ao") - F.col("exact_orders")) / F.col("exact_orders")
+            < 0.05
         ).alias("orders_within_5pct"),
         (
-            F.abs(F.approx_count_distinct("l_partkey", 0.01) - exact_p) / exact_p < 0.05
+            F.abs(F.col("_ap") - F.col("exact_parts")) / F.col("exact_parts")
+            < 0.05
         ).alias("parts_within_5pct"),
     )
 

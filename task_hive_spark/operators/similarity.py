@@ -736,13 +736,25 @@ register_aux_cache(_PQ_BOOK_DF)
 
 
 def _pq_book_df(spark: SparkSession) -> DataFrame:
-    key = spark.sparkContext.applicationId
+    # key is a 1-TUPLE, not the bare appId string: the aux-cache
+    # eviction contract checks key[0] against the live applicationId,
+    # and a string key's [0] is its first CHARACTER — the bare key was
+    # silently evicted on every session_index call, so every ADC LUT
+    # construction rebuilt (and re-checkpointed) the codebook, ~5-8 s
+    # of pure driver overhead per sim_topk_ivf_pq/_pq_refined call
+    # (measured; memo hit is sub-ms).
+    key = (spark.sparkContext.applicationId,)
     if key not in _PQ_BOOK_DF:
-        _PQ_BOOK_DF[key] = (
-            spark.createDataFrame(PQ_BOOK, "sub int, code int, d int, c double")
-            .coalesce(1)
-            .localCheckpoint(eager=True)
+        # VALUES literal, not createDataFrame(list): no Python-RDD
+        # conversion at build either. Entries are exact multiples of
+        # 1/64, so their repr is a terminating decimal and the
+        # decimal→double cast is bit-exact.
+        rows = ", ".join(
+            f"({m}, {k}, {d}, CAST({c!r} AS DOUBLE))" for m, k, d, c in PQ_BOOK
         )
+        _PQ_BOOK_DF[key] = spark.sql(
+            f"SELECT * FROM (VALUES {rows}) AS t(sub, code, d, c)"
+        ).localCheckpoint(eager=True)
     return _PQ_BOOK_DF[key]
 
 

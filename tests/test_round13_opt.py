@@ -194,3 +194,30 @@ def test_clean_corpus_stats_reads_checkpointed_stages(spark, sf_dir):
         f"stats union re-scans parquet {n_parquet} times - the pipe "
         "session indexes are no longer checkpoint leaves under the union"
     )
+
+
+def test_aux_cache_keys_honor_eviction_contract(spark, sf_dir):
+    """Session-3 codebook-memo fix: materialize's aux-cache eviction
+    checks key[0] against the live applicationId, so every registered
+    cache must use TUPLE keys whose first element is the appId — a
+    bare-string key's [0] is its first character, which made
+    _evict_dead_sessions silently drop the PQ codebook frame on every
+    session_index call (each ADC LUT construction re-built and
+    re-checkpointed it: ~5-8 s of driver overhead per
+    sim_topk_ivf_pq/_pq_refined call)."""
+    from task_hive_spark import materialize as M
+    from task_hive_spark.operators import similarity as S
+
+    b1 = S._pq_book_df(spark)
+    S._ivf_assignment(spark, sf_dir)  # triggers _evict_dead_sessions
+    assert S._pq_book_df(spark) is b1, (
+        "the PQ codebook memo was evicted by a live-session sweep - "
+        "its cache key no longer honors the tuple contract"
+    )
+    app = spark.sparkContext.applicationId
+    for aux in M._AUX_CACHES:
+        for key in aux:
+            assert isinstance(key, tuple) and key and key[0] == app, (
+                f"aux cache key {key!r} violates the (applicationId, ...) "
+                "tuple contract - _evict_dead_sessions will drop it live"
+            )

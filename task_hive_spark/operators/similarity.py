@@ -130,10 +130,19 @@ def _band_buckets(df: DataFrame, vec_col: str) -> DataFrame:
     1e-15 of the sign boundary."""
     key = df.columns[0]
     spark = df.sparkSession
-    planes = spark.createDataFrame(
-        [(pos, *[PLANES[p][pos] for p in range(N_PLANES)]) for pos in range(DIM)],
-        "pos int, " + ", ".join(f"c{p} double" for p in range(N_PLANES)),
+    # VALUES literal, not createDataFrame(list): the plane matrix is a
+    # driver-held constant and the Python-RDD frame re-ran its
+    # pickle→JVM conversion under the index build (the f3e5f2c
+    # pattern; cold path — once per session — but the same shape).
+    # Entries are exactly ±1.0, so the D-suffixed literal is exact.
+    rows = ", ".join(
+        "(" + str(pos) + ", "
+        + ", ".join(f"{PLANES[p][pos]!r}D" for p in range(N_PLANES))
+        + ")"
+        for pos in range(DIM)
     )
+    cols = ", ".join(f"c{p}" for p in range(N_PLANES))
+    planes = spark.sql(f"SELECT * FROM (VALUES {rows}) AS t(pos, {cols})")
     x = df.select(key, F.posexplode(vec_col).alias("pos", "xv")).select(
         key, "pos", F.col("xv").cast("double").alias("xv")
     )

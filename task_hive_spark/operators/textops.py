@@ -797,6 +797,18 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 FILTER_MIN_TOKENS = 5  # shorter docs carry no training signal
 
 
+# Memo of the CONSTRUCTED gate-roster frame per (session, sf_dir) —
+# an UNMATERIALIZED logical plan, no rows, no persisted blocks: every
+# action on it (or on frames composed over it) still computes from the
+# parquet inputs. What it saves is the plan CONSTRUCTION itself: the
+# gate stack is ~860 py4j round-trips of eager JVM analysis (~0.4-0.7 s
+# driver time, zero jobs — profiled r13-opt session 3), re-paid by
+# every consumer (txt_tokenized_dataset re-builds it per call). Plan
+# objects are immutable, so sharing one is semantics-free.
+_GATE_ROSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+register_aux_cache(_GATE_ROSTER_CACHE)
+
+
 def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed keep/drop roster a training pipeline materializes
     before tokenization: every gate in one pass, with the FIRST failing
@@ -818,6 +830,10 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     _bigram_scores (defined on ntok ≥ 2) is total over the surviving
     rows — the coalesce default can only ever apply to rows an earlier
     gate already dropped."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    got = _GATE_ROSTER_CACHE.get(memo_key)
+    if got is not None:
+        return got
     scored = doc_stats(spark, sf_dir).select(
         "doc_id",
         "lang",
@@ -852,7 +868,7 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(low_likelihood, "low_likelihood")
         .otherwise("kept")
     )
-    return (
+    out = (
         j.select(
             "doc_id",
             "lang",
@@ -862,6 +878,8 @@ def txt_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    _GATE_ROSTER_CACHE[memo_key] = out
+    return out
 
 
 # BPE merge learning (Sennrich et al. 2016): the tokenizer-training

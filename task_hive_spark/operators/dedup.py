@@ -196,8 +196,11 @@ _LANES_SQL = [
     f"CAST(conv(substring(hx, {1 + 8 * j}, 8), 16, 10) AS BIGINT) % {_MH_P} AS x{j}"
     for j in range(4)
 ]
-_BANDS_SQL = (
-    "explode(array("
+# the LSH_BANDS band hashes as one ARRAY expression; band_buckets_of
+# explodes it to (doc_id, bucket) rows, the pruned serve collects it
+# un-exploded (one array per probe doc instead of LSH_BANDS rows)
+_BANDS_ARRAY_SQL = (
+    "array("
     + ", ".join(
         "xxhash64({bi}, {items})".format(
             bi=bi,
@@ -208,8 +211,9 @@ _BANDS_SQL = (
         )
         for bi in range(LSH_BANDS)
     )
-    + ")) AS bucket"
+    + ")"
 )
+_BANDS_SQL = f"explode({_BANDS_ARRAY_SQL}) AS bucket"
 
 
 def minhash_sigs_of(d: DataFrame, n: int = 3) -> DataFrame:
@@ -877,6 +881,13 @@ def _dedup_index_clustered(spark: SparkSession, sf_dir: str) -> tuple[str, list[
     return _DD_CIDX_RAN[key]
 
 
+# Probe batches at or under this row count come back as a VALUES
+# literal (all-integer — exact): ~2.6 KB of SQL text per row. Larger
+# request batches keep the r13 checkpoint shape (one bounded conversion)
+# rather than parse megabytes of literal SQL on the driver.
+SERVE_SIG_LITERAL_MAX = 512
+
+
 def dedup_served_pruned_of(
     spark: SparkSession,
     index_dir: str,
@@ -886,17 +897,46 @@ def dedup_served_pruned_of(
     """File-pruned serve core: signature the batch, intersect its band
     buckets with the manifest, scan ONLY the colliding bucket files,
     then the shared candidate/score join. Returns (result, kept files,
-    total files) so callers can pin the pruning ratio. The probe-bucket
-    collect is bounded by |batch| x LSH_BANDS (requests, not tables)."""
+    total files) so callers can pin the pruning ratio.
+
+    r14 shape (guide §2.4 — one action where r13 paid three): ONE
+    collect computes the probe signatures AND their un-exploded band
+    arrays — bounded by |batch| x (MINHASH_K + LSH_BANDS) integers
+    (requests, not tables; the r13 shape already collected the
+    |batch| x LSH_BANDS buckets and additionally paid a signature
+    localCheckpoint job plus a distinct shuffle on the bucket list).
+    The driver dedupes buckets in a set; the signatures return to the
+    plan as a VALUES literal (LocalTableScan — its two broadcast builds
+    in _serve_join run driver-side with no scheduler round), falling
+    back to the r13 checkpointed conversion above
+    SERVE_SIG_LITERAL_MAX rows. All-integer rows, so the literal is
+    exact; the scoring arithmetic is unchanged."""
     import os as _os
 
     from task_hive_spark.plans.catalog import prune_files_any
 
-    new_sigs = _probe_sigs_literal(spark, batch)
-    probe_buckets = [
-        r["bucket"]
-        for r in band_buckets_of(new_sigs).select("bucket").distinct().collect()
-    ]
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rows = (
+        minhash_sigs_of(batch.repartition(nshuf, "doc_id"))
+        .selectExpr("doc_id", "sig", f"{_BANDS_ARRAY_SQL} AS buckets")
+        .collect()
+    )
+    probe_buckets = sorted({b for r in rows for b in r["buckets"]})
+    if rows and len(rows) <= SERVE_SIG_LITERAL_MAX:
+        vals = ", ".join(
+            "(CAST({d} AS BIGINT), array({s}))".format(
+                d=r["doc_id"], s=", ".join(f"{v}L" for v in r["sig"])
+            )
+            for r in rows
+        )
+        new_sigs = spark.sql(f"SELECT * FROM (VALUES {vals}) AS t(doc_id, sig)")
+    elif not rows:  # degenerate empty batch — keep the join schema
+        new_sigs = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+    else:  # over-limit batch: one bounded conversion (components.py discipline)
+        new_sigs = spark.createDataFrame(
+            [(r["doc_id"], list(r["sig"])) for r in rows],
+            "doc_id long, sig array<bigint>",
+        ).localCheckpoint(eager=True)
     kept, total = prune_files_any(stats, probe_buckets)
     hist_sigs = spark.read.parquet(_os.path.join(index_dir, "signatures"))
     if not kept:  # no file overlaps any probe bucket: zero candidates

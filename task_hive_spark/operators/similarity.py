@@ -524,7 +524,7 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     en = _normed(e)
-    return (
+    out = (
         cands.join(
             en.select("vec_id", F.col("embedding").alias("ae"), F.col("nrm").alias("na")),
             "vec_id",
@@ -545,8 +545,12 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("cos_sim") >= NEAR_DUP_COS)
-        .orderBy("vec_id", "dup_id")
     )
+    from task_hive_spark.functions.report import report_sort
+
+    # report_sort, not orderBy: flagged pairs are report-sized and the
+    # global sort paid a sampling job + wide exchange (guide §2.4)
+    return report_sort(out, "vec_id", "dup_id")
 
 
 # In-cell pair threshold for SemDeDup: lower than the LSH family's
@@ -605,9 +609,15 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= SEMDEDUP_COS)
     )
+    from task_hive_spark.functions.report import report_sort
+
     comps = min_label_components(pairs.select("a_id", "b_id"))
     sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return (
+    # report_sort, not orderBy: the output is dup-group members only
+    # (report-sized), and the global sort paid a range-sampling job +
+    # a second wide exchange per run (guide §2.4; identical total order,
+    # order-insensitive oracle hash unchanged)
+    return report_sort(
         comps.join(sizes, "component")
         .join(asg.select("vec_id", "cell"), comps.node == F.col("vec_id"))
         .select(
@@ -616,8 +626,9 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             "cluster_size",
             (F.col("vec_id") == F.col("component")).alias("keep"),
-        )
-        .orderBy("rep_id", "vec_id")
+        ),
+        "rep_id",
+        "vec_id",
     )
 
 
@@ -962,6 +973,21 @@ def _adc_lut_of(dist: DataFrame) -> DataFrame:
     )
 
 
+def _adc_sum_agg(joined: DataFrame) -> DataFrame:
+    """The ADC fold itself — exact 1e-6-integer summation of the LUT
+    entries per (probe, neighbor) pair. ONE definition shared by every
+    scorer join shape (the generic four-frame form below and the fused
+    cellcodes form in ann_served_pruned_of), so the arithmetic can
+    never drift between serving paths."""
+    return joined.groupBy("probe_id", "neighbor_id").agg(
+        F.round(
+            F.sum((F.col("lut_d2r") * 1000000 + F.lit(0.5)).cast("long"))
+            / F.lit(1000000.0),
+            6,
+        ).alias("adc_d2")
+    )
+
+
 def _adc_score_frames(
     assigned: DataFrame, codes: DataFrame, lut: DataFrame, probe_cells: DataFrame
 ) -> DataFrame:
@@ -977,17 +1003,9 @@ def _adc_score_frames(
         .where(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", F.col("vec_id").alias("neighbor_id"))
     )
-    return (
+    return _adc_sum_agg(
         cands.join(codes, cands.neighbor_id == codes.vec_id)
         .join(F.broadcast(lut), ["probe_id", "sub", "code"])
-        .groupBy("probe_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.sum((F.col("lut_d2r") * 1000000 + F.lit(0.5)).cast("long"))
-                / F.lit(1000000.0),
-                6,
-            ).alias("adc_d2")
-        )
     )
 
 
@@ -1495,28 +1513,55 @@ def ann_served_pruned_of(
         .localCheckpoint()
     )
     # job 2: coarse routing over the checkpointed frames (n_probes × K
-    # rows, one task); the collect off the checkpointed result is the
-    # ≤ n_probes · NPROBE routing list the driver needs for file
-    # pruning, and the SAME frame feeds the scoring join
-    probe_cells = (
+    # rows, one task), collected DIRECTLY — the ≤ n_probes · NPROBE
+    # routing rows serve both consumers from one action: the driver's
+    # file-pruning list, and the scoring join's probe_cells side as a
+    # VALUES literal (all-integer rows — exact; a LocalTableScan whose
+    # broadcast build runs driver-side with no extra job). r13's shape
+    # checkpointed the routed frame and THEN collected it: one more
+    # scheduler round per serve plus a block-manager scan under the
+    # broadcast, for rows the driver was about to hold anyway
+    # (guide §2.4 — fewer actions; the routing arithmetic is unchanged
+    # and still evaluates engine-side on the checkpointed probes).
+    routed = (
         _assign_cells(probes, cent)
         .where(F.col("rn") <= NPROBE)
         .select(F.col("vec_id").alias("probe_id"), "cell")
-        .localCheckpoint()
     )
-    probed = sorted({r["cell"] for r in probe_cells.collect()})
+    cell_t = dict(routed.dtypes)["cell"]
+    rows = routed.collect()
+    probed = sorted({r["cell"] for r in rows})
+    if rows:
+        vals = ", ".join(
+            f"(CAST({r['probe_id']} AS BIGINT), CAST({r['cell']} AS {cell_t}))"
+            for r in rows
+        )
+        probe_cells = spark.sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(probe_id, cell)"
+        )
+    else:  # degenerate empty probe set — keep the join schema
+        probe_cells = spark.createDataFrame([], f"probe_id bigint, cell {cell_t}")
     kept, total = prune_files_any(stats, probed)
     if not kept:
         cc = spark.createDataFrame([], "cell long, vec_id long, sub int, code int")
     else:
         cc = spark.read.parquet(*kept)
-    # cellcodes carries M rows per vector — project the one-row-per-vec
-    # assignment back out for candidate generation (kept files only, so
-    # this distinct is nprobe-list-sized, not index-sized)
-    assigned = cc.select("vec_id", "cell").distinct()
-    codes = cc.select("vec_id", "sub", "code")
     lut = _adc_lut_of(_pq_dist_table(spark, probes, book=book))
-    scored = _adc_score_frames(assigned, codes, lut, probe_cells)
+    # fused candidate+code join (r14, guide §2.4): cellcodes already
+    # carries each vector's cell ON its M code rows, so joining cc
+    # directly on cell yields exactly the M LUT-addressable rows per
+    # (probe, neighbor) pair — the r13 shape re-derived a one-row-per-vec
+    # assignment via .distinct() (an exchange over the kept rows) and
+    # then joined cc a SECOND time to get the codes back. Same row
+    # multiset by construction (cell is functionally dependent on
+    # vec_id in this artifact); the fold itself is the shared
+    # _adc_sum_agg, so the scoring arithmetic cannot drift.
+    scored = _adc_sum_agg(
+        cc.join(F.broadcast(probe_cells), "cell")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "sub", "code")
+        .join(F.broadcast(lut), ["probe_id", "sub", "code"])
+    )
     out = _refine_rerank(
         scored,
         probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")),

@@ -120,13 +120,11 @@ def test_bucketed_prefix_materializes_input_once(spark):
 
 
 def test_components_labeling_is_materialized(spark):
-    """fe0d29d: the driver-local union-find labeling is checkpointed —
-    consumers scan JVM blocks, not a re-pickled Python RDD. The plan of
-    the returned frame is an RDD scan either way; the pin is that the
-    SAME checkpointed rows serve repeated actions (collect twice,
-    identical ids — a regression to lazy re-parallelize would still
-    pass this, but the eager checkpoint is also what the jobs-per-query
-    probe pins in plans/r13/measurements)."""
+    """fe0d29d / r14: the driver-local union-find labeling must never
+    plan a re-pickled Python-RDD scan under its consumers. r14 shape:
+    integral labelings within _LABEL_LITERAL_MAX come back as a VALUES
+    literal (LocalRelation — no job at all); bigger or non-integral
+    ones keep the r13 eager localCheckpoint (LogicalRDD)."""
     from task_hive_spark.functions.components import min_label_components
 
     pairs = spark.createDataFrame(
@@ -135,8 +133,26 @@ def test_components_labeling_is_materialized(spark):
     comps = min_label_components(pairs)
     rows = {(r["node"], r["component"]) for r in comps.collect()}
     assert rows == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
-    assert comps.rdd.getCheckpointFile is not None  # API sanity
-    # the frame must be backed by a checkpointed/materialized RDD scan
+    plan = _plan(comps)
+    assert "Scan ExistingRDD" not in plan, (
+        "labeling re-pickles a Python RDD under every consumer again"
+    )
+    assert "LocalRelation" in plan or "LogicalRDD" in plan, plan
+
+
+def test_components_labeling_over_literal_cap_checkpoints(spark, monkeypatch):
+    """The over-cap fallback stays the one-conversion checkpoint
+    (LogicalRDD leaf), and agrees with the literal path row-for-row."""
+    from task_hive_spark.functions import components as C
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a bigint, b bigint"
+    )
+    lit_rows = {(r["node"], r["component"])
+                for r in C.min_label_components(pairs).collect()}
+    monkeypatch.setattr(C, "_LABEL_LITERAL_MAX", 2)
+    comps = C.min_label_components(pairs)
+    assert {(r["node"], r["component"]) for r in comps.collect()} == lit_rows
     assert "LogicalRDD" in _plan(comps)
 
 

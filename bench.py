@@ -111,6 +111,17 @@ HEADLINE = [
     "sim_topk_pq_served_batch",
     # round-13: the MP3 side-info twin of the JPEG entropy decode.
     "mm_decode_mp3_sideinfo",
+    # round-14 additions (r13 verdict task 3): bench witnesses for the
+    # round-13 non-benched pathology fixes, so those wins — and any
+    # future regression of them — are driver-visible. Additions only;
+    # nothing removed, renamed, or re-timed.
+    # rel_approx_distinct: the exact/approx aggregate split (13.1→2.0 s
+    # in r13); sim_topk_ivf_pq: the PQ codebook memo-key fix
+    # (12.1→1.3 s); txt_clean_corpus_stats: the CacheManager-union miss
+    # fix via checkpointed pipe indexes (15.7→1.6 s).
+    "rel_approx_distinct",
+    "sim_topk_ivf_pq",
+    "txt_clean_corpus_stats",
 ]
 
 

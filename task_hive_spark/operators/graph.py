@@ -35,6 +35,9 @@ PR_ITERS = 5
 PR_LINKS = [(7, 1), (13, 5), (31, 11)]
 PR_OUT_DEG = len(PR_LINKS)
 PR_TOP = 20
+# lineage-truncation cadence: checkpoint the rank frame every this many
+# Pregel rounds (plans stay <= this many joins deep between leaves)
+PR_CKPT_EVERY = 5
 
 
 def _ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,17 +53,28 @@ def _ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a, b in PR_LINKS:
         dst = (F.col("doc_id") * a + b) % n
         dsts.append(F.when(dst == F.col("doc_id"), (dst + 1) % n).otherwise(dst))
+    # Checkpoint CADENCE (r14, guide §2.4 — fewer scheduler rounds):
+    # r13 truncated lineage EVERY round with an eager localCheckpoint,
+    # paying ~5 jobs per round of pure scheduling (probe: 31 jobs for
+    # 5 rounds). Lineage truncation only needs to keep the plan
+    # BOUNDED, not depth-1 — so checkpoint every PR_CKPT_EVERY rounds
+    # (lazily: the marked RDD persists when its first consumer
+    # computes; under AQE the checkpoint call itself still materializes
+    # that segment's shuffle stages, which is why the cadence — not
+    # laziness alone — is what cuts jobs; measured 31 -> 14). The
+    # intermediate rounds are plain lineage ≤ PR_CKPT_EVERY joins deep;
+    # identical arithmetic, same LogicalRDD failure semantics.
     edges = (
         nodes.select(F.col("doc_id").alias("src"), F.explode(F.array(*dsts)).alias("dst"))
         .repartition(n_parts, "src")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     base = (1.0 - PR_D) / n
     ranks = nodes.select("doc_id", (F.lit(1.0) / n).alias("r")).localCheckpoint(
-        eager=True
+        eager=False
     )
-    for _ in range(PR_ITERS):
+    for i in range(PR_ITERS):
         contrib = (
             edges.join(
                 ranks.select(F.col("doc_id").alias("src"), "r"), "src"
@@ -68,16 +82,14 @@ def _ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum(F.col("r") / PR_OUT_DEG).alias("c"))
         )
-        ranks = (
-            nodes.join(
-                contrib.select(F.col("dst").alias("doc_id"), "c"), "doc_id", "left"
-            )
-            .select(
-                "doc_id",
-                (F.lit(base) + PR_D * F.coalesce(F.col("c"), F.lit(0.0))).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(
+            contrib.select(F.col("dst").alias("doc_id"), "c"), "doc_id", "left"
+        ).select(
+            "doc_id",
+            (F.lit(base) + PR_D * F.coalesce(F.col("c"), F.lit(0.0))).alias("r"),
         )
+        if i % PR_CKPT_EVERY == PR_CKPT_EVERY - 1 or i == PR_ITERS - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -517,7 +517,11 @@ def txt_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)
-    return out.orderBy("stage_no")
+    from task_hive_spark.functions.report import report_sort
+
+    # report_sort, not orderBy: six single-row aggregates — the global
+    # sort paid a range-sampling job + a second exchange (guide §2.4)
+    return report_sort(out, "stage_no")
 
 
 def materialize_clean_corpus(

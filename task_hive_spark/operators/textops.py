@@ -1044,6 +1044,37 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the DuckDB oracle re-checks the local path end to end.
 BPE_LOCAL_VOCAB_LIMIT = 2_000_000
 
+# Driver-memory guard for the local-trainer collect (r13 verdict item
+# 8): BPE_LOCAL_VOCAB_LIMIT alone assumed the driver heap could always
+# hold 2M collected rows. The effective limit is additionally capped by
+# a conservative estimate against spark.driver.memory — at most
+# _BPE_DRIVER_HEADROOM of the heap at _BPE_ROW_EST_BYTES per collected
+# (w, freq) Row — so an under-provisioned driver falls through to the
+# distributed trainer (identical results, parity-pinned) instead of
+# OOMing mid-collect. The per-row constant is deliberately fat:
+# pyspark Rows are hundreds of bytes (components.py's finding), and
+# the trainer's own dict/list state roughly doubles the footprint.
+_BPE_ROW_EST_BYTES = 512
+_BPE_DRIVER_HEADROOM = 0.10
+
+
+def _bpe_local_limit(spark: SparkSession) -> int:
+    """BPE_LOCAL_VOCAB_LIMIT capped by the driver-heap budget."""
+    try:
+        mem = str(spark.conf.get("spark.driver.memory")).strip().lower()
+    except Exception:
+        mem = "1g"  # Spark's driver-memory default when unset
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    try:
+        if mem and mem[-1] in units:
+            heap = int(float(mem[:-1]) * units[mem[-1]])
+        else:
+            heap = int(mem)
+    except (ValueError, IndexError):
+        heap = 1024**3
+    budget_rows = int(heap * _BPE_DRIVER_HEADROOM) // _BPE_ROW_EST_BYTES
+    return max(1, min(BPE_LOCAL_VOCAB_LIMIT, budget_rows))
+
 # schema of the final (w, freq, syms) vocab state BOTH trainer paths
 # return: the distributed path's groupBy-count + transform() shape,
 # asserted equal in the parity test so the local frame can never drift
@@ -1129,9 +1160,12 @@ def _learn_merges(
     vocab_tbl = _bpe_vocab(spark, sf_dir)
     # limit+1 bounds the driver transfer even on a huge vocabulary
     # (components.py's probe pattern); ≤ limit rows means `head` IS the
-    # whole vocab and the trainer runs locally on it.
-    head = vocab_tbl.limit(BPE_LOCAL_VOCAB_LIMIT + 1).collect()
-    if len(head) <= BPE_LOCAL_VOCAB_LIMIT:
+    # whole vocab and the trainer runs locally on it. The limit is the
+    # vocab cap AND the driver-heap budget (_bpe_local_limit), so the
+    # bounded transfer is bounded against THIS driver's memory too.
+    local_limit = _bpe_local_limit(spark)
+    head = vocab_tbl.limit(local_limit + 1).collect()
+    if len(head) <= local_limit:
         max_w = max((len(r["w"]) for r in head), default=0)
         assert max_w <= 2 * _BPE_ORACLE_REPS, (
             f"max word length {max_w} exceeds the oracle splice budget "
@@ -1890,7 +1924,11 @@ def txt_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(DSIR_K)
     )
     _DSIR_TOPK_INPUT[0] = sel
-    return (
+    from task_hive_spark.functions.report import report_sort
+
+    # report_sort, not orderBy: DSIR_K ranked rows — the global sort
+    # paid a range-sampling job + a second exchange (guide §2.4)
+    return report_sort(
         sel.select(
             F.row_number()
             .over(W.orderBy(F.desc("weight_micro"), "doc_id"))
@@ -1900,8 +1938,8 @@ def txt_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_grams",
             "weight_micro",
-        )
-        .orderBy("rank")
+        ),
+        "rank",
     )
 
 

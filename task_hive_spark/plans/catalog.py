@@ -586,7 +586,12 @@ def cat_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_catalog.py."""
     from pyspark.sql import functions as F
 
-    return (
+    from task_hive_spark.functions.report import report_sort
+
+    # report_sort, not orderBy: the per-status profile is a handful of
+    # rows and the global sort paid a range-sampling job + a second
+    # exchange per run (guide §2.4; identical total order)
+    return report_sort(
         pruned_range_scan(spark, sf_dir)
         .groupBy("status")
         .agg(
@@ -594,8 +599,8 @@ def cat_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("id").alias("min_id"),
             F.max("id").alias("max_id"),
             F.sum("priority").cast("long").alias("sum_priority"),
-        )
-        .orderBy("status")
+        ),
+        "status",
     )
 
 

@@ -75,12 +75,18 @@ def _write_replay_chunks(
     ev.unpersist()
 
 
-def run_once(spark: SparkSession, sf_dir: str, work: str, n_chunks: int) -> str:
+def run_once(
+    spark: SparkSession, sf_dir: str, work: str, n_chunks: int,
+    feed: str | None = None,
+) -> str:
     """Run the dedup stream over the replayed feed to completion;
     returns the deduped-events parquet path (the test entry point —
-    converged output must be invariant to n_chunks)."""
-    feed = os.path.join(work, "feed")
-    _write_replay_chunks(spark, sf_dir, feed, n_chunks)
+    converged output must be invariant to n_chunks). ``feed`` reuses a
+    pre-built replay feed (the timers/stateful signature), so a drain
+    can be timed without the feed build."""
+    if feed is None:
+        feed = os.path.join(work, "feed")
+        _write_replay_chunks(spark, sf_dir, feed, n_chunks)
     out = os.path.join(work, "deduped")
     src = (
         spark.readStream.schema(_EVENT_SCHEMA)

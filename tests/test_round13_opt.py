@@ -169,21 +169,28 @@ def test_bpe_local_and_distributed_trainers_agree(spark, sf_dir):
         _learn_merges_local,
     )
 
+    # snapshot/restore the session merge memo: the distributed trainer
+    # writes it unconditionally, which would otherwise overwrite a
+    # local-path vocab checkpoint cached earlier in the suite (without
+    # unpersisting it) and leave this test's frame cached afterwards
+    from tests.test_round14_opt import _bpe_cache_snapshot
+
     vocab_tbl = _bpe_vocab(spark, sf_dir)
     merges_l, out_l = _learn_merges_local(vocab_tbl.collect())
-    merges_d, v_d = _learn_merges_distributed(spark, sf_dir, vocab_tbl)
-    assert merges_l == merges_d
-    # rebuild the local frame exactly as _learn_merges does, to pin the
-    # schema equality (nullability included) alongside the row equality
-    from task_hive_spark.operators.textops import _BPE_VOCAB_SCHEMA
+    with _bpe_cache_snapshot(spark, sf_dir):
+        merges_d, v_d = _learn_merges_distributed(spark, sf_dir, vocab_tbl)
+        assert merges_l == merges_d
+        # rebuild the local frame exactly as _learn_merges does, to pin
+        # the schema equality (nullability included) alongside the rows
+        from task_hive_spark.operators.textops import _BPE_VOCAB_SCHEMA
 
-    v_l = spark.createDataFrame(
-        [(w, f, s) for w, f, s in out_l], _BPE_VOCAB_SCHEMA
-    )
-    assert v_l.schema == v_d.schema, (v_l.schema, v_d.schema)
-    rows_l = sorted((r["w"], r["freq"], tuple(r["syms"])) for r in v_l.collect())
-    rows_d = sorted((r["w"], r["freq"], tuple(r["syms"])) for r in v_d.collect())
-    assert rows_l == rows_d
+        v_l = spark.createDataFrame(
+            [(w, f, s) for w, f, s in out_l], _BPE_VOCAB_SCHEMA
+        )
+        assert v_l.schema == v_d.schema, (v_l.schema, v_d.schema)
+        rows_l = sorted((r["w"], r["freq"], tuple(r["syms"])) for r in v_l.collect())
+        rows_d = sorted((r["w"], r["freq"], tuple(r["syms"])) for r in v_d.collect())
+        assert rows_l == rows_d
 
 
 def test_clean_corpus_stats_reads_checkpointed_stages(spark, sf_dir):

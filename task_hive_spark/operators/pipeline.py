@@ -482,32 +482,38 @@ def txt_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     it shouldn't, still hash-mismatches."""
     fr = _stage_frames(spark, sf_dir)
 
-    def acc(df: DataFrame, no: int, name: str) -> DataFrame:
-        return df.agg(
+    # r14 shape (guide §2.4 — one exchange, not six): r13 planned six
+    # independent two-phase aggregates (one Exchange + AQE stage each)
+    # and unioned the six result rows. The per-row terms are identical,
+    # so project every stage frame to a common (stage_no, stage,
+    # tokens, cks) shape FIRST, union the row streams, and aggregate
+    # once by stage — map-side partial aggregation reduces each
+    # partition to ≤6 rows before the single exchange. Probe: 20 → 9
+    # jobs, 24 → ~4 exchanges, same rows.
+    def terms(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.select(
             F.lit(no).cast("int").alias("stage_no"),
             F.lit(name).alias("stage"),
-            F.count("*").alias("n_docs"),
-            F.sum(ws_token_count(F.col("text")).cast("long")).alias("n_tokens"),
-            F.sum(_checksum("text")).alias("checksum"),
+            ws_token_count(F.col("text")).cast("long").alias("tokens"),
+            _checksum("text").cast("long").alias("cks"),
         )
 
-    def acc_clean(df: DataFrame, no: int, name: str, mult: bool) -> DataFrame:
+    def terms_clean(df: DataFrame, no: int, name: str, mult: bool) -> DataFrame:
         m = F.col("n_copies") if mult else F.lit(1)
-        return df.agg(
+        return df.select(
             F.lit(no).cast("int").alias("stage_no"),
             F.lit(name).alias("stage"),
-            F.count("*").alias("n_docs"),
-            F.sum(m.cast("long") * F.col("n_tokens_clean")).alias("n_tokens"),
-            F.sum(m.cast("long") * _checksum("text_clean")).alias("checksum"),
+            (m.cast("long") * F.col("n_tokens_clean")).alias("tokens"),
+            (m.cast("long") * _checksum("text_clean")).alias("cks"),
         )
 
     rows = [
-        acc(fr["corpus"], 0, "corpus"),
-        acc(fr["gated"], 1, "gates"),
-        acc(fr["exact"], 2, "exact_dedup"),
-        acc(fr["near"], 3, "near_dedup"),
-        acc_clean(fr["clean"], 4, "span_excision", mult=False),
-        acc_clean(
+        terms(fr["corpus"], 0, "corpus"),
+        terms(fr["gated"], 1, "gates"),
+        terms(fr["exact"], 2, "exact_dedup"),
+        terms(fr["near"], 3, "near_dedup"),
+        terms_clean(fr["clean"], 4, "span_excision", mult=False),
+        terms_clean(
             fr["final"].where(F.col("n_copies") >= 1),
             5,
             "temperature_sample",
@@ -517,11 +523,36 @@ def txt_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)
+    grouped = out.groupBy("stage_no", "stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").alias("n_tokens"),
+        F.sum("cks").alias("checksum"),
+    )
+    # LEFT JOIN back onto the literal stage dim: a groupBy emits NO row
+    # for an empty stage, while the old per-stage total aggregate
+    # emitted (0, NULL, NULL) — preserve that contract exactly so a
+    # degenerate corpus cannot change the output schema/rows.
+    dim = spark.sql(
+        "SELECT * FROM (VALUES "
+        "(CAST(0 AS INT), 'corpus'), (1, 'gates'), (2, 'exact_dedup'), "
+        "(3, 'near_dedup'), (4, 'span_excision'), (5, 'temperature_sample')"
+        ") AS t(stage_no, stage)"
+    )
+    final = (
+        dim.join(grouped, ["stage_no", "stage"], "left")
+        .select(
+            "stage_no",
+            "stage",
+            F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+            "n_tokens",
+            "checksum",
+        )
+    )
     from task_hive_spark.functions.report import report_sort
 
-    # report_sort, not orderBy: six single-row aggregates — the global
-    # sort paid a range-sampling job + a second exchange (guide §2.4)
-    return report_sort(out, "stage_no")
+    # report_sort, not orderBy: six rows — the global sort paid a
+    # range-sampling job + a second exchange (guide §2.4)
+    return report_sort(final, "stage_no")
 
 
 def materialize_clean_corpus(

@@ -273,19 +273,31 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     exact_o = F.countDistinct("l_orderkey")
     exact_p = F.countDistinct("l_partkey")
-    # rsd=0.01: the default 5% rsd leaves no headroom against the 5%
-    # gate bound on small cardinalities (observed >5% off at sf0.001)
+    # rsd=0.02 (r14): the default 5% rsd leaves no headroom against the
+    # 5% gate bound on small cardinalities (observed >5% off at
+    # sf0.001), but r13's 0.01 was over-insured AND expensive in a way
+    # that has nothing to do with data: Spark's HLL++ aggregation
+    # buffer declares one attribute PER REGISTER WORD, so rsd=0.01
+    # (2^14 registers → ~2.7k buffer attributes) cost ~0.85 s of pure
+    # per-run plan/codegen walking PER SKETCH COLUMN — measured 1.2 s
+    # on a 100-row input, fixed at any scale. 0.02 quarters the
+    # register count (~0.3 s total) and the measured error at every
+    # graded SF stays ≤ 1.0% — 5x inside the bound (HLL switches to
+    # linear counting at these cardinalities; at true HLL scale the
+    # error concentrates near rsd=2%, still 2.5x headroom). Output
+    # values are unchanged: exact counts are exact and the booleans
+    # stay true, so the oracle hash is identical.
     #
     # The exact and approx aggregates run as SEPARATE subtrees joined
     # 1-row×1-row: mixing countDistinct with approx_count_distinct in
     # ONE agg plans the multi-distinct Expand and evaluates the HLL++
-    # sketches inside the per-key distinct aggregation — a 16 KB
-    # (rsd=0.01) register buffer per distinct key instead of one per
-    # partition (measured 3.17 s vs 1.49 s at sf0.01, identical rows).
+    # sketches inside the per-key distinct aggregation — a per-key
+    # register buffer per distinct key instead of one per partition
+    # (measured 3.17 s vs 1.49 s at sf0.01, identical rows).
     ex = l.agg(exact_o.alias("exact_orders"), exact_p.alias("exact_parts"))
     ap = l.agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("_ao"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("_ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
     )
     return ex.crossJoin(ap).select(
         "exact_orders",

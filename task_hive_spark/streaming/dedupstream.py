@@ -47,9 +47,13 @@ def _write_replay_chunks(
     strictly increasing mtimes → ordered file-source replay), except a
     deterministic subset of every chunk is re-delivered in the NEXT
     chunk — the at-least-once wire."""
-    # cache: with_chunk's driver-folded aggregations are eager actions
-    # over the derived events SQL (see lifecycle._write_chunks)
-    ev = events_df(spark, sf_dir).cache()
+    # checkpoint LEAF, not cache: `ranked` (and through it this frame)
+    # is referenced in BOTH branches of the union below, and Spark 4.1's
+    # CacheManager can miss a cached plan under a Union (the
+    # materialize.session_index rule) — a miss re-derives the events SQL
+    # per branch. with_chunk's driver-folded aggregations materialize it
+    # eagerly either way.
+    ev = events_df(spark, sf_dir).localCheckpoint(eager=True)
     ranked = with_chunk(ev, n_chunks)  # partitioned chunk assignment — see lifecycle
     replays = ranked.where(F.col("event_s") % REPLAY_MOD == 0).withColumn(
         "chunk", F.least(F.col("chunk") + 1, F.lit(n_chunks))
@@ -72,7 +76,9 @@ def _write_replay_chunks(
         shutil.rmtree(tmp)
         os.utime(dst, (base + i * 10, base + i * 10))
     delivered.unpersist()
-    ev.unpersist()
+    from task_hive_spark.materialize import _release_checkpoint
+
+    _release_checkpoint(ev)  # free the checkpointed events blocks
 
 
 def run_once(

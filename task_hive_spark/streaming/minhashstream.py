@@ -119,7 +119,14 @@ def run_stream(spark: SparkSession, work: str, feed: str) -> str:
         # snapshots provide. Readers select columns explicitly so the
         # discovered `batch` partition column never leaks out.
         batch = batch_df.repartition(n, "doc_id")
-        sigs = minhash_sigs_of(batch).cache()
+        # checkpoint LEAF, not cache: the signature frame is referenced
+        # under TWO unions below (probe_side, all_sigs) and Spark 4.1's
+        # CacheManager can miss a cached plan under a Union
+        # (materialize.session_index's documented rule) — a miss here
+        # re-runs the md5-dense signature compute once per union branch
+        # per batch. The LogicalRDD leaf is immune; blocks are released
+        # after the three writes.
+        sigs = minhash_sigs_of(batch).localCheckpoint(eager=True)
         buckets = band_buckets_of(sigs)
         # exclude this batch's own (possibly partial, pre-crash) subdir
         # from the probe side on replay
@@ -159,7 +166,9 @@ def run_stream(spark: SparkSession, work: str, feed: str) -> str:
         pairs.write.mode("overwrite").parquet(os.path.join(out, f"batch={bid}"))
         buckets.write.mode("overwrite").parquet(os.path.join(bucket_idx, f"batch={bid}"))
         sigs.write.mode("overwrite").parquet(os.path.join(sig_idx, f"batch={bid}"))
-        sigs.unpersist()
+        from task_hive_spark.materialize import _release_checkpoint
+
+        _release_checkpoint(sigs)  # free the per-batch checkpoint blocks
 
     q = (
         spark.readStream.schema(_DOC_SCHEMA)

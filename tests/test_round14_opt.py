@@ -123,3 +123,63 @@ def test_dedup_pruned_serve_sigs_are_a_values_literal(spark, sf_dir):
     assert "Scan ExistingRDD" not in plan
     assert "LocalRelation" in plan or "LocalTableScan" in plan, plan
     assert all("ddcidx_" in f for f in df.inputFiles()), df.inputFiles()
+
+
+def test_no_fat_parquet_subtrees_under_unions(spark, sf_dir):
+    """r13 verdict item 5 — the union-over-persisted-plan rule as a
+    tripwire. Spark 4.1's CacheManager can MISS a persisted plan
+    referenced under a Union, silently re-planning the index build from
+    raw parquet once per branch (txt_clean_corpus_stats regressed to
+    866 scans this way in r13); the rule is that any session index
+    consumed under a Union must use checkpoint=True (a LogicalRDD leaf
+    is immune to cache-plan matching). This walks the cache-substituted
+    plan of every non-streaming registered query and bounds the parquet
+    relations under any single Union: the legitimate maximum today is 6
+    (th_assign_strategies / rel_set_ops / dd_split_leakage — unions of
+    genuinely different scans), while the miss pattern explodes to
+    hundreds. Deliberately reverting _pipe_corpus's checkpoint=True
+    makes this fail on txt_clean_corpus_stats (measured: that single
+    reverted flag already re-plans 9 parquet relations under the stats
+    union at sf0.001; reverting all four pipe indexes re-plans
+    hundreds)."""
+    import __spark_entry__ as em
+
+    cap = 7  # legitimate maximum today is 6; one reverted flag shows 9
+
+    def children(n):
+        ch = n.children()
+        return [ch.apply(i) for i in range(ch.size())]
+
+    def count_parquet(root):
+        c, stack = 0, [root]
+        while stack:
+            x = stack.pop()
+            if (
+                x.getClass().getSimpleName() == "LogicalRelation"
+                and "parquet" in x.simpleString(120).lower()
+            ):
+                c += 1
+            stack.extend(children(x))
+        return c
+
+    def max_under_union(df):
+        best, stack = 0, [df._jdf.queryExecution().withCachedData()]
+        while stack:
+            n = stack.pop()
+            if n.getClass().getSimpleName() == "Union":
+                best = max(best, count_parquet(n))
+            stack.extend(children(n))
+        return best
+
+    offenders = {}
+    for name, fn in em.queries().items():
+        if name.startswith("st_"):  # drain-backed; their plans read state parquet
+            continue
+        n = max_under_union(fn(spark, sf_dir))
+        if n > cap:
+            offenders[name] = n
+    assert not offenders, (
+        "parquet-relation blowup under a Union — a persisted session "
+        f"index is likely being consumed under a Union without "
+        f"checkpoint=True (see materialize.session_index): {offenders}"
+    )

@@ -133,7 +133,13 @@ def session_index(
     ``checkpoint=True`` materializes via ``localCheckpoint(eager)``
     instead of persist: the frame becomes a LogicalRDD LEAF, so
     consumers reference the stored blocks directly rather than through
-    CacheManager plan-matching. Use it for indexes consumed under a
+    CacheManager plan-matching. NOTE (r13 ADVICE item 3): this trades
+    lineage recovery for the leaf — on executor loss the index is gone
+    for good (rebuild in a fresh session), and under dynamic
+    allocation (spark.dynamicAllocation.enabled) localCheckpoint is
+    explicitly unsafe because executors are reclaimed routinely; a
+    deployment enabling dynamic allocation must keep such indexes on
+    the persist path (the assertion below makes the trade loud). Use it for indexes consumed under a
     Union: Spark 4.1's cache lookup silently misses when the SAME
     cached plan (built here via multi-branch SQL unions + keyed
     repartition) appears in several Union branches — measured on
@@ -149,6 +155,24 @@ def session_index(
     df = _CACHE.get(key)
     if df is None:
         if checkpoint:
+            # localCheckpoint under dynamic allocation loses blocks as
+            # executors are reclaimed — permanent failure, not a
+            # recompute. Warn loudly rather than take the trade
+            # silently (r13 ADVICE item 3); local[- and static-executor
+            # deployments are unaffected.
+            if (
+                spark.conf.get("spark.dynamicAllocation.enabled", "false")
+                == "true"
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"session_index({name!r}, checkpoint=True) under "
+                    "dynamic allocation: localCheckpoint blocks die with "
+                    "reclaimed executors; prefer persist for this "
+                    "deployment",
+                    stacklevel=2,
+                )
             df = build().localCheckpoint(eager=True)
         else:
             df = build().persist()

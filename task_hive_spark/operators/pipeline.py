@@ -386,6 +386,16 @@ def _sampled(spark: SparkSession, sf_dir: str, clean: DataFrame) -> DataFrame:
     # for the SQL literal rather than trusted like the asserted-alnum
     # BPE symbols.
     if prof:
+        # backslash-escaping is only an escape while the parser's
+        # legacy escapedStringLiterals stays off (its default); with it
+        # ON, \' is literal text and a quote in data would break or
+        # inject into the VALUES statement — fail loudly instead
+        # (r13 ADVICE item 1)
+        assert (
+            spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+            == "false"
+        ), "escaped VALUES literals require escapedStringLiterals=false"
+
         def _lit(lang) -> str:  # NULL-lang group kept, like the old frame
             if lang is None:
                 return "CAST(NULL AS STRING)"

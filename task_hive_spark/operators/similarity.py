@@ -218,7 +218,6 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe; exact cosine re-ranks candidates only. Approximate by
     construction (the oracle mirrors the same algorithm, so the gate
     checks the algorithm, not recall)."""
-    e = _emb(spark, sf_dir)
     corpus_b = _corpus_banding(spark, sf_dir)
     # probes ⊂ corpus, so probe buckets are a FILTER of the materialized
     # corpus banding — the former second signature pipeline over the
@@ -236,7 +235,13 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    en = _normed(e)
+    # raw scan, NOT _emb, for the verify side (r14; _probe_emb's
+    # rationale): the candidate set is report-sized, and _emb's
+    # full-corpus round-robin Exchange shipped every wide float array
+    # just to discard all but the candidates — the per-row norm is map
+    # work the scan partitions handle (guide §8: keep heavy payloads
+    # out of exchanges that only exist to re-attach them)
+    en = _normed(load_table(spark, sf_dir, "embeddings"))
     scored = (
         cands.join(
             F.broadcast(
@@ -501,7 +506,6 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — each vector lands in exactly N_BANDS buckets regardless of corpus
     size), then exact cosine keeps pairs ≥ NEAR_DUP_COS. Same banding as
     sim_topk_lsh; the i<j guard halves the candidate set."""
-    e = _emb(spark, sf_dir)
     # three-stage shape, each stage minimal: (1) candidate ids from the
     # band self-join over the MATERIALIZED banding index (the 32-plane
     # signature pipeline runs once per session, shared with
@@ -523,7 +527,11 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("dup_id"))
         .distinct()
     )
-    en = _normed(e)
+    # raw scan for the verify side (r14, same move as sim_topk_lsh):
+    # the flagged-pair set is report-sized and _emb's full-corpus
+    # round-robin Exchange of wide float arrays was paid twice (both
+    # join sides) just to re-attach vectors to it
+    en = _normed(load_table(spark, sf_dir, "embeddings"))
     out = (
         cands.join(
             en.select("vec_id", F.col("embedding").alias("ae"), F.col("nrm").alias("na")),
@@ -751,7 +759,7 @@ PQ_BOOK = _pq_codebook()
 # Python-RDD scan whose pickle conversion re-runs under every consumer
 # subtree (broadcast builds included); checkpointing the 1,024 rows
 # once per session makes every PQ encode/LUT read a JVM-cached block
-_PQ_BOOK_DF: dict[str, DataFrame] = {}
+_PQ_BOOK_DF: dict[tuple[str], DataFrame] = {}  # 1-tuple keys — eviction contract
 register_aux_cache(_PQ_BOOK_DF)
 
 

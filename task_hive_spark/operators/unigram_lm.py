@@ -206,6 +206,13 @@ def txt_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             "piece string, piece_len int, seed_count bigint,"
             " em_count bigint, cost_micro bigint",
         )
+    # the backslash escapes below are only escapes while the parser's
+    # legacy escapedStringLiterals conf stays off (its default) —
+    # fail loudly otherwise (r13 ADVICE item 1)
+    assert (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "false"
+    ), "escaped VALUES literals require escapedStringLiterals=false"
     lits = ", ".join(
         "('{}', {}, CAST({} AS BIGINT), CAST({} AS BIGINT), CAST({} AS BIGINT))".format(
             p.replace("\\", "\\\\").replace("'", "\\'"), pl, sc, ec, cm

@@ -1924,11 +1924,12 @@ def txt_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(DSIR_K)
     )
     _DSIR_TOPK_INPUT[0] = sel
-    from task_hive_spark.functions.report import report_sort
-
-    # report_sort, not orderBy: DSIR_K ranked rows — the global sort
-    # paid a range-sampling job + a second exchange (guide §2.4)
-    return report_sort(
+    # tail stays orderBy (r14 negative result): the global rank window
+    # above already leaves ONE partition, so this sort plans without a
+    # sampling job — the report_sort form ADDED a repartition(1)
+    # exchange here (probe: 4 -> 5 jobs), the opposite of its effect on
+    # multi-partition tails
+    return (
         sel.select(
             F.row_number()
             .over(W.orderBy(F.desc("weight_micro"), "doc_id"))
@@ -1938,8 +1939,8 @@ def txt_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_grams",
             "weight_micro",
-        ),
-        "rank",
+        )
+        .orderBy("rank")
     )
 
 
